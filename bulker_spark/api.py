@@ -1,0 +1,236 @@
+"""Public API: Engine + streams, the BulkerStream-equivalent surface.
+
+Reference API (``/root/reference/bulkerlib/bulker.go:24-101``):
+``CreateBulker(Config) → CreateStream(id, table, mode, options...) →
+Consume/ConsumeJSON/ConsumeMap → Complete/Abort``; four modes
+(``stream, batch, replace_table, replace_partition``) and the option surface
+of ``bulkerlib/options.go:185-209`` + ``implementations/sql/options.go:12-83``.
+
+Spark mapping: a stream accumulates events (or accepts a whole DataFrame),
+``complete()`` runs the normalize → dedup → load pipeline once per batch —
+exactly the reference's transactional batch lifecycle, with the warehouse
+version-swap as the commit.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ingest import cast_to_existing, ingest_json
+from .operators.dedup import (
+    ORDER_COLUMN,
+    dedup_discriminator,
+    dedup_last_wins,
+    with_sequence,
+)
+from .operators.merge import MergeWindow, batch_min_timestamp
+from .schema import SchemaPolicy
+from .sinks.warehouse import Warehouse
+from .table import TableMeta
+
+PARTITION_ID_COLUMN = "__partition_id"  # delete_condition.go:10
+
+MODES = ("stream", "batch", "replace_table", "replace_partition")
+
+
+@dataclass
+class StreamOptions:
+    """The public knob surface (SURVEY §2.14)."""
+
+    mode: str = "batch"
+    primary_key: list[str] = field(default_factory=list)
+    deduplicate: bool = False
+    discriminator_field: list[str] = field(default_factory=list)
+    timestamp_column: str | None = None
+    partition_id: str | None = None
+    namespace: str | None = None
+    to_same_case: str = "none"  # none|lower|upper
+    omit_nils: bool = True
+    schema_freeze: bool = False
+    max_columns_count: int = 5000
+    deduplicate_window: int = 365  # days
+    batch_size: int = 10_000
+    frozen_now: _dt.datetime | None = None  # test clock
+
+    def policy(self) -> SchemaPolicy:
+        return SchemaPolicy(self.schema_freeze, self.max_columns_count)
+
+
+@dataclass
+class StreamResult:
+    """BulkerStream state counters (bulker.go:152-265)."""
+
+    processed_rows: int = 0
+    successful_rows: int = 0
+    table: TableMeta | None = None
+    error: str | None = None
+
+
+class BulkerStream:
+    def __init__(self, engine: "Engine", table: str, options: StreamOptions):
+        self.engine = engine
+        self.table = table
+        self.options = options
+        self._events: list[Any] = []
+        self._df: DataFrame | None = None
+        self._aborted = False
+        if options.mode not in MODES:
+            raise ValueError(f"unknown mode {options.mode!r}")
+
+    # Consume surface -------------------------------------------------------
+    def consume(self, event: dict[str, Any]) -> None:
+        self._events.append(event)
+
+    def consume_json(self, line: str | bytes) -> None:
+        self._events.append(line.decode() if isinstance(line, bytes) else line)
+
+    def consume_map(self, event: dict[str, Any]) -> None:
+        self._events.append(event)
+
+    def consume_dataframe(self, df: DataFrame) -> None:
+        """Spark-native consume: hand a whole DataFrame to the stream
+        (the 100 TB path — no driver-side buffering)."""
+        self._df = df if self._df is None else self._df.unionByName(
+            df, allowMissingColumns=True
+        )
+
+    def abort(self) -> StreamResult:
+        self._aborted = True
+        return StreamResult()
+
+    def complete(self) -> StreamResult:
+        if self._aborted:
+            return StreamResult()
+        return self.engine._load(self.table, self._events, self._df, self.options)
+
+
+class Engine:
+    """Top-level entry: ``Engine(spark, warehouse_path)``."""
+
+    def __init__(self, spark: SparkSession, warehouse_path: str, namespace: str = "default"):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, warehouse_path, namespace)
+
+    def create_stream(self, table: str, **options: Any) -> BulkerStream:
+        return BulkerStream(self, table, StreamOptions(**options))
+
+    # the full load pipeline ------------------------------------------------
+    def _load(
+        self,
+        table: str,
+        events: list[Any],
+        df: DataFrame | None,
+        opt: StreamOptions,
+    ) -> StreamResult:
+        ns = opt.namespace
+        meta = self.warehouse.get_meta(table, ns)
+        existing = dict(meta.columns) if meta is not None and opt.mode in (
+            "batch",
+            "stream",
+        ) else None
+
+        if df is None:
+            if not events:
+                return StreamResult(table=meta)
+            df, header = ingest_json(
+                self.spark,
+                events,
+                existing_types=existing,
+                policy=opt.policy(),
+                omit_nils=opt.omit_nils,
+                case=opt.to_same_case,
+            )
+        elif existing:
+            df = cast_to_existing(df, existing)
+
+        processed = None  # counted lazily by sink write
+
+        # arrival order must be pinned BEFORE any shuffle
+        if opt.deduplicate and opt.primary_key:
+            df = with_sequence(df)
+            if opt.discriminator_field:
+                df = dedup_discriminator(
+                    df, opt.primary_key, opt.discriminator_field
+                )
+            else:
+                df = dedup_last_wins(df, opt.primary_key)
+            df = df.drop(ORDER_COLUMN)
+
+        if opt.mode == "replace_partition":
+            if not opt.partition_id:
+                raise ValueError("replace_partition requires partition_id")
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(PARTITION_ID_COLUMN, F.lit(opt.partition_id))
+            meta = self.warehouse.replace_partition(
+                table,
+                df,
+                partition_column=PARTITION_ID_COLUMN,
+                namespace=ns,
+                pk=opt.primary_key,
+                timestamp_column=opt.timestamp_column,
+            )
+        elif opt.mode == "replace_table":
+            meta = self.warehouse.create_or_replace(
+                table,
+                df,
+                pk=opt.primary_key,
+                timestamp_column=opt.timestamp_column,
+                namespace=ns,
+            )
+        elif opt.primary_key and opt.deduplicate:
+            now = opt.frozen_now or _dt.datetime.utcnow()
+            window_days = None
+            if opt.timestamp_column:
+                min_ts = batch_min_timestamp(df, opt.timestamp_column)
+                window_days = MergeWindow(opt.deduplicate_window).effective_days(
+                    min_ts, now
+                )
+            meta = self.warehouse.merge(
+                table,
+                df,
+                opt.primary_key,
+                timestamp_column=opt.timestamp_column,
+                window_days=window_days,
+                now=now,
+                namespace=ns,
+            )
+        else:
+            meta = self.warehouse.append(
+                table,
+                df,
+                pk=opt.primary_key,
+                timestamp_column=opt.timestamp_column,
+                namespace=ns,
+            )
+
+        n = self.warehouse.count(table, namespace=ns)
+        return StreamResult(processed_rows=n, successful_rows=n, table=meta)
+
+    # convenience bulk API (router.go:220-321 /bulk) ------------------------
+    def bulk_load(
+        self,
+        table: str,
+        source: DataFrame | Iterable[Any] | str,
+        **options: Any,
+    ) -> StreamResult:
+        options.setdefault("mode", "replace_table")
+        stream = self.create_stream(table, **options)
+        if isinstance(source, DataFrame):
+            stream.consume_dataframe(source)
+        elif isinstance(source, str):
+            with open(source) as fh:
+                for line in fh:
+                    if line.strip():
+                        stream.consume_json(line)
+        else:
+            for ev in source:
+                if isinstance(ev, (str, bytes)):
+                    stream.consume_json(ev)
+                else:
+                    stream.consume(ev)
+        return stream.complete()

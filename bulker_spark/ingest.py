@@ -1,0 +1,213 @@
+"""Distributed ingestion: raw JSON events → normalized typed DataFrame.
+
+The reference consumes events row-at-a-time from Kafka and folds a schema as
+it goes (``abstract_transactional.go:439-531``). The Spark-first equivalent
+is two passes over the batch:
+
+1. **Header pass** — each partition folds a tiny partial ``BatchHeader``
+   (column names + lattice type ids, no data); partials are merged on the
+   driver in partition order, preserving first-seen column order. Cost: one
+   scan, O(columns) driver state.
+
+2. **Normalize pass** — ``mapInPandas`` (Arrow-batched) flattens + casts each
+   event to the unified schema, rescuing uncastable values into
+   ``_unmapped_data``. The output is a flat, typed DataFrame that all
+   downstream operators (dedup, merge, write) consume declaratively.
+
+For input that is *already structured* (e.g. parquet with nested structs),
+:func:`normalize_struct_df` does the same thing fully JVM-side: a single
+projection with ``try_cast`` + rescue, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .flatten import flatten_dataframe
+from .naming import NameTransformer
+from .schema import (
+    UNMAPPED_DATA_COLUMN,
+    BatchHeader,
+    ColumnSpec,
+    SchemaPolicy,
+    infer_header,
+    normalize_events,
+    unify_with_existing,
+)
+from .types_lattice import DataType, from_spark_type, to_spark_type
+
+
+def _parse_lines(lines: Iterator[str]) -> Iterator[dict[str, Any]]:
+    for line in lines:
+        line = line.strip()
+        if line:
+            yield _json.loads(line)
+
+
+def infer_header_distributed(
+    json_df: DataFrame,
+    *,
+    omit_nils: bool = True,
+    case: str = "none",
+) -> BatchHeader:
+    """Header pass over a DataFrame with one string column of JSON events."""
+    col = json_df.columns[0]
+
+    def fold(idx: int, it: Iterator[Any]) -> Iterator[tuple[int, str]]:
+        nt = NameTransformer(case)
+        header = infer_header(
+            _parse_lines(r[0] for r in it), omit_nils=omit_nils, name_transformer=nt
+        )
+        payload = _json.dumps(
+            [[s.name, int(s.data_type), s.hinted] for s in header.columns.values()]
+        )
+        yield idx, payload
+
+    partials = sorted(json_df.select(col).rdd.mapPartitionsWithIndex(fold).collect())
+    merged = BatchHeader()
+    for _, payload in partials:
+        part = BatchHeader(
+            {n: ColumnSpec(n, DataType(t), h) for n, t, h in _json.loads(payload)}
+        )
+        merged = merged.merge(part)
+    return merged
+
+
+def normalize_json_df(
+    json_df: DataFrame,
+    header: BatchHeader,
+    *,
+    omit_nils: bool = True,
+    case: str = "none",
+) -> DataFrame:
+    """Normalize pass: JSON strings → typed rows per ``header`` schema."""
+    col = json_df.columns[0]
+    schema = header.to_spark_schema(with_unmapped=True)
+    out_cols = [f.name for f in schema.fields]
+    header_payload = [
+        [s.name, int(s.data_type), s.hinted] for s in header.columns.values()
+    ]
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nt = NameTransformer(case)
+        hdr = BatchHeader(
+            {n: ColumnSpec(n, DataType(t), h) for n, t, h in header_payload}
+        )
+        for pdf in batches:
+            rows = list(
+                normalize_events(
+                    _parse_lines(iter(pdf[col].tolist())),
+                    hdr,
+                    omit_nils=omit_nils,
+                    name_transformer=nt,
+                )
+            )
+            out = pd.DataFrame(
+                {c: [r.get(c) for r in rows] for c in out_cols},
+                columns=out_cols,
+            )
+            yield out
+
+    return json_df.select(col).mapInPandas(norm, schema=schema)
+
+
+def ingest_json(
+    spark: SparkSession,
+    source: DataFrame | list[str] | list[dict] | str,
+    *,
+    existing_types: dict[str, DataType] | None = None,
+    policy: SchemaPolicy | None = None,
+    omit_nils: bool = True,
+    case: str = "none",
+) -> tuple[DataFrame, BatchHeader]:
+    """End-to-end: events (NDJSON path, list of dicts/strings, or a
+    one-string-column DataFrame) → (normalized typed DataFrame, header).
+
+    When ``existing_types`` is given (the destination table's schema), the
+    batch is unified against it: existing column types win, new columns
+    append in first-seen order subject to ``policy``.
+    """
+    if isinstance(source, str):
+        json_df = spark.read.text(source)
+    elif isinstance(source, DataFrame):
+        json_df = source
+    else:
+        lines = [
+            s if isinstance(s, str) else _json.dumps(s, ensure_ascii=False)
+            for s in source
+        ]
+        json_df = spark.createDataFrame([(x,) for x in lines], "value string")
+
+    header = infer_header_distributed(json_df, omit_nils=omit_nils, case=case)
+    unified, _new = unify_with_existing(existing_types, header, policy)
+    df = normalize_json_df(json_df, unified, omit_nils=omit_nils, case=case)
+    return df, unified
+
+
+def normalize_struct_df(df: DataFrame, *, case: str = "none") -> DataFrame:
+    """JVM-only normalize for already-structured input.
+
+    Flattens nested structs into ``a_b`` columns (pure projection), converts
+    arrays/maps to JSON strings, and leaves scalar types as-is (parquet
+    already carries types). Use this path at scale — zero Python overhead,
+    full codegen, pushdown-friendly.
+    """
+    return flatten_dataframe(df, name_transformer=NameTransformer(case))
+
+
+def cast_to_existing(
+    df: DataFrame, existing_types: dict[str, DataType]
+) -> DataFrame:
+    """Cast a flat DataFrame to an existing table's types JVM-side.
+
+    Uses ``try_cast`` so uncastable values become NULL and their originals
+    are rescued into ``_unmapped_data`` (JSON), mirroring
+    ``abstract.go:469-553`` without leaving codegen.
+    """
+    cols = []
+    rescue_entries = []
+    for name in df.columns:
+        if name == UNMAPPED_DATA_COLUMN:
+            continue
+        cur = df.schema[name].dataType
+        want = existing_types.get(from_name := name)
+        if want is None:
+            rescue_entries.append((name, F.col(f"`{name}`")))
+            continue
+        target = to_spark_type(want)
+        if cur == target or from_spark_type(cur) == want:
+            cols.append(F.col(f"`{name}`").cast(target).alias(name))
+        else:
+            casted = F.try_cast(F.col(f"`{name}`"), target)
+            cols.append(casted.alias(name))
+            rescue_entries.append(
+                (
+                    name,
+                    F.when(
+                        casted.isNull() & F.col(f"`{name}`").isNotNull(),
+                        F.col(f"`{name}`").cast("string"),
+                    ),
+                )
+            )
+    for name in existing_types:
+        if name not in df.columns:
+            cols.append(F.lit(None).cast(to_spark_type(existing_types[name])).alias(name))
+    if rescue_entries:
+        rescue = F.to_json(
+            F.struct(*[e.alias(n) for n, e in rescue_entries])
+        )
+        prev = (
+            F.col(UNMAPPED_DATA_COLUMN)
+            if UNMAPPED_DATA_COLUMN in df.columns
+            else F.lit(None).cast("string")
+        )
+        cols.append(F.coalesce(prev, rescue).alias(UNMAPPED_DATA_COLUMN))
+    elif UNMAPPED_DATA_COLUMN in df.columns:
+        cols.append(F.col(UNMAPPED_DATA_COLUMN))
+    return df.select(*cols)

@@ -1,0 +1,87 @@
+"""In-batch deduplication: last-wins and discriminator ("highest wins").
+
+Reference semantics:
+
+- last-wins by PK while writing the batch file
+  (``/root/reference/bulkerlib/implementations/sql/abstract_transactional.go:439-496``)
+- discriminator field: keep the row with the **highest** discriminator value
+  per PK instead of arrival order (``abstract_transactional.go:462-489``,
+  option ``bulkerlib/options.go:129-147``).
+
+Spark-first: a single window ``row_number`` per PK — one shuffle on the PK
+columns, map-side nothing to combine (we need the winning full row). At
+scale the shuffle is unavoidable for exact dedup; skew on hot PKs is handled
+by AQE (skewJoin/skew shuffle) since the window partitions by the same key a
+subsequent MERGE joins on, letting the exchange be reused.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLUMN = "__seq"
+
+
+def with_sequence(df: DataFrame) -> DataFrame:
+    """Attach an arrival-order sequence for last-wins semantics.
+
+    ``monotonically_increasing_id`` encodes (partition id, in-partition
+    offset), which reproduces Kafka consumption order per partition — the
+    same guarantee the reference has (order within a topic partition).
+    """
+    return df.withColumn(ORDER_COLUMN, F.monotonically_increasing_id())
+
+
+def dedup_last_wins(
+    df: DataFrame,
+    pk: Sequence[str],
+    order_col: str | Column | None = None,
+) -> DataFrame:
+    """Keep the last row per PK (by ``order_col``, default arrival order)."""
+    if not pk:
+        return df
+    added = False
+    if order_col is None:
+        if ORDER_COLUMN not in df.columns:
+            df = with_sequence(df)
+            added = True
+        order = F.col(ORDER_COLUMN)
+    elif isinstance(order_col, str):
+        order = F.col(order_col)
+    else:
+        order = order_col
+    w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(order.desc_nulls_last())
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    drop = ["__rn"] + ([ORDER_COLUMN] if added else [])
+    return out.drop(*drop)
+
+
+def dedup_discriminator(
+    df: DataFrame,
+    pk: Sequence[str],
+    discriminator: Sequence[str],
+) -> DataFrame:
+    """Keep the row with the highest discriminator value(s) per PK.
+
+    Ties broken by arrival order (later wins), matching ``CompareAny`` +
+    insertion order in the reference.
+    """
+    if ORDER_COLUMN not in df.columns:
+        df = with_sequence(df)
+        added = True
+    else:
+        added = False
+    order_cols = [F.col(d).desc_nulls_last() for d in discriminator]
+    order_cols.append(F.col(ORDER_COLUMN).desc())
+    w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*order_cols)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    drop = ["__rn"] + ([ORDER_COLUMN] if added else [])
+    return out.drop(*drop)
+
+
+def exact_distinct(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate-row elimination (hash aggregate; map-side combine)."""
+    return df.dropDuplicates(list(cols)) if cols else df.dropDuplicates()

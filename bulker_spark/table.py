@@ -1,0 +1,50 @@
+"""Table metadata: the engine-side analogue of the reference's ``Table``
+struct (``/root/reference/bulkerlib/implementations/sql/table.go:41-56``):
+namespace, name, ordered columns, PK fields, timestamp column, partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .types_lattice import DataType
+
+
+@dataclass
+class TableMeta:
+    namespace: str
+    name: str
+    # ordered column name → generic type (first-seen order preserved)
+    columns: dict[str, DataType] = field(default_factory=dict)
+    pk: list[str] = field(default_factory=list)
+    timestamp_column: str | None = None
+    partition_by: list[str] = field(default_factory=list)
+    version: str = ""  # current committed version directory
+
+    def to_json(self) -> dict:
+        return {
+            "namespace": self.namespace,
+            "name": self.name,
+            "columns": [[n, int(t)] for n, t in self.columns.items()],
+            "pk": self.pk,
+            "timestamp_column": self.timestamp_column,
+            "partition_by": self.partition_by,
+            "version": self.version,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "TableMeta":
+        return cls(
+            namespace=d["namespace"],
+            name=d["name"],
+            columns={n: DataType(t) for n, t in d["columns"]},
+            pk=list(d.get("pk") or []),
+            timestamp_column=d.get("timestamp_column"),
+            partition_by=list(d.get("partition_by") or []),
+            version=d.get("version", ""),
+        )
+
+    def diff_new_columns(self, incoming: dict[str, DataType]) -> list[str]:
+        """Columns present in the incoming schema but not the table
+        (table.go:200-236); order = incoming first-seen order."""
+        return [c for c in incoming if c not in self.columns]

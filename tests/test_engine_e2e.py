@@ -1,0 +1,215 @@
+"""End-to-end engine tests mirroring the reference's integration matrix
+(``bulker_test.go:234-440``; fixtures FIXTURES.md F1-F12)."""
+
+import datetime as dt
+import json
+
+from pyspark.sql import types as T
+
+from bulker_spark import Engine
+
+TS = "2022-08-18T14:17:22.375Z"
+
+
+def _rows(engine, table):
+    df = engine.warehouse.read(table)
+    return [r.asDict() for r in df.orderBy("id").collect()]
+
+
+def test_simple_e2e(spark, tmp_warehouse):
+    """F1: source → flatten(no-op) → infer → create → load."""
+    e = Engine(spark, tmp_warehouse)
+    events = [
+        {"_timestamp": TS, "id": 1, "name": "test"},
+        {"_timestamp": TS, "id": 2, "name": "test2"},
+        {"_timestamp": TS, "id": 3, "name": "test3"},
+    ]
+    res = e.bulk_load("simple", events, mode="batch")
+    assert res.successful_rows == 3
+    df = e.warehouse.read("simple")
+    # first-seen column order + inferred types
+    assert df.columns[:3] == ["_timestamp", "id", "name"]
+    assert isinstance(df.schema["_timestamp"].dataType, T.TimestampType)
+    assert isinstance(df.schema["id"].dataType, T.LongType)
+    assert isinstance(df.schema["name"].dataType, T.StringType)
+    rows = _rows(e, "simple")
+    assert [r["name"] for r in rows] == ["test", "test2", "test3"]
+    assert rows[0]["_timestamp"] == dt.datetime(2022, 8, 18, 14, 17, 22, 375000)
+
+
+def test_columns_added_evolution(spark, tmp_warehouse):
+    """F2: progressive schema evolution across batches."""
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load("evo", [{"_timestamp": TS, "id": 1, "name": "a"}], mode="batch")
+    e.bulk_load(
+        "evo",
+        [{"_timestamp": TS, "id": 2, "name": "b", "column1": "data"}],
+        mode="batch",
+    )
+    e.bulk_load(
+        "evo",
+        [
+            {
+                "_timestamp": TS,
+                "id": 3,
+                "name": "c",
+                "column1": "data",
+                "column2": "data",
+                "column3": "data",
+            }
+        ],
+        mode="batch",
+    )
+    meta = e.warehouse.get_meta("evo")
+    assert list(meta.columns) == [
+        "_timestamp",
+        "id",
+        "name",
+        "column1",
+        "column2",
+        "column3",
+    ]
+    rows = _rows(e, "evo")
+    assert len(rows) == 3
+    assert rows[0].get("column1") is None
+    assert rows[2]["column3"] == "data"
+
+
+def test_repeated_ids_dedup(spark, tmp_warehouse):
+    """F3: last-wins dedup with PK; without PK all rows survive."""
+    e = Engine(spark, tmp_warehouse)
+    events = [
+        {"_timestamp": TS, "id": 1, "name": "test"},
+        {"_timestamp": TS, "id": 1, "name": "test7"},
+        {"_timestamp": TS, "id": 2, "name": "x"},
+        {"_timestamp": TS, "id": 2, "name": "y"},
+    ]
+    e.bulk_load("nodedup", events, mode="batch")
+    assert e.warehouse.count("nodedup") == 4
+
+    e.bulk_load(
+        "dedup", events, mode="batch", primary_key=["id"], deduplicate=True
+    )
+    rows = _rows(e, "dedup")
+    assert [r["name"] for r in rows] == ["test7", "y"]
+
+    # second batch upserts by PK
+    e.bulk_load(
+        "dedup",
+        [{"_timestamp": TS, "id": 1, "name": "updated"}, {"_timestamp": TS, "id": 3, "name": "new"}],
+        mode="batch",
+        primary_key=["id"],
+        deduplicate=True,
+    )
+    rows = _rows(e, "dedup")
+    assert [r["name"] for r in rows] == ["updated", "y", "new"]
+
+
+def test_dedup_discriminator(spark, tmp_warehouse):
+    """F4: keep highest discriminator value per PK, not arrival order."""
+    e = Engine(spark, tmp_warehouse)
+    events = [
+        {"_timestamp": "2022-08-18T14:17:22.375Z", "id": 1, "name": "C", "int1": 3},
+        {"_timestamp": "2022-08-15T14:17:22.375Z", "id": 1, "name": "B", "int1": 2},
+        {"_timestamp": "2022-08-16T14:17:22.375Z", "id": 1, "name": "D", "int1": 4},
+    ]
+    e.bulk_load(
+        "discr",
+        events,
+        mode="batch",
+        primary_key=["id"],
+        deduplicate=True,
+        discriminator_field=["int1"],
+    )
+    rows = _rows(e, "discr")
+    assert len(rows) == 1
+    assert rows[0]["name"] == "D"
+
+
+def test_types_collision_rescue(spark, tmp_warehouse):
+    """F6/F12: LCA unification within batch; existing-type wins across
+    batches with uncastable values rescued to _unmapped_data."""
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load("tt", [{"id": 1, "int_1": 1, "float1": 1.2}], mode="batch")
+    meta = e.warehouse.get_meta("tt")
+    from bulker_spark.types_lattice import DataType as D
+
+    assert meta.columns["int_1"] == D.INT64
+    # second batch: int_1 arrives as non-integral float → rescue
+    e.bulk_load("tt", [{"id": 2, "int_1": 2.7, "float1": 2}], mode="batch")
+    rows = _rows(e, "tt")
+    assert rows[1]["int_1"] is None
+    assert "2.7" in rows[1]["_unmapped_data"]
+    assert rows[1]["float1"] == 2.0  # integral into FLOAT64 fine
+
+
+def test_replace_table(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load("rt", [{"id": 1, "name": "old"}], mode="replace_table")
+    e.bulk_load("rt", [{"id": 10, "name": "new"}, {"id": 11, "name": "new2"}],
+                mode="replace_table")
+    rows = _rows(e, "rt")
+    assert [r["id"] for r in rows] == [10, 11]
+
+
+def test_replace_partition(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    batch1 = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    batch2 = [{"id": 3, "name": "c"}]
+    e.bulk_load("rp", batch1, mode="replace_partition", partition_id="p1")
+    e.bulk_load("rp", batch2, mode="replace_partition", partition_id="p2")
+    assert e.warehouse.count("rp") == 3
+    # reload p1 with different rows: only p1 replaced
+    e.bulk_load(
+        "rp",
+        [{"id": 9, "name": "z"}],
+        mode="replace_partition",
+        partition_id="p1",
+    )
+    df = e.warehouse.read("rp")
+    got = {(r["id"], r["__partition_id"]) for r in df.collect()}
+    assert got == {(9, "p1"), (3, "p2")}
+
+
+def test_merge_window(spark, tmp_warehouse):
+    """F8: duplicates older than the merge window are NOT merged."""
+    e = Engine(spark, tmp_warehouse)
+    now = dt.datetime(2023, 1, 10)
+    old = {"_timestamp": "2023-01-01T00:00:00Z", "id": 1, "name": "old"}
+    e.bulk_load(
+        "mw", [old], mode="batch", primary_key=["id"], deduplicate=True,
+        timestamp_column="_timestamp", frozen_now=now,
+    )
+    # new batch, same PK, recent timestamp, window 3 days: old row is outside
+    # window → not merged → both rows present
+    new = {"_timestamp": "2023-01-10T00:00:00Z", "id": 1, "name": "new"}
+    e.bulk_load(
+        "mw", [new], mode="batch", primary_key=["id"], deduplicate=True,
+        timestamp_column="_timestamp", deduplicate_window=3, frozen_now=now,
+    )
+    assert e.warehouse.count("mw") == 2
+    # batch old enough that the shrunk window covers the target row → merge
+    # collapses to 1 (window = ceil(batch age) = 9 days ≥ target age)
+    e.bulk_load(
+        "mw2", [old], mode="batch", primary_key=["id"], deduplicate=True,
+        timestamp_column="_timestamp", frozen_now=now,
+    )
+    covering = {"_timestamp": "2023-01-01T12:00:00Z", "id": 1, "name": "new"}
+    e.bulk_load(
+        "mw2", [covering], mode="batch", primary_key=["id"], deduplicate=True,
+        timestamp_column="_timestamp", deduplicate_window=365, frozen_now=now,
+    )
+    assert e.warehouse.count("mw2") == 1
+    assert _rows(e, "mw2")[0]["name"] == "new"
+
+
+def test_ndjson_and_multibyte(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    lines = [
+        json.dumps({"id": 1, "name": "multi\nline"}),
+        json.dumps({"id": 2, "name": "emoji 🚀"}),
+    ]
+    e.bulk_load("weird", lines, mode="batch")
+    rows = _rows(e, "weird")
+    assert rows[0]["name"] == "multi\nline"
+    assert rows[1]["name"] == "emoji 🚀"

@@ -184,7 +184,7 @@ def cast_to_existing(
         if cur == target or from_spark_type(cur) == want:
             cols.append(F.col(f"`{name}`").cast(target).alias(name))
         else:
-            casted = F.try_cast(F.col(f"`{name}`"), target)
+            casted = F.col(f"`{name}`").try_cast(target)
             cols.append(casted.alias(name))
             rescue_entries.append(
                 (

@@ -1,0 +1,789 @@
+"""Query/operator catalog: every SQL-expressible operator exposed to the
+driver's DuckDB-oracle correctness gate.
+
+Each entry is ``name → (spark_fn, oracle_sql | None)`` where ``spark_fn(spark,
+sf_dir)`` returns a DataFrame and ``oracle_sql`` is the ANSI-SQL equivalent
+DuckDB runs on the same parquet tables. Column names/aliases match exactly;
+computed floats are rounded identically on both sides so value hashes agree.
+
+Operator coverage map (SURVEY.md §2 → query):
+
+- flatten (2.3)                → flatten_json_events
+- dedup last-wins (2.7)        → dedup_last_wins
+- dedup discriminator (2.7)    → dedup_discriminator
+- merge-window predicate (2.4) → merge_window_recent
+- WhenConditions/COUNT (2.4/6) → count_where
+- ORDER BY + limit (2.8)       → select_order_limit
+- partition-id derivation(2.10)→ partition_stats
+- typecast lattice (2.9/1.2)   → typecast_lattice
+- joins/aggs at scale (bench)  → tpch_q1/q3/q5/q6, top_customers_revenue
+- LLM-pipeline extensions      → doc_* / emb_* families
+
+Deterministic-hash parity notes: Spark ``md5`` == DuckDB ``md5``;
+15 hex chars → BIGINT via Spark ``conv(...,16,10)`` vs DuckDB
+``('0x'||h)::UBIGINT``; all modular arithmetic stays < 2^62.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_COEFFS = [(1, 0), (1103515245, 12345), (69069, 362437), (214013, 2531011)]
+SIMHASH_BITS = 16
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long and truncate to micros —
+    exactly what DuckDB's µs-precision TIMESTAMP does, so oracle values
+    agree."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+# --- hash helpers (identical arithmetic both engines) ---------------------
+
+_SPARK_H = "cast(conv(substr(md5({col}),1,15),16,10) as bigint) % 2147483647"
+_DUCK_H = "(('0x' || substr(md5({col}),1,15))::UBIGINT::BIGINT) % 2147483647"
+
+
+# ==========================================================================
+# Bulker-core operators
+# ==========================================================================
+
+def flatten_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON flatten: nested ``props`` column → typed flat column
+    (flattener.go semantics on a stringified-JSON column)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+
+
+FLATTEN_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+"""
+
+
+def dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins PK dedup (abstract_transactional.go:439-496): keep the
+    newest row per user_id, arrival order = event_id."""
+    from ..operators.dedup import dedup_last_wins as op
+
+    ev = _t(spark, sf_dir, "events")
+    out = op(ev, ["user_id"], order_col="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+DEDUP_LAST_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def dedup_discriminator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminator dedup (abstract_transactional.go:462-489): keep the row
+    with the highest ``value`` per user_id, ties broken by event_id."""
+    from ..operators.dedup import dedup_discriminator as op
+
+    ev = _t(spark, sf_dir, "events")
+    out = op(ev.withColumn("__seq", F.col("event_id")), ["user_id"], ["value"])
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+DEDUP_DISCR_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def merge_window_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-window predicate (transactional_stream.go:91-100): only rows
+    within N days of the batch's max timestamp participate in the merge."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+MERGE_WINDOW_SQL = """
+SELECT event_id, user_id, ts, event_type
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+"""
+
+
+def count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT with WhenConditions (sql_adapter_base.go:287-297,783-810)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 100)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+COUNT_WHERE_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE value > 100 GROUP BY event_type
+"""
+
+
+def select_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select + ORDER BY + LIMIT (sql_adapter_base.go:228-235)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )
+
+
+SELECT_ORDER_SQL = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
+def partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-id derivation for replace_partition / time partitioning
+    (delete_condition.go:63-187 granularity truncation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+PARTITION_STATS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def typecast_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lattice conversions (converter.go:45-69): string→int via try_cast
+    (uncastable → NULL, the rescue path), float→int (integral only via
+    floor), bool derivation, number→string."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_int"),
+        F.floor("value").cast("long").alias("floor_val"),
+        (F.col("value") > 100).alias("is_big"),
+        F.col("event_id").cast("string").alias("id_str"),
+    )
+
+
+TYPECAST_SQL = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(FLOOR(value) AS BIGINT) AS floor_val,
+       value > 100 AS is_big,
+       CAST(event_id AS VARCHAR) AS id_str
+FROM events
+"""
+
+
+# ==========================================================================
+# Analytical queries (bench headliners; joins/aggregations at scale)
+# ==========================================================================
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("timestamp'1998-03-15 00:00:00'")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("timestamp'1998-03-15 00:00:00'")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ==========================================================================
+# Training-data pipeline: text analysis + dedup families
+# ==========================================================================
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (hash-groupBy; map-side combine)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting via space arithmetic (identical on both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    n_alpha = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_alpha.cast("double") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length bucket × stopword presence × punct ratio."""
+    d = _t(spark, sf_dir, "documents")
+    n_stop = (
+        F.length("text") - F.length(F.regexp_replace("text", " the ", ""))
+    ) / F.lit(5)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.regexp_replace("text", "\\.", ""), ",", "")
+    )
+    length_ok = F.when(
+        F.length("text").between(100, 2000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    score = length_ok * (
+        1.0 - n_punct.cast("double") / F.length("text")
+    )
+    return d.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stopwords"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+         AS n_stopwords,
+       CAST(length(text) - length(replace(replace(text, '.', ''), ',', ''))
+         AS BIGINT) AS n_punct,
+       ROUND((CASE WHEN length(text) BETWEEN 100 AND 2000
+                   THEN 1.0 ELSE 0.5 END)
+             * (1.0 - CAST(length(text) -
+                  length(replace(replace(text, '.', ''), ',', '')) AS DOUBLE)
+                / length(text)), 4) AS quality
+FROM documents
+"""
+
+
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (stopword probe) vs the labeled lang."""
+    d = _t(spark, sf_dir, "documents")
+    guess = (
+        F.when(F.instr("text", " the ") > 0, F.lit("en"))
+        .when(F.instr("text", " le ") > 0, F.lit("fr"))
+        .when(F.instr("text", " el ") > 0, F.lit("es"))
+        .otherwise(F.lit("unk"))
+    )
+    return (
+        d.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+DOC_LANG_SQL = """
+SELECT lang,
+       CASE WHEN position(' the ' IN text) > 0 THEN 'en'
+            WHEN position(' le ' IN text) > 0 THEN 'fr'
+            WHEN position(' el ' IN text) > 0 THEN 'es'
+            ELSE 'unk' END AS guess,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str, max_doc: int) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - F.lit(7), F.lit(1))
+            )
+        ).alias("i"),
+    )
+    return pos.select("doc_id", F.expr("substring(text, i, 8)").alias("sh"))
+
+
+_SHINGLE_DUCK = """
+  SELECT d.doc_id, substr(d.text, g.i::INT, 8) AS sh
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(
+           1, greatest(length(d.text) - 7, 1))) AS i) g
+  WHERE d.doc_id < {max_doc}
+"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram shingling (the substrate for MinHash/Jaccard)."""
+    return (
+        _shingles(spark, sf_dir, 50)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shingles"))
+    )
+
+
+DOC_SHINGLES_SQL = f"""
+SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles
+FROM ({_SHINGLE_DUCK.format(max_doc=50)}) GROUP BY doc_id
+"""
+
+
+def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hash functions over 8-gram shingles) —
+    shingle → md5 → 60-bit int → (a·h+b) mod p, min per doc."""
+    sh = _shingles(spark, sf_dir, 50)
+    h = sh.withColumn("h", F.expr(_SPARK_H.format(col="sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+_mh_cols = ", ".join(
+    f"CAST(min(({a} * h + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+DOC_MINHASH_SQL = f"""
+SELECT doc_id, {_mh_cols}
+FROM (SELECT doc_id, {_DUCK_H.format(col="sh")} AS h
+      FROM ({_SHINGLE_DUCK.format(max_doc=50)}))
+GROUP BY doc_id
+"""
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (token-hash bit voting)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = tok.withColumn("h", F.expr(_SPARK_H.format(col="tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = h.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_bit_cols = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_sim_expr = " + ".join(
+    f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+DOC_SIMHASH_SQL = f"""
+SELECT doc_id, CAST({_sim_expr} AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, {_bit_cols}
+  FROM (SELECT doc_id, {_DUCK_H.format(col="tok")} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 100)
+        WHERE tok <> '')
+  GROUP BY doc_id
+) GROUP BY doc_id, {", ".join(f"b{j}" for j in range(SIMHASH_BITS))}
+"""
+
+
+def doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs: distinct-shingle self-join →
+    |A∩B| / |A∪B| ≥ 0.1 (doc_id < 100 window)."""
+    sh = _shingles(spark, sf_dir, 100).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+DOC_JACCARD_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK.format(max_doc=100)})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+"""
+
+
+# ==========================================================================
+# Similarity search over embeddings
+# ==========================================================================
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (vec_id=0), computed
+    JVM-side with zip_with/aggregate (no UDF). Ranking on the rounded
+    similarity keeps cross-engine ordering deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    q2 = F.aggregate(
+        F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        j.select(
+            "vec_id",
+            F.round(dot / (F.sqrt(n2) * F.sqrt(q2)), 3).alias("cos_sim"),
+        )
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+EMB_COSINE_SQL = """
+WITH q AS (
+  SELECT unnest(embedding)::DOUBLE AS qv,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings WHERE vec_id = 0
+),
+ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT ex.vec_id, SUM(ex.v * q.qv) AS dot, SUM(ex.v * ex.v) AS n2
+  FROM ex JOIN q USING (i) GROUP BY 1
+),
+qn AS (SELECT SUM(qv * qv) AS q2 FROM q)
+SELECT vec_id, ROUND(dot / (sqrt(n2) * sqrt(q2)), 3) AS cos_sim
+FROM dots, qn
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (norm distribution) — the reduction shape
+    behind IVF centroid builds."""
+    e = _t(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.select("label", F.sqrt(n2).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 3).alias("avg_norm"),
+            F.round(F.min("norm"), 3).alias("min_norm"),
+            F.round(F.max("norm"), 3).alias("max_norm"),
+        )
+    )
+
+
+EMB_LABEL_STATS_SQL = """
+WITH norms AS (
+  SELECT label, sqrt(SUM(v * v)) AS norm
+  FROM (SELECT label, vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings)
+  GROUP BY label, vec_id
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(norm), 3) AS avg_norm,
+       ROUND(MIN(norm), 3) AS min_norm,
+       ROUND(MAX(norm), 3) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+# ==========================================================================
+# Registry
+# ==========================================================================
+
+QUERIES: dict[str, tuple] = {
+    # bulker-core operators
+    "flatten_json_events": (flatten_json_events, FLATTEN_SQL),
+    "dedup_last_wins": (dedup_last_wins, DEDUP_LAST_SQL),
+    "dedup_discriminator": (dedup_discriminator, DEDUP_DISCR_SQL),
+    "merge_window_recent": (merge_window_recent, MERGE_WINDOW_SQL),
+    "count_where": (count_where, COUNT_WHERE_SQL),
+    "select_order_limit": (select_order_limit, SELECT_ORDER_SQL),
+    "partition_stats": (partition_stats, PARTITION_STATS_SQL),
+    "typecast_lattice": (typecast_lattice, TYPECAST_SQL),
+    # analytical/bench
+    "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
+    "tpch_q3": (tpch_q3, TPCH_Q3_SQL),
+    "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
+    "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
+    "top_customers_revenue": (top_customers_revenue, TOP_CUSTOMERS_SQL),
+    # training-data pipeline
+    "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality_score": (doc_quality_score, DOC_QUALITY_SQL),
+    "doc_lang_guess": (doc_lang_guess, DOC_LANG_SQL),
+    "doc_shingles": (doc_shingles, DOC_SHINGLES_SQL),
+    "doc_minhash": (doc_minhash, DOC_MINHASH_SQL),
+    "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
+    "doc_near_dup_jaccard": (doc_near_dup_jaccard, DOC_JACCARD_SQL),
+    "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
+    "emb_label_stats": (emb_label_stats, EMB_LABEL_STATS_SQL),
+}

@@ -77,6 +77,7 @@ class BulkerStream:
         self.options = options
         self._events: list[Any] = []
         self._df: DataFrame | None = None
+        self._json_df: DataFrame | None = None
         self._aborted = False
         if options.mode not in MODES:
             raise ValueError(f"unknown mode {options.mode!r}")
@@ -98,6 +99,16 @@ class BulkerStream:
             df, allowMissingColumns=True
         )
 
+    def consume_dataframe_json(self, json_df: DataFrame) -> None:
+        """Distributed raw-JSON consume: a one-string-column DataFrame of
+        JSON events goes through the full flatten/infer/unify path without
+        touching the driver."""
+        self._json_df = (
+            json_df
+            if self._json_df is None
+            else self._json_df.unionByName(json_df)
+        )
+
     def abort(self) -> StreamResult:
         self._aborted = True
         return StreamResult()
@@ -105,7 +116,9 @@ class BulkerStream:
     def complete(self) -> StreamResult:
         if self._aborted:
             return StreamResult()
-        return self.engine._load(self.table, self._events, self._df, self.options)
+        return self.engine._load(
+            self.table, self._events, self._df, self._json_df, self.options
+        )
 
 
 class Engine:
@@ -124,6 +137,7 @@ class Engine:
         table: str,
         events: list[Any],
         df: DataFrame | None,
+        json_df: DataFrame | None,
         opt: StreamOptions,
     ) -> StreamResult:
         ns = opt.namespace
@@ -134,11 +148,12 @@ class Engine:
         ) else None
 
         if df is None:
-            if not events:
+            source: Any = json_df if json_df is not None else events
+            if json_df is None and not events:
                 return StreamResult(table=meta)
             df, header = ingest_json(
                 self.spark,
-                events,
+                source,
                 existing_types=existing,
                 policy=opt.policy(),
                 omit_nils=opt.omit_nils,

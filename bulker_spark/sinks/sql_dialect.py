@@ -1,0 +1,275 @@
+"""Per-dialect SQL generation: the reference's ``SQLAdapter`` surface
+(``/root/reference/bulkerlib/implementations/sql/sql_adapter.go:23-68``)
+re-expressed as statement builders driven by the generic type lattice.
+
+Dialect specifics reproduced (citations into ``/root/reference/``):
+
+- Postgres merge:  ``INSERT ... ON CONFLICT (pk) DO UPDATE SET``
+  (``postgres.go:60-64``); param chunking to 65535 (``postgres.go:396``)
+- MySQL merge:     ``INSERT ... ON DUPLICATE KEY UPDATE`` (``mysql.go:46-52``)
+- Redshift merge:  ``DELETE ... USING`` + ``INSERT`` with merge-window
+  predicate (``redshift.go:260-331``)
+- Snowflake/BigQuery merge: ``MERGE INTO ... USING`` (``snowflake.go:502-507``,
+  ``bigquery.go:230-264``)
+- DuckDB merge:    ``INSERT OR REPLACE`` (``duckdb.go:55-62``)
+- type maps per DB (``postgres.go:72-81`` etc, SURVEY §1.2)
+- identifier adaptation + max lengths (``table_helper.go:367-458``)
+
+The Spark-native warehouse (warehouse.py) is the primary sink; this module
+is the bridge to real JDBC warehouses. At scale rows flow executor-side
+(``df.foreachPartition`` with one connection per partition, chunked
+statements); the driver-side path below is used for tests against DuckDB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..naming import IdentifierAdapter
+from ..types_lattice import DataType
+
+# generic type → SQL type per dialect (first entry of the reference's maps)
+_TYPE_MAPS: dict[str, dict[DataType, str]] = {
+    "postgres": {
+        DataType.BOOL: "boolean",
+        DataType.INT64: "bigint",
+        DataType.FLOAT64: "double precision",
+        DataType.STRING: "text",
+        DataType.TIMESTAMP: "timestamp with time zone",
+        DataType.JSON: "jsonb",
+        DataType.UNKNOWN: "text",
+    },
+    "redshift": {
+        DataType.BOOL: "boolean",
+        DataType.INT64: "bigint",
+        DataType.FLOAT64: "double precision",
+        DataType.STRING: "character varying(65535)",
+        DataType.TIMESTAMP: "timestamp",
+        DataType.JSON: "super",
+        DataType.UNKNOWN: "character varying(65535)",
+    },
+    "snowflake": {
+        DataType.BOOL: "boolean",
+        DataType.INT64: "bigint",
+        DataType.FLOAT64: "double precision",
+        DataType.STRING: "text",
+        DataType.TIMESTAMP: "timestamp(6)",
+        DataType.JSON: "text",
+        DataType.UNKNOWN: "text",
+    },
+    "bigquery": {
+        DataType.BOOL: "BOOL",
+        DataType.INT64: "INT64",
+        DataType.FLOAT64: "FLOAT64",
+        DataType.STRING: "STRING",
+        DataType.TIMESTAMP: "TIMESTAMP",
+        DataType.JSON: "JSON",
+        DataType.UNKNOWN: "STRING",
+    },
+    "mysql": {
+        DataType.BOOL: "boolean",
+        DataType.INT64: "bigint",
+        DataType.FLOAT64: "double",
+        DataType.STRING: "text",
+        DataType.TIMESTAMP: "timestamp(6)",
+        DataType.JSON: "JSON",
+        DataType.UNKNOWN: "text",
+    },
+    "duckdb": {
+        DataType.BOOL: "boolean",
+        DataType.INT64: "bigint",
+        DataType.FLOAT64: "double",
+        DataType.STRING: "varchar",
+        DataType.TIMESTAMP: "timestamp",
+        DataType.JSON: "json",
+        DataType.UNKNOWN: "varchar",
+    },
+}
+
+_MAX_IDENT = {
+    "postgres": 63,
+    "redshift": 127,
+    "snowflake": 255,
+    "bigquery": 300,
+    "mysql": 64,
+    "duckdb": 255,
+}
+
+_MERGE_STRATEGY = {
+    "postgres": "on_conflict",
+    "mysql": "duplicate_key",
+    "redshift": "delete_insert",
+    "snowflake": "merge",
+    "bigquery": "merge",
+    "duckdb": "insert_or_replace",
+}
+
+PG_PARAM_LIMIT = 65535  # postgres.go:396
+
+
+@dataclass
+class SqlDialect:
+    name: str
+    quote: str = '"'
+    adapter: IdentifierAdapter = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.name not in _TYPE_MAPS:
+            raise ValueError(f"unknown dialect {self.name!r}")
+        if self.adapter is None:
+            case = "upper" if self.name == "snowflake" else "none"
+            self.adapter = IdentifierAdapter(
+                max_len=_MAX_IDENT[self.name], case=case
+            )
+        if self.name in ("mysql", "bigquery"):
+            self.quote = "`"
+
+    # -- identifiers --------------------------------------------------------
+    def ident(self, name: str) -> str:
+        return f"{self.quote}{self.adapter.adapt(name)}{self.quote}"
+
+    def sql_type(self, t: DataType) -> str:
+        return _TYPE_MAPS[self.name][t]
+
+    # -- DDL (sql_adapter_base.go:562-706) ---------------------------------
+    def create_schema(self, namespace: str) -> str:
+        return f"CREATE SCHEMA IF NOT EXISTS {self.ident(namespace)}"
+
+    def qualified(self, table: str, namespace: str | None = None) -> str:
+        return (
+            f"{self.ident(namespace)}.{self.ident(table)}"
+            if namespace
+            else self.ident(table)
+        )
+
+    def create_table(
+        self,
+        table: str,
+        columns: dict[str, DataType],
+        pk: list[str] | None = None,
+        namespace: str | None = None,
+        if_not_exists: bool = True,
+    ) -> str:
+        cols = [f"{self.ident(c)} {self.sql_type(t)}" for c, t in columns.items()]
+        if pk and self.name not in ("bigquery",):  # BQ has no PK constraint
+            pk_cols = ", ".join(self.ident(c) for c in pk)
+            cols.append(f"PRIMARY KEY ({pk_cols})")
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        return (
+            f"CREATE TABLE {ine}{self.qualified(table, namespace)} "
+            f"({', '.join(cols)})"
+        )
+
+    def add_columns(
+        self,
+        table: str,
+        columns: dict[str, DataType],
+        namespace: str | None = None,
+    ) -> list[str]:
+        return [
+            f"ALTER TABLE {self.qualified(table, namespace)} "
+            f"ADD COLUMN {self.ident(c)} {self.sql_type(t)}"
+            for c, t in columns.items()
+        ]
+
+    def drop_table(self, table: str, namespace: str | None = None) -> str:
+        return f"DROP TABLE IF EXISTS {self.qualified(table, namespace)}"
+
+    def truncate(self, table: str, namespace: str | None = None) -> str:
+        return f"TRUNCATE TABLE {self.qualified(table, namespace)}"
+
+    def rename_table(self, old: str, new: str, namespace: str | None = None) -> str:
+        return (
+            f"ALTER TABLE {self.qualified(old, namespace)} "
+            f"RENAME TO {self.ident(new)}"
+        )
+
+    # -- DML ---------------------------------------------------------------
+    def insert(
+        self,
+        table: str,
+        columns: list[str],
+        n_rows: int = 1,
+        namespace: str | None = None,
+    ) -> str:
+        cols = ", ".join(self.ident(c) for c in columns)
+        row = f"({', '.join('?' for _ in columns)})"
+        rows = ", ".join(row for _ in range(n_rows))
+        return (
+            f"INSERT INTO {self.qualified(table, namespace)} ({cols}) "
+            f"VALUES {rows}"
+        )
+
+    def rows_per_statement(self, n_columns: int) -> int:
+        """Param-limit chunking (postgres.go:396)."""
+        return max(1, PG_PARAM_LIMIT // max(n_columns, 1))
+
+    def merge(
+        self,
+        table: str,
+        columns: list[str],
+        pk: list[str],
+        namespace: str | None = None,
+        timestamp_column: str | None = None,
+        cutoff_literal: str | None = None,
+    ) -> list[str]:
+        """Upsert statement(s) for one parameterized row batch; strategy per
+        dialect. Returns a list because redshift needs DELETE+INSERT."""
+        strategy = _MERGE_STRATEGY[self.name]
+        q = self.qualified(table, namespace)
+        cols = ", ".join(self.ident(c) for c in columns)
+        placeholders = ", ".join("?" for _ in columns)
+        non_pk = [c for c in columns if c not in pk]
+        if strategy == "on_conflict":
+            pk_cols = ", ".join(self.ident(c) for c in pk)
+            sets = ", ".join(
+                f"{self.ident(c)} = excluded.{self.ident(c)}" for c in non_pk
+            )
+            action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+            return [
+                f"INSERT INTO {q} ({cols}) VALUES ({placeholders}) "
+                f"ON CONFLICT ({pk_cols}) {action}"
+            ]
+        if strategy == "duplicate_key":
+            sets = ", ".join(
+                f"{self.ident(c)} = VALUES({self.ident(c)})" for c in non_pk
+            )
+            return [
+                f"INSERT INTO {q} ({cols}) VALUES ({placeholders}) "
+                f"ON DUPLICATE KEY UPDATE {sets}"
+            ]
+        if strategy == "insert_or_replace":
+            return [f"INSERT OR REPLACE INTO {q} ({cols}) VALUES ({placeholders})"]
+        if strategy == "delete_insert":
+            on = " AND ".join(f"{q}.{self.ident(c)} = s.{self.ident(c)}" for c in pk)
+            window = (
+                f" AND {q}.{self.ident(timestamp_column)} >= {cutoff_literal}"
+                if timestamp_column and cutoff_literal
+                else ""
+            )
+            return [
+                f"DELETE FROM {q} USING {{staging}} s WHERE {on}{window}",
+                f"INSERT INTO {q} ({cols}) SELECT {cols} FROM {{staging}}",
+            ]
+        # merge (snowflake / bigquery)
+        on = " AND ".join(f"t.{self.ident(c)} = s.{self.ident(c)}" for c in pk)
+        window = (
+            f" AND t.{self.ident(timestamp_column)} >= {cutoff_literal}"
+            if timestamp_column and cutoff_literal
+            else ""
+        )
+        sets = ", ".join(
+            f"t.{self.ident(c)} = s.{self.ident(c)}" for c in non_pk
+        )
+        src_cols = ", ".join(f"s.{self.ident(c)}" for c in columns)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
+        return [
+            f"MERGE INTO {q} t USING (SELECT {placeholders_as(columns, self)}) s "
+            f"ON ({on}{window}) "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols})"
+        ]
+
+
+def placeholders_as(columns: list[str], d: SqlDialect) -> str:
+    return ", ".join(f"? AS {d.ident(c)}" for c in columns)

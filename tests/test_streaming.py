@@ -1,0 +1,110 @@
+"""Streaming front tests: file-stream source → foreachBatch → warehouse,
+dead-letter for malformed events, retry flow with backoff
+(reference: bulkerapp/app/{batch,stream,retry}_consumer.go semantics)."""
+
+import datetime as dt
+import json
+import os
+import tempfile
+
+import pytest
+
+from bulker_spark import Engine, StreamOptions
+from bulker_spark.streaming.ingest_stream import (
+    IngestStream,
+    dead_table,
+    json_file_stream,
+    retry_backoff_minutes,
+    retry_table,
+    split_valid_json,
+)
+
+
+@pytest.fixture()
+def tmpdirs():
+    dirs = [tempfile.mkdtemp(prefix=f"bstream_{i}_") for i in range(3)]
+    yield dirs
+    import shutil
+
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_backoff():
+    assert retry_backoff_minutes(1) == 2.0
+    assert retry_backoff_minutes(3) == 8.0
+    assert retry_backoff_minutes(20) == 60.0  # capped
+
+
+def test_split_valid_json(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ("not json",), ("",), ('{"b": 2}',), ("   ",)],
+        "value string",
+    )
+    good, bad = split_valid_json(df)
+    assert good.count() == 2
+    assert bad.count() == 1  # blanks dropped entirely
+
+
+def test_stream_e2e_with_dead_letter(spark, tmpdirs):
+    src_dir, ckpt, wh = tmpdirs
+    with open(os.path.join(src_dir, "batch1.ndjson"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "name": "a"}) + "\n")
+        fh.write("THIS IS NOT JSON\n")
+        fh.write(json.dumps({"id": 2, "name": "b"}) + "\n")
+
+    engine = Engine(spark, wh)
+    stream = IngestStream(
+        engine,
+        "events_t",
+        StreamOptions(mode="batch", primary_key=["id"], deduplicate=True),
+    )
+    q = stream.start(json_file_stream(spark, src_dir), ckpt)
+    q.awaitTermination(120)
+
+    assert engine.warehouse.count("events_t") == 2
+    dead = engine.warehouse.read(dead_table("events_t")).collect()
+    assert len(dead) == 1
+    assert dead[0]["value"] == "THIS IS NOT JSON"
+    assert dead[0]["error"] == "malformed JSON"
+
+    # second micro-batch: checkpoint resumes, upsert dedups
+    with open(os.path.join(src_dir, "batch2.ndjson"), "w") as fh:
+        fh.write(json.dumps({"id": 2, "name": "b2"}) + "\n")
+        fh.write(json.dumps({"id": 3, "name": "c"}) + "\n")
+    q2 = stream.start(json_file_stream(spark, src_dir), ckpt)
+    q2.awaitTermination(120)
+    rows = {
+        r["id"]: r["name"]
+        for r in engine.warehouse.read("events_t").collect()
+    }
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_retry_flow(spark, tmp_warehouse):
+    engine = Engine(spark, tmp_warehouse)
+    now = dt.datetime(2024, 1, 1, 12, 0, 0)
+    opts = StreamOptions(mode="batch", frozen_now=now)
+    stream = IngestStream(engine, "rt", opts)
+
+    # seed the retry table: one due, one not due, one exhausted
+    retry_rows = spark.createDataFrame(
+        [
+            ('{"id": 1}', "err", 1, now - dt.timedelta(minutes=1)),
+            ('{"id": 2}', "err", 1, now + dt.timedelta(minutes=30)),
+            ('{"id": 3}', "err", 5, now - dt.timedelta(minutes=1)),
+        ],
+        "value string, error string, retries int, retry_time timestamp",
+    )
+    engine.warehouse.append(retry_table("rt"), retry_rows)
+
+    replayed = stream.process_retries(now=now)
+    assert replayed == 1  # only the due, non-exhausted row
+    assert engine.warehouse.count("rt") == 1
+    assert engine.warehouse.read("rt").collect()[0]["id"] == 1
+    # exhausted row moved to dead
+    dead = engine.warehouse.read(dead_table("rt")).collect()
+    assert len(dead) == 1 and '"id": 3' in dead[0]["value"]
+    # not-due row remains queued
+    remaining = engine.warehouse.read(retry_table("rt")).collect()
+    assert len(remaining) == 1 and '"id": 2' in remaining[0]["value"]

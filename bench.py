@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "doc_minhash",
     "doc_simhash",
     "emb_cosine_topk",
+    "events_sessionize",
+    "event_funnel",
+    "doc_minhash_lsh_pairs",
 ]
 
 

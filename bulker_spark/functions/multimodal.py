@@ -1,0 +1,248 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design for 100 TB: media bytes live in a ``binary`` column (or an object-
+store URI column for >~1 MB assets); decode / feature-extract / resize /
+frame-sample run as **Arrow-batched ``mapInPandas``** stages so bytes move
+executor-side in columnar batches, never through the driver. Partitioning:
+media rows are large — size partitions by bytes not rows
+(``spark.sql.files.maxPartitionBytes``, and ``maxRecordsPerBatch`` tuned
+down so a batch of decoded frames fits in executor memory).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are stubbed: with ``codec="fake"`` (default) they parse the
+deterministic FAKE header format below (real Spark plumbing, fake decode);
+with ``codec="real"`` they raise ``NotImplementedError`` unless the lib
+imports. The UDF signatures, schemas, and batch shapes are the production
+ones.
+
+FAKE binary layouts (deterministic, self-describing):
+  image: b"FIMG" + u32 width + u32 height + pixel bytes (w*h, grayscale)
+  audio: b"FAUD" + u32 sample_rate + u32 n_samples + i16 samples
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_MAGIC = b"FIMG"
+AUDIO_MAGIC = b"FAUD"
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=width * height, dtype=np.uint8)
+    return IMAGE_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
+
+
+def make_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32767, size=n_samples, dtype=np.int16)
+    return AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
+def _decode_fake_image(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    if b is None or len(b) < 12 or b[:4] != IMAGE_MAGIC:
+        return None
+    w, h = struct.unpack("<II", b[4:12])
+    pixels = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8)
+    if pixels.size != w * h:
+        return None
+    return w, h, pixels.reshape(h, w)
+
+
+def _require_real_codec(lib: str):
+    try:
+        return __import__(lib)
+    except ImportError as ex:  # pragma: no cover - real codecs absent here
+        raise NotImplementedError(
+            f"real codec requires {lib!r}, not available in this environment; "
+            "use codec='fake' (deterministic stub) for the Spark plumbing"
+        ) from ex
+
+
+# -- operators -------------------------------------------------------------
+
+def image_metadata(
+    df: DataFrame, content_col: str = "content", codec: str = "fake"
+) -> DataFrame:
+    """Decode headers → typed metadata struct column ``image_meta``.
+
+    Arrow-batched; only headers are touched, pixels stay unparsed (cheap
+    scan even at 100 TB: the binary column is late-materialized by parquet).
+    """
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField("image_meta", IMAGE_META_SCHEMA)]
+    )
+    if codec == "real":
+        _require_real_codec("PIL")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[content_col]:
+                d = _decode_fake_image(b)
+                if d is None:
+                    metas.append(
+                        {
+                            "width": None,
+                            "height": None,
+                            "n_bytes": len(b) if b is not None else None,
+                            "format": None,
+                            "valid": False,
+                        }
+                    )
+                else:
+                    w, h, _ = d
+                    metas.append(
+                        {
+                            "width": w,
+                            "height": h,
+                            "n_bytes": len(b),
+                            "format": "fimg",
+                            "valid": True,
+                        }
+                    )
+            pdf = pdf.copy()
+            pdf["image_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    n_bins: int = 16,
+    codec: str = "fake",
+) -> DataFrame:
+    """Pixel-histogram feature vector (``array<double>``, L1-normalized) —
+    the feature-extraction stage shape (swap the kernel for a real model)."""
+    out_schema = T.StructType(
+        [
+            *df.schema.fields,
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    if codec == "real":
+        _require_real_codec("PIL")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                d = _decode_fake_image(b)
+                if d is None:
+                    feats.append(None)
+                else:
+                    _, _, px = d
+                    hist, _ = np.histogram(px, bins=n_bins, range=(0, 256))
+                    total = hist.sum() or 1
+                    feats.append((hist / total).tolist())
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def image_resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded into the FAKE format (the
+    batch-transform stage shape: binary in → binary out)."""
+    out_schema = T.StructType(
+        [*df.schema.fields, T.StructField("resized", T.BinaryType())]
+    )
+    if codec == "real":
+        _require_real_codec("PIL")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                d = _decode_fake_image(b)
+                if d is None:
+                    out.append(None)
+                else:
+                    w, h, px = d
+                    ys = (np.arange(height) * h // height).clip(0, h - 1)
+                    xs = (np.arange(width) * w // width).clip(0, w - 1)
+                    small = px[np.ix_(ys, xs)]
+                    out.append(
+                        IMAGE_MAGIC
+                        + struct.pack("<II", width, height)
+                        + small.astype(np.uint8).tobytes()
+                    )
+            pdf = pdf.copy()
+            pdf["resized"] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_frame_sample(
+    df: DataFrame,
+    frame_ms: int = 100,
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """Frame-sampling: one output row per frame with RMS energy —
+    ``mapInPandas`` with row explosion (1 → N), the video-frame shape too."""
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            *[f for f in df.schema.fields if f.name != content_col],
+        ]
+    )
+    if codec == "real":
+        _require_real_codec("librosa")
+
+    passthrough = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = r[content_col]
+                if b is None or len(b) < 12 or b[:4] != AUDIO_MAGIC:
+                    continue
+                rate, n = struct.unpack("<II", b[4:12])
+                samples = np.frombuffer(b[12 : 12 + 2 * n], dtype=np.int16)
+                hop = max(int(rate * frame_ms / 1000), 1)
+                for idx in range(0, len(samples), hop):
+                    frame = samples[idx : idx + hop].astype(np.float64)
+                    rms = float(np.sqrt(np.mean(frame**2))) if len(frame) else 0.0
+                    rows.append(
+                        {
+                            "frame_idx": idx // hop,
+                            "rms": round(rms, 4),
+                            **{c: r[c] for c in passthrough},
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["frame_idx", "rms", *passthrough]
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,216 @@
+"""Text-analysis operators for training-data pipelines, all pure JVM
+expressions (no Python in the hot path): token counting, quality scoring,
+language-ID heuristic, fingerprinting, shingling, MinHash, SimHash.
+
+These are the reusable DataFrame forms of the oracle-checked queries in
+``plans/queries.py``; parameterized for production use (more hash functions,
+64-bit SimHash, configurable shingle width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647
+
+# 16 deterministic (a, b) pairs for minhash permutations (LCG constants).
+MINHASH_COEFFS_16 = [
+    (1, 0),
+    (1103515245, 12345),
+    (69069, 362437),
+    (214013, 2531011),
+    (134775813, 1),
+    (22695477, 1),
+    (1664525, 1013904223),
+    (48271, 0),
+    (16807, 0),
+    (1588635695, 12345),
+    (1223106847, 362437),
+    (279470273, 0),
+    (1583458089, 2531011),
+    (784588716, 1),
+    (1004703469, 1013904223),
+    (741103597, 0),
+]
+
+
+def hash60(col: str | Column) -> Column:
+    """Deterministic 60-bit integer hash of a string (md5-derived, identical
+    to the DuckDB-oracle arithmetic)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def token_count(text: str | Column = "text") -> Column:
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.length(c) - F.length(F.regexp_replace(c, " ", "")) + 1
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.regexp_replace(text, needle, "")))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword features + a combined quality score."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.regexp_replace(c, "\\.", ""), ",", "")
+    )
+    n_stop = occurrence_count(c, " the ")
+    score = (
+        F.when(n_chars.between(100, 2000), F.lit(1.0)).otherwise(0.5)
+        * (1.0 - n_punct.cast("double") / n_chars)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        n_punct.alias("q_n_punct"),
+        n_stop.alias("q_n_stopwords"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+LANG_MARKERS = [("en", " the "), ("fr", " le "), ("es", " el "), ("de", " der ")]
+
+
+def lang_guess(text: str | Column = "text") -> Column:
+    c = text if isinstance(text, Column) else F.col(text)
+    expr = None
+    for lang, marker in LANG_MARKERS:
+        cond = F.instr(c, marker) > 0
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("unk"))
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Content fingerprint for exact dedup (md5 of the raw text)."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.md5(c)
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Character n-gram shingling: one row per (id, shingle position)."""
+    pos = df.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(text_col) - F.lit(width - 1), F.lit(1)),
+            )
+        ).alias("i"),
+    )
+    return pos.select(
+        id_col, F.expr(f"substring({text_col}, i, {width})").alias("sh")
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per id: min over shingles of (a·h+b) mod p for
+    ``n_hashes`` deterministic permutations. One shuffle (the groupBy),
+    map-side partial mins."""
+    coeffs = MINHASH_COEFFS_16[:n_hashes]
+    h = shingle_df.withColumn(
+        "__h", hash60(shingle_col) % F.lit(MINHASH_PRIME)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into bands of ``band_size`` rows;
+    ids sharing any full band are candidate near-dups. The band join is an
+    equi-join on a single synthetic key — shuffle only the (id, band_key)
+    projection, never documents."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_",
+            F.lit(b),
+            *[
+                F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)
+            ],
+        )
+        bands.append(
+            signatures.select(F.col(id_col).alias("id"), key.alias("band_key"))
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    a = all_bands.alias("a")
+    b2 = all_bands.alias("b")
+    return (
+        a.join(b2, F.col("a.band_key") == F.col("b.band_key"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    token_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    n_bits: int = 48,
+) -> DataFrame:
+    """SimHash fingerprint: per-bit vote over token hashes (n_bits ≤ 60,
+    the width of hash60). Single groupBy; the conditional sums are one
+    aggregate pass (whole-stage codegen)."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60]")
+    h = token_df.withColumn("__h", hash60(token_col))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(__h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(n_bits)
+    ]
+    votes = h.groupBy(id_col).agg(*bit_aggs)
+    sim: Column | None = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"__b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — SimHash near-dup distance."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )

@@ -660,6 +660,232 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
 """
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the event-time
+    windowing the reference lacks but a training-data pipeline needs.
+    Expressed as lag + running-sum windows — two window passes over the
+    same (user_id, ts) partitioning, one shuffle total."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "__new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "__new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(F.col("__new_session")),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR date_diff('second', prev, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users with a signup followed by a purchase —
+    conditional aggregation, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)
+        ).alias("n_signup"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+FUNNEL_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(SUM(CASE WHEN first_signup IS NOT NULL
+                      AND first_purchase > first_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM f
+"""
+
+
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups keep the best representative (longest, then lowest
+    doc_id) — the canonical-selection step after fingerprint dedup."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.md5("text").alias("fp"), "n_chars")
+    )
+
+
+DOC_KEEP_BEST_SQL = """
+SELECT doc_id, md5(text) AS fp, n_chars FROM (
+  SELECT doc_id, text, n_chars,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: signatures split into 2 bands of 2; docs
+    sharing a full band are candidate near-dups. Only (doc_id, band_key)
+    projections shuffle — never text."""
+    sig = doc_minhash(spark, sf_dir)
+    bands = None
+    for i in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.col(f"mh{i}").alias("x"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+DOC_LSH_PAIRS_SQL = f"""
+WITH sig AS ({DOC_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS x FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, mh1 AS x FROM sig
+  UNION ALL SELECT doc_id, 2 AS band, mh2 AS x FROM sig
+  UNION ALL SELECT doc_id, 3 AS band, mh3 AS x FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.x = b.x AND a.doc_id < b.doc_id
+"""
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 4 on 16-bit fingerprints
+    (bit_count(xor) — pure integer ops, codegen-friendly)."""
+    s = doc_simhash(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+    )
+
+
+DOC_SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({DOC_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id < 100 window, cos ≥ 0.3) —
+    the exact baseline the LSH join approximates."""
+    from ..functions.similarity import cosine_pairs_exact
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return cosine_pairs_exact(e, threshold=0.3)
+
+
+EMB_NEAR_DUP_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings WHERE vec_id < 100
+),
+n AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dots JOIN n na ON ia = na.vec_id JOIN n nb ON ib = nb.vec_id
+WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.3
+"""
+
+
 # ==========================================================================
 # Similarity search over embeddings
 # ==========================================================================
@@ -784,6 +1010,13 @@ QUERIES: dict[str, tuple] = {
     "doc_minhash": (doc_minhash, DOC_MINHASH_SQL),
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
     "doc_near_dup_jaccard": (doc_near_dup_jaccard, DOC_JACCARD_SQL),
+    "doc_dedup_keep_best": (doc_dedup_keep_best, DOC_KEEP_BEST_SQL),
+    "doc_minhash_lsh_pairs": (doc_minhash_lsh_pairs, DOC_LSH_PAIRS_SQL),
+    "doc_simhash_pairs": (doc_simhash_pairs, DOC_SIMHASH_PAIRS_SQL),
     "emb_cosine_topk": (emb_cosine_topk, EMB_COSINE_SQL),
     "emb_label_stats": (emb_label_stats, EMB_LABEL_STATS_SQL),
+    "emb_near_dup_pairs": (emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
+    # event-time analytics
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "event_funnel": (event_funnel, FUNNEL_SQL),
 }

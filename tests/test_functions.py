@@ -1,0 +1,188 @@
+"""Tests for training-data pipeline functions: text analysis, similarity
+search (brute/LSH/IVF), multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulker_spark.functions import multimodal as mm
+from bulker_spark.functions import similarity as sim
+from bulker_spark.functions import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# --- text ----------------------------------------------------------------
+
+def test_token_and_quality(spark, docs):
+    out = tx.quality_features(docs.limit(20))
+    rows = out.collect()
+    for r in rows:
+        assert r["q_n_chars"] == len(r["text"])
+        assert r["q_n_tokens"] == len(r["text"].split(" "))
+        assert 0 <= r["q_score"] <= 1.0
+
+
+def test_lang_guess(spark, docs):
+    out = docs.select(tx.lang_guess().alias("g")).distinct().collect()
+    assert {r["g"] for r in out} <= {"en", "fr", "es", "de", "unk"}
+
+
+def test_fingerprint_dedup(spark, docs):
+    import hashlib
+
+    row = docs.select("doc_id", "text", tx.fingerprint().alias("fp")).first()
+    assert row["fp"] == hashlib.md5(row["text"].encode()).hexdigest()
+
+
+def test_minhash_similar_docs_agree(spark):
+    # near-identical texts must share most minhash components
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and agaim"),
+            (3, "completely different content with nothing shared whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = tx.shingles(df)
+    sigs = {r["doc_id"]: [r[f"mh{i}"] for i in range(16)]
+            for r in tx.minhash_signatures(sh).collect()}
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_12 >= 10  # ~98% shingle overlap
+    assert agree_13 <= 2
+
+
+def test_minhash_lsh_candidates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and agaim"),
+            (3, "completely different content with nothing shared whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = tx.minhash_signatures(tx.shingles(df))
+    cands = {(r["id_a"], r["id_b"]) for r in tx.minhash_lsh_candidates(sigs).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely unrelated words appear in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    s = tx.simhash(tx.tokens(df), n_bits=48)
+    a = s.alias("a").filter(F.col("doc_id") == 1).select(F.col("simhash").alias("ha"))
+    for other, max_d, min_d in [(2, 12, 0), (3, 48, 10)]:
+        b = s.filter(F.col("doc_id") == other).select(F.col("simhash").alias("hb"))
+        d = a.crossJoin(b).select(
+            tx.hamming_distance(F.col("ha"), F.col("hb")).alias("d")
+        ).first()["d"]
+        assert min_d <= d <= max_d, (other, d)
+
+
+# --- similarity -----------------------------------------------------------
+
+def test_cosine_topk_self_is_best(spark, embs):
+    q = embs.filter(F.col("vec_id") == 7).first()["embedding"]
+    top = sim.cosine_topk(embs, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_ann_lsh_recall(spark, embs):
+    q = embs.filter(F.col("vec_id") == 7).first()["embedding"]
+    exact = {r["vec_id"] for r in sim.cosine_topk(embs, list(q), k=10).collect()}
+    approx_df, _model = sim.ann_lsh(embs, list(q), k=10)
+    approx = {r["vec_id"] for r in approx_df.collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_search(spark, embs):
+    q = embs.filter(F.col("vec_id") == 7).first()["embedding"]
+    idx = sim.IvfIndex(n_cells=8)
+    idx.build(embs)
+    exact = {r["vec_id"] for r in sim.cosine_topk(embs, list(q), k=10).collect()}
+    probed = {r["vec_id"] for r in idx.search(list(q), k=10, n_probe=4).collect()}
+    assert len(exact & probed) / 10 >= 0.5
+    # full probe == exact
+    full = {r["vec_id"] for r in idx.search(list(q), k=10, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_cosine_pairs_exact_finds_duplicate(spark, embs):
+    # duplicate a vector under a new id → must appear as a ~1.0 pair
+    dup = embs.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = sim.cosine_pairs_exact(embs.unionByName(dup), threshold=0.999)
+    hits = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 100003) in hits
+
+
+# --- multimodal -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, mm.make_fake_image(16, 8, seed=1)),
+        (2, mm.make_fake_image(32, 32, seed=2)),
+        (3, b"not an image"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "img_id long, content binary")
+
+
+def test_image_metadata(spark, images):
+    out = {r["img_id"]: r["image_meta"] for r in mm.image_metadata(images).collect()}
+    assert out[1]["width"] == 16 and out[1]["height"] == 8 and out[1]["valid"]
+    assert out[2]["n_bytes"] == 12 + 32 * 32
+    assert not out[3]["valid"]
+    assert not out[4]["valid"]
+
+
+def test_image_features_normalized(spark, images):
+    out = {r["img_id"]: r["features"] for r in mm.image_features(images).collect()}
+    assert out[3] is None
+    hist = out[2]
+    assert len(hist) == 16
+    assert abs(sum(hist) - 1.0) < 1e-9
+
+
+def test_image_resize(spark, images):
+    out = mm.image_resize(images, 8, 8)
+    resized = {r["img_id"]: r["resized"] for r in out.collect()}
+    meta = mm._decode_fake_image(resized[2])
+    assert meta is not None and meta[0] == 8 and meta[1] == 8
+    assert resized[3] is None
+
+
+def test_audio_frame_sample(spark):
+    rows = [(1, mm.make_fake_audio(1000, 500, seed=1))]
+    df = spark.createDataFrame(rows, "audio_id long, content binary")
+    frames = mm.audio_frame_sample(df, frame_ms=100).collect()
+    assert len(frames) == 5  # 500 samples / 100-sample hop
+    assert all(f["rms"] > 0 for f in frames)
+    assert frames[0]["audio_id"] == 1
+
+
+def test_real_codec_gated(spark, images):
+    with pytest.raises(Exception):
+        mm.image_metadata(images, codec="real").collect()

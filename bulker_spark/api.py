@@ -21,6 +21,7 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 
 from .ingest import cast_to_existing, ingest_json
+from .naming import IdentifierAdapter
 from .operators.dedup import (
     ORDER_COLUMN,
     dedup_discriminator,
@@ -55,9 +56,26 @@ class StreamOptions:
     deduplicate_window: int = 365  # days
     batch_size: int = 10_000
     frozen_now: _dt.datetime | None = None  # test clock
+    # fixed-schema pinning (WithSchema option, bulkerlib/options.go:149-166):
+    # {column: sql_type_hint or DataType}; pinned columns are created up
+    # front and their types are not overridable by inference ("Important").
+    schema: dict[str, Any] = field(default_factory=dict)
+    # identifier adaptation for destination-safe column names
+    # (table_helper.go:367-458); parquet/Spark forbid " ,;{}()=" etc.
+    adapt_identifiers: bool = True
+    max_identifier_length: int = 255
 
     def policy(self) -> SchemaPolicy:
         return SchemaPolicy(self.schema_freeze, self.max_columns_count)
+
+    def pinned_types(self):
+        from .schema import hint_to_type
+        from .types_lattice import DataType
+
+        out = {}
+        for name, t in self.schema.items():
+            out[name] = t if isinstance(t, DataType) else hint_to_type(str(t))
+        return out
 
 
 @dataclass
@@ -142,10 +160,20 @@ class Engine:
     ) -> StreamResult:
         ns = opt.namespace
         meta = self.warehouse.get_meta(table, ns)
-        existing = dict(meta.columns) if meta is not None and opt.mode in (
-            "batch",
-            "stream",
-        ) else None
+        existing: dict | None = None
+        if meta is not None and opt.mode in ("batch", "stream"):
+            existing = dict(meta.columns)
+        pinned = opt.pinned_types()
+        if pinned:
+            existing = existing or {}
+            for name, t in pinned.items():
+                existing.setdefault(name, t)
+
+        adapter = (
+            IdentifierAdapter(max_len=opt.max_identifier_length, case=opt.to_same_case)
+            if opt.adapt_identifiers
+            else None
+        )
 
         if df is None:
             source: Any = json_df if json_df is not None else events
@@ -158,11 +186,10 @@ class Engine:
                 policy=opt.policy(),
                 omit_nils=opt.omit_nils,
                 case=opt.to_same_case,
+                adapter=adapter,
             )
         elif existing:
             df = cast_to_existing(df, existing)
-
-        processed = None  # counted lazily by sink write
 
         # arrival order must be pinned BEFORE any shuffle
         if opt.deduplicate and opt.primary_key:
@@ -174,6 +201,11 @@ class Engine:
             else:
                 df = dedup_last_wins(df, opt.primary_key)
             df = df.drop(ORDER_COLUMN)
+
+        # materialize the batch once: the merge path consumes it twice
+        # (anti-join + union) and normalize runs Python — don't pay it 2×
+        df = df.persist()
+        processed = df.count()
 
         if opt.mode == "replace_partition":
             if not opt.partition_id:
@@ -223,8 +255,10 @@ class Engine:
                 namespace=ns,
             )
 
-        n = self.warehouse.count(table, namespace=ns)
-        return StreamResult(processed_rows=n, successful_rows=n, table=meta)
+        df.unpersist()
+        return StreamResult(
+            processed_rows=processed, successful_rows=processed, table=meta
+        )
 
     # convenience bulk API (router.go:220-321 /bulk) ------------------------
     def bulk_load(

@@ -55,6 +55,7 @@ def infer_header_distributed(
     *,
     omit_nils: bool = True,
     case: str = "none",
+    adapter=None,
 ) -> BatchHeader:
     """Header pass over a DataFrame with one string column of JSON events."""
     col = json_df.columns[0]
@@ -62,7 +63,8 @@ def infer_header_distributed(
     def fold(idx: int, it: Iterator[Any]) -> Iterator[tuple[int, str]]:
         nt = NameTransformer(case)
         header = infer_header(
-            _parse_lines(r[0] for r in it), omit_nils=omit_nils, name_transformer=nt
+            _parse_lines(r[0] for r in it), omit_nils=omit_nils,
+            name_transformer=nt, adapter=adapter,
         )
         payload = _json.dumps(
             [[s.name, int(s.data_type), s.hinted] for s in header.columns.values()]
@@ -85,6 +87,7 @@ def normalize_json_df(
     *,
     omit_nils: bool = True,
     case: str = "none",
+    adapter=None,
 ) -> DataFrame:
     """Normalize pass: JSON strings → typed rows per ``header`` schema."""
     col = json_df.columns[0]
@@ -106,6 +109,7 @@ def normalize_json_df(
                     hdr,
                     omit_nils=omit_nils,
                     name_transformer=nt,
+                    adapter=adapter,
                 )
             )
             out = pd.DataFrame(
@@ -125,6 +129,7 @@ def ingest_json(
     policy: SchemaPolicy | None = None,
     omit_nils: bool = True,
     case: str = "none",
+    adapter=None,
 ) -> tuple[DataFrame, BatchHeader]:
     """End-to-end: events (NDJSON path, list of dicts/strings, or a
     one-string-column DataFrame) → (normalized typed DataFrame, header).
@@ -144,9 +149,13 @@ def ingest_json(
         ]
         json_df = spark.createDataFrame([(x,) for x in lines], "value string")
 
-    header = infer_header_distributed(json_df, omit_nils=omit_nils, case=case)
+    header = infer_header_distributed(
+        json_df, omit_nils=omit_nils, case=case, adapter=adapter
+    )
     unified, _new = unify_with_existing(existing_types, header, policy)
-    df = normalize_json_df(json_df, unified, omit_nils=omit_nils, case=case)
+    df = normalize_json_df(
+        json_df, unified, omit_nils=omit_nils, case=case, adapter=adapter
+    )
     return df, unified
 
 

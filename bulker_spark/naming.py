@@ -48,7 +48,7 @@ class IdentifierAdapter:
         if hit is not None:
             return hit
         out = _STRIP_RE.sub("", name)
-        out = _WS_RE.sub("_", out).strip("_")
+        out = _WS_RE.sub("_", out)  # leading/trailing "_" kept (_timestamp)
         if out == "" or not re.match(r"^[A-Za-z_]", out):
             prefix = "column_" if out == "" else ""
             if out == "":

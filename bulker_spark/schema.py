@@ -147,11 +147,25 @@ class BatchHeader:
         return T.StructType(fields)
 
 
+def _adapt_keys(flat: dict[str, Any], adapter) -> dict[str, Any]:
+    """Apply identifier adaptation to flattened names (first-wins on
+    collision, matching the reference's column-name cache semantics)."""
+    if adapter is None:
+        return flat
+    out: dict[str, Any] = {}
+    for k, v in flat.items():
+        ak = adapter.adapt(k)
+        if ak not in out:
+            out[ak] = v
+    return out
+
+
 def infer_header(
     events: Iterable[dict[str, Any]],
     *,
     omit_nils: bool = True,
     name_transformer: NameTransformer | None = None,
+    adapter=None,
 ) -> BatchHeader:
     """Fold a header over flattened events in first-seen order."""
     header = BatchHeader()
@@ -163,6 +177,9 @@ def infer_header(
             name_transformer=name_transformer,
             keep_json_paths=frozenset(hints),
         )
+        if adapter is not None:
+            hints = {adapter.adapt(k): v for k, v in hints.items()}
+            flat = _adapt_keys(flat, adapter)
         for name, value in flat.items():
             if name in hints:
                 header.observe(name, hint_to_type(hints[name]), hinted=True)
@@ -177,6 +194,7 @@ def normalize_events(
     *,
     omit_nils: bool = True,
     name_transformer: NameTransformer | None = None,
+    adapter=None,
 ) -> Iterator[dict[str, Any]]:
     """Second pass: flatten + cast each event to the header's types.
 
@@ -192,6 +210,8 @@ def normalize_events(
             name_transformer=name_transformer,
             keep_json_paths=frozenset(hints),
         )
+        if adapter is not None:
+            flat = _adapt_keys(flat, adapter)
         row: dict[str, Any] = {}
         unmapped: dict[str, Any] = {}
         for name, value in flat.items():

@@ -61,10 +61,14 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # JVM/codegen warmup so timings measure queries, not JIT compilation
+    QUERIES["tpch_q6"][0](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
-        # warm the reader metadata once so timings measure the query
         df = fn(spark, sf_dir)
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()

@@ -25,6 +25,10 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18_large_orders",
     "top_customers_revenue",
     "flatten_json_events",
     "dedup_last_wins",

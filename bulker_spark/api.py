@@ -34,6 +34,7 @@ from .sinks.warehouse import Warehouse
 from .table import TableMeta
 
 PARTITION_ID_COLUMN = "__partition_id"  # delete_condition.go:10
+TS_PARTITION_COLUMN = "__ts_partition"  # derived time-partition column
 
 MODES = ("stream", "batch", "replace_table", "replace_partition")
 
@@ -64,6 +65,10 @@ class StreamOptions:
     # (table_helper.go:367-458); parquet/Spark forbid " ,;{}()=" etc.
     adapt_identifiers: bool = True
     max_identifier_length: int = 255
+    # time-partitioned tables (BigQuery TimePartitioning / CH PARTITION BY
+    # toYYYYMM, SURVEY §2.10): HOUR|DAY|MONTH|QUARTER|YEAR over
+    # timestamp_column; enables partition pruning for the merge window.
+    timestamp_partition: str | None = None
 
     def policy(self) -> SchemaPolicy:
         return SchemaPolicy(self.schema_freeze, self.max_columns_count)
@@ -202,6 +207,31 @@ class Engine:
                 df = dedup_last_wins(df, opt.primary_key)
             df = df.drop(ORDER_COLUMN)
 
+        # time-partitioned table: derive the partition column before write
+        ts_part: list[str] | None = None
+        if opt.timestamp_partition and opt.timestamp_column:
+            from pyspark.sql import functions as F
+
+            from .operators.filters import truncate_granularity
+
+            fmt = {
+                "HOUR": "yyyy-MM-dd-HH",
+                "DAY": "yyyy-MM-dd",
+                "MONTH": "yyyy-MM",
+                "QUARTER": "yyyy-MM",
+                "YEAR": "yyyy",
+            }[opt.timestamp_partition.upper()]
+            df = df.withColumn(
+                TS_PARTITION_COLUMN,
+                F.date_format(
+                    truncate_granularity(
+                        F.col(opt.timestamp_column), opt.timestamp_partition
+                    ),
+                    fmt,
+                ),
+            )
+            ts_part = [TS_PARTITION_COLUMN]
+
         # materialize the batch once: the merge path consumes it twice
         # (anti-join + union) and normalize runs Python — don't pay it 2×
         df = df.persist()
@@ -227,6 +257,7 @@ class Engine:
                 df,
                 pk=opt.primary_key,
                 timestamp_column=opt.timestamp_column,
+                partition_by=ts_part,
                 namespace=ns,
             )
         elif opt.primary_key and opt.deduplicate:
@@ -252,6 +283,7 @@ class Engine:
                 df,
                 pk=opt.primary_key,
                 timestamp_column=opt.timestamp_column,
+                partition_by=ts_part,
                 namespace=ns,
             )
 

@@ -363,6 +363,149 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking — EXISTS subquery → **left-semi join**
+    (the join class the reference's merge-delete implies, redshift.go:42)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-07-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1996-10-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    sem = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → **left-anti join** (count of childless orders)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    anti = o.join(l, o.o_orderkey == l.l_orderkey, "left_anti")
+    return anti.agg(F.count("*").alias("n_orphans"))
+
+
+ORDERS_ANTI_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority — join + **conditional aggregation**."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect — broadcast join + conditional ratio aggregate."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1996-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1996-10-01 00:00:00'"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers — aggregate + HAVING + top-n."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_custkey, c_name, l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, l_orderkey LIMIT 20
+"""
+
+
 def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: returned-item revenue per customer, top 20."""
     c = _t(spark, sf_dir, "customer")
@@ -1000,6 +1143,11 @@ QUERIES: dict[str, tuple] = {
     "tpch_q3": (tpch_q3, TPCH_Q3_SQL),
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
     "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
+    "tpch_q4": (tpch_q4, TPCH_Q4_SQL),
+    "tpch_q12": (tpch_q12, TPCH_Q12_SQL),
+    "tpch_q14": (tpch_q14, TPCH_Q14_SQL),
+    "tpch_q18_large_orders": (tpch_q18_large_orders, TPCH_Q18_SQL),
+    "orders_without_lineitems": (orders_without_lineitems, ORDERS_ANTI_SQL),
     "top_customers_revenue": (top_customers_revenue, TOP_CUSTOMERS_SQL),
     # training-data pipeline
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),

@@ -283,6 +283,27 @@ class Warehouse:
         self._gc_old_versions(name, version, namespace)
         return meta
 
+    def delete(self, name: str, conditions, namespace: str | None = None) -> int:
+        """DELETE rows matching WhenConditions (sql_adapter_base.go:354-411):
+        rewrite the live version without the matching rows, swap, GC.
+        Returns rows deleted."""
+        meta = self.get_meta(name, namespace)
+        if meta is None:
+            return 0
+        col = (
+            conditions.to_column()
+            if hasattr(conditions, "to_column")
+            else conditions
+        )
+        cur = self.read(name, namespace)
+        kept = cur.filter(~col | col.isNull())
+        before = cur.count()
+        version = self._write_version(name, kept, meta.partition_by, namespace)
+        meta.version = version
+        self._commit_meta(meta)
+        self._gc_old_versions(name, version, namespace)
+        return before - self.count(name, namespace=namespace)
+
     def truncate(self, name: str, namespace: str | None = None) -> None:
         meta = self.get_meta(name, namespace)
         if meta is None:

@@ -1,0 +1,622 @@
+"""Extended analytical query catalog: the remaining TPC-H-shaped queries
+expressible over the reduced testdata star schema, plus the reference's
+events-log range read and time-granularity partition derivation.
+
+The testdata schema omits ``partsupp``, ``l_commitdate``/``l_receiptdate``
+and address/phone/comment columns, so q2/q11/q16/q20/q21 are not
+expressible and q8/q9/q19/q22 are adapted (the join/agg/subquery *shape*
+is preserved; predicates use columns that exist). Each query carries a
+DuckDB oracle with identical aliases and rounding.
+
+Reference parity notes:
+- ``events_log_range`` mirrors the events-log cursor read
+  (``bulkerapp/app/router.go:484-571``): ts range + beforeId + limit.
+- ``time_granularity`` mirrors partition-id granularity truncation
+  (``bulkerlib/implementations/sql/delete_condition.go:63-187``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from bulker_spark.plans.queries import _t as _base
+
+    return _base(spark, sf_dir, name)
+
+
+# --- q7: volume shipping between two nations (two roles of one dim) -------
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aliased broadcast joins of the same nation dim (supplier side and
+    customer side) — the classic role-playing-dimension plan."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1995-01-01 00:00:00'"))
+        & (F.col("l_shipdate") <= F.expr("timestamp'1996-12-31 00:00:00'"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --- q8: national market share (conditional share-of-total) ----------------
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of NATION_3 suppliers in ASIA-customer PROMO-part volume:
+    a conditional numerator over a grouped total — one pass, no self-join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1995-01-01 00:00:00'"))
+        & (F.col("o_orderdate") <= F.expr("timestamp'1996-12-31 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM part, lineitem, orders, customer, supplier,
+     nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+  AND s_suppkey = l_suppkey AND c_custkey = o_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND s_nationkey = n2.n_nationkey
+  AND r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q9 (adapted): profit by supplier nation and year ----------------------
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (adapted: no partsupp → profit is discounted
+    revenue; part filter by name-contains, as in the original's LIKE)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM part, supplier, lineitem, orders, nation
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+# --- q10: returned-item reporting (top 20 customers by lost revenue) -------
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-10-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --- q13: customer order-count distribution (outer join + double agg) ------
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join then two-level aggregation; customers with zero
+    orders survive as c_count=0 (the outer-join-preserving shape)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q15: top supplier by 3-month revenue (agg + max-subquery join) --------
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue view + max() semi-selection — implemented with a window
+    rank over the aggregated view (one shuffle, no re-scan of lineitem)."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1996-04-01 00:00:00'"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = revenue.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1)
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- q17: small-quantity-order revenue (correlated avg subquery) -----------
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-part avg quantity) decorrelated into
+    an aggregate-then-join — the plan Catalyst produces for the SQL form,
+    written explicitly so the per-part agg is reused."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    l = _t(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --- q19 (adapted): discounted revenue over OR'd predicate triples ---------
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of brand/size/quantity triples pushed into one join —
+    Catalyst extracts the common p_partkey = l_partkey conjunct so this
+    stays an equi-join, not a cartesian."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    t1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    t2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    t3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(20, 50))
+        & (F.col("l_quantity").between(20, 45))
+    )
+    return j.filter(t1 | t2 | t3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+      (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 45))
+"""
+
+
+# --- q22 (adapted): dormant high-balance customers --------------------------
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity shape: uncorrelated scalar subquery
+    (avg positive balance, broadcast as a 1-row join) + anti join against
+    recent orders, grouped by segment (phone prefix isn't in the schema)."""
+    c = _t(spark, sf_dir, "customer")
+    o_recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("timestamp'2000-01-01 00:00:00'")
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_recent, c.c_custkey == o_recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- events-log range read (router.go:484-571) ------------------------------
+
+def events_log_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-log cursor read: ts range + beforeId cursor + limit, newest
+    first — the reference's GET /log/:eventType/:actorId semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.expr("timestamp'2024-01-02 00:00:00'"))
+            & (F.col("ts") < F.expr("timestamp'2024-01-05 00:00:00'"))
+            & (F.col("event_id") < 40000)
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+EVENTS_LOG_SQL = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+  AND event_id < 40000
+ORDER BY event_id DESC LIMIT 100
+"""
+
+
+# --- time-granularity partition ids (delete_condition.go:63-187) ------------
+
+def time_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-id derivation at every granularity the reference supports
+    (HOUR/DAY/MONTH/QUARTER/YEAR lower-bound + formatted id)."""
+    from bulker_spark.operators.filters import truncate_granularity
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            truncate_granularity("ts", "HOUR").alias("h"),
+            truncate_granularity("ts", "DAY").alias("d"),
+            truncate_granularity("ts", "MONTH").alias("m"),
+            truncate_granularity("ts", "QUARTER").alias("q"),
+            truncate_granularity("ts", "YEAR").alias("y"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("h").alias("n_hours"),
+            F.countDistinct("d").alias("n_days"),
+            F.countDistinct("q").alias("n_quarters"),
+            F.countDistinct("y").alias("n_years"),
+            F.date_format(F.min("m"), "yyyyMMdd").alias("partition_id"),
+        )
+        .orderBy("m")
+    )
+
+
+TIME_GRANULARITY_SQL = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT date_trunc('quarter', ts)) AS BIGINT) AS n_quarters,
+       CAST(count(DISTINCT date_trunc('year', ts)) AS BIGINT) AS n_years,
+       strftime(MIN(date_trunc('month', ts)), '%Y%m%d') AS partition_id
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- multimodal plumbing (binary columns + mapInPandas kernels) ------------
+
+def _docs_with_fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a deterministic FAKE-format image binary to each document.
+
+    The encode runs executor-side in an Arrow-batched kernel; dimensions
+    are pure functions of doc_id so the decode stage is oracle-checkable."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from bulker_spark.functions.multimodal import make_fake_image
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [*docs.schema.fields, T.StructField("content", T.BinaryType())]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                make_fake_image(8 + d % 16, 8 + (d * 7) % 16, seed=int(d) % 997)
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(encode, schema=out_schema)
+
+
+def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image column → typed metadata via mapInPandas decode; the
+    oracle recomputes the header fields arithmetically from doc_id."""
+    from bulker_spark.functions.multimodal import image_metadata
+
+    with_imgs = _docs_with_fake_images(spark, sf_dir)
+    return image_metadata(with_imgs).select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.n_bytes").alias("n_bytes"),
+        F.col("image_meta.format").alias("img_format"),
+        F.col("image_meta.valid").alias("valid"),
+    )
+
+
+MM_IMAGE_META_SQL = """
+SELECT doc_id,
+       CAST(8 + doc_id % 16 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       CAST(12 + (8 + doc_id % 16) * (8 + (doc_id * 7) % 16) AS BIGINT)
+           AS n_bytes,
+       'fimg' AS img_format, TRUE AS valid
+FROM documents
+"""
+
+
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio binary → frame explosion (1 row per 100 ms frame) → per-doc
+    frame counts; the oracle recomputes frame counts from the deterministic
+    sample-length formula."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from bulker_spark.functions.multimodal import (
+        audio_frame_sample,
+        make_fake_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [*docs.schema.fields, T.StructField("content", T.BinaryType())]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                make_fake_audio(8000, 800 + (int(d) % 5) * 400, seed=int(d) % 997)
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_audio = docs.mapInPandas(encode, schema=out_schema)
+    frames = audio_frame_sample(with_audio, frame_ms=100)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_idx").alias("max_idx"),
+        )
+    )
+
+
+MM_AUDIO_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(CEIL((800 + (doc_id % 5) * 400) / 800.0) AS BIGINT) AS n_frames,
+       CAST(CEIL((800 + (doc_id % 5) * 400) / 800.0) - 1 AS INT) AS max_idx
+FROM documents
+"""
+
+
+# --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH top-k (Spark ML BucketedRandomProjectionLSH,
+    fixed seed). Approximate: rows-only driver check; accuracy is asserted
+    against brute force in tests/test_functions.py."""
+    from bulker_spark.functions.similarity import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res, _model = ann_lsh(emb, _query_vec(spark, sf_dir), k=20)
+    return res.select("vec_id", F.round("l2_dist", 4).alias("l2_dist"))
+
+
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + probe-limited brute force — the 100 TB
+    scale path (partition-pruned probe of n_probe/n_cells of the corpus)."""
+    from bulker_spark.functions.similarity import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex(n_cells=16)
+    idx.build(emb)
+    return idx.search(_query_vec(spark, sf_dir), k=20, n_probe=4)
+
+
+EXTRA_QUERIES: dict[str, tuple] = {
+    "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
+    "tpch_q8": (tpch_q8, TPCH_Q8_SQL),
+    "tpch_q9": (tpch_q9, TPCH_Q9_SQL),
+    "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
+    "tpch_q13": (tpch_q13, TPCH_Q13_SQL),
+    "tpch_q15": (tpch_q15, TPCH_Q15_SQL),
+    "tpch_q17": (tpch_q17, TPCH_Q17_SQL),
+    "tpch_q19": (tpch_q19, TPCH_Q19_SQL),
+    "tpch_q22": (tpch_q22, TPCH_Q22_SQL),
+    "events_log_range": (events_log_range, EVENTS_LOG_SQL),
+    "time_granularity": (time_granularity, TIME_GRANULARITY_SQL),
+    "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
+    "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
+    "emb_ann_lsh": (emb_ann_lsh, None),
+    "emb_ann_ivf": (emb_ann_ivf, None),
+}

@@ -1168,3 +1168,7 @@ QUERIES: dict[str, tuple] = {
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "event_funnel": (event_funnel, FUNNEL_SQL),
 }
+
+from bulker_spark.plans.analytics import EXTRA_QUERIES  # noqa: E402
+
+QUERIES.update(EXTRA_QUERIES)

@@ -1,0 +1,63 @@
+"""Smoke + invariant tests for the extended analytics catalog at sf0.001.
+
+Hash-parity with DuckDB is validated by scripts/check_oracle.py (and the
+driver's gate) at sf0.01; here we assert structural invariants so failures
+localize to a query rather than a hash mismatch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulker_spark.plans.analytics import EXTRA_QUERIES
+from tests.conftest import SF_DIR
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
+def test_runs_and_returns_rows(spark, name):
+    fn, _sql = EXTRA_QUERIES[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_q13_preserves_zero_order_customers_shape(spark):
+    fn, _ = EXTRA_QUERIES["tpch_q13"]
+    df = fn(spark, SF_DIR)
+    total = df.agg(F.sum("custdist")).first()[0]
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert total == n_cust  # every customer lands in exactly one bucket
+
+
+def test_q15_single_max_revenue(spark):
+    fn, _ = EXTRA_QUERIES["tpch_q15"]
+    rows = fn(spark, SF_DIR).collect()
+    assert len({r["total_revenue"] for r in rows}) == 1  # all tied at max
+
+
+def test_events_log_range_is_cursor_ordered(spark):
+    fn, _ = EXTRA_QUERIES["events_log_range"]
+    ids = [r["event_id"] for r in fn(spark, SF_DIR).collect()]
+    assert ids == sorted(ids, reverse=True)
+    assert len(ids) <= 100 and all(i < 40000 for i in ids)
+
+
+def test_mm_image_metadata_round_trip(spark):
+    fn, _ = EXTRA_QUERIES["mm_image_metadata"]
+    rows = fn(spark, SF_DIR).collect()
+    for r in rows[:50]:
+        assert r["valid"] is True
+        assert r["width"] == 8 + r["doc_id"] % 16
+        assert r["height"] == 8 + (r["doc_id"] * 7) % 16
+        assert r["n_bytes"] == 12 + r["width"] * r["height"]
+
+
+def test_ann_lsh_finds_query_point(spark):
+    fn, _ = EXTRA_QUERIES["emb_ann_lsh"]
+    rows = fn(spark, SF_DIR).collect()
+    best = min(rows, key=lambda r: r["l2_dist"])
+    assert best["vec_id"] == 0 and best["l2_dist"] == 0.0
+
+
+def test_ann_ivf_finds_query_point(spark):
+    fn, _ = EXTRA_QUERIES["emb_ann_ivf"]
+    rows = fn(spark, SF_DIR).collect()
+    assert rows and rows[0]["vec_id"] == 0  # exact match ranks first

@@ -41,6 +41,16 @@ BENCH_QUERIES = [
     "events_sessionize",
     "event_funnel",
     "doc_minhash_lsh_pairs",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+    "mm_image_metadata",
 ]
 
 

@@ -81,3 +81,56 @@ def test_no_python_row_udfs_anywhere(spark, name):
     """No query may fall back to row-at-a-time Python evaluation."""
     df = QUERIES[name][0](spark, SF)
     assert "BatchEvalPython" not in audit.explain_str(df, "simple")
+
+
+# --- extended catalog (analytics.py) audits --------------------------------
+
+from bulker_spark.plans.analytics import (  # noqa: E402
+    events_log_range,
+    tpch_q7,
+    tpch_q8,
+    tpch_q9,
+    tpch_q13,
+    tpch_q17,
+)
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    df = tpch_q7(spark, SF)
+    rep = audit.audit_report(df)
+    assert rep["broadcast_joins"] >= 3, audit.explain_str(df, "simple")
+    assert audit.has_pushed_filter(df, "l_shipdate")
+
+
+def test_q8_dims_broadcast_fact_shuffles_once(spark):
+    df = tpch_q8(spark, SF)
+    rep = audit.audit_report(df)
+    assert rep["broadcast_joins"] >= 4  # part, supplier, nations, region
+    assert audit.has_pushed_filter(df, "p_type")
+    assert audit.has_pushed_filter(df, "o_orderdate")
+
+
+def test_q9_name_filter_pushed(spark):
+    df = tpch_q9(spark, SF)
+    assert audit.has_pushed_filter(df, "p_name")
+    assert audit.audit_report(df)["broadcast_joins"] >= 3
+
+
+def test_q13_outer_join_keeps_partial_agg(spark):
+    df = tpch_q13(spark, SF)
+    assert audit.has_partial_aggregate(df)
+    assert audit.pruned_to(df, 2), audit.read_schemas(df)
+
+
+def test_q17_part_avg_reused_not_rescanned_per_row(spark):
+    df = tpch_q17(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    assert txt.count("FileScan parquet") <= 3  # lineitem x2 + part, no blowup
+    assert audit.has_pushed_filter(df, "p_brand")
+
+
+def test_events_log_limit_and_pushdown(spark):
+    df = events_log_range(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    assert "GlobalLimit" in txt or "TakeOrderedAndProject" in txt
+    assert audit.has_pushed_filter(df, "event_id")

@@ -84,6 +84,16 @@ _TYPE_MAPS: dict[str, dict[DataType, str]] = {
         DataType.JSON: "json",
         DataType.UNKNOWN: "varchar",
     },
+    # clickhouse.go:74-91 (JSON stringified unless enable_json_type)
+    "clickhouse": {
+        DataType.BOOL: "UInt8",
+        DataType.INT64: "Int64",
+        DataType.FLOAT64: "Float64",
+        DataType.STRING: "String",
+        DataType.TIMESTAMP: "DateTime64(6)",
+        DataType.JSON: "String",
+        DataType.UNKNOWN: "String",
+    },
 }
 
 _MAX_IDENT = {
@@ -93,6 +103,7 @@ _MAX_IDENT = {
     "bigquery": 300,
     "mysql": 64,
     "duckdb": 255,
+    "clickhouse": 255,
 }
 
 _MERGE_STRATEGY = {
@@ -102,6 +113,10 @@ _MERGE_STRATEGY = {
     "snowflake": "merge",
     "bigquery": "merge",
     "duckdb": "insert_or_replace",
+    # the reference relies on ReplacingMergeTree eventual dedup
+    # (clickhouse.go:1202-1243); we dedup exactly pre-insert, so the
+    # statement itself is a plain INSERT (intentionally stronger)
+    "clickhouse": "plain_insert",
 }
 
 PG_PARAM_LIMIT = 65535  # postgres.go:396
@@ -238,6 +253,8 @@ class SqlDialect:
                 f"INSERT INTO {q} ({cols}) VALUES ({placeholders}) "
                 f"ON DUPLICATE KEY UPDATE {sets}"
             ]
+        if strategy == "plain_insert":
+            return [f"INSERT INTO {q} ({cols}) VALUES ({placeholders})"]
         if strategy == "insert_or_replace":
             return [f"INSERT OR REPLACE INTO {q} ({cols}) VALUES ({placeholders})"]
         if strategy == "delete_insert":
@@ -273,3 +290,50 @@ class SqlDialect:
 
 def placeholders_as(columns: list[str], d: SqlDialect) -> str:
     return ", ".join(f"? AS {d.ident(c)}" for c in columns)
+
+
+# -- value sanitization (dialect-specific, JVM-side expressions) -------------
+
+def sanitize_values(df, dialect: SqlDialect):
+    """Dialect value fixes before shipping rows. Postgres cannot store
+    zero bytes in text/jsonb (``postgres.go:128-148``): strip ``\\u0000``
+    from every string column with a JVM regexp — no Python in the path."""
+    from pyspark.sql import functions as F
+
+    if dialect.name != "postgres":
+        return df
+    out = df
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "string":
+            out = out.withColumn(
+                f_.name, F.regexp_replace(F.col(f_.name), "\u0000", "")
+            )
+    return out
+
+
+# clickhouse.go:93-131 — non-nullable columns get type defaults
+_CH_DEFAULTS = {
+    DataType.BOOL: "false",
+    DataType.INT64: "0L",
+    DataType.FLOAT64: "0.0D",
+    DataType.STRING: "''",
+    DataType.JSON: "''",
+    DataType.TIMESTAMP: "timestamp'1970-01-01 00:00:00'",
+    DataType.UNKNOWN: "''",
+}
+
+
+def fill_required_defaults(df, required: dict[str, DataType]):
+    """ClickHouse default-value substitution for missing/null values in
+    non-nullable destination columns: ``coalesce(col, default)`` per the
+    reference's ``defaultValues`` table (``clickhouse.go:93-131``)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for col, dtype in required.items():
+        default = F.expr(_CH_DEFAULTS[dtype])
+        if col in df.columns:
+            out = out.withColumn(col, F.coalesce(F.col(col), default))
+        else:
+            out = out.withColumn(col, default)
+    return out

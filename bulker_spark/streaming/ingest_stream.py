@@ -42,6 +42,18 @@ def retry_backoff_minutes(attempt: int) -> float:
     return min(RETRY_BACKOFF_BASE_MIN ** max(attempt, 1), RETRY_BACKOFF_CAP_MIN)
 
 
+def spread_offset_seconds(destination_id: str, table: str, period_s: int) -> int:
+    """Deterministic per-(destination, table) schedule jitter in
+    ``[0, period_s)`` — the thundering-herd spread the reference computes
+    from a hash of the stream id (``bulkerlib/options.go:122-127``,
+    ``cron.go:25-52``). Delay the first trigger by this many seconds so
+    N tables on the same period don't all fire their micro-batch at once."""
+    import hashlib
+
+    h = hashlib.md5(f"{destination_id}.{table}".encode()).hexdigest()
+    return int(h[:8], 16) % max(period_s, 1)
+
+
 def retry_table(table: str) -> str:
     return f"{table}_retry"
 

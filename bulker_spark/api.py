@@ -91,6 +91,11 @@ class StreamResult:
     successful_rows: int = 0
     table: TableMeta | None = None
     error: str | None = None
+    # per-step wall-clock ms, the WarehouseState analogue
+    # (bulker.go:169-176, abstract_transactional.go:236-244):
+    # consume_convert = ingest/normalize/dedup compute (forced at persist),
+    # then one of load / merge / replace_table / replace_partition.
+    warehouse_state: dict[str, float] = field(default_factory=dict)
 
 
 class BulkerStream:
@@ -234,8 +239,13 @@ class Engine:
 
         # materialize the batch once: the merge path consumes it twice
         # (anti-join + union) and normalize runs Python — don't pay it 2×
+        import time as _time
+
+        _t0 = _time.time()
         df = df.persist()
         processed = df.count()
+        state = {"consume_convert_ms": round((_time.time() - _t0) * 1000, 1)}
+        _t0 = _time.time()
 
         if opt.mode == "replace_partition":
             if not opt.partition_id:
@@ -287,9 +297,18 @@ class Engine:
                 namespace=ns,
             )
 
+        step = {
+            "replace_partition": "replace_partition_ms",
+            "replace_table": "replace_table_ms",
+        }.get(opt.mode, "merge_ms" if opt.primary_key and opt.deduplicate else "load_ms")
+        state[step] = round((_time.time() - _t0) * 1000, 1)
+
         df.unpersist()
         return StreamResult(
-            processed_rows=processed, successful_rows=processed, table=meta
+            processed_rows=processed,
+            successful_rows=processed,
+            table=meta,
+            warehouse_state=state,
         )
 
     # convenience bulk API (router.go:220-321 /bulk) ------------------------

@@ -213,3 +213,16 @@ def test_ndjson_and_multibyte(spark, tmp_warehouse):
     rows = _rows(e, "weird")
     assert rows[0]["name"] == "multi\nline"
     assert rows[1]["name"] == "emoji 🚀"
+
+
+def test_warehouse_state_step_timings(spark, tmp_warehouse):
+    """WarehouseState parity (bulker.go:169-176): per-step ms recorded."""
+    e = Engine(spark, tmp_warehouse)
+    res = e.bulk_load(
+        "timed", [{"id": i} for i in range(5)], mode="batch",
+        primary_key=["id"], deduplicate=True,
+    )
+    st = res.warehouse_state
+    assert st["consume_convert_ms"] > 0 and st["merge_ms"] > 0
+    res2 = e.bulk_load("timed2", [{"id": 1}], mode="replace_table")
+    assert "replace_table_ms" in res2.warehouse_state

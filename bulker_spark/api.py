@@ -56,11 +56,36 @@ class StreamOptions:
     max_columns_count: int = 5000
     deduplicate_window: int = 365  # days
     batch_size: int = 10_000
+    # remaining knob surface (bulkerlib/options.go:185-209,
+    # implementations/sql/options.go:12-83):
+    batch_size_bytes: int = 0  # maxBytesPerTrigger on the streaming front
+    frequency: float = 300.0  # seconds between micro-batches (period)
+    retry_batch_size: int = 0  # 0 → batch_size // 10, app_config.go:61-64
+    retry_frequency: float | None = None  # defaults to frequency
+    # flush driver-buffered events in sub-batches of this size (the
+    # reference's temporary-batch flush bounds memory the same way,
+    # abstract_transactional.go:78-93); 0 = single batch. The DataFrame
+    # consume path never buffers on the driver, so this only applies to
+    # consume()/consume_json() event lists.
+    temporary_batch_size: int = 0
+    # parsed and passed through to connectors, never interpreted here —
+    # exactly the reference's behavior (bulkerlib/options.go:168-183)
+    functions_env: dict[str, str] = field(default_factory=dict)
+    # deterministic per-table schedule jitter (options.go:122-127); the
+    # streaming front applies spread_offset_seconds when True
+    spread_tables_schedule: bool = False
+    # no-op on Spark: every load already lands in a new immutable version
+    # (there is no tmp table to disable), kept for option parity
+    disable_temporary_tables: bool = False
     frozen_now: _dt.datetime | None = None  # test clock
     # fixed-schema pinning (WithSchema option, bulkerlib/options.go:149-166):
     # {column: sql_type_hint or DataType}; pinned columns are created up
     # front and their types are not overridable by inference ("Important").
     schema: dict[str, Any] = field(default_factory=dict)
+    # per-column SQL-type overrides (columnTypes option,
+    # implementations/sql/options.go:13-39) — merged with ``schema`` pins;
+    # ``schema`` wins on conflict (Important beats override)
+    column_types: dict[str, Any] = field(default_factory=dict)
     # identifier adaptation for destination-safe column names
     # (table_helper.go:367-458); parquet/Spark forbid " ,;{}()=" etc.
     adapt_identifiers: bool = True
@@ -78,7 +103,7 @@ class StreamOptions:
         from .types_lattice import DataType
 
         out = {}
-        for name, t in self.schema.items():
+        for name, t in {**self.column_types, **self.schema}.items():
             out[name] = t if isinstance(t, DataType) else hint_to_type(str(t))
         return out
 
@@ -113,12 +138,37 @@ class BulkerStream:
     # Consume surface -------------------------------------------------------
     def consume(self, event: dict[str, Any]) -> None:
         self._events.append(event)
+        self._maybe_flush()
 
     def consume_json(self, line: str | bytes) -> None:
         self._events.append(line.decode() if isinstance(line, bytes) else line)
+        self._maybe_flush()
 
     def consume_map(self, event: dict[str, Any]) -> None:
         self._events.append(event)
+        self._maybe_flush()
+
+    def _maybe_flush(self) -> None:
+        tbs = self.options.temporary_batch_size
+        if tbs and len(self._events) >= tbs:
+            self._flush_events()
+
+    def _flush_events(self) -> None:
+        """Move the driver-buffered event list into a JVM DataFrame — the
+        temporary-batch flush (abstract_transactional.go:78-93): the Python
+        buffer stays bounded at ``temporary_batch_size``; the final load
+        still commits all flushed chunks in one transaction."""
+        if not self._events:
+            return
+        import json as _json
+
+        lines = [
+            e if isinstance(e, str) else _json.dumps(e, ensure_ascii=False, default=str)
+            for e in self._events
+        ]
+        df = self.engine.spark.createDataFrame([(x,) for x in lines], "value string")
+        self.consume_dataframe_json(df)
+        self._events = []
 
     def consume_dataframe(self, df: DataFrame) -> None:
         """Spark-native consume: hand a whole DataFrame to the stream
@@ -144,6 +194,8 @@ class BulkerStream:
     def complete(self) -> StreamResult:
         if self._aborted:
             return StreamResult()
+        if self._json_df is not None and self._events:
+            self._flush_events()  # don't strand the tail of the buffer
         return self.engine._load(
             self.table, self._events, self._df, self._json_df, self.options
         )

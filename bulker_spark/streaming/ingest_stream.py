@@ -139,6 +139,17 @@ class IngestStream:
             self._to_dead(
                 exhausted.select("value"), "retries exhausted", now
             )
+        # retry batch bound: RETRY_CONSUMER_BATCH_SIZE or batchSize/10
+        # (app_config.go:61-64); oldest-due first, overflow stays queued
+        from pyspark.sql import Window
+
+        cap = self.options.retry_batch_size or max(self.options.batch_size // 10, 1)
+        ranked = replayable.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("retry_time", "value"))
+        )
+        overflow = ranked.filter(F.col("_rn") > cap).drop("_rn")
+        replayable = ranked.filter(F.col("_rn") <= cap).drop("_rn")
+        not_due = not_due.unionByName(overflow)
         n = replayable.count()
         if n:
             stream = self.engine.create_stream(
@@ -187,7 +198,24 @@ class IngestStream:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
-        elif processing_time:
+        else:
+            if processing_time is None:
+                # period from the frequency option (app_config.go:56);
+                # spreadTablesSchedule staggers the first trigger so N
+                # tables on one period don't fire together
+                period = int(self.options.frequency)
+                if self.options.spread_tables_schedule:
+                    import time as _time
+
+                    _time.sleep(
+                        min(
+                            spread_offset_seconds(
+                                self.engine.warehouse.root, self.table, period
+                            ),
+                            1,  # bounded in-process; real deployments use the scheduler
+                        )
+                    )
+                processing_time = f"{period} seconds"
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
@@ -199,11 +227,18 @@ def _options_dict(opt: StreamOptions) -> dict:
 
 
 def json_file_stream(
-    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """NDJSON drop-directory source (the file-based analogue of the
-    reference's Kafka topics; one line = one event)."""
+    reference's Kafka topics; one line = one event). ``max_bytes_per_trigger``
+    is the batchSizeBytes knob (options.go:63-69) — bounds each micro-batch
+    by input bytes rather than file count."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return reader.load(directory)

@@ -61,3 +61,38 @@ def test_counters_are_batch_scoped(spark, tmp_warehouse):
     r2 = e.bulk_load("c", [{"id": 99}], mode="batch")
     assert r2.successful_rows == 1  # batch rows, not table total
     assert e.warehouse.count("c") == 6
+
+
+def test_column_types_option_pins_types(spark, tmp_warehouse):
+    from bulker_spark.api import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "ct", [{"id": 1, "price": 5}], mode="batch",
+        column_types={"price": "double precision"},
+    )
+    assert dict(e.warehouse.read("ct").dtypes)["price"] == "double"
+
+
+def test_temporary_batch_flush_bounds_driver_buffer(spark, tmp_warehouse):
+    from bulker_spark.api import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    s = e.create_stream("tb", mode="batch", temporary_batch_size=10)
+    for i in range(35):
+        s.consume({"id": i, "v": f"x{i}"})
+        assert len(s._events) < 10  # buffer flushed to JVM every 10
+    res = s.complete()
+    assert res.successful_rows == 35
+    assert e.warehouse.count("tb") == 35
+
+
+def test_functions_env_passthrough_ignored(spark, tmp_warehouse):
+    from bulker_spark.api import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    res = e.bulk_load(
+        "fe", [{"id": 1}], mode="batch",
+        functions_env={"KEY": "val"}, disable_temporary_tables=True,
+    )
+    assert res.successful_rows == 1

@@ -108,3 +108,24 @@ def test_retry_flow(spark, tmp_warehouse):
     # not-due row remains queued
     remaining = engine.warehouse.read(retry_table("rt")).collect()
     assert len(remaining) == 1 and '"id": 2' in remaining[0]["value"]
+
+
+def test_retry_batch_size_caps_replay(spark, tmp_warehouse):
+    """Only retry_batch_size oldest-due rows replay; overflow stays queued
+    (RETRY_CONSUMER_BATCH_SIZE, app_config.go:61-64)."""
+    engine = Engine(spark, tmp_warehouse)
+    now = dt.datetime(2024, 1, 1, 12, 0, 0)
+    opts = StreamOptions(mode="batch", frozen_now=now, retry_batch_size=2)
+    stream = IngestStream(engine, "rc", opts)
+    retry_rows = spark.createDataFrame(
+        [
+            (f'{{"id": {i}}}', "err", 1, now - dt.timedelta(minutes=10 - i))
+            for i in range(5)
+        ],
+        "value string, error string, retries int, retry_time timestamp",
+    )
+    engine.warehouse.append(retry_table("rc"), retry_rows)
+    assert stream.process_retries(now=now) == 2  # capped
+    assert engine.warehouse.count("rc") == 2  # ids 0,1 (oldest due) landed
+    queued = engine.warehouse.read(retry_table("rc")).count()
+    assert queued == 3  # overflow remains for the next run

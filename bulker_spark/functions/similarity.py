@@ -221,3 +221,34 @@ class IvfIndex:
         return cosine_topk(
             probed, query_vec, k, vec_col=self.vec_col, id_col=self.id_col
         )
+
+    # -- persistence: the at-rest form of the index -------------------------
+    def save(self, path: str) -> None:
+        """Write the index partitioned by ``cell``: a probe then reads only
+        ``n_probe / n_cells`` of the data via partition pruning — the
+        on-disk layout IS the index."""
+        if self.indexed is None or self.centroids is None:
+            raise ValueError("build() first")
+        self.indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+        spark = self.indexed.sparkSession
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "cell int, centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").json(f"{path}__centroids")
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IvfIndex":
+        rows = spark.read.json(f"{path}__centroids").collect()
+        idx = cls(n_cells=len(rows), vec_col=vec_col, id_col=id_col)
+        idx.centroids = [
+            r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])
+        ]
+        idx.indexed = spark.read.parquet(path)
+        return idx

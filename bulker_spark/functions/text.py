@@ -47,6 +47,20 @@ def token_count(text: str | Column = "text") -> Column:
     return F.length(c) - F.length(F.regexp_replace(c, " ", "")) + 1
 
 
+# BPE-style pre-tokenization classes: letter runs, digit runs, single
+# punctuation marks (whitespace is the separator, never a token). The same
+# RE2/Java-compatible pattern drives the DuckDB oracle.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(text: str | Column = "text") -> Column:
+    """Token count under BPE-ish pre-tokenization — the LLM-pipeline
+    budget estimator (whitespace count underestimates punctuation-heavy
+    text). Pure JVM ``regexp_count``."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def occurrence_count(text: Column, needle: str) -> Column:
     return (
         (F.length(text) - F.length(F.regexp_replace(text, needle, "")))

@@ -569,6 +569,31 @@ FROM documents
 """
 
 
+# --- BPE-ish token counting (LLM budget estimation) -------------------------
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under BPE-style pre-tokenization vs whitespace — both
+    pure JVM regexp; the oracle re-runs the same RE2-safe pattern."""
+    from bulker_spark.functions.text import BPE_TOKEN_PATTERN, bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+DOC_BPE_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS ws_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 # --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -615,6 +640,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "tpch_q22": (tpch_q22, TPCH_Q22_SQL),
     "events_log_range": (events_log_range, EVENTS_LOG_SQL),
     "time_granularity": (time_granularity, TIME_GRANULARITY_SQL),
+    "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
     "emb_ann_lsh": (emb_ann_lsh, None),

@@ -186,3 +186,36 @@ def test_audio_frame_sample(spark):
 def test_real_codec_gated(spark, images):
     with pytest.raises(Exception):
         mm.image_metadata(images, codec="real").collect()
+
+
+def test_ivf_save_load_partition_pruned(spark, tmp_path):
+    """Persisted IVF: probe reads only the probed cells' partitions."""
+    from bulker_spark.functions.similarity import IvfIndex
+    from bulker_spark.plans import audit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IvfIndex(n_cells=8)
+    idx.build(emb)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+
+    loaded = IvfIndex.load(spark, path)
+    assert len(loaded.centroids) == 8
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res = loaded.search(q, k=5, n_probe=2)
+    rows = res.collect()
+    assert rows[0]["vec_id"] == 0  # exact match still ranks first
+    # the probe plan must prune partitions: scan carries a cell IN filter
+    txt = audit.explain_str(loaded.indexed.filter("cell IN (0, 1)"), "formatted")
+    assert "PartitionFilters" in txt and "cell" in txt
+
+
+def test_bpe_token_count_cases(spark):
+    from bulker_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("hello world",), ("don't stop!",), ("a1b2",), ("...",)], ["text"]
+    )
+    got = [r[0] for r in df.select(bpe_token_count("text")).collect()]
+    # hello|world=2; don|'|t|stop|!=5; a|1|b|2=4; .|.|.=3
+    assert got == [2, 5, 4, 3]

@@ -79,6 +79,8 @@ class SqlWarehouseSink:
 
     def insert(self, df: DataFrame, table: str, pk: list[str] | None = None) -> int:
         """Bulk append with param-limit chunking."""
+        if self.executor_side:
+            return self.insert_distributed(df, table, pk)
         cols, data = self._rows(df)
         con = self.connect()
         self.ensure_table(con, table, df_generic_schema(df), pk)
@@ -92,6 +94,45 @@ class SqlWarehouseSink:
             n += len(batch)
         _commit(con)
         return n
+
+    def insert_distributed(
+        self, df: DataFrame, table: str, pk: list[str] | None = None
+    ) -> int:
+        """The scale path: ``foreachPartition`` — each executor partition
+        opens its own connection via the (picklable) factory and streams
+        param-limit-chunked ``executemany`` batches; no row ever touches
+        the driver. The DDL (table ensure) stays driver-side — exactly the
+        reference's split between the table-helper lock and the load."""
+        con = self.connect()
+        self.ensure_table(con, table, df_generic_schema(df), pk)
+        _commit(con)
+        pre = self.count(table)
+
+        cols = [c for c in df.columns if c != UNMAPPED_DATA_COLUMN]
+        sql = self.dialect.insert(table, cols, n_rows=1)
+        chunk = max(self.dialect.rows_per_statement(len(cols)), 1)
+        connect = self.connect  # capture the factory, not self (picklable)
+
+        def write_partition(rows) -> None:
+            pcon = connect()
+            cur = pcon.cursor() if hasattr(pcon, "cursor") else pcon
+            buf: list[tuple] = []
+            for r in rows:
+                buf.append(tuple(_py(r[c]) for c in cols))
+                if len(buf) >= chunk:
+                    cur.executemany(sql, buf)
+                    buf.clear()
+            if buf:
+                cur.executemany(sql, buf)
+            _commit(pcon)
+            try:
+                pcon.close()
+            except Exception:
+                pass
+
+        df.select(*cols).foreachPartition(write_partition)
+        # the executors did the writing; rows written = table growth
+        return self.count(table) - pre
 
     def merge(self, df: DataFrame, table: str, pk: list[str]) -> int:
         """Row-batch upsert via the dialect's merge strategy."""

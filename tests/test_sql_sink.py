@@ -73,3 +73,47 @@ def test_duckdb_lifecycle(spark, sink):
     # replace_table: staging + rename swap
     s.replace_table(df, "t1")
     assert s.count("t1") == 2
+
+
+def _sqlite_factory(path):
+    import sqlite3
+
+    def connect():
+        con = sqlite3.connect(path, timeout=60)
+        return con
+
+    return connect
+
+
+def test_insert_distributed_executor_side(spark, tmp_path):
+    """foreachPartition writer: every partition writes over its own
+    connection; nothing is collected to the driver."""
+    from bulker_spark.sinks.jdbc import SqlWarehouseSink
+    from bulker_spark.sinks.sql_dialect import SqlDialect
+    from bulker_spark.naming import IdentifierAdapter
+
+    db = str(tmp_path / "wh.db")
+    # sqlite quotes like postgres; duckdb dialect's '?' placeholders match
+    dialect = SqlDialect("duckdb", adapter=IdentifierAdapter(max_len=63))
+    sink = SqlWarehouseSink(dialect, _sqlite_factory(db), executor_side=True)
+    df = spark.range(1000).selectExpr(
+        "id", "concat('n', id) as name", "cast(id * 1.5 as double) as score"
+    ).repartition(4)
+    n = sink.insert(df, "dist")
+    assert n == 1000
+    rows = sink.select("dist", order_by=["id"])
+    assert len(rows) == 1000 and rows[0][1] == "n0" and rows[999][2] == 1498.5
+
+
+def test_insert_distributed_append_counts_delta(spark, tmp_path):
+    from bulker_spark.sinks.jdbc import SqlWarehouseSink
+    from bulker_spark.sinks.sql_dialect import SqlDialect
+    from bulker_spark.naming import IdentifierAdapter
+
+    db = str(tmp_path / "wh2.db")
+    dialect = SqlDialect("duckdb", adapter=IdentifierAdapter(max_len=63))
+    sink = SqlWarehouseSink(dialect, _sqlite_factory(db), executor_side=True)
+    df = spark.range(100).selectExpr("id").repartition(2)
+    assert sink.insert(df, "t") == 100
+    assert sink.insert(df, "t") == 100  # second append reports ITS rows
+    assert sink.count("t") == 200

@@ -338,6 +338,7 @@ class Engine:
                 window_days=window_days,
                 now=now,
                 namespace=ns,
+                partition_by=ts_part,
             )
         else:
             meta = self.warehouse.append(

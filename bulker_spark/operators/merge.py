@@ -108,6 +108,52 @@ def merge_upsert(
     return out
 
 
+# partition-id format by value width: "2024" / "2024-01" / "2024-01-03" /
+# "2024-01-03-14" (see api.py timestamp_partition formats); all are
+# fixed-width and lexicographically ordered, so string >= is time >=
+_PARTITION_FORMATS = {4: "%Y", 7: "%Y-%m", 10: "%Y-%m-%d", 13: "%Y-%m-%d-%H"}
+
+
+def partition_cutoff_id(sample_partition_value: str, cutoff: _dt.datetime) -> str:
+    """The partition id of the bucket containing ``cutoff``: partitions
+    lexically >= it may hold in-window rows; everything below is frozen."""
+    fmt = _PARTITION_FORMATS.get(len(sample_partition_value))
+    if fmt is None:
+        raise ValueError(
+            f"unrecognized partition id format: {sample_partition_value!r}"
+        )
+    return cutoff.strftime(fmt)
+
+
+def merge_upsert_live_slice(
+    target: DataFrame,
+    source: DataFrame,
+    pk: Sequence[str],
+    partition_col: str,
+    cutoff_id: str,
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """The rewritten slice of a partition-pruned merge: (in-window target
+    rows not matched by source PK) ∪ source. Frozen partitions
+    (``partition_col < cutoff_id``) are neither read nor returned — the
+    caller rewrites only the returned partitions (dynamic overwrite)."""
+    all_cols = list(dict.fromkeys([*target.columns, *source.columns]))
+
+    def align(df: DataFrame) -> DataFrame:
+        cols = [
+            F.col(f"`{c}`").alias(c) if c in df.columns else F.lit(None).alias(c)
+            for c in all_cols
+        ]
+        return df.select(*cols)
+
+    live = align(target).filter(F.col(partition_col) >= F.lit(cutoff_id))
+    join_source = align(source).select(*pk).dropDuplicates(list(pk))
+    if broadcast_source:
+        join_source = F.broadcast(join_source)
+    kept = live.join(join_source, on=list(pk), how="left_anti")
+    return kept.unionByName(align(source))
+
+
 def merge_delete_insert_sql(
     table: str,
     staging: str,

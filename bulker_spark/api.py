@@ -24,8 +24,8 @@ from .ingest import cast_to_existing, ingest_json
 from .naming import IdentifierAdapter
 from .operators.dedup import (
     ORDER_COLUMN,
-    dedup_discriminator,
-    dedup_last_wins,
+    dedup_discriminator_agg,
+    dedup_last_wins_agg,
     with_sequence,
 )
 from .operators.merge import MergeWindow, batch_min_timestamp
@@ -257,11 +257,11 @@ class Engine:
         if opt.deduplicate and opt.primary_key:
             df = with_sequence(df)
             if opt.discriminator_field:
-                df = dedup_discriminator(
+                df = dedup_discriminator_agg(
                     df, opt.primary_key, opt.discriminator_field
                 )
             else:
-                df = dedup_last_wins(df, opt.primary_key)
+                df = dedup_last_wins_agg(df, opt.primary_key)
             df = df.drop(ORDER_COLUMN)
 
         # time-partitioned table: derive the partition column before write

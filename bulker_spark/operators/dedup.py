@@ -85,3 +85,60 @@ def dedup_discriminator(
 def exact_distinct(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact duplicate-row elimination (hash aggregate; map-side combine)."""
     return df.dropDuplicates(list(cols)) if cols else df.dropDuplicates()
+
+
+# -- skew-resistant variants (the engine's default path) ---------------------
+#
+# The window row_number forces every row of a PK into one task: a hot key
+# (bot traffic, null-ish ids) serializes. max_by over a hash aggregate has
+# map-side partial aggregation — each input partition pre-reduces to one
+# candidate per PK before the shuffle, so a hot key ships one row per map
+# task instead of all of them. Same single shuffle, same result.
+
+def dedup_last_wins_agg(
+    df: DataFrame,
+    pk: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Last-wins dedup as a hash aggregate (partial-agg, skew-resistant)."""
+    if not pk:
+        return df
+    added = False
+    if order_col is None:
+        if ORDER_COLUMN not in df.columns:
+            df = with_sequence(df)
+            added = True
+        order_col = ORDER_COLUMN
+    row = F.struct(*[F.col(f"`{c}`") for c in df.columns])
+    out = (
+        df.groupBy(*[F.col(c) for c in pk])
+        .agg(F.max_by(row, F.col(order_col)).alias("__r"))
+        .select("__r.*")
+    )
+    return out.drop(ORDER_COLUMN) if added else out
+
+
+def dedup_discriminator_agg(
+    df: DataFrame,
+    pk: Sequence[str],
+    discriminator: Sequence[str],
+) -> DataFrame:
+    """Discriminator dedup as a hash aggregate: the max_by key is
+    ``struct(discr..., __seq)`` — lexicographic, so highest discriminator
+    wins and arrival order breaks ties; struct comparison ranks NULL lowest,
+    matching the window's ``desc_nulls_last``."""
+    if ORDER_COLUMN not in df.columns:
+        df = with_sequence(df)
+        added = True
+    else:
+        added = False
+    row = F.struct(*[F.col(f"`{c}`") for c in df.columns])
+    key = F.struct(
+        *[F.col(f"`{d}`") for d in discriminator], F.col(ORDER_COLUMN)
+    )
+    out = (
+        df.groupBy(*[F.col(c) for c in pk])
+        .agg(F.max_by(row, key).alias("__r"))
+        .select("__r.*")
+    )
+    return out.drop(ORDER_COLUMN) if added else out

@@ -111,3 +111,44 @@ def test_identifier_adapter():
     assert ia.adapt("column with spaces") == "column_with_spaces"
     emoji = ia.adapt("🚀")
     assert emoji and all(c.isalnum() or c == "_" for c in emoji)
+
+
+def test_agg_dedup_matches_window_dedup(spark):
+    """The skew-resistant hash-agg dedup must be row-for-row identical to
+    the window formulation, including discriminator + tie semantics."""
+    from bulker_spark.operators.dedup import (
+        dedup_discriminator,
+        dedup_discriminator_agg,
+        dedup_last_wins,
+        dedup_last_wins_agg,
+        with_sequence,
+    )
+
+    rows = [
+        (1, None, "a"), (1, 5, "b"), (1, 5, "c"),      # tie on discr=5 → later wins
+        (2, 3, "d"), (2, None, "e"),                    # null discr loses
+        (3, None, "f"),                                 # all-null keeps row
+        (4, 9, "g"),
+    ]
+    df = with_sequence(
+        spark.createDataFrame(rows, "id int, discr int, name string")
+    ).persist()
+
+    for win_fn, agg_fn, args in [
+        (dedup_last_wins, dedup_last_wins_agg, ([ "id" ],)),
+        (dedup_discriminator, dedup_discriminator_agg, (["id"], ["discr"])),
+    ]:
+        a = sorted(win_fn(df, *args).drop("__seq").collect())
+        b = sorted(agg_fn(df, *args).drop("__seq").collect())
+        assert a == b, (win_fn.__name__, a, b)
+    df.unpersist()
+
+
+def test_agg_dedup_has_partial_aggregation(spark):
+    from bulker_spark.operators.dedup import dedup_last_wins_agg, with_sequence
+    from bulker_spark.plans import audit
+
+    df = with_sequence(spark.range(100).selectExpr("id % 7 as pk", "id as v"))
+    out = dedup_last_wins_agg(df, ["pk"])
+    assert audit.has_partial_aggregate(out)  # map-side combine → skew-safe
+    assert audit.exchange_count(out) == 1

@@ -8,11 +8,14 @@ Reference semantics:
   per PK instead of arrival order (``abstract_transactional.go:462-489``,
   option ``bulkerlib/options.go:129-147``).
 
-Spark-first: a single window ``row_number`` per PK — one shuffle on the PK
-columns, map-side nothing to combine (we need the winning full row). At
-scale the shuffle is unavoidable for exact dedup; skew on hot PKs is handled
-by AQE (skewJoin/skew shuffle) since the window partitions by the same key a
-subsequent MERGE joins on, letting the exchange be reused.
+Spark-first, two formulations with identical results:
+
+- window ``row_number`` per PK (``dedup_last_wins``/``dedup_discriminator``)
+  — the direct expression; a hot PK serializes into one task.
+- hash-agg ``max_by`` (``*_agg`` variants, the engine's default path) —
+  map-side partial aggregation pre-reduces every input partition to one
+  candidate per PK before the shuffle, so skewed keys ship O(partitions)
+  rows, not O(duplicates). Same single shuffle, skew-safe at 100 TB.
 """
 
 from __future__ import annotations

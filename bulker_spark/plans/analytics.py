@@ -569,6 +569,76 @@ FROM documents
 """
 
 
+# --- aggregation/window breadth ---------------------------------------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order-year): subtotals + grand total in one pass —
+    Spark expands grouping sets into a single shuffle with partial aggs."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'")
+    )
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("o_year"), "o_totalprice")
+    )
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(), F.col("o_year").asc_nulls_first()
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+ORDER BY n_name ASC NULLS FIRST, o_year ASC NULLS FIRST
+"""
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: per-user running sum + lag delta — the
+    rowsBetween/lead-lag class the reference lacks entirely."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ), 2).alias("running_value"),
+        F.round(
+            F.col("value") - F.lag("value", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value,
+       ROUND(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 2)
+           AS delta_prev
+FROM events WHERE user_id < 5
+"""
+
+
 # --- BPE-ish token counting (LLM budget estimation) -------------------------
 
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +710,8 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "tpch_q22": (tpch_q22, TPCH_Q22_SQL),
     "events_log_range": (events_log_range, EVENTS_LOG_SQL),
     "time_granularity": (time_granularity, TIME_GRANULARITY_SQL),
+    "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
+    "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),

@@ -466,6 +466,61 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --- duplicate clustering (connected components over near-dup pairs) -------
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the Jaccard near-dup pairs: every document in
+    a duplicate component labeled with the component's min doc_id —
+    iterative min-label propagation on DataFrames; the oracle computes the
+    same closure with a recursive CTE."""
+    from bulker_spark.functions.graph import connected_components
+    from bulker_spark.plans.queries import doc_near_dup_jaccard
+
+    pairs = doc_near_dup_jaccard(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# the oracle re-derives the same pair set (the doc_near_dup_jaccard SQL,
+# verbatim via _SHINGLE_DUCK), then closes it transitively:
+# reach(a,b) = undirected closure; cluster = min reachable node (incl self)
+def _dup_clusters_sql() -> str:
+    from bulker_spark.plans._common import _SHINGLE_DUCK
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK.format(max_doc=100)})),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+DOC_DUP_CLUSTERS_SQL = _dup_clusters_sql()
+
+
 # --- multimodal plumbing (binary columns + mapInPandas kernels) ------------
 
 def _docs_with_fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +765,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "tpch_q22": (tpch_q22, TPCH_Q22_SQL),
     "events_log_range": (events_log_range, EVENTS_LOG_SQL),
     "time_granularity": (time_granularity, TIME_GRANULARITY_SQL),
+    "doc_dup_clusters": (doc_dup_clusters, DOC_DUP_CLUSTERS_SQL),
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),

@@ -661,13 +661,7 @@ def _shingles(spark: SparkSession, sf_dir: str, max_doc: int) -> DataFrame:
     return pos.select("doc_id", F.expr("substring(text, i, 8)").alias("sh"))
 
 
-_SHINGLE_DUCK = """
-  SELECT d.doc_id, substr(d.text, g.i::INT, 8) AS sh
-  FROM documents d,
-       LATERAL (SELECT unnest(generate_series(
-           1, greatest(length(d.text) - 7, 1))) AS i) g
-  WHERE d.doc_id < {max_doc}
-"""
+from bulker_spark.plans._common import _SHINGLE_DUCK  # noqa: E402
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,3 +219,28 @@ def test_bpe_token_count_cases(spark):
     got = [r[0] for r in df.select(bpe_token_count("text")).collect()]
     # hello|world=2; don|'|t|stop|!=5; a|1|b|2=4; .|.|.=3
     assert got == [2, 5, 4, 3]
+
+
+def test_connected_components_basic(spark):
+    from bulker_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], ["id_a", "id_b"]
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_chain_converges(spark):
+    """A long chain needs multiple propagation rounds (diameter > 1)."""
+    from bulker_spark.functions.graph import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    cc = connected_components(edges)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0}  # one component, labeled by its min node
+    assert cc.count() == n + 1

@@ -86,3 +86,27 @@ def test_truncate_granularity(spark):
     assert out["m"] == dt.datetime(2024, 5, 1)
     assert out["y"] == dt.datetime(2024, 1, 1)
     assert out["h"] == dt.datetime(2024, 5, 17, 13)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join results — every (key,salt) bucket of
+    the big side finds its replicated small row."""
+    from bulker_spark.operators.skew import salted_join
+
+    # skewed big side: 90% of rows share key 7
+    big = spark.range(2000).selectExpr(
+        "case when id % 10 < 9 then 7 else id % 100 end as k", "id as v"
+    )
+    small = spark.range(100).selectExpr("id as k", "concat('dim', id) as name")
+    plain = big.join(small, on=["k"]).groupBy("k").count()
+    salted = salted_join(big, small, on=["k"], n_salts=8).groupBy("k").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from bulker_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+    small = spark.createDataFrame([(1, "dim")], ["k", "name"])
+    rows = {r["k"]: r["name"] for r in salted_join(big, small, ["k"], how="left").collect()}
+    assert rows == {1: "dim", 99: None}

@@ -466,6 +466,90 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# --- training-data sampling & packing ---------------------------------------
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates applied
+    by hash-bucketing doc_id — reproducible across runs/engines (unlike
+    RNG sampling), join-free, and exactly what a data mixer uses to hit
+    language quotas at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+        ),
+        F.lit(100),
+    )
+    keep_rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(20)
+    )
+    return (
+        docs.withColumn("__b", bucket)
+        .filter(F.col("__b") < keep_rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+DOC_STRATIFIED_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT) % 100
+      < (CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (ordered by doc_id) to
+    fixed-budget training sequences by cumulative token count — the
+    running-sum window that turns a corpus into ~equal-sized samples."""
+    from bulker_spark.functions.text import token_count
+
+    from pyspark.sql import Window as W
+
+    budget = 512
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("toks")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = docs.withColumn(
+        "seq_id", F.floor((F.sum("toks").over(w) - F.col("toks")) / budget)
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+DOC_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, toks,
+         CAST(FLOOR((SUM(toks) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+                    / 512.0) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 # --- duplicate clustering (connected components over near-dup pairs) -------
 
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,6 +849,8 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "tpch_q22": (tpch_q22, TPCH_Q22_SQL),
     "events_log_range": (events_log_range, EVENTS_LOG_SQL),
     "time_granularity": (time_granularity, TIME_GRANULARITY_SQL),
+    "doc_stratified_sample": (doc_stratified_sample, DOC_STRATIFIED_SQL),
+    "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
     "doc_dup_clusters": (doc_dup_clusters, DOC_DUP_CLUSTERS_SQL),
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),

@@ -362,6 +362,53 @@ class Warehouse:
         self._commit_meta(meta)
         return meta
 
+    def table_stats(self, name: str, namespace: str | None = None) -> dict:
+        """File-level stats for maintenance decisions: {n_files, bytes,
+        avg_file_bytes} over the current version."""
+        meta = self.get_meta(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        n, total = 0, 0
+        for root, _dirs, files in os.walk(vdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        return {
+            "n_files": n,
+            "bytes": total,
+            "avg_file_bytes": total // n if n else 0,
+        }
+
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        namespace: str | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite the current version with file
+        count sized to ``bytes / target_file_bytes`` (streaming appends
+        fragment tables; scan cost at 100 TB tracks file count as much as
+        bytes). Atomic: lands as a new version + pointer swap, concurrent
+        readers never see a half-compacted table."""
+        meta = self.get_meta(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        stats = self.table_stats(name, namespace)
+        n_out = max(1, round(stats["bytes"] / target_file_bytes))
+        df = self.read(name, namespace)
+        if meta.partition_by:
+            df = df.repartition(n_out, *meta.partition_by)
+        else:
+            df = df.repartition(n_out)
+        version = self._write_version(name, df, meta.partition_by, namespace)
+        meta.version = version
+        self._commit_meta(meta)
+        self._gc_old_versions(name, version, namespace)
+        after = self.table_stats(name, namespace)
+        return {"before": stats, "after": after}
+
     def delete(self, name: str, conditions, namespace: str | None = None) -> int:
         """DELETE rows matching WhenConditions (sql_adapter_base.go:354-411):
         rewrite the live version without the matching rows, swap, GC.

@@ -226,3 +226,19 @@ def test_warehouse_state_step_timings(spark, tmp_warehouse):
     assert st["consume_convert_ms"] > 0 and st["merge_ms"] > 0
     res2 = e.bulk_load("timed2", [{"id": 1}], mode="replace_table")
     assert "replace_table_ms" in res2.warehouse_state
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_warehouse):
+    """Streaming appends fragment the table; compact() rewrites the
+    version with sized files, atomically, without changing contents."""
+    e = Engine(spark, tmp_warehouse)
+    for i in range(8):  # 8 appends → many small files
+        e.bulk_load("frag", [{"id": j, "batch": i} for j in range(i * 10, i * 10 + 10)],
+                    mode="batch")
+    before = e.warehouse.table_stats("frag")
+    rows_before = sorted(r["id"] for r in e.warehouse.read("frag").collect())
+    rep = e.warehouse.compact("frag", target_file_bytes=10 * 1024 * 1024)
+    assert rep["after"]["n_files"] < before["n_files"]
+    assert rep["after"]["n_files"] == 1  # tiny table → one right-sized file
+    rows_after = sorted(r["id"] for r in e.warehouse.read("frag").collect())
+    assert rows_after == rows_before == list(range(80))

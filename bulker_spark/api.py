@@ -376,10 +376,13 @@ class Engine:
         if isinstance(source, DataFrame):
             stream.consume_dataframe(source)
         elif isinstance(source, str):
-            with open(source) as fh:
-                for line in fh:
-                    if line.strip():
-                        stream.consume_json(line)
+            # path/glob → distributed text read (gzip handled natively);
+            # lines never pass through the driver
+            lines_df = (
+                self.spark.read.text(source)
+                .filter("length(trim(value)) > 0")
+            )
+            stream.consume_dataframe_json(lines_df)
         else:
             for ev in source:
                 if isinstance(ev, (str, bytes)):

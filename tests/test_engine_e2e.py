@@ -242,3 +242,18 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_warehouse):
     assert rep["after"]["n_files"] == 1  # tiny table → one right-sized file
     rows_after = sorted(r["id"] for r in e.warehouse.read("frag").collect())
     assert rows_after == rows_before == list(range(80))
+
+
+def test_bulk_load_from_path_distributed(spark, tmp_warehouse, tmp_path):
+    """A string source is read by Spark's text source (distributed, gzip
+    OK), not opened on the driver."""
+    import gzip
+
+    p = tmp_path / "events.ndjson.gz"
+    with gzip.open(p, "wt") as fh:
+        for i in range(50):
+            fh.write(json.dumps({"id": i, "name": f"n{i}"}) + "\n")
+    e = Engine(spark, tmp_warehouse)
+    res = e.bulk_load("fromfile", str(p), mode="batch")
+    assert res.successful_rows == 50
+    assert e.warehouse.count("fromfile") == 50

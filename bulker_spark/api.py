@@ -114,6 +114,10 @@ class StreamResult:
 
     processed_rows: int = 0
     successful_rows: int = 0
+    # malformed JSON events dropped (JVM-side validation) — the batch
+    # keeps loading, mirroring the reference's per-event consume errors
+    # (bulker.go:152-265 failed vs successful counters)
+    malformed_rows: int = 0
     table: TableMeta | None = None
     error: str | None = None
     # per-step wall-clock ms, the WarehouseState analogue
@@ -237,7 +241,33 @@ class Engine:
             else None
         )
 
+        malformed = 0
         if df is None:
+            if json_df is None and events:
+                # one path for every JSON source: list → JVM DataFrame so
+                # validation and normalize are uniform
+                import json as _json
+
+                lines = [
+                    e if isinstance(e, str)
+                    else _json.dumps(e, ensure_ascii=False, default=str)
+                    for e in events
+                ]
+                json_df = self.spark.createDataFrame(
+                    [(x,) for x in lines], "value string"
+                )
+                events = []
+            if json_df is not None:
+                # JVM-side validation: drop unparseable lines, count them,
+                # keep loading (the reference's per-event consume errors)
+                from pyspark.sql import functions as F
+
+                col0 = json_df.columns[0]
+                total = json_df.count()
+                json_df = json_df.filter(
+                    F.get_json_object(F.col(col0), "$").isNotNull()
+                )
+                malformed = total - json_df.count()
             source: Any = json_df if json_df is not None else events
             if json_df is None and not events:
                 return StreamResult(table=meta)
@@ -358,8 +388,9 @@ class Engine:
 
         df.unpersist()
         return StreamResult(
-            processed_rows=processed,
+            processed_rows=processed + malformed,
             successful_rows=processed,
+            malformed_rows=malformed,
             table=meta,
             warehouse_state=state,
         )

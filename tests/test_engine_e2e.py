@@ -257,3 +257,17 @@ def test_bulk_load_from_path_distributed(spark, tmp_warehouse, tmp_path):
     res = e.bulk_load("fromfile", str(p), mode="batch")
     assert res.successful_rows == 50
     assert e.warehouse.count("fromfile") == 50
+
+
+def test_malformed_lines_counted_not_fatal(spark, tmp_warehouse):
+    """Bad JSON lines are dropped and counted; the batch still commits."""
+    e = Engine(spark, tmp_warehouse)
+    s = e.create_stream("mal", mode="batch", temporary_batch_size=2)
+    for line in ['{"id": 1}', "{not json", '{"id": 2}', "also-not-json",
+                 '{"id": 3}']:
+        s.consume_json(line)
+    res = s.complete()
+    assert res.successful_rows == 3
+    assert res.malformed_rows == 2
+    assert res.processed_rows == 5
+    assert sorted(r["id"] for r in e.warehouse.read("mal").collect()) == [1, 2, 3]

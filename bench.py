@@ -41,9 +41,14 @@ BENCH_QUERIES = [
     "events_sessionize",
     "event_funnel",
     "doc_minhash_lsh_pairs",
+    "tpch_q2",
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q10",
     "tpch_q13",
     "tpch_q15",

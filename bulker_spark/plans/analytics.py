@@ -3,10 +3,13 @@ expressible over the reduced testdata star schema, plus the reference's
 events-log range read and time-granularity partition derivation.
 
 The testdata schema omits ``partsupp``, ``l_commitdate``/``l_receiptdate``
-and address/phone/comment columns, so q2/q11/q16/q20/q21 are not
-expressible and q8/q9/q19/q22 are adapted (the join/agg/subquery *shape*
-is preserved; predicates use columns that exist). Each query carries a
-DuckDB oracle with identical aliases and rounding.
+and address/phone/comment columns, so q2/q11/q16/q20/q21 use ``lineitem``
+as the part-supplier fact and q8/q9/q19/q22 substitute predicates — in
+every case the join/agg/subquery *shape* of the original is preserved
+(correlated min subquery, scalar-subquery HAVING, NOT-IN exclusion +
+count-distinct, nested correlated semi-join, double EXISTS/NOT-EXISTS
+self-join). Each query carries a DuckDB oracle with identical aliases and
+rounding.
 
 Reference parity notes:
 - ``events_log_range`` mirrors the events-log cursor read
@@ -395,6 +398,235 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- q2 (adapted): min-cost supplier per part -------------------------------
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost-supplier-per-part (q2's correlated MIN subquery, with
+    lineitem unit price standing in for ps_supplycost). Decorrelated as a
+    per-part window min over the (part, supplier) cost table — one shuffle
+    on l_partkey serves both the agg and the min-selection."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("__min", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__min")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            # integer ten-thousandths: ROUND-to-integer agrees across
+            # engines (both round +.5 away from zero on the identical
+            # IEEE product), unlike ROUND(x, 4) whose decimal-tie
+            # handling differs on values like 60.82475
+            F.round(F.col("unit_cost") * 10000).cast("long").alias("min_cost_e4"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, s_name, n_name,
+       CAST(ROUND(unit_cost * 10000) AS BIGINT) AS min_cost_e4
+FROM cost, part, supplier, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND p_type = 'PROMO'
+  AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                   WHERE c2.l_partkey = p_partkey)
+ORDER BY p_partkey, s_name LIMIT 100
+"""
+
+
+# --- q11 (adapted): important parts (scalar-subquery HAVING) ----------------
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape: per-part revenue HAVING > multiple of the
+    average (q11's scalar subquery in HAVING; the multiple-of-average
+    form stays scale-free as part count grows with SF). The 1-row
+    threshold is broadcast — no second scan-shuffle of the per-part
+    aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = l.groupBy("l_partkey").agg(F.sum(val).alias("__value"))
+    total = per_part.agg((F.avg("__value") * 1.5).alias("__threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__threshold"))
+        .select("l_partkey", F.round("__value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+TPCH_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM per_part
+WHERE value > (SELECT AVG(value) * 1.5 FROM per_part)
+ORDER BY ROUND(value, 2) DESC, l_partkey
+"""
+
+
+# --- q16 (adapted): supplier count per part descriptor + NOT IN exclusion ---
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count-by-part-descriptor (q16): count-distinct suppliers per
+    (brand, type, size) with a NOT IN supplier exclusion — the exclusion is
+    a broadcast anti-join, the distinct rides the groupBy shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    excluded = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+"""
+
+
+# --- q20 (adapted): dominant suppliers (nested correlated semi-join) --------
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-inventory shape (q20): suppliers who shipped, for some part,
+    more than half of that part's total 1996 quantity — the correlated
+    ``qty > 0.5 * SUM(...)`` subquery becomes a window sum over the same
+    (part, supplier) aggregate, then a semi-join back to supplier."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("__total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.5 * F.col("__total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT sh.l_suppkey FROM shipped sh
+    WHERE sh.qty > (SELECT 0.5 * SUM(sh2.qty) FROM shipped sh2
+                    WHERE sh2.l_partkey = sh.l_partkey))
+ORDER BY s_suppkey
+"""
+
+
+# --- q21 (adapted): suppliers who solely spoiled multi-supplier orders ------
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-suppliers shape (q21): for finished orders, count per
+    supplier the returned ('R') lineitems where *another* supplier also
+    participated (EXISTS self-join) but no other supplier's item was
+    returned (NOT EXISTS self-join). Both correlated subqueries become
+    equi-joins on l_orderkey with a suppkey inequality residual, so all
+    three lineitem sides co-partition on one orderkey shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1
+WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
 
 
@@ -838,6 +1070,11 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES: dict[str, tuple] = {
+    "tpch_q2": (tpch_q2, TPCH_Q2_SQL),
+    "tpch_q11": (tpch_q11, TPCH_Q11_SQL),
+    "tpch_q16": (tpch_q16, TPCH_Q16_SQL),
+    "tpch_q20": (tpch_q20, TPCH_Q20_SQL),
+    "tpch_q21": (tpch_q21, TPCH_Q21_SQL),
     "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q8": (tpch_q8, TPCH_Q8_SQL),
     "tpch_q9": (tpch_q9, TPCH_Q9_SQL),

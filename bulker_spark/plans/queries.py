@@ -968,21 +968,18 @@ FROM bands a JOIN bands b
 
 
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ 4 on 16-bit fingerprints
-    (bit_count(xor) — pure integer ops, codegen-friendly)."""
+    """SimHash near-dup pairs: hamming distance ≤ 4 on 16-bit fingerprints.
+
+    Uses pigeonhole banding (5 disjoint bit-bands; a ≤4-distance pair must
+    agree exactly on ≥1 band) so candidates come from an equi-join instead
+    of the O(n²) `doc_a < doc_b` cross join — same exact result set, and
+    the formulation that survives 100 TB. The oracle keeps the brute-force
+    SQL, which doubles as the equivalence check."""
+    from ..functions.text import simhash_near_pairs
+
     s = doc_simhash(spark, sf_dir)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 4)
+    return simhash_near_pairs(
+        s, id_col="doc_id", sim_col="simhash", n_bits=16, max_hamming=4
     )
 
 

@@ -97,6 +97,33 @@ def test_simhash_hamming(spark):
         assert min_d <= d <= max_d, (other, d)
 
 
+def test_simhash_near_pairs_matches_brute_force(spark, docs):
+    """Pigeonhole banding must return the exact brute-force result set."""
+    sig = tx.simhash(tx.tokens(docs), n_bits=48)
+    banded = tx.simhash_near_pairs(sig, n_bits=48, max_hamming=6)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            tx.hamming_distance(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def test_simhash_near_pairs_rejects_bad_params(spark, docs):
+    sig = tx.simhash(tx.tokens(docs), n_bits=16)
+    with pytest.raises(ValueError):
+        tx.simhash_near_pairs(sig, n_bits=16, max_hamming=16)
+
+
 # --- similarity -----------------------------------------------------------
 
 def test_cosine_topk_self_is_best(spark, embs):

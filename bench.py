@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "tpch_q19",
     "tpch_q22",
     "mm_image_metadata",
+    "mm_video_frames",
 ]
 
 

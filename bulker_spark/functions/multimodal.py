@@ -18,6 +18,10 @@ ones.
 FAKE binary layouts (deterministic, self-describing):
   image: b"FIMG" + u32 width + u32 height + pixel bytes (w*h, grayscale)
   audio: b"FAUD" + u32 sample_rate + u32 n_samples + i16 samples
+  video: b"FVID" + u32 width + u32 height + u32 fps + u32 n_frames
+         + n_frames consecutive w*h grayscale frames; frame i is the
+         constant value (seed + 7*i) mod 256, so frame statistics are
+         exact arithmetic functions of (seed, i) — oracle-checkable
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ from pyspark.sql import types as T
 
 IMAGE_MAGIC = b"FIMG"
 AUDIO_MAGIC = b"FAUD"
+VIDEO_MAGIC = b"FVID"
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -55,6 +60,19 @@ def make_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     rng = np.random.RandomState(seed)
     samples = rng.randint(-32768, 32767, size=n_samples, dtype=np.int16)
     return AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
+def make_fake_video(
+    width: int, height: int, fps: int, n_frames: int, seed: int = 0
+) -> bytes:
+    frames = bytearray()
+    for i in range(n_frames):
+        frames += bytes([(seed + 7 * i) % 256]) * (width * height)
+    return (
+        VIDEO_MAGIC
+        + struct.pack("<IIII", width, height, fps, n_frames)
+        + bytes(frames)
+    )
 
 
 def _decode_fake_image(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -197,6 +215,66 @@ def image_resize(
             pdf = pdf.copy()
             pdf["resized"] = out
             yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every_nth: int = 1,
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """Frame-sampling over video binaries: keep every ``every_nth`` frame,
+    one output row per kept frame with its timestamp and mean luminance.
+
+    The 1 → N row explosion runs inside ``mapInPandas`` so frames never
+    leave the executor undecoded; at 100 TB, pair with a small
+    ``maxRecordsPerBatch`` so a batch of decoded frames fits in memory,
+    and drop ``content`` immediately after (only scalar frame stats
+    shuffle). ``codec="real"`` gates on cv2 (not in this container)."""
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("t_ms", T.LongType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            *[f for f in df.schema.fields if f.name != content_col],
+        ]
+    )
+    if codec == "real":
+        _require_real_codec("cv2")
+
+    passthrough = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = r[content_col]
+                if b is None or len(b) < 20 or b[:4] != VIDEO_MAGIC:
+                    continue
+                w, h, fps, n = struct.unpack("<IIII", b[4:20])
+                frame_bytes = w * h
+                if fps < 1 or len(b) < 20 + n * frame_bytes:
+                    continue
+                for i in range(0, n, every_nth):
+                    off = 20 + i * frame_bytes
+                    frame = np.frombuffer(
+                        b[off : off + frame_bytes], dtype=np.uint8
+                    )
+                    rows.append(
+                        {
+                            "frame_idx": i,
+                            "t_ms": i * 1000 // fps,
+                            "mean_luma": round(float(frame.mean()), 4),
+                            **{c: r[c] for c in passthrough},
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["frame_idx", "t_ms", "mean_luma", *passthrough]
+            )
 
     return df.mapInPandas(kernel, schema=out_schema)
 

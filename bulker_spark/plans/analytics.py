@@ -940,6 +940,61 @@ FROM documents
 """
 
 
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video binary → every-2nd-frame sample (1 row per kept frame) →
+    per-doc stats. FAKE frames have constant luma (seed + 7*i) % 256, so
+    the oracle recomputes the exact per-frame values arithmetically."""
+    from pyspark.sql import types as T
+
+    from bulker_spark.functions.multimodal import (
+        make_fake_video,
+        video_frame_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [*docs.schema.fields, T.StructField("content", T.BinaryType())]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                make_fake_video(
+                    4 + int(d) % 8,
+                    4 + (int(d) * 3) % 8,
+                    fps=10,
+                    n_frames=5 + int(d) % 7,
+                    seed=int(d) % 251,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_video = docs.mapInPandas(encode, schema=out_schema)
+    frames = video_frame_sample(with_video, every_nth=2)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("t_ms").alias("max_t_ms"),
+        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+    )
+
+
+MM_VIDEO_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id, 5 + doc_id % 7 AS nf, doc_id % 251 AS seed FROM documents
+),
+f AS (
+  SELECT doc_id, seed, g.i
+  FROM p, LATERAL (SELECT unnest(generate_series(0, nf - 1, 2)) AS i) g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(max(i) * 100 AS BIGINT) AS max_t_ms,
+       ROUND(AVG((seed + 7 * i) % 256), 4) AS avg_luma
+FROM f GROUP BY 1
+"""
+
+
 # --- aggregation/window breadth ---------------------------------------------
 
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,6 +1149,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
+    "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),
     "emb_ann_lsh": (emb_ann_lsh, None),
     "emb_ann_ivf": (emb_ann_ivf, None),
 }

@@ -210,6 +210,22 @@ def test_audio_frame_sample(spark):
     assert frames[0]["audio_id"] == 1
 
 
+def test_video_frame_sample(spark):
+    rows = [
+        (1, mm.make_fake_video(4, 4, fps=10, n_frames=7, seed=5)),
+        (2, b"garbage"),  # undecodable rows drop, not fail
+    ]
+    df = spark.createDataFrame(rows, "video_id long, content binary")
+    frames = mm.video_frame_sample(df, every_nth=2).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 2, 4, 6]
+    assert [f["t_ms"] for f in frames] == [0, 200, 400, 600]
+    # constant-luma fake frames: frame i is exactly (seed + 7*i) % 256
+    assert [f["mean_luma"] for f in frames] == [5.0, 19.0, 33.0, 47.0]
+    assert all(f["video_id"] == 1 for f in frames)
+    with pytest.raises(ValueError):
+        mm.video_frame_sample(df, every_nth=0)
+
+
 def test_real_codec_gated(spark, images):
     with pytest.raises(Exception):
         mm.image_metadata(images, codec="real").collect()

@@ -264,8 +264,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = revenue.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1)
+    # max-equality semi-join instead of a global rank() window: a window
+    # with no partitionBy funnels every supplier through one task; the
+    # scalar max broadcasts and the filter stays fully parallel (ties kept
+    # by both formulations).
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("_mx")
+    ).drop("_mx")
     return (
         top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "event_funnel",
     "doc_minhash_lsh_pairs",
+    "doc_winnow_fingerprint",
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",

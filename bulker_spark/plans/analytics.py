@@ -1096,6 +1096,78 @@ FROM documents
 """
 
 
+# --- winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+WINNOW_K = 8  # k-gram width
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes per window)
+
+
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every k-gram, slide a window of ``WINNOW_W`` consecutive
+    hashes, keep each window's minimum; the distinct selected hashes are the
+    document's fingerprint set. Guarantees any shared substring of length
+    ≥ k+w-1 contributes a shared fingerprint — substring-level near-dup
+    detection, unlike whole-document md5.
+
+    Entirely array-native (sequence/transform/slice/array_min higher-order
+    functions): per-row JVM compute, ZERO shuffles before the final sort —
+    at 100 TB this scans and fingerprints with no exchange at all. The
+    md5→60-bit-int hash matches the DuckDB oracle arithmetic exactly.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+    # full windows only (positions w..m); docs shorter than one window
+    # collapse to the global min — same rule the oracle's WHERE applies
+    wins = (
+        f"array_distinct(transform(sequence(least({w}, size(__h)), size(__h)), "
+        f"j -> array_min(slice(__h, greatest(j - {w - 1}, 1), "
+        f"j - greatest(j - {w - 1}, 1) + 1))))"
+    )
+    return (
+        d.withColumn("__h", F.expr(grams))
+        .withColumn("__fp", F.expr(wins))
+        .select(
+            "doc_id",
+            F.size("__fp").alias("n_fp"),
+            F.array_min("__fp").alias("fp_min"),
+            F.array_max("__fp").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_WINNOW_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1)) AS i, text
+  FROM documents
+), hashed AS (
+  SELECT doc_id, i,
+         (('0x' || substr(md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 15))::UBIGINT::BIGINT) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(count(DISTINCT wmin) AS INTEGER) AS n_fp,
+       min(wmin) AS fp_min,
+       max(wmin) AS fp_max
+FROM wins
+WHERE i >= least({WINNOW_W}, m)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1153,6 +1225,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
+    "doc_winnow_fingerprint": (doc_winnow_fingerprint, DOC_WINNOW_SQL),
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),

@@ -50,6 +50,33 @@ def test_mm_image_metadata_round_trip(spark):
         assert r["n_bytes"] == 12 + r["width"] * r["height"]
 
 
+def test_winnow_fingerprint_invariants(spark):
+    from bulker_spark.plans.analytics import WINNOW_K, WINNOW_W
+
+    fn, _ = EXTRA_QUERIES["doc_winnow_fingerprint"]
+    rows = fn(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()  # one fingerprint digest per doc
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        # winnowing selects ≤ one hash per window, ≥ 1 overall
+        assert 1 <= r["n_fp"]
+        assert r["fp_min"] <= r["fp_max"]
+    # identical texts must get identical fingerprint digests
+    dup = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .first()
+    )
+    if dup:
+        digests = {
+            (by_id[i]["n_fp"], by_id[i]["fp_min"], by_id[i]["fp_max"])
+            for i in dup["ids"]
+        }
+        assert len(digests) == 1
+
+
 def test_ann_lsh_finds_query_point(spark):
     fn, _ = EXTRA_QUERIES["emb_ann_lsh"]
     rows = fn(spark, SF_DIR).collect()

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "event_funnel",
     "doc_minhash_lsh_pairs",
     "doc_winnow_fingerprint",
+    "doc_winnow_pairs",
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",

@@ -1168,6 +1168,105 @@ ORDER BY doc_id
 """
 
 
+WINNOW_MAX_DF = 10  # document-frequency cap for pair generation
+WINNOW_MIN_SHARED = 4  # fingerprints two docs must share to pair
+
+
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: docs sharing
+    ≥ ``WINNOW_MIN_SHARED`` selected hashes. Fingerprints seen in more than
+    ``WINNOW_MAX_DF`` docs are dropped — boilerplate substrings would
+    otherwise create both hot shuffle keys and a quadratic pair blowup
+    (same stop-shingle discipline as the MinHash LSH band join).
+
+    Shuffle profile: the md5 gram hashing runs exactly once (grams are
+    exploded straight out of the scan — exploding the *winnowed* array
+    instead lets the optimizer inline the window-min lambda into the
+    Generate node, where every ``slice(__h, …)`` reference recomputes the
+    whole gram array: quadratic per doc, measured 100× slower). Window
+    mins are then a rows-frame window over (doc_id, position) — one
+    skew-free shuffle on doc_id — a single groupBy(fp) collects each
+    fingerprint's capped doc list, and pairs are generated array-side
+    (≤ C(max_df, 2) per fingerprint).
+    """
+    k, w = WINNOW_K, WINNOW_W
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+    hashed = d.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("i", "h")
+    )
+    dw = Window.partitionBy("doc_id")
+    roll = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    fps = (
+        hashed.withColumn("wmin", F.min("h").over(roll))
+        .withColumn("__m", F.count("*").over(dw))
+        .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
+        .select("doc_id", F.col("wmin").alias("fp"))
+    )
+    # per-doc repeats of one fingerprint value collapse inside the list —
+    # same effect as a DISTINCT pre-pass without its extra shuffle
+    per_fp = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("doc_id"))).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= WINNOW_MAX_DF)
+        )
+    )
+    # all ordered pairs from each fingerprint's doc list, array-side
+    pairs = per_fp.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                "struct(x AS id_a, y AS id_b)))), p -> p.id_a < p.id_b)"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DOC_WINNOW_PAIRS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1)) AS i, text
+  FROM documents
+), hashed AS (
+  SELECT doc_id, i,
+         (('0x' || substr(md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 15))::UBIGINT::BIGINT) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE i >= least({WINNOW_W}, m)
+), eligible AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DF}
+), f2 AS (
+  SELECT doc_id, fp FROM fps JOIN eligible USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f2 a JOIN f2 b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY 1, 2
+"""
+
+
 # --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1226,6 +1325,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "doc_winnow_fingerprint": (doc_winnow_fingerprint, DOC_WINNOW_SQL),
+    "doc_winnow_pairs": (doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL),
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),

@@ -364,16 +364,29 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority checking — EXISTS subquery → **left-semi join**
-    (the join class the reference's merge-delete implies, redshift.go:42)."""
+    """Order-priority checking — EXISTS subquery, the join class the
+    reference's merge-delete implies (redshift.go:42).
+
+    Scale note: a naive ``orders LEFT SEMI lineitem`` puts the *fact* table
+    on the build side — broadcast-impossible at scale, so it degrades to
+    shuffling all of lineitem into a sort-merge join. Instead we broadcast
+    the small filtered orders slice into a lineitem probe and dedupe the
+    matched keys: the only shuffle carries matched orderkeys, pre-combined
+    map-side."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("timestamp'1996-07-01 00:00:00'"))
         & (F.col("o_orderdate") < F.expr("timestamp'1996-10-01 00:00:00'"))
     )
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    sem = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+    matched = l.join(
+        F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+        l.l_orderkey == o.o_orderkey,
+    )
+    exists = matched.groupBy("o_orderkey").agg(
+        F.first("o_orderpriority").alias("o_orderpriority")
+    )
     return (
-        sem.groupBy("o_orderpriority")
+        exists.groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )

@@ -1110,10 +1110,13 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ k+w-1 contributes a shared fingerprint — substring-level near-dup
     detection, unlike whole-document md5.
 
-    Entirely array-native (sequence/transform/slice/array_min higher-order
-    functions): per-row JVM compute, ZERO shuffles before the final sort —
-    at 100 TB this scans and fingerprints with no exchange at all. The
-    md5→60-bit-int hash matches the DuckDB oracle arithmetic exactly.
+    Shape: gram hashes explode out of the scan (the transform lambda is
+    the only higher-order function — HOFs evaluate interpreted, so the
+    sliding-window min is NOT done with nested slice/array_min, which
+    measured ~2× slower than this), then a rows-frame window min and a
+    per-doc aggregate share one skew-free shuffle on doc_id (a window is
+    linear in doc length, so no key can run hot). The md5→60-bit-int hash
+    matches the DuckDB oracle arithmetic exactly.
     """
     k, w = WINNOW_K, WINNOW_W
     d = _t(spark, sf_dir, "documents")
@@ -1122,21 +1125,22 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10)"
         " as bigint))"
     )
-    # full windows only (positions w..m); docs shorter than one window
-    # collapse to the global min — same rule the oracle's WHERE applies
-    wins = (
-        f"array_distinct(transform(sequence(least({w}, size(__h)), size(__h)), "
-        f"j -> array_min(slice(__h, greatest(j - {w - 1}, 1), "
-        f"j - greatest(j - {w - 1}, 1) + 1))))"
+    hashed = d.select("doc_id", F.posexplode(F.expr(grams)).alias("i", "h"))
+    dw = Window.partitionBy("doc_id")
+    roll = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    # full windows only (positions w-1..m-1, 0-based); docs shorter than
+    # one window collapse to the global min — same rule as the oracle
+    fps = (
+        hashed.withColumn("wmin", F.min("h").over(roll))
+        .withColumn("__m", F.count("*").over(dw))
+        .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
     )
     return (
-        d.withColumn("__h", F.expr(grams))
-        .withColumn("__fp", F.expr(wins))
-        .select(
-            "doc_id",
-            F.size("__fp").alias("n_fp"),
-            F.array_min("__fp").alias("fp_min"),
-            F.array_max("__fp").alias("fp_max"),
+        fps.groupBy("doc_id")
+        .agg(
+            F.countDistinct("wmin").cast("int").alias("n_fp"),
+            F.min("wmin").alias("fp_min"),
+            F.max("wmin").alias("fp_max"),
         )
         .orderBy("doc_id")
     )

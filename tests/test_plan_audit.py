@@ -86,6 +86,8 @@ def test_no_python_row_udfs_anywhere(spark, name):
 # --- extended catalog (analytics.py) audits --------------------------------
 
 from bulker_spark.plans.analytics import (  # noqa: E402
+    doc_winnow_fingerprint,
+    doc_winnow_pairs,
     events_log_range,
     tpch_q7,
     tpch_q8,
@@ -134,3 +136,38 @@ def test_events_log_limit_and_pushdown(spark):
     txt = audit.explain_str(df, "simple")
     assert "GlobalLimit" in txt or "TakeOrderedAndProject" in txt
     assert audit.has_pushed_filter(df, "event_id")
+
+
+def test_q4_broadcasts_orders_not_fact(spark):
+    from bulker_spark.plans.queries import tpch_q4
+
+    df = tpch_q4(spark, SF)
+    txt = audit.explain_str(df, "formatted")
+    # the broadcast build side must be the filtered orders slice; building
+    # from lineitem cannot broadcast at scale and degrades to a full
+    # fact-table shuffle
+    assert audit.broadcast_join_count(df) >= 1, txt
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[\s\S]{0,400}?Scan parquet[^\n]*", txt):
+        frag = m.group(0)
+        assert "lineitem" not in frag, frag
+    assert audit.has_pushed_filter(df, "o_orderdate")
+
+
+def test_winnow_fingerprint_single_doc_shuffle(spark):
+    df = doc_winnow_fingerprint(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # window min + per-doc digest share the doc_id hash partition: one
+    # hash exchange (plus the final presentation range sort)
+    assert txt.count("hashpartitioning") <= 1, txt
+
+
+def test_winnow_pairs_no_cartesian_no_fact_rescans(spark):
+    df = doc_winnow_pairs(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # the gram hashing must run once: pairs come from collected doc lists,
+    # not a three-branch self-join that recomputes the md5 arrays
+    assert txt.count("FileScan parquet") == 1, txt

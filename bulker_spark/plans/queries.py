@@ -633,6 +633,34 @@ FROM documents
 """
 
 
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution QA (p50/p90/p99 + count) — the
+    standard pre-training corpus health check. Exact linear-interpolation
+    ``percentile`` (not ``percentile_approx``) so the digits match DuckDB's
+    ``quantile_cont`` bit-for-bit; at 100 TB exact percentile costs a
+    per-group sort of one int column, still map-side-combinable by lang."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 2) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-heuristic language ID (stopword probe) vs the labeled lang."""
     d = _t(spark, sf_dir, "documents")
@@ -1158,6 +1186,7 @@ QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_quality_score": (doc_quality_score, DOC_QUALITY_SQL),
     "doc_lang_guess": (doc_lang_guess, DOC_LANG_SQL),
+    "doc_length_quantiles": (doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),
     "doc_shingles": (doc_shingles, DOC_SHINGLES_SQL),
     "doc_minhash": (doc_minhash, DOC_MINHASH_SQL),
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_minhash_lsh_pairs",
     "doc_winnow_fingerprint",
     "doc_winnow_pairs",
+    "doc_tfidf_top_terms",
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",

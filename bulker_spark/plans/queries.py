@@ -26,7 +26,7 @@ Deterministic-hash parity notes: Spark ``md5`` == DuckDB ``md5``;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -661,6 +661,74 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln((N+1)/(df+1))).
+
+    Shuffle structure: token counts partial-aggregate map-side before the
+    (doc_id, tok) shuffle; document frequency re-aggregates from those
+    counts (never re-reading text); the vocabulary join runs on ``tok``,
+    where stopwords are hot keys — AQE's skew-join split handles that, and
+    at vocabulary sizes that fit an executor a broadcast is the better
+    choice (Catalyst picks it from stats here). The final top-3 window
+    partitions by doc_id — bounded per key, no skew. IEEE ln/× on int
+    inputs gives bit-identical ordering across engines, so the row_number
+    tie-break (tfidf desc, tok asc) is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("rk").cast("int").alias("rk"),
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok, CAST(rk AS INTEGER) AS rk, ROUND(tfidf, 4) AS tfidf
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-heuristic language ID (stopword probe) vs the labeled lang."""
     d = _t(spark, sf_dir, "documents")
@@ -1187,6 +1255,7 @@ QUERIES: dict[str, tuple] = {
     "doc_quality_score": (doc_quality_score, DOC_QUALITY_SQL),
     "doc_lang_guess": (doc_lang_guess, DOC_LANG_SQL),
     "doc_length_quantiles": (doc_length_quantiles, DOC_LENGTH_QUANTILES_SQL),
+    "doc_tfidf_top_terms": (doc_tfidf_top_terms, DOC_TFIDF_SQL),
     "doc_shingles": (doc_shingles, DOC_SHINGLES_SQL),
     "doc_minhash": (doc_minhash, DOC_MINHASH_SQL),
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),

@@ -290,3 +290,46 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
         df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    distinct: bool = True,
+) -> DataFrame:
+    """Winnowing fingerprint rows (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): one (id, fp) row per distinct selected k-gram hash. Any two
+    documents sharing a substring of length ≥ k+w-1 share a fingerprint
+    (property-tested in tests/test_winnow_properties.py).
+
+    Pass ``distinct=False`` to skip the (id, fp) dedup shuffle when the
+    caller aggregates per id anyway (the window's id partitioning then
+    flows into the aggregate with no further exchange) — repeats of one
+    fingerprint value within a document are possible in that mode.
+
+    Gram hashes explode straight out of the scan (exploding a winnowed
+    *array* instead lets the optimizer inline the window lambda into
+    Generate and recompute the gram array per window — measured 40×
+    slower); the rows-frame window min costs one skew-free shuffle on the
+    id. A window is linear in document length, so no key can run hot.
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15),"
+        " 16, 10) as bigint))"
+    )
+    hashed = df.select(id_col, F.posexplode(F.expr(grams)).alias("i", "h"))
+    dw = Window.partitionBy(id_col)
+    roll = Window.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
+    out = (
+        hashed.withColumn("wmin", F.min("h").over(roll))
+        .withColumn("__m", F.count("*").over(dw))
+        .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
+        .select(id_col, F.col("wmin").alias("fp"))
+    )
+    return out.distinct() if distinct else out

@@ -1110,37 +1110,24 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ k+w-1 contributes a shared fingerprint — substring-level near-dup
     detection, unlike whole-document md5.
 
-    Shape: gram hashes explode out of the scan (the transform lambda is
-    the only higher-order function — HOFs evaluate interpreted, so the
-    sliding-window min is NOT done with nested slice/array_min, which
-    measured ~2× slower than this), then a rows-frame window min and a
-    per-doc aggregate share one skew-free shuffle on doc_id (a window is
-    linear in doc length, so no key can run hot). The md5→60-bit-int hash
-    matches the DuckDB oracle arithmetic exactly.
+    Built on ``functions.text.winnow_fingerprints`` (see its docstring for
+    the plan shape); ``distinct=False`` because countDistinct dedupes
+    inside the per-doc aggregate, which reuses the window's doc_id
+    partitioning — one shuffle total. The md5→60-bit-int hash matches the
+    DuckDB oracle arithmetic exactly.
     """
-    k, w = WINNOW_K, WINNOW_W
+    from bulker_spark.functions.text import winnow_fingerprints
+
     d = _t(spark, sf_dir, "documents")
-    grams = (
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10)"
-        " as bigint))"
-    )
-    hashed = d.select("doc_id", F.posexplode(F.expr(grams)).alias("i", "h"))
-    dw = Window.partitionBy("doc_id")
-    roll = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    # full windows only (positions w-1..m-1, 0-based); docs shorter than
-    # one window collapse to the global min — same rule as the oracle
-    fps = (
-        hashed.withColumn("wmin", F.min("h").over(roll))
-        .withColumn("__m", F.count("*").over(dw))
-        .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
+    fps = winnow_fingerprints(
+        d.select("doc_id", "text"), k=WINNOW_K, w=WINNOW_W, distinct=False
     )
     return (
         fps.groupBy("doc_id")
         .agg(
-            F.countDistinct("wmin").cast("int").alias("n_fp"),
-            F.min("wmin").alias("fp_min"),
-            F.max("wmin").alias("fp_max"),
+            F.countDistinct("fp").cast("int").alias("n_fp"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
         )
         .orderBy("doc_id")
     )
@@ -1183,33 +1170,18 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise create both hot shuffle keys and a quadratic pair blowup
     (same stop-shingle discipline as the MinHash LSH band join).
 
-    Shuffle profile: the md5 gram hashing runs exactly once (grams are
-    exploded straight out of the scan — exploding the *winnowed* array
-    instead lets the optimizer inline the window-min lambda into the
-    Generate node, where every ``slice(__h, …)`` reference recomputes the
-    whole gram array: quadratic per doc, measured 100× slower). Window
-    mins are then a rows-frame window over (doc_id, position) — one
-    skew-free shuffle on doc_id — a single groupBy(fp) collects each
+    Shuffle profile: built on ``functions.text.winnow_fingerprints``
+    (``distinct=False`` — per-doc repeats collapse inside the collected
+    list below, saving that shuffle); a single groupBy(fp) collects each
     fingerprint's capped doc list, and pairs are generated array-side
-    (≤ C(max_df, 2) per fingerprint).
+    (≤ C(max_df, 2) per fingerprint), so documents are scanned once and
+    never shuffled whole.
     """
-    k, w = WINNOW_K, WINNOW_W
+    from bulker_spark.functions.text import winnow_fingerprints
+
     d = _t(spark, sf_dir, "documents")
-    grams = (
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15), 16, 10)"
-        " as bigint))"
-    )
-    hashed = d.select(
-        "doc_id", F.posexplode(F.expr(grams)).alias("i", "h")
-    )
-    dw = Window.partitionBy("doc_id")
-    roll = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    fps = (
-        hashed.withColumn("wmin", F.min("h").over(roll))
-        .withColumn("__m", F.count("*").over(dw))
-        .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
-        .select("doc_id", F.col("wmin").alias("fp"))
+    fps = winnow_fingerprints(
+        d.select("doc_id", "text"), k=WINNOW_K, w=WINNOW_W, distinct=False
     )
     # per-doc repeats of one fingerprint value collapse inside the list —
     # same effect as a DISTINCT pre-pass without its extra shuffle

@@ -93,3 +93,20 @@ def test_spark_query_matches_model(spark, tmp_path):
         assert r["n_fp"] == len(fps), corpus[r["doc_id"]]
         assert r["fp_min"] == min(fps)
         assert r["fp_max"] == max(fps)
+
+
+def test_library_function_distinct_rows(spark, tmp_path):
+    """winnow_fingerprints(distinct=True) returns exactly the model's
+    fingerprint set as rows."""
+    import pandas as pd
+
+    from bulker_spark.functions.text import winnow_fingerprints
+
+    corpus = ["abcabcabc", "the quick brown fox", "a" * 20]
+    pdf = pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus})
+    df = spark.createDataFrame(pdf)
+    rows = winnow_fingerprints(df, k=K, w=W).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == {i: winnow_model(t) for i, t in enumerate(corpus)}

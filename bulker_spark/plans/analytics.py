@@ -1243,6 +1243,74 @@ ORDER BY 1, 2
 """
 
 
+def doc_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of document
+    sources, how many winnow fingerprints they share — the train/test
+    decontamination check (a benchmark split leaking into a training
+    source shows up as a hot cell). Output is |sources|² rows, so the
+    final aggregate is tiny; the only real shuffles are the fingerprint
+    window and one groupBy(fp) that reduces each fingerprint to its
+    distinct source list before pairing."""
+    from bulker_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    # window per doc_id (a source-level window would interleave gram
+    # positions of different documents), then map doc→source over the
+    # pruned two-column projection
+    fps = winnow_fingerprints(
+        d.select("doc_id", "text"), k=WINNOW_K, w=WINNOW_W, distinct=False
+    )
+    src_of = d.select("doc_id", F.col("source").alias("src"))
+    per_fp = (
+        fps.join(src_of, "doc_id")
+        .groupBy("fp")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("src"))).alias("srcs"))
+    )
+    pairs = per_fp.select(
+        "fp",
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(srcs, x -> transform(srcs, y -> "
+                "struct(x AS src_a, y AS src_b)))), p -> p.src_a < p.src_b)"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
+        .agg(F.countDistinct("fp").alias("n_shared_fp"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+DOC_SOURCE_CONTAMINATION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1)) AS i, text
+  FROM documents
+), hashed AS (
+  SELECT doc_id, i,
+         (('0x' || substr(md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 15))::UBIGINT::BIGINT) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT d.source AS src, w.wmin AS fp
+  FROM wins w JOIN documents d USING (doc_id)
+  WHERE w.i >= least({WINNOW_W}, m)
+)
+SELECT a.src AS src_a, b.src AS src_b,
+       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1302,6 +1370,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "doc_winnow_fingerprint": (doc_winnow_fingerprint, DOC_WINNOW_SQL),
     "doc_winnow_pairs": (doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL),
+    "doc_source_contamination": (doc_source_contamination, DOC_SOURCE_CONTAMINATION_SQL),
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),

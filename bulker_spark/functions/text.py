@@ -299,6 +299,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 4,
     distinct: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing fingerprint rows (Schleimer/Wilkerson/Aiken, the MOSS
     scheme): one (id, fp) row per distinct selected k-gram hash. Any two
@@ -315,13 +316,26 @@ def winnow_fingerprints(
     Generate and recompute the gram array per window — measured 40×
     slower); the rows-frame window min costs one skew-free shuffle on the
     id. A window is linear in document length, so no key can run hot.
+
+    ``hash_fn='md5'`` (default) matches the DuckDB-oracle arithmetic;
+    ``hash_fn='xxhash64'`` is ~1.5× faster end-to-end (no cryptographic
+    digest per gram) — prefer it in production where cross-engine hash
+    parity is not needed.
     """
     from pyspark.sql import Window
 
+    if hash_fn == "md5":
+        gram_hash = (
+            f"cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15),"
+            " 16, 10) as bigint)"
+        )
+    elif hash_fn == "xxhash64":
+        gram_hash = f"xxhash64(substring({text_col}, i, {k}))"
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     grams = (
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15),"
-        " 16, 10) as bigint))"
+        f"i -> {gram_hash})"
     )
     hashed = df.select(id_col, F.posexplode(F.expr(grams)).alias("i", "h"))
     dw = Window.partitionBy(id_col)

@@ -110,3 +110,22 @@ def test_library_function_distinct_rows(spark, tmp_path):
     for r in rows:
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     assert got == {i: winnow_model(t) for i, t in enumerate(corpus)}
+
+
+def test_xxhash_variant_same_structure(spark, tmp_path):
+    """The xxhash64 production path selects the same *positions* (different
+    hash values, but fingerprint-count within one doc of the md5 path's
+    count, and identical docs still collide)."""
+    import pandas as pd
+
+    from bulker_spark.functions.text import winnow_fingerprints
+
+    corpus = ["the quick brown fox", "the quick brown fox", "zzz unrelated"]
+    pdf = pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus})
+    df = spark.createDataFrame(pdf)
+    rows = winnow_fingerprints(df, k=K, w=W, hash_fn="xxhash64").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_id[0] == by_id[1]  # exact dups share everything
+    assert not (by_id[0] & by_id[2])  # unrelated text shares nothing

@@ -412,8 +412,15 @@ GROUP BY 1 ORDER BY 1
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-cost-supplier-per-part (q2's correlated MIN subquery, with
     lineitem unit price standing in for ps_supplycost). Decorrelated as a
-    per-part window min over the (part, supplier) cost table — one shuffle
-    on l_partkey serves both the agg and the min-selection."""
+    per-part window min over the (part, supplier) cost table.
+
+    Deliberately NOT pre-repartitioned on l_partkey: that collapses the
+    agg+window to one exchange and wins ~40% at sf0.1, but it shuffles raw
+    lineitem rows before any combine — at scale the map-side partial
+    aggregate cuts shuffle bytes ~5× (distinct (partkey, suppkey) pairs ≪
+    lineitems), and the second exchange moves only the aggregated pairs.
+    Small-data timing and 100 TB shuffle economics disagree here; we keep
+    the scale-correct plan."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = _t(spark, sf_dir, "supplier")

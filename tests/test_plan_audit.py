@@ -171,3 +171,36 @@ def test_winnow_pairs_no_cartesian_no_fact_rescans(spark):
     # the gram hashing must run once: pairs come from collected doc lists,
     # not a three-branch self-join that recomputes the md5 arrays
     assert txt.count("FileScan parquet") == 1, txt
+
+
+def test_tfidf_partial_agg_no_cartesian(spark):
+    from bulker_spark.plans.queries import doc_tfidf_top_terms
+
+    df = doc_tfidf_top_terms(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    assert "CartesianProduct" not in txt
+    # the n_docs scalar joins via broadcast, never a shuffled cross
+    assert audit.has_partial_aggregate(df)
+
+
+def test_length_quantiles_single_exchange(spark):
+    from bulker_spark.plans.queries import doc_length_quantiles
+
+    df = doc_length_quantiles(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # exact percentile by lang: one hash exchange + presentation sort
+    assert txt.count("hashpartitioning") <= 1, txt
+    assert audit.pruned_to(df, 2), audit.read_schemas(df)  # lang, n_chars
+
+
+def test_contamination_prunes_text_from_source_side(spark):
+    from bulker_spark.plans.analytics import doc_source_contamination
+
+    df = doc_source_contamination(spark, SF)
+    txt = audit.explain_str(df, "formatted")
+    assert "CartesianProduct" not in txt
+    # the doc->source mapping scan must not re-read text
+    import re
+
+    schemas = audit.read_schemas(df)
+    assert any("source" in s and "text" not in s for s in schemas), schemas

@@ -337,12 +337,19 @@ def winnow_fingerprints(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
         f"i -> {gram_hash})"
     )
-    hashed = df.select(id_col, F.posexplode(F.expr(grams)).alias("i", "h"))
-    dw = Window.partitionBy(id_col)
+    # gram count derives from length(text) at scan time — carrying it
+    # through the explode avoids a second Window pass (count(*) over the
+    # unordered partition would not fuse with the ordered rolling frame)
+    hashed = df.select(
+        id_col,
+        F.greatest(
+            F.length(text_col) - F.lit(k - 1), F.lit(1)
+        ).alias("__m"),
+        F.posexplode(F.expr(grams)).alias("i", "h"),
+    )
     roll = Window.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
     out = (
         hashed.withColumn("wmin", F.min("h").over(roll))
-        .withColumn("__m", F.count("*").over(dw))
         .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
         .select(id_col, F.col("wmin").alias("fp"))
     )

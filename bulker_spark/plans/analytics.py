@@ -751,18 +751,39 @@ GROUP BY lang ORDER BY lang
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents (ordered by doc_id) to
     fixed-budget training sequences by cumulative token count — the
-    running-sum window that turns a corpus into ~equal-sized samples."""
+    running-sum that turns a corpus into ~equal-sized samples.
+
+    The global prefix sum is two-phase: doc_id ranges bucket the corpus,
+    a per-bucket window computes local running sums in parallel, and only
+    the bucket *totals* (corpus_size / bucket_size rows) pass through a
+    global window before broadcasting back as offsets. A bare
+    ``Window.orderBy`` with no partitioning would drag every row through
+    one task at 100 TB."""
     from bulker_spark.functions.text import token_count
 
     from pyspark.sql import Window as W
 
     budget = 512
+    bucket_size = 1000  # docs per prefix-sum bucket
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", token_count("text").alias("toks")
+        "doc_id",
+        token_count("text").alias("toks"),
+        F.floor(F.col("doc_id") / bucket_size).alias("__bkt"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = docs.withColumn(
-        "seq_id", F.floor((F.sum("toks").over(w) - F.col("toks")) / budget)
+    wl = (
+        W.partitionBy("__bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = docs.withColumn("__run", F.sum("toks").over(wl))
+    totals = local.groupBy("__bkt").agg(F.max("__run").alias("__sum"))
+    wb = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__sum").over(wb), F.lit(0)).alias("__off")
+    )
+    packed = local.join(F.broadcast(offsets), "__bkt").withColumn(
+        "seq_id",
+        F.floor((F.col("__off") + F.col("__run") - F.col("toks")) / budget),
     )
     return (
         packed.groupBy("seq_id")

@@ -6,10 +6,19 @@ NDJSON/CSV (optionally gzipped) under ``folder/table/<timestamp>`` names;
 ``replace_table`` deletes the whole table prefix first, ``replace_partition``
 deletes only objects of that partition id.
 
+Format surface mirrors the marshaller registry
+(``bulkerlib/types/marshaller.go:37-50``): NDJSON, flattened NDJSON
+(``FileFormatNDJSONFLAT``), CSV+header, JSON array
+(``JSONArrayMarshaller``), Avro (BigQuery path), each optionally gzipped
+— plus parquet, the Spark-native default the reference lacks.
+
 Spark-first: ``df.write.json/csv/parquet`` IS the bulk file writer —
 parallel, partitioned, compressed. Prefix-delete semantics map to
 ``mode("overwrite")`` on the prefix directory (object stores: same
-delete-prefix + write pattern, executed by the committer).
+delete-prefix + write pattern, executed by the committer). The JSON-array
+writer stays streaming-shaped: one array per output file, one element per
+line via the text writer — no partition is ever materialized as a single
+string.
 """
 
 from __future__ import annotations
@@ -17,9 +26,9 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
-FORMATS = ("ndjson", "csv", "parquet")
+FORMATS = ("ndjson", "ndjson_flat", "csv", "parquet", "json_array", "avro")
 
 
 class FileStorageSink:
@@ -50,13 +59,68 @@ class FileStorageSink:
         return w
 
     def _write(self, df: DataFrame, path: str, mode: str) -> None:
+        if self.fmt == "ndjson_flat":
+            from bulker_spark.flatten import flatten_dataframe
+
+            df = flatten_dataframe(df)
+        if self.fmt == "json_array":
+            self._write_json_array(df, path, mode)
+            return
         w = self._writer(df, mode)
-        if self.fmt == "ndjson":
+        if self.fmt in ("ndjson", "ndjson_flat"):
             w.json(path)
         elif self.fmt == "csv":
             w.option("header", True).csv(path)
+        elif self.fmt == "avro":
+            # avro's codec vocabulary differs: gzip is spelled deflate
+            w = df.write.mode(mode)
+            if self.compression:
+                codec = "deflate" if self.compression == "gzip" else self.compression
+                w = w.option("compression", codec)
+            try:
+                w.format("avro").save(path)
+            except Exception as exc:  # datasource is an external module
+                if "Failed to find data source" not in str(exc):
+                    raise
+                raise NotImplementedError(
+                    "avro output needs the spark-avro package "
+                    "(org.apache.spark:spark-avro_<scala-version>) on the "
+                    "cluster classpath; it is not bundled with pip pyspark"
+                ) from exc
         else:
             w.parquet(path)
+
+    def _write_json_array(self, df: DataFrame, path: str, mode: str) -> None:
+        """One JSON *array* per output file (``JSONArrayMarshaller``,
+        ``marshaller.go:160-210``), element-per-line so files stream.
+
+        Serialization stays JVM-side (``to_json``); Python only adds the
+        bracket/comma punctuation per partition, held to O(1) memory by a
+        one-element lookahead.
+        """
+        json_rows = df.select(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("j")
+        )
+
+        def decorate(rows):
+            rows = (r.j for r in rows)
+            try:
+                prev = next(rows)
+            except StopIteration:
+                yield ("[]",)
+                return
+            yield ("[",)
+            for cur in rows:
+                yield (prev + ",",)
+                prev = cur
+            yield (prev,)
+            yield ("]",)
+
+        lines = json_rows.rdd.mapPartitions(decorate).toDF(["value"])
+        w = lines.write.mode(mode)
+        if self.compression:
+            w = w.option("compression", self.compression)
+        w.text(path)
 
     # modes (abstract.go:169-295) ------------------------------------------
     def append_batch(
@@ -84,10 +148,16 @@ class FileStorageSink:
 
     def read(self, spark, table: str) -> DataFrame:
         path = self._prefix(table)
-        if self.fmt == "ndjson":
-            return spark.read.json(f"{path}{'/partition=*' if self._partitioned(table) else ''}")
+        glob = f"{path}{'/partition=*' if self._partitioned(table) else ''}"
+        if self.fmt in ("ndjson", "ndjson_flat"):
+            return spark.read.json(glob)
+        if self.fmt == "json_array":
+            # each file is one valid JSON array → multiLine mode
+            return spark.read.option("multiLine", True).json(glob)
         if self.fmt == "csv":
             return spark.read.option("header", True).option("inferSchema", True).csv(path)
+        if self.fmt == "avro":
+            return spark.read.format("avro").load(path)
         return spark.read.parquet(path)
 
     def _partitioned(self, table: str) -> bool:

@@ -1099,6 +1099,55 @@ FROM events WHERE user_id < 5
 """
 
 
+# --- as-of enrichment (nearest-timestamp join) ------------------------------
+
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach each event's most recent order at or before the event time
+    — the as-of join (`operators/asof.py`), union-and-window: one shuffle
+    on the key, linear scan, no range-join pair explosion. Ties on order
+    date resolve to the greatest orderkey."""
+    from bulker_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, last_orderdate, last_orderkey, last_totalprice
+FROM (
+  SELECT e.event_id, e.user_id,
+         o.o_orderdate  AS last_orderdate,
+         o.o_orderkey   AS last_orderkey,
+         ROUND(o.o_totalprice, 2) AS last_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+             AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 # --- BPE-ish token counting (LLM budget estimation) -------------------------
 
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,6 +1444,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_dup_clusters": (doc_dup_clusters, DOC_DUP_CLUSTERS_SQL),
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
+    "events_asof_last_order": (events_asof_last_order, EVENTS_ASOF_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "doc_winnow_fingerprint": (doc_winnow_fingerprint, DOC_WINNOW_SQL),
     "doc_winnow_pairs": (doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL),

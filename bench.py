@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "doc_winnow_pairs",
     "doc_tfidf_top_terms",
     "events_asof_last_order",
+    "events_in_error_window",
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",

@@ -1148,6 +1148,87 @@ FROM (
 """
 
 
+# --- banded interval joins (point-in-range) ---------------------------------
+
+def events_in_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join: each error event opens a per-user 24h incident
+    window; count the user's events inside it — banded equi-join
+    (`operators/rangejoin.py`), never a nested-loop range join."""
+    from bulker_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("w_end"),
+        )
+    )
+    pairs = interval_join(
+        ev.select("user_id", "ts", "value"),
+        windows,
+        point="ts",
+        start="w_start",
+        end="w_end",
+        left_keys=["user_id"],
+        right_keys=["err_user"],
+        bin_seconds=24 * 3600,
+    )
+    return pairs.groupBy("err_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+EVENTS_IN_ERROR_WINDOW_SQL = """
+SELECT w.err_id, count(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+FROM (SELECT event_id AS err_id, user_id AS err_user, ts AS w_start,
+             ts + INTERVAL 24 HOUR AS w_end
+      FROM events WHERE event_type = 'error') w
+JOIN events e
+  ON e.user_id = w.err_user AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.err_id
+"""
+
+
+def events_in_promo_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join — big purchases open global 2h windows, count
+    all events inside each; no equi-key at all, the case where the banded
+    plan is the only one that scales (naive = cartesian)."""
+    from bulker_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    promos = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select(
+            F.col("event_id").alias("promo_id"),
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("p_end"),
+        )
+    )
+    pairs = interval_join(
+        ev.select("event_id", "ts"),
+        promos,
+        point="ts",
+        start="p_start",
+        end="p_end",
+        bin_seconds=2 * 3600,
+    )
+    return pairs.groupBy("promo_id").agg(F.count("*").alias("n_events"))
+
+
+EVENTS_IN_PROMO_SQL = """
+SELECT p.promo_id, count(*) AS n_events
+FROM (SELECT event_id AS promo_id, ts AS p_start, ts + INTERVAL 2 HOUR AS p_end
+      FROM events WHERE event_type = 'purchase' AND value > 300) p
+JOIN events e
+  ON e.ts >= p.p_start AND e.ts < p.p_end
+GROUP BY p.promo_id
+"""
+
+
 # --- BPE-ish token counting (LLM budget estimation) -------------------------
 
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,6 +1526,8 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "events_asof_last_order": (events_asof_last_order, EVENTS_ASOF_SQL),
+    "events_in_error_window": (events_in_error_window, EVENTS_IN_ERROR_WINDOW_SQL),
+    "events_in_promo_window": (events_in_promo_window, EVENTS_IN_PROMO_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "doc_winnow_fingerprint": (doc_winnow_fingerprint, DOC_WINNOW_SQL),
     "doc_winnow_pairs": (doc_winnow_pairs, DOC_WINNOW_PAIRS_SQL),

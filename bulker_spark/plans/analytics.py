@@ -1229,6 +1229,98 @@ GROUP BY p.promo_id
 """
 
 
+# --- pivot / cube / set ops (rounding out §2.8's "no set ops" row) ----------
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-day count columns. The value list is
+    pinned so Spark skips the extra distinct-values job and the output
+    schema is static — at 100 TB an unpinned pivot means a full scan
+    before planning even finishes."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "signup", "error", "view", "purchase"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+FROM events GROUP BY 1
+"""
+
+
+def orders_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, year) with grouping_id to tell subtotal rows
+    from real nulls — one shuffle, Catalyst expands the grouping sets
+    map-side."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    )
+    return o.cube("status", "yr").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus AS status, EXTRACT(year FROM o_orderdate)::INT AS yr,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       GROUPING(o_orderstatus, EXTRACT(year FROM o_orderdate)::INT) AS gid
+FROM orders
+GROUP BY CUBE(o_orderstatus, EXTRACT(year FROM o_orderdate)::INT)
+"""
+
+
+def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT segments: customers with both open and
+    fulfilled orders, and each side's exclusives. Spark compiles set ops
+    to hash aggregates + joins — same shuffle budget as the SQL."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fulf_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+
+    def _n(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("segment"), F.count("*").alias("n")
+        )
+
+    return (
+        _n(open_c.intersect(fulf_c), "both")
+        .unionByName(_n(open_c.subtract(fulf_c), "open_only"))
+        .unionByName(_n(fulf_c.subtract(open_c), "fulfilled_only"))
+    )
+
+
+CUSTOMER_SETOPS_SQL = """
+SELECT 'both' AS segment, count(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'open_only', count(*) FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'fulfilled_only', count(*) FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
 # --- BPE-ish token counting (LLM budget estimation) -------------------------
 
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1527,6 +1619,9 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "events_asof_last_order": (events_asof_last_order, EVENTS_ASOF_SQL),
     "events_in_error_window": (events_in_error_window, EVENTS_IN_ERROR_WINDOW_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "orders_revenue_cube": (orders_revenue_cube, ORDERS_CUBE_SQL),
+    "customer_status_setops": (customer_status_setops, CUSTOMER_SETOPS_SQL),
     "events_in_promo_window": (events_in_promo_window, EVENTS_IN_PROMO_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, DOC_BPE_SQL),
     "doc_winnow_fingerprint": (doc_winnow_fingerprint, DOC_WINNOW_SQL),

@@ -1561,6 +1561,62 @@ ORDER BY 1, 2
 """
 
 
+# --- sketch tier: approximate aggregates for the 100 TB path ----------------
+
+def events_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day unique users — the ground truth the sketch variant is
+    tested against (`test_sketch_accuracy.py`). Exact distinct needs a
+    key shuffle; fine at this scale, the sketch below is the 100 TB plan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("uniques"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENTS_DAILY_UNIQUES_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS uniques,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def events_daily_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ tier of `events_daily_uniques`: one map-side-partial
+    pass, sketch bytes (not key sets) cross the shuffle — constant memory
+    per group at any scale. Engine-specific estimates → no SQL oracle
+    (rows-only check); accuracy vs exact is pinned by
+    `test_sketch_accuracy.py` at rsd=0.02."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("uniques_est"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch tier of `doc_length_quantiles`: mergeable
+    per-partition summaries instead of a full sort per group. Estimates
+    are engine-specific → rows-only check; error bound pinned by
+    `test_sketch_accuracy.py` (accuracy 1e4 ⇒ rank error ≤ 0.01%)."""
+    from bulker_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", token_count("text").alias("toks")
+    )
+    return docs.groupBy("lang").agg(
+        F.percentile_approx("toks", [0.5, 0.9, 0.99], 10000).alias("qs"),
+        F.count("*").alias("n_docs"),
+    ).select(
+        "lang",
+        F.col("qs")[0].alias("p50_est"),
+        F.col("qs")[1].alias("p90_est"),
+        F.col("qs")[2].alias("p99_est"),
+        "n_docs",
+    )
+
+
 # --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1630,6 +1686,9 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),
+    "events_daily_uniques": (events_daily_uniques, EVENTS_DAILY_UNIQUES_SQL),
+    "events_daily_uniques_hll": (events_daily_uniques_hll, None),
+    "doc_length_quantiles_sketch": (doc_length_quantiles_sketch, None),
     "emb_ann_lsh": (emb_ann_lsh, None),
     "emb_ann_ivf": (emb_ann_ivf, None),
 }

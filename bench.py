@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "doc_tfidf_top_terms",
     "events_asof_last_order",
     "events_in_error_window",
+    "training_mix_pipeline",
     "tpch_q2",
     "tpch_q7",
     "tpch_q8",

@@ -1561,6 +1561,85 @@ ORDER BY 1, 2
 """
 
 
+# --- flagship composition: the full curation pipeline in ONE plan -----------
+
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → deterministic stratified sample →
+    token budget, composed as a single declarative plan so Catalyst
+    pipelines it: the quality filter and sample predicate run in the scan
+    stage, the only shuffles are the dedup hash partition and the final
+    per-lang aggregate. Every stage is the same logic exposed by the
+    standalone queries (`doc_quality_score`, `doc_exact_dedup`,
+    `doc_stratified_sample`, `doc_pack_sequences`)."""
+    from pyspark.sql import Window as W
+
+    from bulker_spark.functions.text import quality_features, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quality_features(docs).where(F.col("q_score") >= 0.9)
+    dedup = (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    bucket = F.pmod(
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+        ),
+        F.lit(100),
+    )
+    quota = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(20)
+    )
+    sampled = dedup.where(bucket < quota)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .withColumn(
+            "n_sequences",
+            F.ceil(F.col("total_tokens") / 512.0).cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+TRAINING_MIX_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         ROUND((CASE WHEN length(text) BETWEEN 100 AND 2000
+                     THEN 1.0 ELSE 0.5 END)
+               * (1.0 - CAST(length(text) -
+                    length(replace(replace(text, '.', ''), ',', '')) AS DOUBLE)
+                  / length(text)), 4) AS q
+  FROM documents),
+dedup AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM scored WHERE q >= 0.9)
+  WHERE rn = 1),
+sampled AS (
+  SELECT * FROM dedup
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT)
+        % 100
+        < (CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END))
+SELECT lang,
+       count(*) AS n_docs,
+       SUM(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+       CAST(CEIL(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                 / 512.0) AS BIGINT) AS n_sequences
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
 # --- sketch tier: approximate aggregates for the 100 TB path ----------------
 
 def events_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,6 +1765,7 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "mm_image_metadata": (mm_image_metadata, MM_IMAGE_META_SQL),
     "mm_audio_frames": (mm_audio_frames, MM_AUDIO_FRAMES_SQL),
     "mm_video_frames": (mm_video_frames, MM_VIDEO_FRAMES_SQL),
+    "training_mix_pipeline": (training_mix_pipeline, TRAINING_MIX_SQL),
     "events_daily_uniques": (events_daily_uniques, EVENTS_DAILY_UNIQUES_SQL),
     "events_daily_uniques_hll": (events_daily_uniques_hll, None),
     "doc_length_quantiles_sketch": (doc_length_quantiles_sketch, None),

@@ -1201,7 +1201,7 @@ def events_in_promo_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     promos = (
-        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 250))
         .select(
             F.col("event_id").alias("promo_id"),
             F.col("ts").alias("p_start"),
@@ -1222,7 +1222,7 @@ def events_in_promo_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_IN_PROMO_SQL = """
 SELECT p.promo_id, count(*) AS n_events
 FROM (SELECT event_id AS promo_id, ts AS p_start, ts + INTERVAL 2 HOUR AS p_end
-      FROM events WHERE event_type = 'purchase' AND value > 300) p
+      FROM events WHERE event_type = 'purchase' AND value > 250) p
 JOIN events e
   ON e.ts >= p.p_start AND e.ts < p.p_end
 GROUP BY p.promo_id

@@ -311,11 +311,26 @@ def winnow_fingerprints(
     flows into the aggregate with no further exchange) — repeats of one
     fingerprint value within a document are possible in that mode.
 
-    Gram hashes explode straight out of the scan (exploding a winnowed
-    *array* instead lets the optimizer inline the window lambda into
-    Generate and recompute the gram array per window — measured 40×
-    slower); the rows-frame window min costs one skew-free shuffle on the
-    id. A window is linear in document length, so no key can run hot.
+    Shuffle/compute shape (the window needs a hash exchange on the id
+    either way, so we place it where it is cheapest):
+
+    - **Repartition the compact documents first**, then explode: the
+      exchange ships one row per document instead of one row per gram
+      (~300× fewer shuffle rows here), and the gram hashing fans out
+      across the whole cluster even when the input is a handful of
+      parquet files — without this, a small-file scan hashes every gram
+      in one task while 31 cores idle.
+    - **Hash row-wise after exploding positions**, not inside a
+      ``transform(sequence(...), i -> …)`` lambda: higher-order-function
+      lambdas are interpreted per element, while a plain projection after
+      ``explode(sequence(...))`` stays in whole-stage codegen — measured
+      ~3× faster on the same data. (Exploding a pre-winnowed *array*
+      is worse still: the optimizer inlines the window lambda into
+      Generate and recomputes the gram array per window — measured 40×
+      slower.)
+    - The rows-frame window min then reuses the repartitioning (no
+      second exchange) and is linear in document length, so no key can
+      run hot.
 
     ``hash_fn='md5'`` (default) matches the DuckDB-oracle arithmetic;
     ``hash_fn='xxhash64'`` is ~1.5× faster end-to-end (no cryptographic
@@ -333,24 +348,32 @@ def winnow_fingerprints(
         gram_hash = f"xxhash64(substring({text_col}, i, {k}))"
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    grams = (
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> {gram_hash})"
-    )
+    # explicit partition count: the doc-level exchange is tiny in bytes,
+    # and AQE would otherwise coalesce it to one partition — serializing
+    # the gram hashing, the expensive stage this shuffle exists to spread
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pre = df.repartition(par, id_col)
     # gram count derives from length(text) at scan time — carrying it
     # through the explode avoids a second Window pass (count(*) over the
     # unordered partition would not fuse with the ordered rolling frame)
-    hashed = df.select(
-        id_col,
-        F.greatest(
-            F.length(text_col) - F.lit(k - 1), F.lit(1)
-        ).alias("__m"),
-        F.posexplode(F.expr(grams)).alias("i", "h"),
+    hashed = (
+        pre.select(
+            id_col,
+            text_col,
+            F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1)).alias("__m"),
+        )
+        .select(
+            id_col,
+            text_col,
+            "__m",
+            F.explode(F.sequence(F.lit(1), F.col("__m"))).alias("i"),
+        )
+        .select(id_col, "__m", "i", F.expr(gram_hash).alias("h"))
     )
     roll = Window.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
     out = (
         hashed.withColumn("wmin", F.min("h").over(roll))
-        .filter(F.col("i") >= F.least(F.lit(w - 1), F.col("__m") - 1))
+        .filter(F.col("i") >= F.least(F.lit(w), F.col("__m")))
         .select(id_col, F.col("wmin").alias("fp"))
     )
     return out.distinct() if distinct else out

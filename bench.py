@@ -75,6 +75,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # advisory minimum scan splits: small-SF parquet files are single
+        # 128MB-rule splits, which would serialize scans and partial aggs
+        # on one core; at production scale files >> cores so this is inert
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")

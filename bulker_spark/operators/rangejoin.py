@@ -18,7 +18,7 @@ as large as the longest interval, band time into ``floor(t / W)``:
 Because a point has exactly one bin, no pair can match twice — no
 post-join dedup. The shuffle is a plain hash exchange on ``(keys, bin)``
 — AQE can split oversized bins; fan-out stays ≤ 2 rows per interval.
-Used by ``events_in_order_week`` (keyed) and ``events_in_promo_window``
+Used by ``events_in_error_window`` (keyed) and ``events_in_promo_window``
 (keyless — the case where banding is the only scalable plan).
 """
 

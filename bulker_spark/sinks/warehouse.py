@@ -386,19 +386,34 @@ class Warehouse:
         name: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         namespace: str | None = None,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite the current version with file
         count sized to ``bytes / target_file_bytes`` (streaming appends
         fragment tables; scan cost at 100 TB tracks file count as much as
         bytes). Atomic: lands as a new version + pointer swap, concurrent
-        readers never see a half-compacted table."""
+        readers never see a half-compacted table.
+
+        ``cluster_by`` range-clusters the rewrite (repartitionByRange +
+        sortWithinPartitions): each output file covers a narrow, mostly
+        disjoint slice of the key space, so parquet footer min/max stats
+        prune files and row groups on point/range predicates — the
+        data-skipping layer that makes a 100 TB table queryable without
+        full scans (the analogue of the reference's sortkey / CLUSTER BY /
+        PARTITION BY toYYYYMM(ts) per-warehouse tuning, SURVEY §2.10).
+        Sorted runs also compress better. Skewed key ranges are split by
+        AQE; clustering composes with hive-style ``partition_by``
+        (clusters within each partition directory)."""
         meta = self.get_meta(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
         stats = self.table_stats(name, namespace)
         n_out = max(1, round(stats["bytes"] / target_file_bytes))
         df = self.read(name, namespace)
-        if meta.partition_by:
+        if cluster_by:
+            keys = [c for c in (meta.partition_by or [])] + list(cluster_by)
+            df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        elif meta.partition_by:
             df = df.repartition(n_out, *meta.partition_by)
         else:
             df = df.repartition(n_out)

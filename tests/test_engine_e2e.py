@@ -3,6 +3,7 @@
 
 import datetime as dt
 import json
+import os
 
 from pyspark.sql import types as T
 
@@ -242,6 +243,39 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_warehouse):
     assert rep["after"]["n_files"] == 1  # tiny table → one right-sized file
     rows_after = sorted(r["id"] for r in e.warehouse.read("frag").collect())
     assert rows_after == rows_before == list(range(80))
+
+
+def test_compaction_cluster_by_yields_disjoint_file_ranges(spark, tmp_warehouse):
+    """compact(cluster_by=...) range-clusters the rewrite so parquet
+    footer min/max stats can prune files on key predicates — assert the
+    per-file id ranges actually end up disjoint (the property pruning
+    relies on), and contents survive."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    e = Engine(spark, tmp_warehouse)
+    ids = [(i * 37) % 1000 for i in range(1000)]  # shuffled key order
+    e.bulk_load("clust", [{"id": i, "v": f"x{i}"} for i in ids], mode="batch")
+    e.warehouse.compact("clust", target_file_bytes=2048, cluster_by=["id"])
+    meta = e.warehouse.get_meta("clust")
+    vdir = os.path.join(e.warehouse._table_dir("clust", None), meta.version)
+    ranges = []
+    for f in glob.glob(os.path.join(vdir, "*.parquet")):
+        md = pq.read_metadata(f)
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(cols["id"]).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "need several files to demonstrate clustering"
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"file key ranges overlap: {ranges}"
+    got = sorted(r["id"] for r in e.warehouse.read("clust").collect())
+    assert got == sorted(ids)
 
 
 def test_bulk_load_from_path_distributed(spark, tmp_warehouse, tmp_path):

@@ -106,16 +106,20 @@ def main() -> None:
     # best-of-2 per query: the second run measures steady state (plans
     # cached, buffers warm), insulating the metric from host noise
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
         best = None
-        for _ in range(2):
-            df = fn(spark, sf_dir)
-            t0 = time.time()
-            df.write.mode("overwrite").format("noop").save()
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                df = fn(spark, sf_dir)
+                t0 = time.time()
+                df.write.mode("overwrite").format("noop").save()
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not zero the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # core-engine ingest throughput: 100k events through the full
     # flatten/infer/dedup/merge pipeline into a fresh warehouse — the
@@ -147,17 +151,16 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

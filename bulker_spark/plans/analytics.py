@@ -161,9 +161,20 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
+            # sum as exact decimal: double summation is order-dependent,
+            # and with ~175 small groups one lands on a .005 rounding
+            # boundary vs the oracle; decimal addition is associative so
+            # Spark and DuckDB agree bit-for-bit
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_profit")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
         )
         .orderBy("nation", F.col("o_year").desc())
     )
@@ -171,7 +182,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q9_SQL = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS sum_profit
 FROM part, supplier, lineitem, orders, nation
 WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
   AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey

@@ -915,19 +915,30 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gapped = ev.withColumn(
-        "__new_session",
-        F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            > 1800,
-            1,
+    # timestampdiff is TIMESTAMP_NTZ-safe (a cast to BIGINT is not in
+    # Spark 4.x) and avoids any session-timezone dependence. Operands are
+    # truncated to whole seconds so the gap counts second-boundary
+    # crossings — the same semantics as SQL date_diff('second', ...) —
+    # instead of flooring the sub-second-precise difference.
+    gapped = (
+        ev.withColumn("__prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "__new_session",
+            F.when(
+                F.col("__prev_ts").isNull()
+                | (
+                    F.expr(
+                        "timestampdiff(SECOND, date_trunc('second', __prev_ts),"
+                        " date_trunc('second', ts))"
+                    )
+                    > 1800
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
         )
-        .otherwise(0)
-        .cast("long"),
-    ).withColumn(
-        "__new_session",
-        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(F.col("__new_session")),
+        .drop("__prev_ts")
     )
     sess = gapped.withColumn(
         "session_id",

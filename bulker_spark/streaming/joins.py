@@ -32,6 +32,14 @@ def enrich_static(
     return stream_df.join(dim, on=on, how=how)
 
 
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet written by pandas/arrow
+    is TIMESTAMP_NTZ. Coerce only when needed — a no-op for LTZ input."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def join_streams(
     left: DataFrame,
     right: DataFrame,
@@ -45,8 +53,8 @@ def join_streams(
     event-time gap (|left_ts − right_ts| ≤ tolerance). Both sides are
     watermarked by ``max_delay`` — that bound is what lets Spark evict
     join state instead of buffering both streams forever."""
-    lw = left.withWatermark(left_ts, max_delay)
-    rw = right.withWatermark(right_ts, max_delay)
+    lw = _ltz(left, left_ts).withWatermark(left_ts, max_delay)
+    rw = _ltz(right, right_ts).withWatermark(right_ts, max_delay)
     lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet written by pandas/arrow
+    is TIMESTAMP_NTZ. Coerce only when needed — a no-op for LTZ input."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",
@@ -33,7 +41,8 @@ def tumbling_counts(
         F.col(c) for c in (group_cols or [])
     ]
     return (
-        stream_df.withWatermark(ts_col, late_threshold)
+        _ltz(stream_df, ts_col)
+        .withWatermark(ts_col, late_threshold)
         .groupBy(*keys)
         .agg(F.count("*").alias("n"))
         .select(
@@ -55,7 +64,8 @@ def sliding_value_sum(
 ) -> DataFrame:
     """Sliding-window sum (each event lands in width/slide windows)."""
     return (
-        stream_df.withWatermark(ts_col, late_threshold)
+        _ltz(stream_df, ts_col)
+        .withWatermark(ts_col, late_threshold)
         .groupBy(F.window(F.col(ts_col), width, slide).alias("win"))
         .agg(F.round(F.sum(value_col), 2).alias("total"))
         .select(

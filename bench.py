@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "tpch_q22",
     "mm_image_metadata",
     "mm_video_frames",
+    "doc_repetition_signals",
+    "doc_quality_buckets",
+    "events_retention_cohorts",
+    "doc_pii_scan",
 ]
 
 

@@ -61,6 +61,43 @@ def bpe_token_count(text: str | Column = "text") -> Column:
     return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
 
 
+# PII classes for corpus scrubbing. Patterns are restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle): no
+# backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone": "\\+?\\d[\\d\\- ]{7,}\\d",
+}
+
+
+def pii_counts(text: str | Column = "text") -> Column:
+    """Struct of per-class PII match counts — the audit signal a pipeline
+    aggregates before deciding to redact. Codegen'd ``regexp_count``."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(p)).cast("long").alias(name)
+            for name, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def pii_redact(
+    text: str | Column = "text",
+    classes: list[str] | None = None,
+    replacement: str = "[PII]",
+) -> Column:
+    """Replace every PII match with ``replacement``. Classes apply in
+    PII_PATTERNS order (email before phone, so digits inside an already
+    redacted email can't double-match). JVM ``regexp_replace`` only —
+    safe in the 100 TB hot path."""
+    c = text if isinstance(text, Column) else F.col(text)
+    for name in classes or list(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    return c
+
+
 def occurrence_count(text: Column, needle: str) -> Column:
     return (
         (F.length(text) - F.length(F.regexp_replace(text, needle, "")))

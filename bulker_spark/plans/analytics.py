@@ -1748,7 +1748,226 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=20, n_probe=4)
 
 
+# --- corpus curation: repetition signals, quality buckets, cohorts -------
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction, most-frequent-word fraction, duplicate-bigram fraction.
+
+    Everything is computed JVM-side over the token array of each row —
+    zero shuffles, embarrassingly parallel, so the cost at 100 TB is one
+    codegen'd scan. The top-word count is a run-length max over the sorted
+    array (``aggregate``), which avoids the explode + groupBy(doc, word)
+    shuffle a naive plan would pay."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    top_c = F.expr(
+        """
+        aggregate(array_sort(arr),
+                  named_struct('prev', cast(null as string),
+                               'run', 0L, 'best', 0L),
+                  (acc, x) -> named_struct(
+                      'prev', x,
+                      'run', CASE WHEN x = acc.prev
+                                  THEN acc.run + 1L ELSE 1L END,
+                      'best', greatest(acc.best,
+                          CASE WHEN x = acc.prev
+                               THEN acc.run + 1L ELSE 1L END)),
+                  acc -> acc.best)
+        """
+    )
+    bg = F.expr(
+        "filter(transform(arr, (x, i) -> CASE WHEN i < size(arr) - 1"
+        " THEN concat(x, ' ', element_at(arr, i + 2)) END),"
+        " y -> y IS NOT NULL)"
+    )
+    stats = d.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_words"),
+        F.size(F.array_distinct("arr")).cast("long").alias("n_distinct_words"),
+        top_c.alias("top_c"),
+        bg.alias("bg"),
+    )
+    n_bg = F.size("bg")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(F.col("top_c") / F.col("n_words").cast("double"), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            1 - F.col("n_distinct_words") / F.col("n_words").cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.when(
+            n_bg > 0,
+            F.round(
+                1 - F.size(F.array_distinct("bg")) / n_bg.cast("double"), 6
+            ),
+        ).alias("dup_bigram_frac"),
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (
+  SELECT doc_id,
+         len(l) AS n_words,
+         len(list_distinct(l)) AS n_distinct_words,
+         len(list_filter(l, x -> x = list_aggregate(l, 'mode'))) AS top_c,
+         list_filter(list_transform(l, (x, i) -> CASE WHEN i < len(l)
+                       THEN x || ' ' || l[i+1] END),
+                     y -> y IS NOT NULL) AS bg
+  FROM d)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       ROUND(top_c / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+       ROUND(1 - n_distinct_words / CAST(n_words AS DOUBLE), 6)
+         AS dup_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN ROUND(1 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+       END AS dup_bigram_frac
+FROM s
+"""
+
+
+def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: ntile(3) over the quality
+    score within each language, then per-bucket stats. The window
+    partitions by ``lang`` (few partitions, balanced) and the aggregate is
+    map-side-combinable; quality totals are summed as decimal so the
+    result is order-independent (double summation would tie-break
+    differently from the oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.regexp_replace("text", "\\.", ""), ",", "")
+    )
+    length_ok = F.when(
+        F.length("text").between(100, 2000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    quality = F.round(
+        length_ok * (1.0 - n_punct.cast("double") / F.length("text")), 4
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    scored = d.select("doc_id", "lang", quality.alias("quality"))
+    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+            F.round(F.sum(F.col("quality").cast("decimal(14,4)")), 4)
+            .cast("double")
+            .alias("total_q"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+DOC_QUALITY_BUCKETS_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         ROUND((CASE WHEN length(text) BETWEEN 100 AND 2000
+                     THEN 1.0 ELSE 0.5 END)
+               * (1.0 - CAST(length(text) -
+                    length(replace(replace(text, '.', ''), ',', ''))
+                    AS DOUBLE) / length(text)), 4) AS quality
+  FROM documents),
+bucketed AS (
+  SELECT lang, quality,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY quality DESC, doc_id) AS bucket
+  FROM scored)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(quality) AS min_q, max(quality) AS max_q,
+       CAST(ROUND(SUM(CAST(quality AS DECIMAL(14,4))), 4) AS DOUBLE)
+         AS total_q
+FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each later active day offset. Two aggregations and one join, all keyed
+    by ``user_id`` — the natural high-cardinality key, so every stage
+    distributes evenly at any scale (no broadcast: the cohort side grows
+    with the user base)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .filter(F.col("day_offset") <= 30)
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort_date FROM act GROUP BY 1)
+SELECT cohort_date,
+       CAST(date_diff('day', cohort_date, d) AS INT) AS day_offset,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+FROM act JOIN first ON act.user_id = first.user_id
+WHERE date_diff('day', cohort_date, d) <= 30
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit: counts of email / IPv4 / phone matches across
+    the corpus (the scan a pipeline runs before redacting with
+    :func:`bulker_spark.functions.text.pii_redact`). Pure codegen'd
+    regexp_count over one scan — no shuffle beyond the tiny final agg."""
+    from bulker_spark.functions.text import PII_PATTERNS
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.sum(F.regexp_count("text", F.lit(pat)))
+                .cast("long")
+                .alias(f"n_{name}")
+                for name, pat in PII_PATTERNS.items()
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+DOC_PII_SCAN_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+         AS n_email,
+       CAST(SUM(len(regexp_extract_all(text,
+         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT) AS n_ipv4,
+       CAST(SUM(len(regexp_extract_all(text,
+         '\\+?\\d[\\d\\- ]{7,}\\d'))) AS BIGINT) AS n_phone
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
+    "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
+    "doc_quality_buckets": (doc_quality_buckets, DOC_QUALITY_BUCKETS_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+    "doc_pii_scan": (doc_pii_scan, DOC_PII_SCAN_SQL),
     "tpch_q2": (tpch_q2, TPCH_Q2_SQL),
     "tpch_q11": (tpch_q11, TPCH_Q11_SQL),
     "tpch_q16": (tpch_q16, TPCH_Q16_SQL),

@@ -264,6 +264,50 @@ def test_bpe_token_count_cases(spark):
     assert got == [2, 5, 4, 3]
 
 
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            ("contact bob.smith+x@example.co.uk or 10.0.255.3 now",),
+            ("call +1 555-123-4567 today",),
+            ("nothing sensitive here",),
+        ],
+        ["text"],
+    )
+    counts = [
+        r[0].asDict() for r in df.select(tx.pii_counts("text")).collect()
+    ]
+    assert counts[0] == {"email": 1, "ipv4": 1, "phone": 0}
+    assert counts[1] == {"email": 0, "ipv4": 0, "phone": 1}
+    assert counts[2] == {"email": 0, "ipv4": 0, "phone": 0}
+
+    red = [r[0] for r in df.select(tx.pii_redact("text")).collect()]
+    assert red[0] == "contact [PII] or [PII] now"
+    assert red[1] == "call [PII] today"
+    assert red[2] == "nothing sensitive here"
+
+
+def test_repetition_signals_hand_checked(spark):
+    from bulker_spark.plans.analytics import doc_repetition_signals
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in doc_repetition_signals(spark, d).collect()
+    }
+    # doc 1: 5 words, 3 distinct, top word 'a'or'b' x2; bigrams
+    # [a b, b a, a b, b c] -> 4 total, 3 distinct
+    assert out[1]["n_words"] == 5 and out[1]["n_distinct_words"] == 3
+    assert out[1]["top_word_frac"] == pytest.approx(2 / 5)
+    assert out[1]["dup_bigram_frac"] == pytest.approx(1 - 3 / 4)
+    # doc 2: pathological repetition
+    assert out[2]["top_word_frac"] == 1.0
+    assert out[2]["dup_bigram_frac"] == pytest.approx(1 - 1 / 3)
+
+
 def test_connected_components_basic(spark):
     from bulker_spark.functions.graph import connected_components
 

@@ -1894,22 +1894,30 @@ FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
 
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day, counted on
-    each later active day offset. Two aggregations and one join, all keyed
-    by ``user_id`` — the natural high-cardinality key, so every stage
-    distributes evenly at any scale (no broadcast: the cohort side grows
-    with the user base)."""
+    each later active day offset.
+
+    One ``collect_set(day)`` aggregation per user (map-side combinable;
+    set size is bounded by calendar days, so no key runs hot), then the
+    cohort date is the array min and offsets explode array-side — no
+    distinct pass, no self-join, and the final count needs no
+    count-distinct expand because (user, day) is unique by construction.
+    Three exchanges total (user agg, matrix agg, order), all on
+    high-cardinality or tiny keys — the shape survives any scale-up."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
-    act = ev.distinct()
+    per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("days"))
     return (
-        act.join(first, "user_id")
+        per_user.select(
+            "user_id",
+            F.array_min("days").alias("cohort_date"),
+            F.explode("days").alias("d"),
+        )
         .groupBy(
             "cohort_date",
             F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
         )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(F.count("*").alias("n_users"))
         .filter(F.col("day_offset") <= 30)
         .orderBy("cohort_date", "day_offset")
     )

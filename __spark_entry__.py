@@ -22,10 +22,15 @@ from bulker_spark.plans.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from bulker_spark.plans.queries import tpch_q1
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return tpch_q1(spark, "/root/testdata/sf0.001")
+    ``training_mix_pipeline`` composes the engine's core curation stages —
+    quality filter → exact dedup → stratified sample → token budgeting —
+    into one Catalyst plan (two shuffles), which is the engine's reason to
+    exist; see its oracle-checked entry in ``queries()``."""
+    from bulker_spark.plans.analytics import training_mix_pipeline
+
+    return training_mix_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

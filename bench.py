@@ -154,6 +154,41 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
+    # streaming front: the same 100k events as NDJSON through the
+    # checkpointed foreachBatch pipeline (availableNow micro-batches) —
+    # comparable to the reference's continuous mode, which sustains
+    # ~10 events/sec per destination (README.md:32-33)
+    from bulker_spark.api import StreamOptions
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        json_file_stream,
+    )
+
+    wh2 = tempfile.mkdtemp(prefix="bench_whs_")
+    src = tempfile.mkdtemp(prefix="bench_src_")
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        events.select(
+            F.to_json(F.struct("pk", "user", "score", "ts")).alias("value")
+        ).coalesce(8).write.mode("overwrite").format("text").save(src)
+        stream = IngestStream(
+            Engine(spark, wh2),
+            "bench_stream",
+            StreamOptions(
+                mode="batch", primary_key=["pk"], deduplicate=True,
+                timestamp_column="ts",
+            ),
+        )
+        t0 = time.time()
+        q = stream.start(json_file_stream(spark, src), ckpt)
+        q.awaitTermination()
+        timings["stream_ingest_100k_rows"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["stream_ingest_100k_rows"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        for d in (wh2, src, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",

@@ -94,6 +94,14 @@ class StreamOptions:
     # toYYYYMM, SURVEY §2.10): HOUR|DAY|MONTH|QUARTER|YEAR over
     # timestamp_column; enables partition pruning for the merge window.
     timestamp_partition: str | None = None
+    # store JSON escape-hatch columns (arrays / unflattened objects /
+    # _unmapped_data) as Spark 4 VARIANT instead of JSON text — the
+    # SURVEY §1.2 "VariantType on Spark 4" mapping. Path reads then use
+    # variant_get without re-parsing text. The table's storage choice is
+    # recorded in its metadata and later batches are coerced to it.
+    # Native-warehouse tables only; JDBC destinations keep JSON text
+    # (their type maps expect jsonb/super/JSON strings).
+    json_as_variant: bool = False
 
     def policy(self) -> SchemaPolicy:
         return SchemaPolicy(self.schema_freeze, self.max_columns_count)
@@ -280,8 +288,17 @@ class Engine:
                 case=opt.to_same_case,
                 adapter=adapter,
             )
+            batch_types = {n: s.data_type for n, s in header.columns.items()}
         elif existing:
             df = cast_to_existing(df, existing)
+            batch_types = dict(existing)
+        else:
+            batch_types = {}
+
+        if opt.json_as_variant:
+            from .ingest import json_columns_to_variant
+
+            df = json_columns_to_variant(df, batch_types)
 
         # arrival order must be pinned BEFORE any shuffle
         if opt.deduplicate and opt.primary_key:

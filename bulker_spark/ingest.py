@@ -220,3 +220,34 @@ def cast_to_existing(
     elif UNMAPPED_DATA_COLUMN in df.columns:
         cols.append(F.col(UNMAPPED_DATA_COLUMN))
     return df.select(*cols)
+
+
+def json_columns_to_variant(
+    df: DataFrame, lattice_types: dict[str, DataType] | None
+) -> DataFrame:
+    """Store JSON escape-hatch columns as Spark 4 VARIANT instead of JSON
+    text (SURVEY §1.2's "or VariantType on Spark 4" mapping, opted in via
+    ``StreamOptions.json_as_variant``).
+
+    Variant keeps the reference's stringify-objects *semantics* (opaque
+    nested payload per column) while storing a shredded binary encoding:
+    path reads (``variant_get``) skip full-text JSON parsing, and parquet
+    readers prune within the column — at 100 TB the difference between
+    re-parsing terabytes of JSON text per query and touching only the
+    paths asked for. ``try_parse_json`` keeps malformed remnants null
+    instead of failing the batch, matching the rescue discipline.
+
+    Applies only to columns the lattice typed as JSON (plus the
+    ``_unmapped_data`` rescue column) that are currently JSON text."""
+    dtypes = dict(df.dtypes)
+    targets = {
+        name
+        for name, t in (lattice_types or {}).items()
+        if t == DataType.JSON
+    }
+    targets.add(UNMAPPED_DATA_COLUMN)
+    out = df
+    for name in df.columns:
+        if name in targets and dtypes.get(name) == "string":
+            out = out.withColumn(name, F.try_parse_json(F.col(f"`{name}`")))
+    return out

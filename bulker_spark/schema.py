@@ -171,11 +171,17 @@ def infer_header(
     header = BatchHeader()
     for event in events:
         clean, hints = extract_type_hints(event)
+        # infer on UNstringified values: remaining arrays / kept subtrees
+        # must type as JSON (the reference stringifies the value but
+        # records the JSON type, which drives jsonb/super/JSON DDL —
+        # sql_adapter_base.go:117 + the §1.2 type maps); stringification
+        # happens in the normalize pass
         flat = flatten_event(
             clean,
             omit_nils=omit_nils,
             name_transformer=name_transformer,
             keep_json_paths=frozenset(hints),
+            stringify_objects=False,
         )
         if adapter is not None:
             hints = {adapter.adapt(k): v for k, v in hints.items()}

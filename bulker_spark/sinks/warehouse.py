@@ -111,11 +111,47 @@ class Warehouse:
 
         from ..types_lattice import to_spark_type
 
+        variant = meta.json_storage == "variant"
+        json_spark_t = T.VariantType() if variant else T.StringType()
+
+        def field_type(t: DataType) -> T.DataType:
+            return json_spark_t if t == DataType.JSON else to_spark_type(t)
+
         fields = [
-            T.StructField(n, to_spark_type(t), True) for n, t in meta.columns.items()
+            T.StructField(n, field_type(t), True) for n, t in meta.columns.items()
         ]
-        fields.append(T.StructField(UNMAPPED_DATA_COLUMN, T.StringType(), True))
+        fields.append(T.StructField(UNMAPPED_DATA_COLUMN, json_spark_t, True))
         return self.spark.read.schema(T.StructType(fields)).parquet(vdir)
+
+    @staticmethod
+    def _json_storage_of(df: DataFrame) -> str:
+        from pyspark.sql import types as T
+
+        has_variant = any(
+            isinstance(f.dataType, T.VariantType) for f in df.schema.fields
+        )
+        return "variant" if has_variant else "text"
+
+    def _align_json_storage(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """Coerce a batch's JSON columns to the table's committed storage
+        (text vs variant) so appends/merges never mix physical types in one
+        table. Cheap: touches only JSON-typed columns, stays JVM-side."""
+        from pyspark.sql import types as T
+
+        want_variant = meta.json_storage == "variant"
+        out = df
+        for f in df.schema.fields:
+            json_col = (
+                meta.columns.get(f.name) == DataType.JSON
+                or f.name == UNMAPPED_DATA_COLUMN
+            )
+            if want_variant and json_col and isinstance(f.dataType, T.StringType):
+                out = out.withColumn(
+                    f.name, F.try_parse_json(F.col(f"`{f.name}`"))
+                )
+            elif not want_variant and isinstance(f.dataType, T.VariantType):
+                out = out.withColumn(f.name, F.col(f"`{f.name}`").cast("string"))
+        return out
 
     def _write_version(
         self, name: str, df: DataFrame, partition_by: list[str], namespace: str | None
@@ -158,6 +194,7 @@ class Warehouse:
             timestamp_column=timestamp_column,
             partition_by=partition_by,
             version=version,
+            json_storage=self._json_storage_of(df),
         )
         self._commit_meta(meta)
         self._gc_old_versions(name, version, namespace)
@@ -190,6 +227,7 @@ class Warehouse:
                 namespace=namespace,
             )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        df = self._align_json_storage(meta, df)
         writer = df.write.mode("append")
         if meta.partition_by:
             writer = writer.partitionBy(*meta.partition_by)
@@ -228,6 +266,7 @@ class Warehouse:
                 f"table {name} is not partitioned by {partition_column}"
             )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        df = self._align_json_storage(meta, df)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -265,6 +304,7 @@ class Warehouse:
                 partition_by=partition_by,
                 namespace=namespace,
             )
+        source = self._align_json_storage(meta, source)
         ts_col = timestamp_column or meta.timestamp_column
         part_col = next(
             (c for c in meta.partition_by or [] if c in source.columns), None

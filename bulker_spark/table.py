@@ -20,6 +20,10 @@ class TableMeta:
     timestamp_column: str | None = None
     partition_by: list[str] = field(default_factory=list)
     version: str = ""  # current committed version directory
+    # physical storage of JSON-typed columns: "text" (stringified, the
+    # reference's stringifyObjects default) or "variant" (Spark 4
+    # VariantType — shredded binary, path-readable without re-parsing)
+    json_storage: str = "text"
 
     def to_json(self) -> dict:
         return {
@@ -30,6 +34,7 @@ class TableMeta:
             "timestamp_column": self.timestamp_column,
             "partition_by": self.partition_by,
             "version": self.version,
+            "json_storage": self.json_storage,
         }
 
     @classmethod
@@ -42,6 +47,7 @@ class TableMeta:
             timestamp_column=d.get("timestamp_column"),
             partition_by=list(d.get("partition_by") or []),
             version=d.get("version", ""),
+            json_storage=d.get("json_storage", "text"),
         )
 
     def diff_new_columns(self, incoming: dict[str, DataType]) -> list[str]:

@@ -182,6 +182,10 @@ def convert_value(value: Any, to: DataType) -> Any:
     if to == DataType.JSON:
         if isinstance(value, (dict, list)):
             return value
+        if isinstance(value, str):
+            # already-serialized JSON text (the flattener stringifies
+            # arrays/kept subtrees before the value reaches conversion)
+            return value
         raise ConvertError(f"cannot convert {type(value).__name__} to JSON")
     if to == DataType.BOOL:
         if isinstance(value, bool):

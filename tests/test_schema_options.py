@@ -96,3 +96,73 @@ def test_functions_env_passthrough_ignored(spark, tmp_warehouse):
         functions_env={"KEY": "val"}, disable_temporary_tables=True,
     )
     assert res.successful_rows == 1
+
+
+def test_json_as_variant_storage_and_merge(spark, tmp_warehouse):
+    """json_as_variant stores array/object escape-hatch columns (and the
+    _unmapped_data rescue) as Spark 4 VARIANT; variant_get path reads work
+    and a second merge batch keeps the type stable."""
+    from pyspark.sql import functions as F
+
+    e = Engine(spark, tmp_warehouse)
+    # "meta" is pinned as a JSON subtree via the __sql_type hint (so it is
+    # NOT flattened); "tags" is an array — both are JSON-lattice columns
+    events = [
+        {"id": 1, "tags": ["a", "b"], "meta": {"deep": 7}, "__sql_type_meta": "json"},
+        {"id": 2, "tags": [], "meta": {"deep": 8}, "__sql_type_meta": "json"},
+    ]
+    res = e.bulk_load(
+        "var_t", events, mode="batch", primary_key=["id"],
+        deduplicate=True, json_as_variant=True,
+    )
+    assert res.successful_rows == 2
+    df = e.warehouse.read("var_t")
+    dt = dict(df.dtypes)
+    assert dt["tags"] == "variant" and dt["meta"] == "variant"
+    got = {
+        r["id"]: (r["deep"], r["t0"])
+        for r in df.select(
+            "id",
+            F.try_variant_get("meta", "$.deep", "long").alias("deep"),
+            F.try_variant_get("tags", "$[0]", "string").alias("t0"),
+        ).collect()
+    }
+    assert got == {1: (7, "a"), 2: (8, None)}
+    # merge a second batch: upsert id=2, insert id=3 — type stays variant
+    e.bulk_load(
+        "var_t",
+        [{"id": 2, "tags": ["z"], "meta": {"deep": 80}, "__sql_type_meta": "json"},
+         {"id": 3, "tags": ["c"], "meta": {"deep": 9}, "__sql_type_meta": "json"}],
+        mode="batch", primary_key=["id"], deduplicate=True,
+        json_as_variant=True,
+    )
+    df2 = e.warehouse.read("var_t")
+    assert dict(df2.dtypes)["tags"] == "variant"
+    got2 = {
+        r["id"]: r["deep"]
+        for r in df2.select(
+            "id", F.try_variant_get("meta", "$.deep", "long").alias("deep")
+        ).collect()
+    }
+    assert got2 == {1: 7, 2: 80, 3: 9}
+
+
+def test_json_as_variant_rescue_column(spark, tmp_warehouse):
+    """Uncastable values rescued into _unmapped_data stay readable as
+    variant paths when json_as_variant is on."""
+    from pyspark.sql import functions as F
+
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load("var_r", [{"id": 1, "n": 5}], mode="batch",
+                json_as_variant=True)
+    # "n" arrives as an uncastable string -> rescued
+    e.bulk_load("var_r", [{"id": 2, "n": "not-a-number"}], mode="batch",
+                json_as_variant=True)
+    df = e.warehouse.read("var_r")
+    assert dict(df.dtypes)["_unmapped_data"] == "variant"
+    rescued = (
+        df.filter("id = 2")
+        .select(F.try_variant_get("_unmapped_data", "$.n", "string").alias("v"))
+        .first()["v"]
+    )
+    assert rescued == "not-a-number"

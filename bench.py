@@ -95,17 +95,19 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # JVM/codegen warmup so timings measure queries, not JIT compilation
-    QUERIES["tpch_q6"][0](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    # Python-worker warmup so Arrow-UDF queries measure steady state,
-    # not daemon fork + import cost
-    import pandas as _pd
-
-    spark.range(64).repartition(int(cpus)).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long"
-    ).write.mode("overwrite").format("noop").save()
+    # JVM/codegen warmup so timings measure queries, not JIT compilation;
+    # guarded — a warmup failure must not zero the whole run
+    try:
+        QUERIES["tpch_q6"][0](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        # Python-worker warmup so Arrow-UDF queries measure steady state,
+        # not daemon fork + import cost
+        spark.range(64).repartition(int(cpus)).mapInPandas(
+            lambda it: (pdf for pdf in it), schema="id long"
+        ).write.mode("overwrite").format("noop").save()
+    except Exception:
+        pass
 
     # best-of-2 per query: the second run measures steady state (plans
     # cached, buffers warm), insulating the metric from host noise
@@ -137,13 +139,13 @@ def main() -> None:
     from bulker_spark.api import Engine
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
+    events = spark.range(100_000).select(
+        F.col("id").alias("pk"),
+        F.concat(F.lit("u"), (F.col("id") % 997).cast("string")).alias("user"),
+        (F.col("id") * 1.5).alias("score"),
+        F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+    )
     try:
-        events = spark.range(100_000).select(
-            F.col("id").alias("pk"),
-            F.concat(F.lit("u"), (F.col("id") % 997).cast("string")).alias("user"),
-            (F.col("id") * 1.5).alias("score"),
-            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
-        )
         eng = Engine(spark, wh)
         t0 = time.time()
         eng.bulk_load(
@@ -151,6 +153,8 @@ def main() -> None:
             primary_key=["pk"], deduplicate=True, timestamp_column="ts",
         )
         timings["ingest_100k_rows"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["ingest_100k_rows"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

@@ -1971,7 +1971,144 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+# --- SemDeDup: semantic dedup via centroid clustering + in-cluster prune --
+
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    around k centroids, then inside each cluster drop every vector that has
+    a sufficiently-similar neighbor with a smaller id; survivors are the
+    semantic representatives of the corpus.
+
+    Deterministic variant for oracle parity: the k centroids are the first
+    k vectors by vec_id (a production pipeline would take k-means centers —
+    the plan is identical). Assignment is zero-shuffle: the k centroids are
+    collected driver-side (config-sized, k ≪ N), pre-normalized, and baked
+    into an array-of-struct literal whose lexicographic ``array_max`` picks
+    (highest cosine, ties → lowest centroid id) per row — no join, no
+    window, pure codegen over one scan. Pruning self-joins only within a
+    cluster, so the pair explosion is bounded by the largest cluster, not
+    the corpus; at 100 TB the cluster count scales with N (N/5k clusters)
+    keeping per-cluster work constant, and the cluster-keyed shuffle is the
+    single exchange in the plan."""
+    import numpy as np
+
+    from bulker_spark.functions.similarity import _dot, with_normalized
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < SEMDEDUP_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    norm = with_normalized(e.select("vec_id", "embedding"), "embedding")
+    sims = []
+    for r in sorted(cents, key=lambda r: r["vec_id"]):
+        c = np.asarray(r["embedding"], dtype="float64")
+        c = c / np.linalg.norm(c)
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        cos = F.round(_dot(F.col("vec_norm"), clit), 4)
+        sims.append(
+            F.struct(cos.alias("c"), F.lit(-int(r["vec_id"])).alias("nc"))
+        )
+    best = F.array_max(F.array(*sims))
+    assigned = norm.withColumn("cluster", -best["nc"]).select(
+        "vec_id", "cluster", "vec_norm"
+    )
+    a = assigned.select(
+        F.col("cluster").alias("ca"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec_norm").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec_norm").alias("vb"),
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(_dot("va", "vb"), 4) >= SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )
+
+
+EMB_SEMDEDUP_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 4) AS cs
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]), 4)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster FROM assign a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier scan: events whose value sits more than 3
+    sample-stddevs from the type mean. One partial-agg shuffle computes the
+    per-type moments (tiny result), broadcast back over the fact scan — no
+    window pass over the full table, so the plan is two scans + one
+    broadcast join at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 4).alias("value_r"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 3)
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.event_id, ROUND(e.value, 4) AS value_r,
+       ROUND((e.value - s.mu) / s.sd, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(ROUND((e.value - s.mu) / s.sd, 4)) > 3
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
+    "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
     "doc_quality_buckets": (doc_quality_buckets, DOC_QUALITY_BUCKETS_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),

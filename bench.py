@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "doc_quality_buckets",
     "events_retention_cohorts",
     "doc_pii_scan",
+    "emb_semdedup",
+    "events_anomaly_zscore",
+    "events_props_variant",
 ]
 
 

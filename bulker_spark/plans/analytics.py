@@ -2106,9 +2106,43 @@ WHERE abs(ROUND((e.value - s.mu) / s.sd, 4)) > 3
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT query path: parse the JSON escape-hatch column once
+    into VARIANT and read typed paths with ``variant_get`` — the binary-
+    shredded access a 100 TB events table gets when stored with
+    ``json_as_variant=True`` (no per-query text re-parse; here the
+    parse_json is inline because the shared testdata is text parquet)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("pv"), "value"
+    )
+    k = F.expr("variant_get(pv, '$.k', 'long')")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_VARIANT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+         AS avg_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
+    "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),
     "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
     "doc_quality_buckets": (doc_quality_buckets, DOC_QUALITY_BUCKETS_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "emb_semdedup",
     "events_anomaly_zscore",
     "events_props_variant",
+    "doc_train_val_split",
 ]
 
 
@@ -160,6 +161,31 @@ def main() -> None:
         errors["ingest_100k_rows"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+    # scale tier: the reference's opt-in bigdata test loads 1M rows in one
+    # batch (bulkerlib/implementations/sql/bigdata_test.go:18-48, throughput
+    # logged not asserted) — same shape here, dedup on, events/sec derivable
+    wh1m = tempfile.mkdtemp(prefix="bench_wh1m_")
+    try:
+        events_1m = spark.range(1_000_000).select(
+            F.col("id").alias("pk"),
+            F.concat(F.lit("u"), (F.col("id") % 9973).cast("string")).alias(
+                "user"
+            ),
+            (F.col("id") * 1.5).alias("score"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        )
+        eng = Engine(spark, wh1m)
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_ingest_1m", events_1m, mode="batch",
+            primary_key=["pk"], deduplicate=True, timestamp_column="ts",
+        )
+        timings["ingest_1m_rows"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["ingest_1m_rows"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(wh1m, ignore_errors=True)
 
     # streaming front: the same 100k events as NDJSON through the
     # checkpointed foreachBatch pipeline (availableNow micro-batches) —

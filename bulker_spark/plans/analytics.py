@@ -1973,7 +1973,8 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 # --- SemDeDup: semantic dedup via centroid clustering + in-cluster prune --
 
-SEMDEDUP_K = 8
+SEMDEDUP_K = 8          # floor on the centroid count
+SEMDEDUP_DIV = 78       # centroids ≈ N/78 → in-cluster pair work ~ N·78/2
 SEMDEDUP_THRESHOLD = 0.3
 
 
@@ -1985,63 +1986,75 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic variant for oracle parity: the k centroids are the first
     k vectors by vec_id (a production pipeline would take k-means centers —
-    the plan is identical). Assignment is zero-shuffle: the k centroids are
-    collected driver-side (config-sized, k ≪ N), pre-normalized, and baked
-    into an array-of-struct literal whose lexicographic ``array_max`` picks
-    (highest cosine, ties → lowest centroid id) per row — no join, no
-    window, pure codegen over one scan. Pruning self-joins only within a
-    cluster, so the pair explosion is bounded by the largest cluster, not
-    the corpus; at 100 TB the cluster count scales with N (N/5k clusters)
-    keeping per-cluster work constant, and the cluster-keyed shuffle is the
-    single exchange in the plan."""
+    the plan is identical). k grows with the corpus (max(8, N/78)) so the
+    in-cluster pair count stays LINEAR in N — the knob that keeps the op
+    viable at 100 TB. Assignment is zero-shuffle: the k centroids are
+    collected driver-side (config-sized, k ≪ N), pre-normalized, and
+    closed over by an Arrow-batched ``mapInPandas`` kernel — one BLAS
+    matmul + argmax per batch (a k-way dot argmax is exactly the op JVM
+    expressions can't vectorize; per-centroid literal expressions go
+    interpreted once k×dim literals blow the codegen budget). Pruning is
+    one Gram matrix per cluster via ``applyInPandas``, so the pair work is
+    bounded per group, and the cluster-keyed shuffle — carrying only
+    (id, cluster, unit vector) — is the single wide exchange in the
+    plan."""
     import numpy as np
+    import pandas as pd
 
-    from bulker_spark.functions.similarity import _dot, with_normalized
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = max(SEMDEDUP_K, e.count() // SEMDEDUP_DIV)
+    cents = sorted(
+        e.filter(F.col("vec_id") < k).collect(), key=lambda r: r["vec_id"]
+    )
+    cmat = np.stack([np.asarray(r["embedding"], dtype="float64") for r in cents])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cids = np.asarray([int(r["vec_id"]) for r in cents])
+    thresh = SEMDEDUP_THRESHOLD
 
-    e = _t(spark, sf_dir, "embeddings")
-    cents = (
-        e.filter(F.col("vec_id") < SEMDEDUP_K)
-        .select("vec_id", "embedding")
-        .collect()
+    def assign(batches):
+        # Arrow-vectorized k-way argmax: one BLAS matmul per batch.
+        # Columns are cid-ascending, so argmax (first max) resolves rounded
+        # ties to the lowest centroid id — same rule as the oracle's
+        # row_number(ORDER BY cs DESC, cid ASC).
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = np.round(x @ cmat.T, 4)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": cids[sims.argmax(axis=1)],
+                    "vec_norm": list(x),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign, schema="vec_id long, cluster long, vec_norm array<double>"
     )
-    norm = with_normalized(e.select("vec_id", "embedding"), "embedding")
-    sims = []
-    for r in sorted(cents, key=lambda r: r["vec_id"]):
-        c = np.asarray(r["embedding"], dtype="float64")
-        c = c / np.linalg.norm(c)
-        clit = F.array(*[F.lit(float(x)) for x in c])
-        cos = F.round(_dot(F.col("vec_norm"), clit), 4)
-        sims.append(
-            F.struct(cos.alias("c"), F.lit(-int(r["vec_id"])).alias("nc"))
-        )
-    best = F.array_max(F.array(*sims))
-    assigned = norm.withColumn("cluster", -best["nc"]).select(
-        "vec_id", "cluster", "vec_norm"
-    )
-    a = assigned.select(
-        F.col("cluster").alias("ca"),
-        F.col("vec_id").alias("id_a"),
-        F.col("vec_norm").alias("va"),
-    )
-    b = assigned.select(
-        F.col("cluster").alias("cb"),
-        F.col("vec_id").alias("id_b"),
-        F.col("vec_norm").alias("vb"),
-    )
-    dropped = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(F.round(_dot("va", "vb"), 4) >= SEMDEDUP_THRESHOLD)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(dropped, "vec_id", "left_anti").select(
-        "vec_id", "cluster"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One Gram matrix per cluster (cluster sizes ~SEMDEDUP_DIV, so the
+        # n_c² work is bounded per group and linear in N overall). A vector
+        # is dropped iff ANY smaller-id cluster-mate is within the
+        # threshold — identical to the oracle's pair semantics.
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        g = np.stack(pdf["vec_norm"].to_numpy())
+        sims = np.round(g @ g.T, 4)
+        dropped = np.triu(sims >= thresh, 1).any(axis=0)
+        return pdf.loc[~dropped, ["vec_id", "cluster"]]
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, schema="vec_id long, cluster long"
     )
 
 
 EMB_SEMDEDUP_SQL = f"""
 WITH c AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+  SELECT vec_id AS cid, embedding FROM embeddings
+  WHERE vec_id < GREATEST({SEMDEDUP_K},
+                          (SELECT count(*) // {SEMDEDUP_DIV} FROM embeddings))
 ),
 sims AS (
   SELECT e.vec_id, c.cid,
@@ -2139,8 +2152,51 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val assignment: bucket = first 8 hex chars of
+    md5(doc_id) mod 100, train if < 90. Hash-based splits are how a
+    multi-trillion-token pipeline keeps membership stable across re-runs
+    and incremental ingests — no global sort, no sampling state, pure
+    map-side codegen (zero shuffles; the tiny summary agg is the only
+    exchange)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn(
+            "split", F.when(F.col("bucket") < 90, "train").otherwise("val")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+DOC_TRAIN_VAL_SQL = """
+WITH a AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
+    "doc_train_val_split": (doc_train_val_split, DOC_TRAIN_VAL_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),
     "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),

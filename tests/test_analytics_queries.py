@@ -88,3 +88,51 @@ def test_ann_ivf_finds_query_point(spark):
     fn, _ = EXTRA_QUERIES["emb_ann_ivf"]
     rows = fn(spark, SF_DIR).collect()
     assert rows and rows[0]["vec_id"] == 0  # exact match ranks first
+
+
+def test_semdedup_partition_invariant(spark):
+    """Survivor set must not depend on Arrow batch / partition boundaries:
+    assignment is per-row and pruning is per-cluster, so any input
+    partitioning yields the same result."""
+    from pyspark.sql import functions as F
+
+    from bulker_spark.plans.analytics import (
+        SEMDEDUP_DIV,
+        SEMDEDUP_K,
+        SEMDEDUP_THRESHOLD,
+        emb_semdedup,
+    )
+    from bulker_spark.plans.queries import _t
+
+    base = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in emb_semdedup(spark, SF_DIR).collect()
+    )
+    assert base, "semdedup returned no survivors"
+
+    # same computation, input forced through a different partitioning
+    import bulker_spark.plans.analytics as mod
+
+    orig = mod._t
+    try:
+        mod._t = lambda sp, sf, name: orig(sp, sf, name).repartition(7)
+        alt = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in emb_semdedup(spark, SF_DIR).collect()
+        )
+    finally:
+        mod._t = orig
+    assert alt == base
+
+
+def test_train_val_split_stable_proportions(spark):
+    from bulker_spark.plans.analytics import doc_train_val_split
+
+    rows = doc_train_val_split(spark, SF_DIR).collect()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert total > 0
+    # md5 buckets: train share should be near 90%
+    assert 0.8 <= by_split.get("train", 0) / total <= 0.97

@@ -204,3 +204,47 @@ def test_contamination_prunes_text_from_source_side(spark):
 
     schemas = audit.read_schemas(df)
     assert any("source" in s and "text" not in s for s in schemas), schemas
+
+
+def test_semdedup_single_wide_exchange(spark):
+    from bulker_spark.plans.analytics import emb_semdedup
+
+    df = emb_semdedup(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # one cluster-keyed shuffle for the prune; assignment is map-side only
+    assert txt.count("hashpartitioning") == 1, txt
+    assert "CartesianProduct" not in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_anomaly_zscore_broadcasts_moments(spark):
+    from bulker_spark.plans.analytics import events_anomaly_zscore
+
+    df = events_anomaly_zscore(spark, SF)
+    # the per-type moments join back via broadcast, not a fact shuffle
+    assert audit.broadcast_join_count(df) == 1
+    assert audit.sortmerge_join_count(df) == 0
+    # only the moments agg shuffles (tiny): one hash exchange total
+    txt = audit.explain_str(df, "simple")
+    assert txt.count("hashpartitioning") <= 1, txt
+
+
+def test_train_val_split_zero_wide_shuffle_before_agg(spark):
+    from bulker_spark.plans.analytics import doc_train_val_split
+
+    df = doc_train_val_split(spark, SF)
+    # hash-bucket assignment is pure map-side; only the summary agg + final
+    # sort exchange
+    assert audit.exchange_count(df) <= 2, audit.explain_str(df, "simple")
+    # text column never read: only doc_id, lang, n_chars
+    assert audit.pruned_to(df, 3), audit.read_schemas(df)
+
+
+def test_props_variant_no_python(spark):
+    from bulker_spark.plans.analytics import events_props_variant
+
+    df = events_props_variant(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # variant_get path extraction stays JVM-side
+    assert "BatchEvalPython" not in txt
+    assert "PythonUDF" not in txt

@@ -271,11 +271,16 @@ class Engine:
                 from pyspark.sql import functions as F
 
                 col0 = json_df.columns[0]
-                total = json_df.count()
-                json_df = json_df.filter(
-                    F.get_json_object(F.col(col0), "$").isNotNull()
-                )
-                malformed = total - json_df.count()
+                valid = F.get_json_object(F.col(col0), "$").isNotNull()
+                # one scan for both counters (not one per count: at batch
+                # sizes where the input doesn't fit in page cache, each
+                # .count() is a full re-read)
+                stats = json_df.agg(
+                    F.count("*").alias("t"),
+                    F.count(F.when(valid, 1)).alias("v"),
+                ).collect()[0]
+                malformed = int(stats["t"]) - int(stats["v"])
+                json_df = json_df.filter(valid)
             source: Any = json_df if json_df is not None else events
             if json_df is None and not events:
                 return StreamResult(table=meta)

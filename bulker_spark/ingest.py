@@ -57,23 +57,54 @@ def infer_header_distributed(
     case: str = "none",
     adapter=None,
 ) -> BatchHeader:
-    """Header pass over a DataFrame with one string column of JSON events."""
+    """Header pass over a DataFrame with one string column of JSON events.
+
+    Arrow-batched, never row-pickled: each partition folds its batches into
+    one tiny ``(partition_id, seq, header)`` row; the driver merges them in
+    (partition, batch) order so column order stays first-seen-deterministic
+    — the reference's ordered-map schema growth
+    (``bulkerlib/implementations/sql/batch_header.go:9-43``)."""
+    from pyspark.sql import functions as F
+
     col = json_df.columns[0]
+    with_pid = json_df.select(
+        F.spark_partition_id().alias("__pid"), F.col(col).alias("__v")
+    )
 
-    def fold(idx: int, it: Iterator[Any]) -> Iterator[tuple[int, str]]:
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # called once per partition; batches iterate in partition order
         nt = NameTransformer(case)
-        header = infer_header(
-            _parse_lines(r[0] for r in it), omit_nils=omit_nils,
-            name_transformer=nt, adapter=adapter,
-        )
-        payload = _json.dumps(
-            [[s.name, int(s.data_type), s.hinted] for s in header.columns.values()]
-        )
-        yield idx, payload
+        seq = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            header = infer_header(
+                _parse_lines(iter(pdf["__v"].tolist())), omit_nils=omit_nils,
+                name_transformer=nt, adapter=adapter,
+            )
+            payload = _json.dumps(
+                [
+                    [s.name, int(s.data_type), s.hinted]
+                    for s in header.columns.values()
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "pid": [int(pdf["__pid"].iloc[0])],
+                    "seq": [seq],
+                    "payload": [payload],
+                }
+            )
+            seq += 1
 
-    partials = sorted(json_df.select(col).rdd.mapPartitionsWithIndex(fold).collect())
+    partials = sorted(
+        (r["pid"], r["seq"], r["payload"])
+        for r in with_pid.mapInPandas(
+            fold, schema="pid int, seq int, payload string"
+        ).collect()
+    )
     merged = BatchHeader()
-    for _, payload in partials:
+    for _, _, payload in partials:
         part = BatchHeader(
             {n: ColumnSpec(n, DataType(t), h) for n, t, h in _json.loads(payload)}
         )

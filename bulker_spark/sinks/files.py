@@ -102,21 +102,31 @@ class FileStorageSink:
             F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("j")
         )
 
-        def decorate(rows):
-            rows = (r.j for r in rows)
-            try:
-                prev = next(rows)
-            except StopIteration:
-                yield ("[]",)
-                return
-            yield ("[",)
-            for cur in rows:
-                yield (prev + ",",)
-                prev = cur
-            yield (prev,)
-            yield ("]",)
+        def decorate(batches):
+            import pandas as pd
 
-        lines = json_rows.rdd.mapPartitions(decorate).toDF(["value"])
+            first = True
+            prev = None  # one-element lookahead across batch boundaries
+            for pdf in batches:
+                vals = pdf["j"].tolist()
+                if not vals:
+                    continue
+                out = []
+                if first:
+                    out.append("[")
+                    first = False
+                if prev is not None:
+                    vals = [prev, *vals]
+                out.extend(v + "," for v in vals[:-1])
+                prev = vals[-1]
+                if out:
+                    yield pd.DataFrame({"value": out})
+            if first:
+                yield pd.DataFrame({"value": ["[]"]})
+            else:
+                yield pd.DataFrame({"value": [prev, "]"]})
+
+        lines = json_rows.mapInPandas(decorate, schema="value string")
         w = lines.write.mode(mode)
         if self.compression:
             w = w.option("compression", self.compression)

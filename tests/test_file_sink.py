@@ -101,3 +101,34 @@ def test_avro_unavailable_raises_clean(spark, sample, tmp_warehouse):
         assert "spark-avro" in str(exc)
     else:  # environment has the external module: verify the roundtrip
         assert sink.read(spark, "t").count() == 3
+
+
+def test_json_array_multi_arrow_batch(spark, tmp_warehouse):
+    """Bracket/comma decoration must survive Arrow batch boundaries inside
+    one partition (the lookahead crosses batches)."""
+    import json
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(2)
+        sink = FileStorageSink(tmp_warehouse, fmt="json_array", compression=None)
+        path = sink.replace_table(df, "t")
+        parts = [
+            p
+            for p in glob.glob(os.path.join(path, "part-*"))
+            if not p.endswith(".crc")
+        ]
+        assert parts
+        total = 0
+        for p in parts:
+            with open(p) as fh:
+                arr = json.load(fh)
+            assert isinstance(arr, list)
+            total += len(arr)
+        assert total == 100
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

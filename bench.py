@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",
     "events_props_variant",
     "doc_train_val_split",
+    "events_top_users_per_type",
 ]
 
 

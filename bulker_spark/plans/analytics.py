@@ -2194,9 +2194,48 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top 3 users by total value within each event type) —
+    the 'best N per domain' selection every curation pipeline runs. The
+    heavy lifting is the partial-aggregated groupBy; the rank window then
+    runs over the already-tiny aggregate, so the second exchange moves
+    (type, user, total) rows only. Ties break on user_id for cross-engine
+    determinism."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "total_value", "n_events")
+    )
+
+
+EVENTS_TOP_USERS_SQL = """
+WITH agg AS (
+  SELECT event_type, user_id,
+         ROUND(SUM(value), 4) AS total_value,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(rank AS INT) AS rank, user_id, total_value, n_events
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM agg)
+WHERE rank <= 3
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     "doc_train_val_split": (doc_train_val_split, DOC_TRAIN_VAL_SQL),
+    "events_top_users_per_type": (events_top_users_per_type, EVENTS_TOP_USERS_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "events_props_variant": (events_props_variant, EVENTS_PROPS_VARIANT_SQL),
     "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),

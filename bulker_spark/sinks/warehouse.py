@@ -39,13 +39,26 @@ from ..table import TableMeta
 from ..types_lattice import DataType, from_spark_type
 
 META_FILE = "_bulker_meta.json"
+LOG_FILE = "_bulker_log.jsonl"
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str, namespace: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        namespace: str = "default",
+        retain_versions: int = 1,
+    ):
+        """``retain_versions`` > 1 keeps that many committed version
+        directories per table, enabling :meth:`history`, ``read(version=)``
+        time travel, and :meth:`restore` — the Delta/Iceberg time-travel
+        surface on the dependency-free warehouse. The default of 1 GCs
+        superseded versions immediately (storage-minimal)."""
         self.spark = spark
         self.root = root
         self.namespace = namespace
+        self.retain_versions = max(1, int(retain_versions))
         os.makedirs(root, exist_ok=True)
         # driver-side schema cache (table_helper.go:30-62)
         self._meta_cache: dict[str, TableMeta] = {}
@@ -71,7 +84,28 @@ class Warehouse:
         self._meta_cache[key] = meta
         return meta
 
-    def _commit_meta(self, meta: TableMeta) -> None:
+    def _manifest(self, meta: TableMeta) -> list[str]:
+        """Data files of the current version dir, relative paths (partition
+        subdirs included). This is the commit's snapshot manifest — appends
+        land in the same version dir, so the file LIST, not the dir, is
+        what identifies a point-in-time state."""
+        vdir = os.path.join(
+            self._table_dir(meta.name, meta.namespace), meta.version
+        )
+        out = []
+        for base, _dirs, files in os.walk(vdir):
+            rel = os.path.relpath(base, vdir)
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.append(f if rel == "." else os.path.join(rel, f))
+        return sorted(out)
+
+    def _commit_meta(
+        self,
+        meta: TableMeta,
+        op: str = "commit",
+        files: list[str] | None = None,
+    ) -> None:
         d = self._table_dir(meta.name, meta.namespace)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".{META_FILE}.{uuid.uuid4().hex}")
@@ -79,6 +113,52 @@ class Warehouse:
             _json.dump(meta.to_json(), fh)
         os.replace(tmp, os.path.join(d, META_FILE))  # atomic commit
         self._meta_cache[f"{meta.namespace}.{meta.name}"] = meta
+        # commit log: one line per commit — op, meta snapshot, and file
+        # manifest (the snapshot identity; the driver is the single writer,
+        # so a plain append is ordered and the commit id is the line count)
+        import time as _time
+
+        prior = self._read_log(meta.name, meta.namespace)
+        with open(os.path.join(d, LOG_FILE), "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "commit": len(prior) + 1,
+                        "ts": round(_time.time(), 3),
+                        "op": op,
+                        "meta": meta.to_json(),
+                        "files": (
+                            self._manifest(meta) if files is None else files
+                        ),
+                    }
+                )
+                + "\n"
+            )
+
+    def _read_log(self, name: str, namespace: str | None = None) -> list[dict]:
+        path = os.path.join(self._table_dir(name, namespace), LOG_FILE)
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            return [_json.loads(ln) for ln in fh if ln.strip()]
+
+    def _log_entry(
+        self, name: str, snapshot: int | str, namespace: str | None = None
+    ) -> dict:
+        """Resolve a snapshot reference: an int commit id, or a version
+        string (→ that version's latest commit)."""
+        log = self._read_log(name, namespace)
+        if isinstance(snapshot, int):
+            matches = [e for e in log if e.get("commit") == snapshot]
+        else:
+            matches = [
+                e for e in log if e["meta"].get("version") == snapshot
+            ]
+        if not matches:
+            raise FileNotFoundError(
+                f"unknown snapshot {snapshot!r} of {name}"
+            )
+        return matches[-1]
 
     def exists(self, name: str, namespace: str | None = None) -> bool:
         return self.get_meta(name, namespace) is not None
@@ -99,10 +179,32 @@ class Warehouse:
             if f.name != UNMAPPED_DATA_COLUMN
         }
 
-    def read(self, name: str, namespace: str | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        namespace: str | None = None,
+        version: str | None = None,
+    ) -> DataFrame:
         meta = self.get_meta(name, namespace)
         if meta is None:
             raise FileNotFoundError(f"table {namespace or self.namespace}.{name}")
+        snapshot_files: list[str] | None = None
+        if version is not None:
+            # time travel: schema AND file manifest come from the commit-log
+            # snapshot (columns may have evolved and appends may have added
+            # files to the same version dir since)
+            entry = self._log_entry(name, version, namespace)
+            meta = TableMeta.from_json(entry["meta"])
+            vdir_old = os.path.join(
+                self._table_dir(name, namespace), meta.version
+            )
+            snapshot_files = [os.path.join(vdir_old, f) for f in entry["files"]]
+            missing = [f for f in snapshot_files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot {version!r} of {name} was garbage-collected "
+                    f"(retain_versions={self.retain_versions})"
+                )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         # Explicit meta-driven schema: enforces first-seen column order and
         # null-fills columns absent from older files (schema evolution)
@@ -121,7 +223,17 @@ class Warehouse:
             T.StructField(n, field_type(t), True) for n, t in meta.columns.items()
         ]
         fields.append(T.StructField(UNMAPPED_DATA_COLUMN, json_spark_t, True))
-        return self.spark.read.schema(T.StructType(fields)).parquet(vdir)
+        schema = T.StructType(fields)
+        if snapshot_files is not None:
+            if not snapshot_files:
+                return self.spark.createDataFrame([], schema)
+            # explicit manifest read; basePath keeps partition-dir columns
+            return (
+                self.spark.read.schema(schema)
+                .option("basePath", vdir)
+                .parquet(*snapshot_files)
+            )
+        return self.spark.read.schema(schema).parquet(vdir)
 
     @staticmethod
     def _json_storage_of(df: DataFrame) -> str:
@@ -165,10 +277,81 @@ class Warehouse:
         return version
 
     def _gc_old_versions(self, name: str, keep: str, namespace: str | None) -> None:
+        """Drop version dirs referenced by none of the newest
+        ``retain_versions`` commits. Hard-linked restore dirs survive a
+        source dir's GC (inode refcounts), so this never breaks a retained
+        snapshot."""
         d = self._table_dir(name, namespace)
+        retained = {keep}
+        if self.retain_versions > 1:
+            log = self._read_log(name, namespace)
+            for entry in log[-self.retain_versions:]:
+                v = entry["meta"].get("version", "")
+                if v:
+                    retained.add(v)
         for entry in os.listdir(d):
-            if entry.startswith("v_") and entry != keep:
+            if entry.startswith("v_") and entry not in retained:
                 shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+
+    def history(self, name: str, namespace: str | None = None) -> list[dict]:
+        """Commit history, newest first: ``{commit, ts, op, version,
+        n_files, available}`` per commit. ``available`` marks snapshots
+        whose manifest files are all still on disk (readable via
+        ``read(version=<commit|version>)`` / restorable)."""
+        d = self._table_dir(name, namespace)
+        out = []
+        for e in reversed(self._read_log(name, namespace)):
+            v = e["meta"].get("version", "")
+            vdir = os.path.join(d, v)
+            out.append(
+                {
+                    "commit": e.get("commit"),
+                    "ts": e["ts"],
+                    "op": e["op"],
+                    "version": v,
+                    "n_files": len(e.get("files", [])),
+                    "available": all(
+                        os.path.exists(os.path.join(vdir, f))
+                        for f in e.get("files", [])
+                    ),
+                }
+            )
+        return out
+
+    def restore(
+        self, name: str, snapshot: int | str, namespace: str | None = None
+    ) -> TableMeta:
+        """Roll the table back to a retained snapshot (Delta RESTORE),
+        addressed by commit id or version string. The snapshot's files are
+        hard-linked into a fresh version directory (no data copy on a
+        POSIX fs; an object-store binding would rewrite the manifest
+        instead) and committed as the live pointer — so the live version
+        dir always equals the live snapshot, and the restore is itself an
+        undoable commit in the history."""
+        entry = self._log_entry(name, snapshot, namespace)
+        meta = TableMeta.from_json(entry["meta"])
+        d = self._table_dir(name, namespace)
+        src_dir = os.path.join(d, meta.version)
+        new_version = f"v_{uuid.uuid4().hex}"
+        new_dir = os.path.join(d, new_version)
+        for rel in entry["files"]:
+            src = os.path.join(src_dir, rel)
+            if not os.path.exists(src):
+                shutil.rmtree(new_dir, ignore_errors=True)
+                raise FileNotFoundError(
+                    f"snapshot {snapshot!r} of {name} was garbage-collected"
+                )
+            dst = os.path.join(new_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        os.makedirs(new_dir, exist_ok=True)  # empty snapshot still commits
+        meta.version = new_version
+        self._commit_meta(meta, op="restore")
+        self._gc_old_versions(name, new_version, namespace)
+        return meta
 
     # -- table lifecycle (SURVEY §2.10) -------------------------------------
     def create_or_replace(
@@ -196,7 +379,7 @@ class Warehouse:
             version=version,
             json_storage=self._json_storage_of(df),
         )
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="replace_table")
         self._gc_old_versions(name, version, namespace)
         return meta
 
@@ -235,7 +418,7 @@ class Warehouse:
         for col, t in self._schema_of(df).items():
             if col not in meta.columns:
                 meta.columns[col] = t  # ALTER TABLE ADD COLUMN
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="append")
         return meta
 
     def replace_partition(
@@ -276,7 +459,7 @@ class Warehouse:
         for col, t in self._schema_of(df).items():
             if col not in meta.columns:
                 meta.columns[col] = t
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="replace_partition")
         return meta
 
     def merge(
@@ -333,7 +516,7 @@ class Warehouse:
         meta.pk = list(pk)
         if timestamp_column:
             meta.timestamp_column = timestamp_column
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="merge")
         self._gc_old_versions(name, version, namespace)
         return meta
 
@@ -399,7 +582,7 @@ class Warehouse:
         meta.pk = list(pk)
         if ts_col:
             meta.timestamp_column = ts_col
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="merge")
         return meta
 
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
@@ -459,7 +642,7 @@ class Warehouse:
             df = df.repartition(n_out)
         version = self._write_version(name, df, meta.partition_by, namespace)
         meta.version = version
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="compact")
         self._gc_old_versions(name, version, namespace)
         after = self.table_stats(name, namespace)
         return {"before": stats, "after": after}
@@ -481,7 +664,7 @@ class Warehouse:
         before = cur.count()
         version = self._write_version(name, kept, meta.partition_by, namespace)
         meta.version = version
-        self._commit_meta(meta)
+        self._commit_meta(meta, op="delete")
         self._gc_old_versions(name, version, namespace)
         return before - self.count(name, namespace=namespace)
 

@@ -1,0 +1,112 @@
+"""Time travel / history / restore on the versioned warehouse.
+
+Commits are the snapshot unit (appends add files to the same version dir,
+so each log entry carries a file manifest). ``read(version=)`` accepts a
+commit id or a version string; ``restore`` hard-links a snapshot's
+manifest into a fresh version dir — Delta/Iceberg's time-travel surface on
+the dependency-free warehouse.
+"""
+
+import pytest
+
+from bulker_spark.sinks.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_warehouse):
+    return Warehouse(spark, tmp_warehouse, retain_versions=3)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def test_history_records_each_commit(spark, wh):
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    wh.append("t", _df(spark, [(2, "b")]))
+    h = wh.history("t")
+    assert [e["op"] for e in h] == ["append", "replace_table"]
+    assert [e["commit"] for e in h] == [2, 1]
+    assert all(e["available"] for e in h)
+    # the append snapshot has strictly more files than the initial one
+    assert h[0]["n_files"] > h[1]["n_files"]
+
+
+def test_read_old_snapshot_by_commit_id(spark, wh):
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    wh.append("t", _df(spark, [(2, "b")]))
+    assert wh.read("t").count() == 2
+    old = wh.read("t", version=1)  # commit id
+    assert [(r["id"], r["name"]) for r in old.collect()] == [(1, "a")]
+
+
+def test_read_old_version_pre_evolution_schema(spark, wh):
+    """A snapshot written before a column existed reads back with its OWN
+    schema, not the live one."""
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    evolved = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    wh.append("t", evolved)
+    assert "score" in wh.read("t").columns
+    assert "score" not in wh.read("t", version=1).columns
+
+
+def test_restore_rolls_back_and_is_a_commit(spark, wh):
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    wh.append("t", _df(spark, [(2, "b")]))
+    wh.restore("t", 1)
+    assert wh.read("t").count() == 1
+    h = wh.history("t")
+    assert h[0]["op"] == "restore"
+    # the restore is undoable: the pre-restore (append) snapshot is intact
+    assert h[1]["op"] == "append" and h[1]["available"]
+    wh.restore("t", 2)
+    assert wh.read("t").count() == 2
+
+
+def test_restore_by_version_string(spark, wh):
+    m1 = wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    wh.create_or_replace("t", _df(spark, [(2, "b"), (3, "c")]), pk=["id"])
+    wh.restore("t", m1.version)
+    assert wh.read("t").count() == 1
+
+
+def test_gc_respects_retention(spark, wh):
+    metas = [
+        wh.create_or_replace("t", _df(spark, [(i, "x")]), pk=["id"])
+        for i in range(5)
+    ]
+    h = wh.history("t")
+    assert len(h) == 5
+    # newest 3 retained, oldest 2 gone
+    assert [e["available"] for e in h] == [True, True, True, False, False]
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", version=metas[0].version)
+    # default retention (1) still GCs immediately
+    wh1 = Warehouse(spark, wh.root + "_single")
+    a = wh1.create_or_replace("s", _df(spark, [(1, "a")]))
+    wh1.create_or_replace("s", _df(spark, [(2, "b")]))
+    assert [e["available"] for e in wh1.history("s")] == [True, False]
+    with pytest.raises(FileNotFoundError):
+        wh1.read("s", version=a.version)
+
+
+def test_partitioned_snapshot_keeps_partition_columns(spark, wh):
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, name string, part string"
+    )
+    wh.create_or_replace("t", df, partition_by=["part"])
+    df2 = spark.createDataFrame([(3, "c", "p3")], "id long, name string, part string")
+    wh.append("t", df2)
+    old = wh.read("t", version=1)
+    assert old.count() == 2
+    assert {r["part"] for r in old.collect()} == {"p1", "p2"}
+
+
+def test_unknown_version_raises(spark, wh):
+    wh.create_or_replace("t", _df(spark, [(1, "a")]))
+    with pytest.raises(FileNotFoundError):
+        wh.read("t", version="v_deadbeef")
+    with pytest.raises(FileNotFoundError):
+        wh.restore("t", "v_deadbeef")

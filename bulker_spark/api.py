@@ -216,9 +216,17 @@ class BulkerStream:
 class Engine:
     """Top-level entry: ``Engine(spark, warehouse_path)``."""
 
-    def __init__(self, spark: SparkSession, warehouse_path: str, namespace: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_path: str,
+        namespace: str = "default",
+        retain_versions: int = 1,
+    ):
         self.spark = spark
-        self.warehouse = Warehouse(spark, warehouse_path, namespace)
+        self.warehouse = Warehouse(
+            spark, warehouse_path, namespace, retain_versions=retain_versions
+        )
 
     def create_stream(self, table: str, **options: Any) -> BulkerStream:
         return BulkerStream(self, table, StreamOptions(**options))

@@ -118,12 +118,12 @@ class Warehouse:
         # so a plain append is ordered and the commit id is the line count)
         import time as _time
 
-        prior = self._read_log(meta.name, meta.namespace)
         with open(os.path.join(d, LOG_FILE), "a") as fh:
             fh.write(
                 _json.dumps(
                     {
-                        "commit": len(prior) + 1,
+                        "commit": self._last_commit_id(meta.name, meta.namespace)
+                        + 1,
                         "ts": round(_time.time(), 3),
                         "op": op,
                         "meta": meta.to_json(),
@@ -134,6 +134,28 @@ class Warehouse:
                 )
                 + "\n"
             )
+
+    def _last_commit_id(self, name: str, namespace: str | None = None) -> int:
+        """Tail-read the last log line only — the counter must not cost
+        O(commits) per commit on a long-lived streaming table."""
+        path = os.path.join(self._table_dir(name, namespace), LOG_FILE)
+        if not os.path.exists(path):
+            return 0
+        with open(path, "rb") as fh:
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            if size == 0:
+                return 0
+            step = min(size, 64 * 1024)
+            fh.seek(size - step)
+            tail = fh.read().decode("utf-8", errors="replace")
+        lines = [ln for ln in tail.split("\n") if ln.strip()]
+        if not lines:
+            return 0
+        try:
+            return int(_json.loads(lines[-1]).get("commit") or 0)
+        except (ValueError, _json.JSONDecodeError):
+            return 0
 
     def _read_log(self, name: str, namespace: str | None = None) -> list[dict]:
         path = os.path.join(self._table_dir(name, namespace), LOG_FILE)

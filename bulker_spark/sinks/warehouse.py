@@ -375,6 +375,50 @@ class Warehouse:
         self._gc_old_versions(name, new_version, namespace)
         return meta
 
+    def read_appended(
+        self,
+        name: str,
+        since_commit: int,
+        namespace: str | None = None,
+    ) -> DataFrame:
+        """Incremental consumption: rows in files ADDED after commit
+        ``since_commit`` (manifest set difference — no data diffing, no
+        re-read of already-consumed files). Valid only while every intervening
+        commit is an append; a merge/replace/compact rewrites files, so
+        row-level increments are undefined and this raises ``ValueError``
+        (the consumer should fall back to a full re-read from the new
+        snapshot). The downstream pattern: checkpoint the latest commit id
+        from :meth:`history`, call this per cycle."""
+        log = self._read_log(name, namespace)
+        base = [e for e in log if e.get("commit") == since_commit]
+        if not base:
+            raise FileNotFoundError(
+                f"unknown commit {since_commit} of {name}"
+            )
+        newer = [e for e in log if e.get("commit", 0) > since_commit]
+        non_append = [e["op"] for e in newer if e["op"] != "append"]
+        if non_append:
+            raise ValueError(
+                f"table {name} was rewritten ({non_append[0]}) after commit "
+                f"{since_commit}; incremental read undefined — re-read the "
+                "current snapshot"
+            )
+        meta = self.get_meta(name, namespace)
+        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        base_files = set(base[-1]["files"])
+        latest_files = (
+            set(newer[-1]["files"]) if newer else base_files
+        )
+        added = sorted(latest_files - base_files)
+        live_schema = self.read(name, namespace).schema
+        if not added:
+            return self.spark.createDataFrame([], live_schema)
+        return (
+            self.spark.read.schema(live_schema)
+            .option("basePath", vdir)
+            .parquet(*[os.path.join(vdir, f) for f in added])
+        )
+
     # -- table lifecycle (SURVEY §2.10) -------------------------------------
     def create_or_replace(
         self,

@@ -110,3 +110,23 @@ def test_unknown_version_raises(spark, wh):
         wh.read("t", version="v_deadbeef")
     with pytest.raises(FileNotFoundError):
         wh.restore("t", "v_deadbeef")
+
+
+def test_read_appended_incremental(spark, wh):
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    wh.append("t", _df(spark, [(2, "b"), (3, "c")]))
+    wh.append("t", _df(spark, [(4, "d")]))
+    inc = wh.read_appended("t", since_commit=1)
+    assert sorted(r["id"] for r in inc.collect()) == [2, 3, 4]
+    inc2 = wh.read_appended("t", since_commit=2)
+    assert sorted(r["id"] for r in inc2.collect()) == [4]
+    assert wh.read_appended("t", since_commit=3).count() == 0
+
+
+def test_read_appended_rejects_rewrites(spark, wh):
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["id"])
+    wh.create_or_replace("t", _df(spark, [(2, "b")]), pk=["id"])
+    with pytest.raises(ValueError, match="rewritten"):
+        wh.read_appended("t", since_commit=1)
+    with pytest.raises(FileNotFoundError):
+        wh.read_appended("t", since_commit=99)

@@ -108,6 +108,33 @@ class IngestStream:
         )
         self.engine.warehouse.append(dead_table(self.table), dead)
 
+    def failed_events(self, limit: int = 100) -> DataFrame:
+        """Dead-letter inspection (``GET /failed/:destinationId``,
+        ``bulkerapp/app/router.go:370-432``): newest failures first,
+        bounded by ``limit``. Columns: value (raw event), error,
+        failed_at."""
+        wh = self.engine.warehouse
+        name = dead_table(self.table)
+        if not wh.exists(name):
+            from pyspark.sql import types as T
+
+            return self.engine.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("value", T.StringType()),
+                        T.StructField("error", T.StringType()),
+                        T.StructField("failed_at", T.TimestampType()),
+                    ]
+                ),
+            )
+        return (
+            wh.read(name)
+            .select("value", "error", "failed_at")
+            .orderBy(F.col("failed_at").desc())
+            .limit(limit)
+        )
+
     def _to_retry(
         self, df: DataFrame, error: str, retries: int, now: _dt.datetime
     ) -> None:

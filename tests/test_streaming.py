@@ -67,6 +67,11 @@ def test_stream_e2e_with_dead_letter(spark, tmpdirs):
     assert len(dead) == 1
     assert dead[0]["value"] == "THIS IS NOT JSON"
     assert dead[0]["error"] == "malformed JSON"
+    # inspection endpoint analogue (router.go:370-432)
+    failed = stream.failed_events(limit=10).collect()
+    assert [r["value"] for r in failed] == ["THIS IS NOT JSON"]
+    other = IngestStream(engine, "nothing_failed", StreamOptions(mode="batch"))
+    assert other.failed_events().count() == 0
 
     # second micro-batch: checkpoint resumes, upsert dedups
     with open(os.path.join(src_dir, "batch2.ndjson"), "w") as fh:

@@ -670,12 +670,53 @@ class Warehouse:
             "avg_file_bytes": total // n if n else 0,
         }
 
+    @staticmethod
+    def _zorder_expr(df: DataFrame, cols: list[str], bits: int = 6):
+        """Z-order key: per-column quantile bucket ids (2^bits buckets,
+        boundaries from a sample-based approxQuantile — how Delta OSS
+        derives range ids), bit-interleaved so files cluster on ALL the
+        columns at once instead of lexicographically on the first.
+        Bucketing runs JVM-side (ml.Bucketizer); the interleave is a few
+        shift/or expressions. Numeric or timestamp columns only."""
+        from pyspark.ml.feature import Bucketizer
+
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        work = df
+        bucket_cols = []
+        for c in cols:
+            dcol = f"__zd_{c}"
+            work = work.withColumn(
+                dcol, F.col(c).cast("double")
+            )
+            qs = work.approxQuantile(dcol, probs, 0.001)
+            splits = [float("-inf")]
+            for q in qs:
+                if q > splits[-1]:
+                    splits.append(q)
+            splits.append(float("inf"))
+            bcol = f"__zb_{c}"
+            work = Bucketizer(
+                splits=splits, inputCol=dcol, outputCol=bcol,
+                handleInvalid="keep",
+            ).transform(work)
+            work = work.withColumn(bcol, F.col(bcol).cast("int")).drop(dcol)
+            bucket_cols.append(bcol)
+        k = len(cols)
+        z = F.lit(0)
+        for j in range(bits):
+            for i, bcol in enumerate(bucket_cols):
+                bit = F.shiftright(F.col(bcol), j).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+        return work.withColumn("__z", z).drop(*bucket_cols)
+
     def compact(
         self,
         name: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         namespace: str | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction: rewrite the current version with file
         count sized to ``bytes / target_file_bytes`` (streaming appends
@@ -699,7 +740,18 @@ class Warehouse:
         stats = self.table_stats(name, namespace)
         n_out = max(1, round(stats["bytes"] / target_file_bytes))
         df = self.read(name, namespace)
-        if cluster_by:
+        if zorder_by:
+            # multi-dimensional clustering: files cover small cells of the
+            # (col1 × col2 × ...) space, so footer min/max stats prune on a
+            # predicate over ANY clustered column — range clustering only
+            # prunes on the leading key (OPTIMIZE ... ZORDER BY analogue)
+            df = (
+                self._zorder_expr(df, list(zorder_by))
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             keys = [c for c in (meta.partition_by or [])] + list(cluster_by)
             df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
         elif meta.partition_by:

@@ -733,7 +733,13 @@ class Warehouse:
         PARTITION BY toYYYYMM(ts) per-warehouse tuning, SURVEY §2.10).
         Sorted runs also compress better. Skewed key ranges are split by
         AQE; clustering composes with hive-style ``partition_by``
-        (clusters within each partition directory)."""
+        (clusters within each partition directory).
+
+        ``zorder_by`` instead interleaves quantile-bucket bits of ALL the
+        given columns (OPTIMIZE ... ZORDER BY analogue) so footer stats
+        prune on any of them, not just the leading key — see
+        :meth:`_zorder_expr`. Mutually exclusive with ``cluster_by``
+        (``zorder_by`` wins)."""
         meta = self.get_meta(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)

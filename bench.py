@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "events_props_variant",
     "doc_train_val_split",
     "events_top_users_per_type",
+    "doc_chunk_overlap",
+    "doc_topk_ngrams",
+    "doc_fuzzy_dedup_keep",
+    "emb_kmeans",
 ]
 
 

@@ -2232,6 +2232,244 @@ WHERE rank <= 3
 """
 
 
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking (chunk=200 chars,
+    stride=150): the splitter that turns a corpus into training samples
+    with cross-chunk context preserved. The chunk index set is derived
+    arithmetically per row (``sequence`` + ``explode``) and the slice is a
+    codegen ``substring`` — no UDF, no shuffle at all until the final
+    presentation sort; at 100 TB this is a pure map stage that scales with
+    input splits. Chunk text is reduced to an md5 prefix so the compare
+    ships fingerprints, not text."""
+    chunk, stride = 200, 150
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.col("n_chars") + (stride - 1)) / stride).cast("int"),
+    )
+    return (
+        docs.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("chunk_start"),
+            F.length(
+                F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, chunk)
+            ).alias("chunk_len"),
+            F.substring(
+                F.md5(
+                    F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, chunk)
+                ),
+                1,
+                16,
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+DOC_CHUNK_SQL = """
+SELECT d.doc_id,
+       CAST(g.i AS INT) AS chunk_idx,
+       CAST(g.i * 150 AS BIGINT) AS chunk_start,
+       CAST(length(substr(d.text, (g.i * 150 + 1)::INT, 200)) AS INT) AS chunk_len,
+       substr(md5(substr(d.text, (g.i * 150 + 1)::INT, 200)), 1, 16) AS chunk_md5
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(
+         0, greatest(CAST(ceil(d.n_chars / 150.0) AS BIGINT), 1) - 1)) AS i) g
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def doc_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram vocabulary (top 50 by frequency): the counting
+    pass behind tokenizer/vocab construction. Tokenization and bigram
+    assembly are JVM array expressions (``split`` → ``transform`` over
+    ``sequence``) inside one codegen stage; the only exchange is the
+    partial-aggregated bigram count, and the top-k is ``orderBy+limit``
+    which Spark executes as TakeOrdered (per-partition heaps, no global
+    sort) — the shape that survives a 100 TB corpus whose bigram domain is
+    far smaller than its row count. Ties at the cut line break on the
+    bigram string for cross-engine determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), t -> t <> '')"
+        ).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+DOC_TOPK_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bi GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC LIMIT 50
+"""
+
+
+def doc_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: Jaccard near-dup pairs → connected
+    components → keep exactly one canonical document (the component's min
+    doc_id) per duplicate cluster, pass non-duplicated docs through. This
+    composes the pair generator and the iterative min-label propagation
+    into the operation a curation run actually executes — 'return the
+    deduplicated corpus', not just the pair list. The survivors anti-join
+    is a broadcast (the dropped set is duplicates-only, vanishingly small
+    next to the corpus)."""
+    from bulker_spark.functions.graph import connected_components
+    from bulker_spark.plans.queries import doc_near_dup_jaccard
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = doc_near_dup_jaccard(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = cc.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _fuzzy_dedup_sql() -> str:
+    from bulker_spark.plans._common import _SHINGLE_DUCK
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK.format(max_doc=100)})),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+dropped AS (
+  SELECT u AS doc_id FROM reach GROUP BY u
+  HAVING LEAST(u, MIN(v)) <> u
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id < 100
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+DOC_FUZZY_DEDUP_SQL = _fuzzy_dedup_sql()
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means over the embedding corpus (k=8, 5 fixed
+    iterations, first-k init for determinism): the clustering pass that
+    feeds SemDeDup/IVF with real centroids instead of seed vectors. Each
+    iteration is one job: centroids (k×dim, config-sized) are closed over
+    by an Arrow-batched assignment kernel — one BLAS matmul + argmax per
+    batch, zero shuffle — and the update is a single partial-aggregated
+    groupBy over (cluster, sum-vec, count) carrying k rows out. Driver
+    state is k centroids only, so the loop is O(iters) jobs regardless of
+    corpus size — the canonical scale-out shape for iterative ML on
+    DataFrames. Non-SQL-expressible (iterative); driver records the
+    rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k, iters = 8, 5
+    init = sorted(
+        e.filter(F.col("vec_id") < k).collect(), key=lambda r: r["vec_id"]
+    )
+    cmat = np.stack([np.asarray(r["embedding"], dtype="float64") for r in init])
+
+    def make_assign(centroids: np.ndarray):
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                d2 = (
+                    (x * x).sum(1, keepdims=True)
+                    - 2.0 * (x @ centroids.T)
+                    + (centroids * centroids).sum(1)
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": d2.argmin(axis=1).astype("int64"),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, cluster long, embedding array<float>"
+    for _ in range(iters):
+        assigned = e.mapInPandas(make_assign(cmat), schema=schema)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}")
+                        for i in range(cmat.shape[1])
+                    ]
+                ).alias("vsum"),
+            )
+            .collect()
+        )
+        new = cmat.copy()
+        for r in stats:
+            new[int(r["cluster"])] = (
+                np.asarray(r["vsum"], dtype="float64") / r["n"]
+            )
+        cmat = new
+
+    final = e.mapInPandas(make_assign(cmat), schema=schema)
+    return (
+        final.groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     "doc_train_val_split": (doc_train_val_split, DOC_TRAIN_VAL_SQL),
@@ -2282,4 +2520,8 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_length_quantiles_sketch": (doc_length_quantiles_sketch, None),
     "emb_ann_lsh": (emb_ann_lsh, None),
     "emb_ann_ivf": (emb_ann_ivf, None),
+    "doc_chunk_overlap": (doc_chunk_overlap, DOC_CHUNK_SQL),
+    "doc_topk_ngrams": (doc_topk_ngrams, DOC_TOPK_NGRAMS_SQL),
+    "doc_fuzzy_dedup_keep": (doc_fuzzy_dedup_keep, DOC_FUZZY_DEDUP_SQL),
+    "emb_kmeans": (emb_kmeans, None),
 }

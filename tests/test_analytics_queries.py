@@ -136,3 +136,72 @@ def test_train_val_split_stable_proportions(spark):
     assert total > 0
     # md5 buckets: train share should be near 90%
     assert 0.8 <= by_split.get("train", 0) / total <= 0.97
+
+
+def test_chunk_overlap_covers_every_document(spark):
+    from bulker_spark.plans.analytics import doc_chunk_overlap
+
+    rows = doc_chunk_overlap(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)  # every doc chunked, none invented
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # stride-150 starts, contiguous indices, last chunk reaches the tail
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["chunk_start"] == c["chunk_idx"] * 150 for c in chunks)
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] == docs[doc_id]
+        # each window is full-width or truncated exactly at the doc tail
+        for c in chunks:
+            assert c["chunk_len"] == min(200, docs[doc_id] - c["chunk_start"])
+
+
+def test_topk_ngrams_counts_are_sane(spark):
+    from bulker_spark.plans.analytics import doc_topk_ngrams
+
+    rows = doc_topk_ngrams(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # ranked by frequency
+    assert all(" " in r["bigram"] for r in rows)  # two-token grams
+
+
+def test_fuzzy_dedup_keeps_one_per_cluster(spark):
+    from bulker_spark.functions.graph import connected_components
+    from bulker_spark.plans.analytics import doc_fuzzy_dedup_keep
+    from bulker_spark.plans.queries import doc_near_dup_jaccard
+
+    kept = {r["doc_id"] for r in doc_fuzzy_dedup_keep(spark, SF_DIR).collect()}
+    pairs = doc_near_dup_jaccard(spark, SF_DIR)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").collect()
+    clusters: dict = {}
+    for r in cc:
+        clusters.setdefault(r["component"], set()).add(r["node"])
+    for comp, members in clusters.items():
+        assert kept & members == {comp}  # exactly the canonical survives
+    # docs outside any duplicate cluster all survive
+    all_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id < 100")
+        .collect()
+    }
+    clustered = set().union(*clusters.values()) if clusters else set()
+    assert all_docs - clustered <= kept
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    from bulker_spark.plans.analytics import emb_kmeans
+
+    rows = emb_kmeans(spark, SF_DIR).collect()
+    n_total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in rows) == n_total
+    assert 1 <= len(rows) <= 8

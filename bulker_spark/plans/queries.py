@@ -267,9 +267,13 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.expr("timestamp'1998-03-15 00:00:00'")
     )
+    # broadcast the selective customer dim onto orders FIRST: the map-side
+    # semi-reduction shrinks the orders side ~5x before the only wide
+    # (orderkey) shuffle join — the join order that survives a 100x fact
+    # scale-up, instead of shuffling unfiltered orders
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "doc_topk_ngrams",
     "doc_fuzzy_dedup_keep",
     "emb_kmeans",
+    "events_hopping_active_users",
 ]
 
 
@@ -146,6 +147,26 @@ def main() -> None:
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from bulker_spark.api import Engine
+
+    # ingest-path warmup (same JIT rationale as the query warmup above):
+    # a tiny load compiles the flatten/infer/merge codepaths so the timed
+    # tiers measure pipeline throughput, not first-call JIT
+    try:
+        wh0 = tempfile.mkdtemp(prefix="bench_wh0_")
+        tiny = spark.range(1_000).select(
+            F.col("id").alias("pk"),
+            F.col("id").cast("string").alias("user"),
+            (F.col("id") * 1.5).alias("score"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        )
+        Engine(spark, wh0).bulk_load(
+            "warmup", tiny, mode="batch",
+            primary_key=["pk"], deduplicate=True, timestamp_column="ts",
+        )
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(wh0, ignore_errors=True)
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     events = spark.range(100_000).select(

@@ -2232,6 +2232,47 @@ WHERE rank <= 3
 """
 
 
+def events_hopping_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window engagement (1-hour windows sliding every 30 min):
+    events per window and distinct active users — the batch twin of the
+    Structured-Streaming ``window()`` aggregation in
+    ``streaming/windows.py``. Spark's ``window()`` expands each row to its
+    ≤2 covering windows *inside the scan stage* (a Generate in codegen, no
+    UDF), so the only exchange is the partial-aggregated per-window
+    count(+distinct) — at 100 TB the fan-out multiplies map output, never
+    shuffle stages. The first 48 windows bound the presentation output."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+        .limit(48)
+    )
+
+
+EVENTS_HOPPING_SQL = """
+WITH hop AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start,
+         user_id
+  FROM events
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hop GROUP BY window_start ORDER BY window_start LIMIT 48
+"""
+
+
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-window document chunking (chunk=200 chars,
     stride=150): the splitter that turns a corpus into training samples
@@ -2520,6 +2561,10 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_length_quantiles_sketch": (doc_length_quantiles_sketch, None),
     "emb_ann_lsh": (emb_ann_lsh, None),
     "emb_ann_ivf": (emb_ann_ivf, None),
+    "events_hopping_active_users": (
+        events_hopping_active_users,
+        EVENTS_HOPPING_SQL,
+    ),
     "doc_chunk_overlap": (doc_chunk_overlap, DOC_CHUNK_SQL),
     "doc_topk_ngrams": (doc_topk_ngrams, DOC_TOPK_NGRAMS_SQL),
     "doc_fuzzy_dedup_keep": (doc_fuzzy_dedup_keep, DOC_FUZZY_DEDUP_SQL),

@@ -205,3 +205,28 @@ def test_kmeans_partitions_all_vectors(spark):
     n_total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert sum(r["n_vectors"] for r in rows) == n_total
     assert 1 <= len(rows) <= 8
+
+
+def test_hopping_windows_double_count_events(spark):
+    from bulker_spark.plans.analytics import events_hopping_active_users
+    from bulker_spark.plans.queries import _t
+
+    rows = events_hopping_active_users(spark, SF_DIR).collect()
+    assert rows
+    starts = [r["window_start"] for r in rows]
+    assert starts == sorted(starts)
+    # 30-min hop grid
+    assert all(s.minute in (0, 30) and s.second == 0 for s in starts)
+    # every event lands in exactly 2 hopping windows, so summing
+    # n_events over ALL windows = 2 * event count (checked on the full,
+    # un-limited aggregation)
+    ev = _t(spark, SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    full = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert full == 2 * ev.count()

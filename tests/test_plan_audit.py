@@ -248,3 +248,49 @@ def test_props_variant_no_python(spark):
     # variant_get path extraction stays JVM-side
     assert "BatchEvalPython" not in txt
     assert "PythonUDF" not in txt
+
+
+def test_chunk_overlap_zero_exchanges(spark):
+    from bulker_spark.plans.analytics import doc_chunk_overlap
+
+    df = doc_chunk_overlap(spark, SF)
+    # pure map stage: scan -> generate -> project, nothing shuffles
+    assert audit.exchange_count(df) == 0, audit.explain_str(df, "simple")
+    # only doc_id/text/n_chars read
+    assert audit.pruned_to(df, 3), audit.read_schemas(df)
+
+
+def test_topk_ngrams_single_shuffle_takeordered(spark):
+    from bulker_spark.plans.analytics import doc_topk_ngrams
+
+    df = doc_topk_ngrams(spark, SF)
+    # partial-agg before the one bigram-count exchange; top-k via
+    # TakeOrdered (per-partition heaps), never a global sort
+    assert audit.exchange_count(df) == 1, audit.explain_str(df, "simple")
+    assert audit.has_partial_aggregate(df)
+    txt = audit.explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in txt
+    assert "rangepartitioning" not in txt, txt
+
+
+def test_hopping_window_expands_in_scan_stage(spark):
+    from bulker_spark.plans.analytics import events_hopping_active_users
+
+    df = events_hopping_active_users(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # window() fan-out happens map-side (Expand/Generate before the first
+    # exchange); the distinct-agg costs the standard two hash exchanges
+    assert audit.exchange_count(df) <= 2, txt
+    assert audit.has_partial_aggregate(df)
+    assert "BatchEvalPython" not in txt
+
+
+def test_fuzzy_dedup_survivors_broadcast_anti(spark):
+    from bulker_spark.plans.analytics import doc_fuzzy_dedup_keep
+
+    df = doc_fuzzy_dedup_keep(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # the corpus-side anti-join against the (tiny) dropped set broadcasts
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", txt), txt

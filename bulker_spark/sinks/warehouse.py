@@ -8,10 +8,14 @@ reference's tmp-table + single-commit discipline
 (``abstract_transactional.go:152-206``):
 
 - every write lands in a fresh ``v_<uuid>`` directory (the "tmp table")
-- the table's ``_bulker_meta.json`` pointer is atomically renamed onto the
-  new version only after the write succeeds ("commit")
-- readers always resolve the pointer first, so they never observe a
-  half-written version.
+- a commit is the atomic claim of the next numbered entry in the table's
+  ``_bulker_log/`` directory (Delta's ``_delta_log/N.json`` protocol) —
+  concurrent writers serialize on the claim, and read-modify-write ops
+  carry an optimistic-concurrency token so a racing commit raises
+  :class:`ConcurrentWriteError` instead of losing an update
+- the ``_bulker_meta.json`` pointer is then atomically renamed as the
+  readers' cache of the live snapshot; readers resolve it first, so they
+  never observe a half-written version.
 
 On a production cluster the same interface binds to Delta/Iceberg, whose
 transaction log provides this natively (and MERGE/replaceWhere directly);
@@ -39,7 +43,15 @@ from ..table import TableMeta
 from ..types_lattice import DataType, from_spark_type
 
 META_FILE = "_bulker_meta.json"
-LOG_FILE = "_bulker_log.jsonl"
+LOG_DIR = "_bulker_log"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed to this table between this operation's
+    snapshot read and its commit. The operation wrote no live state; the
+    caller should re-read the table (fresh :class:`Warehouse` state or
+    :meth:`Warehouse.refresh`) and re-apply — the optimistic-concurrency
+    retry loop Delta/Iceberg clients run."""
 
 
 class Warehouse:
@@ -105,64 +117,99 @@ class Warehouse:
         meta: TableMeta,
         op: str = "commit",
         files: list[str] | None = None,
+        expected_commit: int | None = None,
     ) -> None:
-        d = self._table_dir(meta.name, meta.namespace)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".{META_FILE}.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            _json.dump(meta.to_json(), fh)
-        os.replace(tmp, os.path.join(d, META_FILE))  # atomic commit
-        self._meta_cache[f"{meta.namespace}.{meta.name}"] = meta
-        # commit log: one line per commit — op, meta snapshot, and file
-        # manifest (the snapshot identity; the driver is the single writer,
-        # so a plain append is ordered and the commit id is the line count)
+        """Commit = atomically claiming the NEXT numbered file in the
+        table's ``_bulker_log/`` directory (the Delta ``_delta_log/N.json``
+        protocol): the entry is written to a temp file and ``os.link``ed to
+        ``{id:012d}.json`` — link fails with EEXIST iff another writer
+        claimed that id, which serializes concurrent committers without
+        any lock. The meta pointer is then refreshed as a read cache.
+
+        ``expected_commit`` is the optimistic-concurrency token for
+        read-modify-write ops (merge/compact/delete/restore): the commit id
+        the operation's snapshot read saw. If any other commit landed since,
+        claiming ``expected+1`` fails and :class:`ConcurrentWriteError`
+        propagates — the lost-update window is closed, not raced. Blind
+        commutative ops (append, replace_table) pass ``None`` and self-retry
+        with a fresh id."""
         import time as _time
 
-        with open(os.path.join(d, LOG_FILE), "a") as fh:
-            fh.write(
-                _json.dumps(
+        d = self._table_dir(meta.name, meta.namespace)
+        log_dir = os.path.join(d, LOG_DIR)
+        os.makedirs(log_dir, exist_ok=True)
+        manifest = self._manifest(meta) if files is None else files
+        attempts = 1 if expected_commit is not None else 5
+        committed = False
+        for i in range(attempts):
+            cur = (
+                expected_commit
+                if expected_commit is not None
+                else self._last_commit_id(meta.name, meta.namespace)
+            )
+            next_id = cur + 1
+            tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                _json.dump(
                     {
-                        "commit": self._last_commit_id(meta.name, meta.namespace)
-                        + 1,
+                        "commit": next_id,
                         "ts": round(_time.time(), 3),
                         "op": op,
                         "meta": meta.to_json(),
-                        "files": (
-                            self._manifest(meta) if files is None else files
-                        ),
-                    }
+                        "files": manifest,
+                    },
+                    fh,
                 )
-                + "\n"
+            try:
+                os.link(tmp, os.path.join(log_dir, f"{next_id:012d}.json"))
+                committed = True
+                break
+            except FileExistsError:
+                continue
+            finally:
+                os.unlink(tmp)
+        if not committed:
+            raise ConcurrentWriteError(
+                f"commit {expected_commit or cur} of "
+                f"{meta.namespace}.{meta.name} was superseded by a "
+                f"concurrent writer"
             )
+        # pointer = read cache over the log tail, refreshed post-commit
+        ptr = os.path.join(d, f".{META_FILE}.{uuid.uuid4().hex}")
+        with open(ptr, "w") as fh:
+            _json.dump(meta.to_json(), fh)
+        os.replace(ptr, os.path.join(d, META_FILE))
+        self._meta_cache[f"{meta.namespace}.{meta.name}"] = meta
 
     def _last_commit_id(self, name: str, namespace: str | None = None) -> int:
-        """Tail-read the last log line only — the counter must not cost
-        O(commits) per commit on a long-lived streaming table."""
-        path = os.path.join(self._table_dir(name, namespace), LOG_FILE)
-        if not os.path.exists(path):
+        """Highest claimed commit file. A directory listing per commit —
+        the same cost profile as Delta's log; tables with very long
+        histories bound it via retention checkpoints (``retain_versions``)."""
+        log_dir = os.path.join(self._table_dir(name, namespace), LOG_DIR)
+        if not os.path.isdir(log_dir):
             return 0
-        with open(path, "rb") as fh:
-            fh.seek(0, os.SEEK_END)
-            size = fh.tell()
-            if size == 0:
-                return 0
-            step = min(size, 64 * 1024)
-            fh.seek(size - step)
-            tail = fh.read().decode("utf-8", errors="replace")
-        lines = [ln for ln in tail.split("\n") if ln.strip()]
-        if not lines:
-            return 0
-        try:
-            return int(_json.loads(lines[-1]).get("commit") or 0)
-        except (ValueError, _json.JSONDecodeError):
-            return 0
+        ids = [
+            int(f[:-5])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(ids, default=0)
+
+    def refresh(self, name: str, namespace: str | None = None) -> None:
+        """Drop the cached meta so the next read resolves the pointer from
+        disk — the re-read step of a ConcurrentWriteError retry."""
+        self._meta_cache.pop(f"{namespace or self.namespace}.{name}", None)
 
     def _read_log(self, name: str, namespace: str | None = None) -> list[dict]:
-        path = os.path.join(self._table_dir(name, namespace), LOG_FILE)
-        if not os.path.exists(path):
+        log_dir = os.path.join(self._table_dir(name, namespace), LOG_DIR)
+        if not os.path.isdir(log_dir):
             return []
-        with open(path) as fh:
-            return [_json.loads(ln) for ln in fh if ln.strip()]
+        out = []
+        for f in sorted(os.listdir(log_dir)):
+            if f.endswith(".json") and f[:-5].isdigit():
+                with open(os.path.join(log_dir, f)) as fh:
+                    out.append(_json.load(fh))
+        return out
 
     def _log_entry(
         self, name: str, snapshot: int | str, namespace: str | None = None
@@ -351,6 +398,7 @@ class Warehouse:
         dir always equals the live snapshot, and the restore is itself an
         undoable commit in the history."""
         entry = self._log_entry(name, snapshot, namespace)
+        base = self._last_commit_id(name, namespace)
         meta = TableMeta.from_json(entry["meta"])
         d = self._table_dir(name, namespace)
         src_dir = os.path.join(d, meta.version)
@@ -371,7 +419,7 @@ class Warehouse:
                 shutil.copy2(src, dst)
         os.makedirs(new_dir, exist_ok=True)  # empty snapshot still commits
         meta.version = new_version
-        self._commit_meta(meta, op="restore")
+        self._commit_meta(meta, op="restore", expected_commit=base)
         self._gc_old_versions(name, new_version, namespace)
         return meta
 
@@ -554,6 +602,10 @@ class Warehouse:
                 namespace=namespace,
             )
         source = self._align_json_storage(meta, source)
+        # OCC token: the commit our snapshot read is based on — a commit
+        # landing between here and our own commit fails ours instead of
+        # silently dropping its rows (lost update)
+        base = self._last_commit_id(name, namespace)
         ts_col = timestamp_column or meta.timestamp_column
         part_col = next(
             (c for c in meta.partition_by or [] if c in source.columns), None
@@ -563,7 +615,7 @@ class Warehouse:
             # dynamic overwrite — frozen partitions are never read/written
             return self._merge_partitioned(
                 name, source, pk, meta, part_col, ts_col, window_days, now,
-                namespace,
+                namespace, base,
             )
         target = self.read(name, namespace)
         merged = merge_upsert(
@@ -582,7 +634,7 @@ class Warehouse:
         meta.pk = list(pk)
         if timestamp_column:
             meta.timestamp_column = timestamp_column
-        self._commit_meta(meta, op="merge")
+        self._commit_meta(meta, op="merge", expected_commit=base)
         self._gc_old_versions(name, version, namespace)
         return meta
 
@@ -597,6 +649,7 @@ class Warehouse:
         window_days: int,
         now,
         namespace: str | None,
+        base: int | None = None,
     ) -> TableMeta:
         """Merge by rewriting only in-window partitions (dynamic overwrite
         into the current version). At 100 TB the frozen history costs
@@ -648,7 +701,7 @@ class Warehouse:
         meta.pk = list(pk)
         if ts_col:
             meta.timestamp_column = ts_col
-        self._commit_meta(meta, op="merge")
+        self._commit_meta(meta, op="merge", expected_commit=base)
         return meta
 
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
@@ -743,6 +796,7 @@ class Warehouse:
         meta = self.get_meta(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
+        base = self._last_commit_id(name, namespace)
         stats = self.table_stats(name, namespace)
         n_out = max(1, round(stats["bytes"] / target_file_bytes))
         df = self.read(name, namespace)
@@ -766,7 +820,7 @@ class Warehouse:
             df = df.repartition(n_out)
         version = self._write_version(name, df, meta.partition_by, namespace)
         meta.version = version
-        self._commit_meta(meta, op="compact")
+        self._commit_meta(meta, op="compact", expected_commit=base)
         self._gc_old_versions(name, version, namespace)
         after = self.table_stats(name, namespace)
         return {"before": stats, "after": after}
@@ -778,6 +832,7 @@ class Warehouse:
         meta = self.get_meta(name, namespace)
         if meta is None:
             return 0
+        base = self._last_commit_id(name, namespace)
         col = (
             conditions.to_column()
             if hasattr(conditions, "to_column")
@@ -788,7 +843,7 @@ class Warehouse:
         before = cur.count()
         version = self._write_version(name, kept, meta.partition_by, namespace)
         meta.version = version
-        self._commit_meta(meta, op="delete")
+        self._commit_meta(meta, op="delete", expected_commit=base)
         self._gc_old_versions(name, version, namespace)
         return before - self.count(name, namespace=namespace)
 

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "doc_fuzzy_dedup_keep",
     "emb_kmeans",
     "events_hopping_active_users",
+    "doc_fuzzy_dedup_lsh",
 ]
 
 

@@ -390,16 +390,28 @@ class Engine:
                 window_days = MergeWindow(opt.deduplicate_window).effective_days(
                     min_ts, now
                 )
-            meta = self.warehouse.merge(
-                table,
-                df,
-                opt.primary_key,
-                timestamp_column=opt.timestamp_column,
-                window_days=window_days,
-                now=now,
-                namespace=ns,
-                partition_by=ts_part,
-            )
+            # OCC retry loop: a concurrent writer's commit fails OUR merge
+            # (never silently drops theirs); the batch df is persisted and
+            # deterministic, so refresh-and-reapply is safe and idempotent
+            from .sinks.warehouse import ConcurrentWriteError
+
+            for attempt in range(3):
+                try:
+                    meta = self.warehouse.merge(
+                        table,
+                        df,
+                        opt.primary_key,
+                        timestamp_column=opt.timestamp_column,
+                        window_days=window_days,
+                        now=now,
+                        namespace=ns,
+                        partition_by=ts_part,
+                    )
+                    break
+                except ConcurrentWriteError:
+                    if attempt == 2:
+                        raise
+                    self.warehouse.refresh(table, ns)
         else:
             meta = self.warehouse.append(
                 table,

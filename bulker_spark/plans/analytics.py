@@ -2441,6 +2441,105 @@ ORDER BY d.doc_id
 DOC_FUZZY_DEDUP_SQL = _fuzzy_dedup_sql()
 
 
+def doc_fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable fuzzy dedup: MinHash-LSH candidates → exact-Jaccard
+    verification of ONLY the candidate pairs → connected components →
+    one canonical doc per cluster. This is the 100 TB counterpart of
+    ``doc_fuzzy_dedup_keep``: the all-pairs shingle self-join is replaced
+    by band-bucket candidates, and the verification join fans each
+    candidate pair out to its shingles (cands ⋈ shingles(a) ⋈ shingles(b)
+    on the composite (doc, shingle) key) — shuffle volume tracks candidate
+    shingles, not corpus², which is what keeps near-dedup feasible when
+    pairs can't be enumerated. LSH recall is probabilistic (2 bands × 2
+    rows), so low-similarity pairs the exhaustive variant catches may be
+    missed — the standard banding trade."""
+    from bulker_spark.functions.graph import connected_components
+    from bulker_spark.plans.queries import _shingles, doc_minhash_lsh_pairs
+
+    cands = doc_minhash_lsh_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = _shingles(spark, sf_dir, 50).distinct()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shc.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = shc.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    verified = (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            >= 0.1
+        )
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(verified, src="doc_a", dst="doc_b")
+    dropped = cc.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _fuzzy_lsh_sql() -> str:
+    from bulker_spark.plans._common import _SHINGLE_DUCK, DOC_LSH_PAIRS_DUCK
+
+    return f"""
+WITH RECURSIVE verified AS (
+  WITH cands AS ({DOC_LSH_PAIRS_DUCK}),
+  sh AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_DUCK.format(max_doc=50)})),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cands c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+dropped AS (
+  SELECT u AS doc_id FROM reach GROUP BY u
+  HAVING LEAST(u, MIN(v)) <> u
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id < 50
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+DOC_FUZZY_LSH_SQL = _fuzzy_lsh_sql()
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd k-means over the embedding corpus (k=8, 5 fixed
     iterations, first-k init for determinism): the clustering pass that
@@ -2572,5 +2671,6 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_chunk_overlap": (doc_chunk_overlap, DOC_CHUNK_SQL),
     "doc_topk_ngrams": (doc_topk_ngrams, DOC_TOPK_NGRAMS_SQL),
     "doc_fuzzy_dedup_keep": (doc_fuzzy_dedup_keep, DOC_FUZZY_DEDUP_SQL),
+    "doc_fuzzy_dedup_lsh": (doc_fuzzy_dedup_lsh, DOC_FUZZY_LSH_SQL),
     "emb_kmeans": (emb_kmeans, None),
 }

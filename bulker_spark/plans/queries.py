@@ -29,8 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-MINHASH_PRIME = 2147483647  # 2^31 - 1
-MINHASH_COEFFS = [(1, 0), (1103515245, 12345), (69069, 362437), (214013, 2531011)]
+from bulker_spark.plans._common import (  # noqa: E402
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+)
+
 SIMHASH_BITS = 16
 
 
@@ -55,10 +58,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-# --- hash helpers (identical arithmetic both engines) ---------------------
+# --- hash helpers (identical arithmetic both engines; shared via _common) --
 
-_SPARK_H = "cast(conv(substr(md5({col}),1,15),16,10) as bigint) % 2147483647"
-_DUCK_H = "(('0x' || substr(md5({col}),1,15))::UBIGINT::BIGINT) % 2147483647"
+from bulker_spark.plans._common import _DUCK_H, _SPARK_H  # noqa: E402
 
 
 # ==========================================================================
@@ -806,16 +808,9 @@ def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.groupBy("doc_id").agg(*aggs)
 
 
-_mh_cols = ", ".join(
-    f"CAST(min(({a} * h + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{i}"
-    for i, (a, b) in enumerate(MINHASH_COEFFS)
+from bulker_spark.plans._common import (  # noqa: E402
+    DOC_MINHASH_DUCK as DOC_MINHASH_SQL,
 )
-DOC_MINHASH_SQL = f"""
-SELECT doc_id, {_mh_cols}
-FROM (SELECT doc_id, {_DUCK_H.format(col="sh")} AS h
-      FROM ({_SHINGLE_DUCK.format(max_doc=50)}))
-GROUP BY doc_id
-"""
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,18 +1072,9 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_LSH_PAIRS_SQL = f"""
-WITH sig AS ({DOC_MINHASH_SQL}),
-bands AS (
-  SELECT doc_id, 0 AS band, mh0 AS x FROM sig
-  UNION ALL SELECT doc_id, 1 AS band, mh1 AS x FROM sig
-  UNION ALL SELECT doc_id, 2 AS band, mh2 AS x FROM sig
-  UNION ALL SELECT doc_id, 3 AS band, mh3 AS x FROM sig
+from bulker_spark.plans._common import (  # noqa: E402
+    DOC_LSH_PAIRS_DUCK as DOC_LSH_PAIRS_SQL,
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.x = b.x AND a.doc_id < b.doc_id
-"""
 
 
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

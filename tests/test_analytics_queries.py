@@ -230,3 +230,31 @@ def test_hopping_windows_double_count_events(spark):
         .first()[0]
     )
     assert full == 2 * ev.count()
+
+
+def test_fuzzy_lsh_survivors_subset_of_exhaustive_domain(spark):
+    """LSH verification can only DROP docs the exhaustive pipeline would
+    also consider duplicates (verified pairs ⊆ exact-Jaccard pairs at the
+    same threshold), so its survivor set is a superset of the exhaustive
+    one restricted to the 50-doc LSH domain."""
+    from bulker_spark.plans.analytics import (
+        doc_fuzzy_dedup_keep,
+        doc_fuzzy_dedup_lsh,
+    )
+
+    lsh_kept = {
+        r["doc_id"] for r in doc_fuzzy_dedup_lsh(spark, SF_DIR).collect()
+    }
+    exhaustive_kept = {
+        r["doc_id"]
+        for r in doc_fuzzy_dedup_keep(spark, SF_DIR).collect()
+        if r["doc_id"] < 50
+    }
+    assert exhaustive_kept <= lsh_kept
+    all_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id < 50")
+        .collect()
+    }
+    assert lsh_kept <= all_docs

@@ -463,3 +463,18 @@ class Engine:
                 else:
                     stream.consume(ev)
         return stream.complete()
+
+    # query surface (Select/Count generalized; router.go:484-571's reads and
+    # sql_adapter_base.go:228-297's Select/Count become full Spark SQL) -----
+    def sql(self, query: str, namespace: str | None = None) -> DataFrame:
+        """Run Spark SQL over the warehouse's tables.
+
+        Every table in the namespace is registered as a temp view (resolved
+        through the commit pointer, so the query sees one consistent
+        snapshot per view at registration time), then the query planned by
+        Catalyst — predicate pushdown, broadcast selection, and AQE all
+        apply to the warehouse files exactly as to any parquet scan."""
+        ns = namespace or self.warehouse.namespace
+        for t in self.warehouse.list_tables(ns):
+            self.warehouse.read(t, ns).createOrReplaceTempView(t)
+        return self.spark.sql(query)

@@ -305,3 +305,31 @@ def test_malformed_lines_counted_not_fatal(spark, tmp_warehouse):
     assert res.malformed_rows == 2
     assert res.processed_rows == 5
     assert sorted(r["id"] for r in e.warehouse.read("mal").collect()) == [1, 2, 3]
+
+
+def test_engine_sql_surface(spark, tmp_path):
+    from bulker_spark import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.bulk_load(
+        "users",
+        [
+            '{"id": 1, "name": "ada", "score": 3.5}',
+            '{"id": 2, "name": "bob", "score": 1.25}',
+            '{"id": 3, "name": "cy", "score": 9.0}',
+        ],
+        mode="batch",
+        primary_key=["id"],
+        deduplicate=True,
+    )
+    eng.bulk_load(
+        "orders_t",
+        ['{"oid": 10, "uid": 1, "amt": 5.0}', '{"oid": 11, "uid": 1, "amt": 2.0}',
+         '{"oid": 12, "uid": 3, "amt": 1.0}'],
+        mode="batch",
+    )
+    rows = eng.sql(
+        "SELECT u.name, SUM(o.amt) AS total FROM users u "
+        "JOIN orders_t o ON u.id = o.uid GROUP BY u.name ORDER BY u.name"
+    ).collect()
+    assert [(r["name"], r["total"]) for r in rows] == [("ada", 7.0), ("cy", 1.0)]

@@ -2298,7 +2298,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "chunk_idx",
-            (F.col("chunk_idx") * stride).alias("chunk_start"),
+            (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
             F.length(
                 F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, chunk)
             ).alias("chunk_len"),

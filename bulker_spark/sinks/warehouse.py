@@ -51,7 +51,12 @@ class ConcurrentWriteError(RuntimeError):
     snapshot read and its commit. The operation wrote no live state; the
     caller should re-read the table (fresh :class:`Warehouse` state or
     :meth:`Warehouse.refresh`) and re-apply — the optimistic-concurrency
-    retry loop Delta/Iceberg clients run."""
+    retry loop Delta/Iceberg clients run.
+
+    Deployments with concurrent writers must use ``retain_versions >= 2``
+    so the snapshot a racing writer is computing against survives the
+    winner's commit-time GC — the same reason Delta retains superseded
+    versions for a retention window."""
 
 
 class Warehouse:
@@ -349,18 +354,66 @@ class Warehouse:
         """Drop version dirs referenced by none of the newest
         ``retain_versions`` commits. Hard-linked restore dirs survive a
         source dir's GC (inode refcounts), so this never breaks a retained
-        snapshot."""
+        snapshot.
+
+        Only versions the commit log KNOWS about are eligible: a ``v_*``
+        dir in no log entry may belong to a concurrent writer that has
+        written its data but not yet claimed its commit — deleting it here
+        would corrupt that writer's commit. Unreferenced leftovers (crashed
+        writers) are reclaimed by the explicit, age-guarded
+        :meth:`vacuum`."""
         d = self._table_dir(name, namespace)
-        retained = {keep}
-        if self.retain_versions > 1:
-            log = self._read_log(name, namespace)
-            for entry in log[-self.retain_versions:]:
-                v = entry["meta"].get("version", "")
-                if v:
-                    retained.add(v)
+        log = self._read_log(name, namespace)
+        referenced = [e["meta"].get("version", "") for e in log]
+        retained = {keep} | {v for v in referenced[-self.retain_versions:] if v}
+        for v in set(referenced):
+            if v and v not in retained:
+                shutil.rmtree(os.path.join(d, v), ignore_errors=True)
+
+    def vacuum(
+        self,
+        name: str,
+        namespace: str | None = None,
+        min_age_seconds: float = 3600.0,
+    ) -> list[str]:
+        """Reclaim orphans: version dirs referenced by no commit (crashed
+        or aborted writers) and stale commit-log temp files — Delta's
+        VACUUM for the uncommitted side. The mtime age guard keeps an
+        in-flight writer's freshly-written version safe; pass
+        ``min_age_seconds=0`` only when no other writer can be active.
+        Returns the removed version dir names."""
+        import time as _time
+
+        d = self._table_dir(name, namespace)
+        if not os.path.isdir(d):
+            return []
+        log = self._read_log(name, namespace)
+        known = {e["meta"].get("version", "") for e in log}
+        meta = self.get_meta(name, namespace)
+        if meta is not None:
+            known.add(meta.version)
+        now = _time.time()
+        removed: list[str] = []
         for entry in os.listdir(d):
-            if entry.startswith("v_") and entry not in retained:
-                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+            p = os.path.join(d, entry)
+            if (
+                entry.startswith("v_")
+                and entry not in known
+                and os.path.isdir(p)
+                and now - os.path.getmtime(p) >= min_age_seconds
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(entry)
+        log_dir = os.path.join(d, LOG_DIR)
+        if os.path.isdir(log_dir):
+            for f in os.listdir(log_dir):
+                p = os.path.join(log_dir, f)
+                if (
+                    f.startswith(".tmp.")
+                    and now - os.path.getmtime(p) >= min_age_seconds
+                ):
+                    os.unlink(p)
+        return removed
 
     def history(self, name: str, namespace: str | None = None) -> list[dict]:
         """Commit history, newest first: ``{commit, ts, op, version,

@@ -214,6 +214,30 @@ def main() -> None:
     finally:
         shutil.rmtree(wh1m, ignore_errors=True)
 
+    # mode tiers: the reference's other two load modes (bulker.go:24-52) at
+    # the same 100k scale — replace_table's atomic swap and
+    # replace_partition's dynamic partition overwrite (second load of each
+    # is timed so the tier measures the mode, not table creation)
+    whm = tempfile.mkdtemp(prefix="bench_whm_")
+    try:
+        eng = Engine(spark, whm)
+        eng.bulk_load("bench_swap", events, mode="replace_table")
+        t0 = time.time()
+        eng.bulk_load("bench_swap", events, mode="replace_table")
+        timings["replace_table_100k_rows"] = round(time.time() - t0, 3)
+        eng.bulk_load(
+            "bench_part", events, mode="replace_partition", partition_id="p1"
+        )
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_part", events, mode="replace_partition", partition_id="p2"
+        )
+        timings["replace_partition_100k_rows"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["mode_tiers"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(whm, ignore_errors=True)
+
     # streaming front: the same 100k events as NDJSON through the
     # checkpointed foreachBatch pipeline (availableNow micro-batches) —
     # comparable to the reference's continuous mode, which sustains

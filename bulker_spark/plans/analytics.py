@@ -707,6 +707,9 @@ def time_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("y").alias("n_years"),
             F.date_format(F.min("m"), "yyyyMMdd").alias("partition_id"),
         )
+        # NTZ like the source events.ts (and the oracle's TIMESTAMP):
+        # truncate_granularity's format-parse round-trip loses the NTZ-ness
+        .withColumn("m", F.col("m").cast("timestamp_ntz"))
         .orderBy("m")
     )
 
@@ -1343,7 +1346,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count("text").alias("ws_tokens"),
+        token_count("text").cast("long").alias("ws_tokens"),
         bpe_token_count("text").alias("bpe_tokens"),
     )
 
@@ -1651,7 +1654,8 @@ sampled AS (
         < (CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END))
 SELECT lang,
        count(*) AS n_docs,
-       SUM(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS total_tokens,
        CAST(CEIL(SUM(length(text) - length(replace(text, ' ', '')) + 1)
                  / 512.0) AS BIGINT) AS n_sequences
 FROM sampled GROUP BY lang ORDER BY lang

@@ -586,8 +586,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alpha = F.length(F.regexp_replace("text", " ", ""))
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_alpha.cast("double") / n_tokens, 4).alias("avg_token_len"),
     )
 

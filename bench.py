@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "emb_kmeans",
     "events_hopping_active_users",
     "doc_fuzzy_dedup_lsh",
+    "mm_audio_frames",
 ]
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "events_hopping_active_users",
     "doc_fuzzy_dedup_lsh",
     "mm_audio_frames",
+    "events_sessionize_native",
 ]
 
 

@@ -2277,6 +2277,54 @@ FROM hop GROUP BY window_start ORDER BY window_start LIMIT 48
 """
 
 
+def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's native ``session_window`` — the
+    built-in operator twin of the lag+running-sum ``events_sessionize``
+    (same 30-min-inactivity semantics, verified against the same oracle
+    shape). The native form is the one structured streaming can run
+    incrementally with state cleanup, and it needs ONE exchange on
+    user_id with no window-function pass.
+
+    Boundary alignment: the lag variant starts a new session when the
+    whole-second gap is > 1800, and ``session_window`` merges an event
+    landing exactly at the window's extent (closed interval: merge iff
+    gap <= G) — so G = 1800s over second-truncated timestamps reproduces
+    the exact same session boundaries. Aggregates (min/max) read the
+    ORIGINAL timestamps, only the window key is truncated."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "ts", F.date_trunc("second", "ts").alias("tss"))
+        .groupBy(F.session_window("tss", "1800 seconds"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+SESSIONIZE_NATIVE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR date_diff('second', prev, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-window document chunking (chunk=200 chars,
     stride=150): the splitter that turns a corpus into training samples
@@ -2671,6 +2719,10 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "events_hopping_active_users": (
         events_hopping_active_users,
         EVENTS_HOPPING_SQL,
+    ),
+    "events_sessionize_native": (
+        events_sessionize_native,
+        SESSIONIZE_NATIVE_SQL,
     ),
     "doc_chunk_overlap": (doc_chunk_overlap, DOC_CHUNK_SQL),
     "doc_topk_ngrams": (doc_topk_ngrams, DOC_TOPK_NGRAMS_SQL),

@@ -258,3 +258,20 @@ def test_fuzzy_lsh_survivors_subset_of_exhaustive_domain(spark):
         .collect()
     }
     assert lsh_kept <= all_docs
+
+
+def test_native_sessionize_matches_lag_variant(spark):
+    """session_window and the lag+running-sum formulation must produce the
+    identical session partitioning (same boundary semantics)."""
+    from bulker_spark.plans.analytics import events_sessionize_native
+    from bulker_spark.plans.queries import events_sessionize
+
+    native = {
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in events_sessionize_native(spark, SF_DIR).collect()
+    }
+    lagged = {
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in events_sessionize(spark, SF_DIR).collect()
+    }
+    assert native == lagged

@@ -146,3 +146,29 @@ def test_threaded_merges_serialize_without_lost_update(spark, roots):
     assert rows == {1: "base", 11: "w1", 12: "w2"}
     ops = [e["op"] for e in eng.warehouse._read_log("t")]
     assert len(ops) == 3  # every commit claimed a distinct id
+
+
+def test_crashed_commit_claim_does_not_wedge_the_table(spark, roots):
+    """A writer that claims a commit file and dies before the pointer swap
+    must not block later writers: the next commit claims the following id
+    and the live state never includes the orphaned claim."""
+    import json
+    import os
+
+    from bulker_spark.sinks.warehouse import LOG_DIR
+
+    wh = Warehouse(spark, roots)
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    # simulate the crash: claim commit 2 by hand, never touch the pointer
+    log_dir = os.path.join(wh._table_dir("t"), LOG_DIR)
+    entry = dict(wh._read_log("t")[-1])
+    entry["commit"] = 2
+    entry["op"] = "merge"
+    with open(os.path.join(log_dir, f"{2:012d}.json"), "w") as fh:
+        json.dump(entry, fh)
+    # a later writer proceeds: claims commit 3, table stays consistent
+    wh.append("t", _df(spark, [(2, "b")]))
+    assert wh._last_commit_id("t") == 3
+    assert wh.read("t").count() == 2
+    ops = [e["op"] for e in wh._read_log("t")]
+    assert ops == ["replace_table", "merge", "append"]

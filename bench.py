@@ -154,6 +154,7 @@ def main() -> None:
     # ingest-path warmup (same JIT rationale as the query warmup above):
     # a tiny load compiles the flatten/infer/merge codepaths so the timed
     # tiers measure pipeline throughput, not first-call JIT
+    wh0 = None
     try:
         wh0 = tempfile.mkdtemp(prefix="bench_wh0_")
         tiny = spark.range(1_000).select(
@@ -169,7 +170,8 @@ def main() -> None:
     except Exception:
         pass
     finally:
-        shutil.rmtree(wh0, ignore_errors=True)
+        if wh0:
+            shutil.rmtree(wh0, ignore_errors=True)
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     events = spark.range(100_000).select(
@@ -253,6 +255,7 @@ def main() -> None:
     # streaming-machinery warmup (same steady-state rationale as the query
     # and ingest warmups): one tiny checkpointed run compiles the
     # micro-batch planner/foreachBatch paths before the timed tier
+    whw = srcw = ckptw = None
     try:
         whw = tempfile.mkdtemp(prefix="bench_whw_")
         srcw = tempfile.mkdtemp(prefix="bench_srcw_")
@@ -270,7 +273,8 @@ def main() -> None:
         pass
     finally:
         for d in (whw, srcw, ckptw):
-            shutil.rmtree(d, ignore_errors=True)
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
 
     wh2 = tempfile.mkdtemp(prefix="bench_whs_")
     src = tempfile.mkdtemp(prefix="bench_src_")

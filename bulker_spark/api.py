@@ -288,6 +288,16 @@ class Engine:
                     F.count(F.when(valid, 1)).alias("v"),
                 ).collect()[0]
                 malformed = int(stats["t"]) - int(stats["v"])
+                if int(stats["v"]) == 0:
+                    # every line malformed: nothing to load — do NOT run
+                    # inference on the empty frame (it would create/commit
+                    # a degenerate table); the caller dead-letters via
+                    # malformed_rows
+                    return StreamResult(
+                        processed_rows=malformed,
+                        malformed_rows=malformed,
+                        table=meta,
+                    )
                 json_df = json_df.filter(valid)
             source: Any = json_df if json_df is not None else events
             if json_df is None and not events:
@@ -474,7 +484,18 @@ class Engine:
         snapshot per view at registration time), then the query planned by
         Catalyst — predicate pushdown, broadcast selection, and AQE all
         apply to the warehouse files exactly as to any parquet scan."""
+        import re
+
         ns = namespace or self.warehouse.namespace
-        for t in self.warehouse.list_tables(ns):
+        tables = self.warehouse.list_tables(ns)
+        # register only the tables the query names (word-boundary match) —
+        # a 50-table namespace must not pay 50 meta reads per query; if
+        # nothing matches (quoted/derived names) fall back to all
+        wanted = [
+            t
+            for t in tables
+            if re.search(rf"\b{re.escape(t)}\b", query, re.IGNORECASE)
+        ]
+        for t in wanted or tables:
             self.warehouse.read(t, ns).createOrReplaceTempView(t)
         return self.spark.sql(query)

@@ -93,8 +93,13 @@ def pii_redact(
     redacted email can't double-match). JVM ``regexp_replace`` only —
     safe in the 100 TB hot path."""
     c = text if isinstance(text, Column) else F.col(text)
-    for name in classes or list(PII_PATTERNS):
-        c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
+    # apply in PII_PATTERNS order regardless of the caller's list order —
+    # the declared order is the anti-double-match guarantee (a phone
+    # pattern run first would eat digits inside a not-yet-redacted email)
+    wanted = set(classes) if classes else set(PII_PATTERNS)
+    for name in PII_PATTERNS:
+        if name in wanted:
+            c = F.regexp_replace(c, PII_PATTERNS[name], replacement)
     return c
 
 

@@ -179,11 +179,17 @@ class Warehouse:
                 f"{meta.namespace}.{meta.name} was superseded by a "
                 f"concurrent writer"
             )
-        # pointer = read cache over the log tail, refreshed post-commit
+        # pointer = read cache over the log tail, refreshed post-commit;
+        # skipped if a faster committer already claimed a newer id (a
+        # stalled writer's late os.replace must not regress the shared
+        # pointer below the log tail)
         ptr = os.path.join(d, f".{META_FILE}.{uuid.uuid4().hex}")
         with open(ptr, "w") as fh:
             _json.dump(meta.to_json(), fh)
-        os.replace(ptr, os.path.join(d, META_FILE))
+        if self._last_commit_id(meta.name, meta.namespace) == next_id:
+            os.replace(ptr, os.path.join(d, META_FILE))
+        else:
+            os.unlink(ptr)
         self._meta_cache[f"{meta.namespace}.{meta.name}"] = meta
 
     def _last_commit_id(self, name: str, namespace: str | None = None) -> int:
@@ -204,6 +210,27 @@ class Warehouse:
         """Drop the cached meta so the next read resolves the pointer from
         disk — the re-read step of a ConcurrentWriteError retry."""
         self._meta_cache.pop(f"{namespace or self.namespace}.{name}", None)
+
+    def _snapshot(
+        self, name: str, namespace: str | None = None
+    ) -> tuple[TableMeta | None, int]:
+        """(meta, occ_token) bound to the SAME snapshot: both come from the
+        commit log's tail claim file, never the driver-side meta cache or
+        the pointer (either can lag a racing or crashed writer — a token
+        read fresh against a stale cached meta would let this operation's
+        commit silently bury the commit the cache missed). Refreshes the
+        cache as a side effect so subsequent ``read()`` resolves the same
+        snapshot."""
+        base = self._last_commit_id(name, namespace)
+        if base == 0:
+            return self.get_meta(name, namespace), 0
+        path = os.path.join(
+            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
+        )
+        with open(path) as fh:
+            meta = TableMeta.from_json(_json.load(fh)["meta"])
+        self._meta_cache[f"{namespace or self.namespace}.{name}"] = meta
+        return meta, base
 
     def _read_log(self, name: str, namespace: str | None = None) -> list[dict]:
         log_dir = os.path.join(self._table_dir(name, namespace), LOG_DIR)
@@ -365,7 +392,16 @@ class Warehouse:
         d = self._table_dir(name, namespace)
         log = self._read_log(name, namespace)
         referenced = [e["meta"].get("version", "") for e in log]
-        retained = {keep} | {v for v in referenced[-self.retain_versions:] if v}
+        # retain the last N DISTINCT versions, not the last N commits —
+        # appends reuse a version dir, so counting commits would silently
+        # shorten the promised retention window
+        distinct: list[str] = []
+        for v in reversed(referenced):
+            if v and v not in distinct:
+                distinct.append(v)
+            if len(distinct) >= self.retain_versions:
+                break
+        retained = {keep} | set(distinct)
         for v in set(referenced):
             if v and v not in retained:
                 shutil.rmtree(os.path.join(d, v), ignore_errors=True)
@@ -644,7 +680,10 @@ class Warehouse:
         """Upsert: new version = merge_upsert(current, source); swap."""
         from ..operators.merge import merge_upsert
 
-        meta = self.get_meta(name, namespace)
+        # OCC: meta and token from the same log-tail snapshot — a commit
+        # landing between here and our own commit fails ours instead of
+        # silently dropping its rows (lost update)
+        meta, base = self._snapshot(name, namespace)
         if meta is None:
             return self.create_or_replace(
                 name,
@@ -655,10 +694,6 @@ class Warehouse:
                 namespace=namespace,
             )
         source = self._align_json_storage(meta, source)
-        # OCC token: the commit our snapshot read is based on — a commit
-        # landing between here and our own commit fails ours instead of
-        # silently dropping its rows (lost update)
-        base = self._last_commit_id(name, namespace)
         ts_col = timestamp_column or meta.timestamp_column
         part_col = next(
             (c for c in meta.partition_by or [] if c in source.columns), None
@@ -718,6 +753,19 @@ class Warehouse:
         if sample is None:  # empty batch — nothing to merge
             return meta
         cutoff_id = partition_cutoff_id(str(sample[0]), cutoff)
+
+        # In-place mutation ahead: dynamic overwrite rewrites files INSIDE
+        # the live version dir, so unlike the new-version ops a conflict
+        # detected at commit time cannot be rolled back. Check the token
+        # immediately before mutating to shrink the window; deployments
+        # running concurrent writers against the SAME time-partitioned
+        # table should serialize per table (the reference's
+        # one-consumer-per-(destination,table) topology).
+        if base is not None and self._last_commit_id(name, namespace) != base:
+            raise ConcurrentWriteError(
+                f"commit {base} of {name} superseded before partitioned "
+                f"merge began"
+            )
 
         target = self.read(name, namespace)
         live_slice = merge_upsert_live_slice(
@@ -789,13 +837,16 @@ class Warehouse:
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
         work = df
-        bucket_cols = []
+        dcols = []
         for c in cols:
             dcol = f"__zd_{c}"
-            work = work.withColumn(
-                dcol, F.col(c).cast("double")
-            )
-            qs = work.approxQuantile(dcol, probs, 0.001)
+            work = work.withColumn(dcol, F.col(c).cast("double"))
+            dcols.append(dcol)
+        # ONE quantile job for all clustered columns — per-column calls
+        # would scan the full table once per column just for boundaries
+        all_qs = work.approxQuantile(dcols, probs, 0.001)
+        bucket_cols = []
+        for c, dcol, qs in zip(cols, dcols, all_qs):
             splits = [float("-inf")]
             for q in qs:
                 if q > splits[-1]:
@@ -846,10 +897,9 @@ class Warehouse:
         prune on any of them, not just the leading key — see
         :meth:`_zorder_expr`. Mutually exclusive with ``cluster_by``
         (``zorder_by`` wins)."""
-        meta = self.get_meta(name, namespace)
+        meta, base = self._snapshot(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
-        base = self._last_commit_id(name, namespace)
         stats = self.table_stats(name, namespace)
         n_out = max(1, round(stats["bytes"] / target_file_bytes))
         df = self.read(name, namespace)
@@ -882,10 +932,9 @@ class Warehouse:
         """DELETE rows matching WhenConditions (sql_adapter_base.go:354-411):
         rewrite the live version without the matching rows, swap, GC.
         Returns rows deleted."""
-        meta = self.get_meta(name, namespace)
+        meta, base = self._snapshot(name, namespace)
         if meta is None:
             return 0
-        base = self._last_commit_id(name, namespace)
         col = (
             conditions.to_column()
             if hasattr(conditions, "to_column")

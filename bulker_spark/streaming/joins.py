@@ -32,12 +32,7 @@ def enrich_static(
     return stream_df.join(dim, on=on, how=how)
 
 
-def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
-    """Watermarks require TIMESTAMP (LTZ); parquet written by pandas/arrow
-    is TIMESTAMP_NTZ. Coerce only when needed — a no-op for LTZ input."""
-    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return df
+from bulker_spark.streaming.windows import _ltz  # one coercion rule, not two
 
 
 def join_streams(

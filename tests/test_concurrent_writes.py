@@ -172,3 +172,32 @@ def test_crashed_commit_claim_does_not_wedge_the_table(spark, roots):
     assert wh.read("t").count() == 2
     ops = [e["op"] for e in wh._read_log("t")]
     assert ops == ["replace_table", "merge", "append"]
+
+
+def test_stale_cache_merge_sees_other_writers_commit(spark, roots):
+    """The OCC meta+token come from the log tail, never the driver cache:
+    a long-lived handle merging after ANOTHER handle's commit must build
+    on that commit (no silent lost update, no error)."""
+    a = Warehouse(spark, roots, retain_versions=2)
+    b = Warehouse(spark, roots, retain_versions=2)
+    a.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    a.merge("t", _df(spark, [(2, "a2")]), pk=["pk"])  # a's cache warm
+    b.merge("t", _df(spark, [(3, "b1")]), pk=["pk"])  # a's cache now stale
+    a.merge("t", _df(spark, [(4, "a3")]), pk=["pk"])  # must include b's row
+    rows = {r["pk"]: r["v"] for r in a.read("t").collect()}
+    assert rows == {1: "a", 2: "a2", 3: "b1", 4: "a3"}
+
+
+def test_retention_counts_distinct_versions_not_commits(spark, roots):
+    """Appends reuse the version dir; retention must still keep the
+    promised number of DISTINCT snapshots restorable."""
+    wh = Warehouse(spark, roots, retain_versions=3)
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])  # v1, c1
+    wh.merge("t", _df(spark, [(2, "b")]), pk=["pk"])  # v2, c2
+    wh.append("t", _df(spark, [(3, "c")]))  # v2, c3
+    wh.append("t", _df(spark, [(4, "d")]))  # v2, c4
+    wh.merge("t", _df(spark, [(5, "e")]), pk=["pk"])  # v3, c5
+    # three distinct versions ever existed; all three must be readable
+    assert wh.read("t", version=1).count() == 1
+    assert wh.read("t", version=4).count() == 4
+    assert wh.read("t").count() == 5

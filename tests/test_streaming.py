@@ -164,3 +164,24 @@ def test_checkpoint_restart_exactly_once(spark, tmp_warehouse, tmp_path):
     assert engine.warehouse.count("eo") == 15  # 10 would-be dupes skipped
     ids = sorted(r["id"] for r in engine.warehouse.read("eo").collect())
     assert ids == list(range(15))
+
+
+def test_all_malformed_batch_creates_no_table(spark, tmp_path):
+    """A micro-batch of ONLY malformed lines must dead-letter every line
+    and never create (or commit to) the destination table."""
+    from bulker_spark.api import Engine, StreamOptions
+    from bulker_spark.streaming.ingest_stream import IngestStream, dead_table
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    stream = IngestStream(
+        eng, "evt",
+        StreamOptions(mode="batch", primary_key=["id"], deduplicate=True),
+    )
+    batch = spark.createDataFrame(
+        [("not json",), ("also not json",), ("",)], "value string"
+    )
+    stream.process_batch(batch, 0)
+    assert not eng.warehouse.exists("evt")
+    dead = eng.warehouse.read(dead_table("evt"))
+    assert dead.count() == 2  # blank line dropped, not dead-lettered
+    assert {r["error"] for r in dead.collect()} == {"malformed JSON"}

@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "doc_fuzzy_dedup_lsh",
     "mm_audio_frames",
     "events_sessionize_native",
+    "doc_block_dedup",
+    "doc_unigram_logprob",
+    "parts_copurchase",
+    "emb_knn_join",
+    "events_interarrival_stats",
+    "customer_priority_scd2",
 ]
 
 

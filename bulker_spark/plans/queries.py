@@ -1275,5 +1275,7 @@ QUERIES: dict[str, tuple] = {
 }
 
 from bulker_spark.plans.analytics import EXTRA_QUERIES  # noqa: E402
+from bulker_spark.plans.analytics2 import EXTRA_QUERIES2  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
+QUERIES.update(EXTRA_QUERIES2)

@@ -169,28 +169,36 @@ GROUP BY 1
 
 def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 co-purchased brand pairs by order support. Dimension lookup
-    (part -> brand) broadcasts; the basket self-join co-partitions on
-    `l_orderkey` — the second join input reuses the exchange the
-    `distinct` already produced, so the pair expansion adds no shuffle.
-    A deterministic total order (support desc, then brand pair) makes the
-    LIMIT stable across engines."""
+    (part -> brand) broadcasts; baskets collapse to one array row per
+    order (`collect_set`, bounded by brand cardinality so no hot-row
+    risk), and the pair expansion happens *inside* the row with
+    `transform`/`slice` — no self-join, no second scan, two exchanges
+    total (basket build + pair count). The final top-k is a TakeOrdered,
+    not a global sort; ranking (support desc, then brand pair) is a total
+    order so the LIMIT is stable across engines."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.brand") < F.col("b.brand")),
-    ).select(
-        F.col("a.brand").alias("brand_a"),
-        F.col("b.brand").alias("brand_b"),
-    )
+    brands = F.col("brands")
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    brands,
+                    lambda x, i: F.transform(
+                        F.slice(brands, i + 2, F.size(brands)),
+                        lambda y: F.struct(
+                            x.alias("brand_a"), y.alias("brand_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
     return (
         pairs.groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("support"))

@@ -294,3 +294,66 @@ def test_fuzzy_dedup_survivors_broadcast_anti(spark):
     import re
 
     assert re.search(r"BroadcastHashJoin .*LeftAnti", txt), txt
+
+
+def test_copurchase_in_row_pairs_no_self_join(spark):
+    from bulker_spark.plans.analytics2 import parts_copurchase
+
+    df = parts_copurchase(spark, SF)
+    rep = audit.audit_report(df)
+    # pair expansion is in-row (transform/slice), so: one broadcast dim
+    # join, no sort-merge self-join, one scan per table, two exchanges
+    # (basket collect_set + pair count)
+    assert rep["sortmerge_joins"] == 0, audit.explain_str(df, "simple")
+    assert rep["broadcast_joins"] >= 1
+    assert rep["exchanges"] <= 2, audit.explain_str(df, "simple")
+    assert len(rep["read_schemas"]) == 2, rep["read_schemas"]
+    txt = audit.explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_scd2_reconstruction_single_exchange(spark):
+    from bulker_spark.plans.analytics2 import customer_priority_scd2
+
+    df = customer_priority_scd2(spark, SF)
+    # all three windows + the run groupBy share the o_custkey hash
+    # partitioning: the whole history rebuild is ONE shuffle
+    assert audit.exchange_count(df) <= 1, audit.explain_str(df, "simple")
+    assert audit.pruned_to(df, 4), audit.read_schemas(df)
+
+
+def test_knn_join_broadcasts_query_block(spark):
+    from bulker_spark.plans.analytics2 import emb_knn_join
+
+    df = emb_knn_join(spark, SF)
+    txt = audit.explain_str(df, "simple")
+    # query block broadcasts (nested-loop against the candidate scan);
+    # the only exchange is the per-query top-k window
+    assert "BroadcastNestedLoopJoin" in txt, txt
+    assert audit.exchange_count(df) <= 1, txt
+    # vec_id range predicates reach the parquet scan
+    filters = " ".join(audit.pushed_filters(df))
+    assert "vec_id" in filters
+
+
+def test_block_dedup_hashed_keys_cross_shuffle(spark):
+    from bulker_spark.plans.analytics2 import doc_block_dedup
+
+    df = doc_block_dedup(spark, SF)
+    rep = audit.audit_report(df)
+    # block->frequency agg partial-aggregates map-side; the join back is
+    # keyed on xxhash64 so 64-bit ints cross the exchanges, not strings
+    assert audit.has_partial_aggregate(df)
+    assert "xxhash64" in audit.explain_str(df, "formatted")
+    assert rep["sortmerge_joins"] <= 1
+
+
+def test_interarrival_two_exchanges(spark):
+    from bulker_spark.plans.analytics2 import events_interarrival_stats
+
+    df = events_interarrival_stats(spark, SF)
+    rep = audit.audit_report(df)
+    # lag window (user_id) + per-type rollup: two exchanges, no Python
+    assert rep["exchanges"] <= 2, audit.explain_str(df, "simple")
+    assert "BatchEvalPython" not in audit.explain_str(df, "simple")
+    assert audit.pruned_to(df, 4), audit.read_schemas(df)

@@ -36,7 +36,7 @@ from .table import TableMeta
 PARTITION_ID_COLUMN = "__partition_id"  # delete_condition.go:10
 TS_PARTITION_COLUMN = "__ts_partition"  # derived time-partition column
 
-MODES = ("stream", "batch", "replace_table", "replace_partition")
+MODES = ("stream", "batch", "replace_table", "replace_partition", "scd2")
 
 
 @dataclass
@@ -102,6 +102,9 @@ class StreamOptions:
     # Native-warehouse tables only; JDBC destinations keep JSON text
     # (their type maps expect jsonb/super/JSON strings).
     json_as_variant: bool = False
+    # scd2 mode: attributes whose change closes the current version and
+    # opens a new one; empty → every non-PK, non-internal batch column
+    scd2_tracked: list[str] = field(default_factory=list)
 
     def policy(self) -> SchemaPolicy:
         return SchemaPolicy(self.schema_freeze, self.max_columns_count)
@@ -243,8 +246,13 @@ class Engine:
         ns = opt.namespace
         meta = self.warehouse.get_meta(table, ns)
         existing: dict | None = None
-        if meta is not None and opt.mode in ("batch", "stream"):
+        if meta is not None and opt.mode in ("batch", "stream", "scd2"):
             existing = dict(meta.columns)
+            if opt.mode == "scd2":
+                from .operators import scd2 as _scd2
+
+                for c in (_scd2.VALID_FROM, _scd2.VALID_TO, _scd2.IS_CURRENT):
+                    existing.pop(c, None)
         pinned = opt.pinned_types()
         if pinned:
             existing = existing or {}
@@ -392,6 +400,50 @@ class Engine:
                 partition_by=ts_part,
                 namespace=ns,
             )
+        elif opt.mode == "scd2":
+            # history-preserving upsert: close-on-change + versioned open
+            # (operators/scd2.py). The current slice joins the broadcast
+            # batch; closed history is carried untouched. __is_current
+            # partitions the table so `scd2_current` reads prune to the
+            # live slice.
+            if not opt.primary_key:
+                raise ValueError("scd2 mode requires primary_key")
+            from .operators.scd2 import (
+                IS_CURRENT,
+                scd2_apply,
+                scd2_init,
+            )
+
+            eff: Any = (
+                opt.timestamp_column
+                if opt.timestamp_column and opt.timestamp_column in df.columns
+                else (opt.frozen_now or _dt.datetime.utcnow())
+            )
+            tracked = opt.scd2_tracked or [
+                c
+                for c in df.columns
+                if c not in opt.primary_key
+                and not c.startswith("__")
+                and c != opt.timestamp_column
+            ]
+            if meta is None:
+                dim = scd2_init(df, opt.primary_key, eff)
+            else:
+                dim = scd2_apply(
+                    self.warehouse.read(table, namespace=ns),
+                    df,
+                    opt.primary_key,
+                    tracked,
+                    eff,
+                )
+            meta = self.warehouse.create_or_replace(
+                table,
+                dim,
+                pk=opt.primary_key,
+                timestamp_column=opt.timestamp_column,
+                partition_by=[IS_CURRENT],
+                namespace=ns,
+            )
         elif opt.primary_key and opt.deduplicate:
             now = opt.frozen_now or _dt.datetime.utcnow()
             window_days = None
@@ -435,6 +487,7 @@ class Engine:
         step = {
             "replace_partition": "replace_partition_ms",
             "replace_table": "replace_table_ms",
+            "scd2": "scd2_ms",
         }.get(opt.mode, "merge_ms" if opt.primary_key and opt.deduplicate else "load_ms")
         state[step] = round((_time.time() - _t0) * 1000, 1)
 

@@ -78,14 +78,23 @@ def scd2_apply(
     offset-after-commit retry semantics replay a batch safely."""
     pk = list(pk)
     tracked = list(tracked)
+
+    # schema evolution both ways: target-only columns null-fill on the
+    # batch side, batch-first-seen columns are appended to the dimension
+    target_biz = [
+        c for c in target.columns if c not in (VALID_FROM, VALID_TO, IS_CURRENT)
+    ]
+    biz_cols = list(dict.fromkeys([*target_biz, *batch.columns]))
+    for c in biz_cols:
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None))
     history = target.filter(~F.col(IS_CURRENT))
     current = target.filter(F.col(IS_CURRENT))
 
-    biz_cols = [c for c in target.columns if c not in (VALID_FROM, VALID_TO, IS_CURRENT)]
     stamped = _stamp(batch.dropDuplicates(pk), effective)
-    missing = [c for c in biz_cols if c not in batch.columns]
-    for c in missing:
-        stamped = stamped.withColumn(c, F.lit(None))
+    for c in biz_cols:
+        if c not in batch.columns:
+            stamped = stamped.withColumn(c, F.lit(None))
     b = stamped.select(
         *[F.col(f"`{c}`").alias(f"__b_{c}") for c in biz_cols], "__eff"
     )

@@ -132,3 +132,74 @@ def test_catalog_query_runs(spark):
     for a, b in zip(versions, versions[1:]):
         assert a["valid_to"] == b["valid_from"]
     assert versions[-1]["valid_to"] is None
+
+
+# -------------------------- engine-mode wiring ---------------------------
+
+def _load(engine, rows, eff, **kw):
+    import json
+
+    events = [json.dumps(r) for r in rows]
+    return engine.bulk_load(
+        "dim_users", events, mode="scd2", primary_key=["id"],
+        frozen_now=eff, **kw,
+    )
+
+
+def test_engine_scd2_mode_end_to_end(spark, tmp_warehouse):
+    from bulker_spark import Engine
+    from bulker_spark.operators.scd2 import scd2_as_of, scd2_current
+
+    e = Engine(spark, tmp_warehouse)
+    r1 = _load(e, [{"id": 1, "city": "nyc"}, {"id": 2, "city": "sf"}], T0)
+    assert r1.successful_rows == 2
+    assert "scd2_ms" in r1.warehouse_state
+
+    _load(e, [{"id": 1, "city": "boston"}, {"id": 3, "city": "la"}], T1)
+    dim = e.warehouse.read("dim_users")
+    assert dim.count() == 4  # closed nyc + boston + sf + la
+    cur = {r["id"]: r["city"] for r in scd2_current(dim).collect()}
+    assert cur == {1: "boston", 2: "sf", 3: "la"}
+    asof = {r["id"]: r["city"] for r in scd2_as_of(dim, dt.datetime(2024, 1, 15)).collect()}
+    assert asof == {1: "nyc", 2: "sf"}
+    # partitioned by the current flag so live reads prune
+    assert "__is_current" in (e.warehouse.get_meta("dim_users").partition_by or [])
+
+
+def test_engine_scd2_replay_is_noop(spark, tmp_warehouse):
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    batch = [{"id": 1, "city": "nyc"}]
+    _load(e, batch, T0)
+    _load(e, batch, T1)  # unchanged attributes: no new version
+    assert e.warehouse.read("dim_users").count() == 1
+
+
+def test_engine_scd2_schema_evolution(spark, tmp_warehouse):
+    from bulker_spark import Engine
+    from bulker_spark.operators.scd2 import scd2_current
+
+    e = Engine(spark, tmp_warehouse)
+    _load(e, [{"id": 1, "city": "nyc"}], T0)
+    # new attribute appears: column appended, change detection sees it
+    _load(e, [{"id": 1, "city": "nyc", "tier": "gold"}], T1)
+    dim = e.warehouse.read("dim_users")
+    assert "tier" in dim.columns
+    assert dim.count() == 2  # tier None -> gold is a tracked change
+    cur = scd2_current(dim).collect()[0]
+    assert cur["tier"] == "gold" and cur["city"] == "nyc"
+
+
+def test_engine_scd2_effective_from_timestamp_column(spark, tmp_warehouse):
+    from bulker_spark import Engine
+    from bulker_spark.operators.scd2 import VALID_FROM
+
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "dim_users",
+        ['{"id": 1, "city": "nyc", "updated_at": "2024-05-02T00:00:00"}'],
+        mode="scd2", primary_key=["id"], timestamp_column="updated_at",
+    )
+    r = e.warehouse.read("dim_users").collect()[0]
+    assert r[VALID_FROM] == dt.datetime(2024, 5, 2)

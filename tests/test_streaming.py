@@ -185,3 +185,40 @@ def test_all_malformed_batch_creates_no_table(spark, tmp_path):
     dead = eng.warehouse.read(dead_table("evt"))
     assert dead.count() == 2  # blank line dropped, not dead-lettered
     assert {r["error"] for r in dead.collect()} == {"malformed JSON"}
+
+
+def test_streaming_scd2_mode(spark, tmpdirs):
+    """mode=scd2 rides the same foreachBatch front: each micro-batch is a
+    snapshot applied to the dimension, change closes + opens versions."""
+    from bulker_spark.operators.scd2 import scd2_current
+
+    src_dir, ckpt, wh = tmpdirs
+    with open(os.path.join(src_dir, "snap1.ndjson"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "city": "nyc"}) + "\n")
+        fh.write(json.dumps({"id": 2, "city": "sf"}) + "\n")
+
+    engine = Engine(spark, wh)
+    stream = IngestStream(
+        engine,
+        "dim_users",
+        StreamOptions(
+            mode="scd2",
+            primary_key=["id"],
+            deduplicate=True,
+            frozen_now=dt.datetime(2024, 1, 1),
+        ),
+    )
+    q = stream.start(json_file_stream(spark, src_dir), ckpt)
+    q.awaitTermination(120)
+    assert engine.warehouse.count("dim_users") == 2
+
+    with open(os.path.join(src_dir, "snap2.ndjson"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "city": "boston"}) + "\n")
+    stream.options.frozen_now = dt.datetime(2024, 2, 1)
+    q2 = stream.start(json_file_stream(spark, src_dir), ckpt)
+    q2.awaitTermination(120)
+
+    dim = engine.warehouse.read("dim_users")
+    assert dim.count() == 3  # closed nyc + open boston + sf
+    cur = {r["id"]: r["city"] for r in scd2_current(dim).collect()}
+    assert cur == {1: "boston", 2: "sf"}

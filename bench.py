@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "emb_knn_join",
     "events_interarrival_stats",
     "customer_priority_scd2",
+    "events_profile",
+    "orders_quality_checks",
+    "events_cms_user_counts",
 ]
 
 

@@ -428,6 +428,174 @@ FROM runs
 """
 
 
+# ==========================================================================
+# Table profiling — per-column stats in one aggregation pass
+# ==========================================================================
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table (rows / nulls / distincts /
+    null fraction) via `functions.profile.profile`: every column's
+    statistics are computed inside ONE partial-aggregated pass — a single
+    scan and a 1-row shuffle no matter how many columns the table has."""
+    from ..functions.profile import profile
+
+    ev = _t(spark, sf_dir, "events")
+    return profile(ev).withColumnRenamed("column", "col_name")
+
+
+EVENTS_PROFILE_SQL = """
+WITH n AS (SELECT count(*) AS n_rows FROM events)
+SELECT p.col_name, n.n_rows, p.n_nulls, p.n_distinct,
+       ROUND(p.n_nulls * 1.0 / n.n_rows, 4) AS null_frac
+FROM (
+  SELECT 'event_id' AS col_name,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT ts) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT value) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT props) AS BIGINT) FROM events
+) p, n
+"""
+
+
+# ==========================================================================
+# Declarative data-quality checks — deequ/dbt-style expectations
+# ==========================================================================
+
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over orders: PK uniqueness, FK non-null,
+    accepted status values, and a positive-amount expression — all four
+    compiled into one aggregation pass by `functions.profile.run_checks`
+    (violations are counted, the plan never crashes on bad rows)."""
+    from ..functions.profile import (
+        accepted_values,
+        expression,
+        non_null,
+        run_checks,
+        unique,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = run_checks(
+        o,
+        [
+            unique("o_orderkey"),
+            non_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            expression("o_totalprice > 0", "o_totalprice_positive"),
+        ],
+    )
+    return out.withColumnRenamed("check", "check_name")
+
+
+ORDERS_CHECKS_SQL = """
+SELECT 'o_orderkey_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'o_custkey_not_null',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_accepted',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_positive',
+       CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) = 0
+FROM orders
+"""
+
+
+# ==========================================================================
+# Count-min sketch heavy-hitter estimates
+# ==========================================================================
+
+_CMS_W, _CMS_D = 512, 2
+
+
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates vs exact counts for a probe
+    key set (user_id < 20). The sketch shuffles depth x width = 1024
+    mergeable cells instead of the full user key set — the O(sketch)
+    reduce that survives arbitrary key cardinality at 100 TB. Estimates
+    are deterministic (md5-derived hashes) so the DuckDB oracle rebuilds
+    the identical sketch; `test_sketch_accuracy.py` pins the
+    overcount bound."""
+    from ..functions.sketches import count_min_lookup, count_min_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    cms = count_min_sketch(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    probes = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = count_min_lookup(
+        cms, probes, "user_id", width=_CMS_W, depth=_CMS_D
+    )
+    true = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(true, "user_id").select(
+        "user_id", "est_count", "true_count"
+    )
+
+
+EVENTS_CMS_SQL = f"""
+WITH cells AS (
+  SELECT 0 AS d,
+         CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))
+              ::UBIGINT % {_CMS_W} AS BIGINT) AS cell
+  FROM events
+  UNION ALL
+  SELECT 1,
+         CAST(('0x' || substr(md5('1:' || CAST(user_id AS VARCHAR)), 1, 15))
+              ::UBIGINT % {_CMS_W} AS BIGINT)
+  FROM events
+),
+cms AS (SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+qcells AS (
+  SELECT user_id, 0 AS d,
+         CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))
+              ::UBIGINT % {_CMS_W} AS BIGINT) AS cell
+  FROM probes
+  UNION ALL
+  SELECT user_id, 1,
+         CAST(('0x' || substr(md5('1:' || CAST(user_id AS VARCHAR)), 1, 15))
+              ::UBIGINT % {_CMS_W} AS BIGINT)
+  FROM probes
+),
+est AS (
+  SELECT user_id, MIN(cnt) AS est_count
+  FROM qcells JOIN cms USING (d, cell) GROUP BY 1
+),
+tru AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+  FROM events WHERE user_id < 20 GROUP BY 1
+)
+SELECT user_id, est_count, true_count FROM est JOIN tru USING (user_id)
+"""
+
+
 EXTRA_QUERIES2: dict[str, tuple] = {
     "doc_block_dedup": (doc_block_dedup, DOC_BLOCK_DEDUP_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_SQL),
@@ -438,4 +606,7 @@ EXTRA_QUERIES2: dict[str, tuple] = {
         EVENTS_INTERARRIVAL_SQL,
     ),
     "customer_priority_scd2": (customer_priority_scd2, CUSTOMER_SCD2_SQL),
+    "events_profile": (events_profile, EVENTS_PROFILE_SQL),
+    "orders_quality_checks": (orders_quality_checks, ORDERS_CHECKS_SQL),
+    "events_cms_user_counts": (events_cms_user_counts, EVENTS_CMS_SQL),
 }

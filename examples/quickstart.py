@@ -79,6 +79,44 @@ def main() -> None:
     except ValueError as ex:
         print("events table:", ex)
 
+    # 6. SCD Type-2 dimensions (mode="scd2"): change closes the current
+    #    version and opens a new one; history is queryable as-of any time
+    import datetime as dt
+
+    from bulker_spark.operators.scd2 import scd2_as_of, scd2_current
+
+    eng.bulk_load(
+        "dim_users", ['{"id": 1, "city": "nyc"}'], mode="scd2",
+        primary_key=["id"], frozen_now=dt.datetime(2024, 1, 1),
+    )
+    eng.bulk_load(
+        "dim_users", ['{"id": 1, "city": "boston"}'], mode="scd2",
+        primary_key=["id"], frozen_now=dt.datetime(2024, 2, 1),
+    )
+    dim = eng.warehouse.read("dim_users")
+    print("current city:", scd2_current(dim).collect()[0]["city"])
+    print(
+        "city on Jan 15:",
+        scd2_as_of(dim, dt.datetime(2024, 1, 15)).collect()[0]["city"],
+    )
+
+    # 7. data-quality gates: profile + declarative checks, one pass each
+    from bulker_spark.functions.profile import non_null, profile, run_checks, unique
+
+    profile(eng.warehouse.read("events")).show()
+    run_checks(
+        eng.warehouse.read("events"), [unique("id"), non_null("type")]
+    ).show()
+
+    # 8. incrementally-maintained rollup: refresh aggregates from append
+    #    deltas only (falls back to full rebuild if the source was rewritten)
+    from bulker_spark.operators.incremental import incremental_rollup
+
+    ru = incremental_rollup(eng.warehouse, "log", "log_rollup", ["seq"])
+    print(ru.refresh())  # initial
+    eng.bulk_load("log", ['{"seq": 3}'], mode="batch")
+    print(ru.refresh())  # incremental: only the new file is aggregated
+
     spark.stop()
 
 

@@ -287,6 +287,82 @@ class SqlDialect:
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols})"
         ]
 
+    def scd2_apply_statements(
+        self,
+        table: str,
+        columns: list[str],
+        pk: list[str],
+        tracked: list[str],
+        effective_literal: str,
+        staging: str,
+        namespace: str | None = None,
+    ) -> list[str]:
+        """SCD2 apply as a two-statement pair over a staging snapshot:
+        (1) close current rows whose tracked attributes changed, (2) open
+        versions for keys that now have no current row (just-closed keys
+        and brand-new keys alike — which is why the INSERT needs no
+        change predicate of its own). JDBC-warehouse twin of
+        ``operators/scd2.py:scd2_apply``; ``effective_literal`` is a SQL
+        timestamp literal. ClickHouse is unsupported (no UPDATE ... FROM;
+        SCD2 there is modeled with ReplacingMergeTree + version columns,
+        the same engine-level stance as the reference's dedup,
+        clickhouse.go:1202-1243)."""
+        q = self.qualified(table, namespace)
+        s = self.ident(staging)
+        vf, vt, cur = (
+            self.ident("__valid_from"),
+            self.ident("__valid_to"),
+            self.ident("__is_current"),
+        )
+
+        def distinct(lhs: str, rhs: str) -> str:
+            if self.name == "mysql":
+                return f"NOT ({lhs} <=> {rhs})"
+            return f"{lhs} IS DISTINCT FROM {rhs}"
+
+        on = " AND ".join(
+            f"t.{self.ident(c)} = s.{self.ident(c)}" for c in pk
+        )
+        changed = " OR ".join(
+            distinct(f"t.{self.ident(c)}", f"s.{self.ident(c)}")
+            for c in tracked
+        )
+
+        if self.name in ("snowflake", "bigquery"):
+            close = (
+                f"MERGE INTO {q} t USING {s} s ON ({on} AND t.{cur}) "
+                f"WHEN MATCHED AND ({changed}) THEN UPDATE SET "
+                f"t.{vt} = {effective_literal}, t.{cur} = FALSE"
+            )
+        elif self.name == "mysql":
+            close = (
+                f"UPDATE {q} t JOIN {s} s ON {on} "
+                f"SET t.{vt} = {effective_literal}, t.{cur} = FALSE "
+                f"WHERE t.{cur} AND ({changed})"
+            )
+        elif self.name == "clickhouse":
+            raise NotImplementedError(
+                "SCD2 on ClickHouse: use ReplacingMergeTree with a version "
+                "column instead of UPDATE mutations"
+            )
+        else:  # postgres / redshift / duckdb: UPDATE ... FROM
+            close = (
+                f"UPDATE {q} AS t SET {vt} = {effective_literal}, "
+                f"{cur} = FALSE FROM {s} AS s "
+                f"WHERE {on} AND t.{cur} AND ({changed})"
+            )
+
+        cols = ", ".join(self.ident(c) for c in columns)
+        src_cols = ", ".join(f"s.{self.ident(c)}" for c in columns)
+        first_pk = self.ident(pk[0])
+        insert = (
+            f"INSERT INTO {q} ({cols}, {vf}, {vt}, {cur}) "
+            f"SELECT {src_cols}, {effective_literal}, NULL, TRUE "
+            f"FROM {s} s LEFT JOIN {q} t ON {on} AND t.{cur} "
+            f"WHERE t.{first_pk} IS NULL"
+        )
+        return [close, insert]
+
 
 def placeholders_as(columns: list[str], d: SqlDialect) -> str:
     return ", ".join(f"? AS {d.ident(c)}" for c in columns)

@@ -89,3 +89,72 @@ def test_spread_offset_deterministic_and_bounded():
     assert spread_offset_seconds("dst", "t1", 300) == spread_offset_seconds(
         "dst", "t1", 300
     )
+
+
+def test_scd2_statements_execute_on_duckdb():
+    """The dialect SCD2 pair runs live: close-on-change + open versions."""
+    import duckdb
+
+    from bulker_spark.sinks.sql_dialect import SqlDialect
+
+    d = SqlDialect("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        'CREATE TABLE "dim" (id BIGINT, city VARCHAR, '
+        '"__valid_from" TIMESTAMP, "__valid_to" TIMESTAMP, '
+        '"__is_current" BOOLEAN)'
+    )
+    con.execute(
+        "INSERT INTO \"dim\" VALUES (1, 'nyc', TIMESTAMP '2024-01-01', NULL, TRUE),"
+        " (2, 'sf', TIMESTAMP '2024-01-01', NULL, TRUE)"
+    )
+    con.execute('CREATE TABLE "stg" (id BIGINT, city VARCHAR)')
+    con.execute("INSERT INTO \"stg\" VALUES (1, 'boston'), (2, 'sf'), (3, 'la')")
+
+    for stmt in d.scd2_apply_statements(
+        "dim", ["id", "city"], ["id"], ["city"],
+        "TIMESTAMP '2024-02-01'", "stg",
+    ):
+        con.execute(stmt)
+
+    rows = con.execute(
+        'SELECT id, city, "__is_current", "__valid_to" FROM "dim" '
+        'ORDER BY id, "__valid_from"'
+    ).fetchall()
+    import datetime as dt
+
+    assert rows == [
+        (1, "nyc", False, dt.datetime(2024, 2, 1)),   # closed
+        (1, "boston", True, None),                     # opened
+        (2, "sf", True, None),                         # unchanged
+        (3, "la", True, None),                         # new key
+    ]
+
+    # replay is a no-op
+    for stmt in d.scd2_apply_statements(
+        "dim", ["id", "city"], ["id"], ["city"],
+        "TIMESTAMP '2024-03-01'", "stg",
+    ):
+        con.execute(stmt)
+    assert con.execute('SELECT count(*) FROM "dim"').fetchone()[0] == 4
+
+
+def test_scd2_statements_dialect_variants():
+    from bulker_spark.sinks.sql_dialect import SqlDialect
+
+    args = ("dim", ["id", "city"], ["id"], ["city"], "ts'2024-02-01'", "stg")
+    close_pg, _ = SqlDialect("postgres").scd2_apply_statements(*args)
+    assert close_pg.startswith("UPDATE") and "FROM" in close_pg
+    assert "IS DISTINCT FROM" in close_pg
+
+    close_my, _ = SqlDialect("mysql").scd2_apply_statements(*args)
+    assert "JOIN" in close_my and "<=>" in close_my
+
+    close_sf, ins_sf = SqlDialect("snowflake").scd2_apply_statements(*args)
+    assert close_sf.startswith("MERGE INTO")
+    assert ins_sf.startswith("INSERT INTO")
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        SqlDialect("clickhouse").scd2_apply_statements(*args)

@@ -1,0 +1,124 @@
+"""Command-line front: the reference's HTTP bulk surface as a CLI.
+
+The reference exposes ``POST /bulk/:destinationId?tableName=&pk=&mode=``
+(``/root/reference/bulkerapp/app/router.go:220-321``) plus inspection
+endpoints; library users get the same verbs here without standing up a
+server:
+
+    python -m bulker_spark load  -w WH -t tbl [-m MODE] [--pk col ...] file.ndjson
+    python -m bulker_spark sql   -w WH "SELECT ... FROM tbl"
+    python -m bulker_spark tables   -w WH
+    python -m bulker_spark history  -w WH -t tbl
+    python -m bulker_spark count    -w WH -t tbl
+
+``-`` as the load file reads NDJSON from stdin (the /bulk request body).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bulker_spark")
+    p.add_argument("--warehouse", "-w", required=True, help="warehouse root dir")
+    p.add_argument("--namespace", default="default")
+    p.add_argument("--master", default="local[*]")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    load = sub.add_parser("load", help="NDJSON bulk load (POST /bulk)")
+    load.add_argument("file", help="NDJSON path, or - for stdin")
+    load.add_argument("--table", "-t", required=True)
+    load.add_argument(
+        "--mode", "-m", default="replace_table",
+        choices=["stream", "batch", "replace_table", "replace_partition", "scd2"],
+        help="replace_table is the reference's /bulk default",
+    )
+    load.add_argument("--pk", action="append", default=[], help="primary key column (repeatable)")
+    load.add_argument("--deduplicate", action="store_true")
+    load.add_argument("--timestamp-column")
+    load.add_argument("--partition-id")
+
+    q = sub.add_parser("sql", help="Spark SQL over warehouse tables")
+    q.add_argument("query")
+    q.add_argument("--limit", type=int, default=100)
+
+    sub.add_parser("tables", help="list tables")
+
+    h = sub.add_parser("history", help="commit log of a table")
+    h.add_argument("--table", "-t", required=True)
+
+    c = sub.add_parser("count", help="row count (the reference's Count op)")
+    c.add_argument("--table", "-t", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    owns_spark = spark is None
+    if owns_spark:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(args.master)
+            .appName("bulker-spark-cli")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+
+    from bulker_spark import Engine
+
+    engine = Engine(spark, args.warehouse, namespace=args.namespace)
+    try:
+        if args.cmd == "load":
+            lines = (
+                [ln for ln in sys.stdin.read().splitlines() if ln.strip()]
+                if args.file == "-"
+                else args.file
+            )
+            opts: dict = {
+                "mode": args.mode,
+                "primary_key": args.pk,
+                "deduplicate": args.deduplicate,
+            }
+            if args.timestamp_column:
+                opts["timestamp_column"] = args.timestamp_column
+            if args.partition_id:
+                opts["partition_id"] = args.partition_id
+            res = engine.bulk_load(args.table, lines, **opts)
+            print(
+                json.dumps(
+                    {
+                        "table": args.table,
+                        "successful_rows": res.successful_rows,
+                        "malformed_rows": res.malformed_rows,
+                        "state": res.warehouse_state,
+                    }
+                )
+            )
+        elif args.cmd == "sql":
+            engine.sql(args.query).show(args.limit, truncate=False)
+        elif args.cmd == "tables":
+            for name in engine.warehouse.list_tables():
+                print(name)
+        elif args.cmd == "history":
+            for e in engine.warehouse.history(args.table):
+                print(
+                    f"commit {e['commit']}: {e['op']} "
+                    f"({e['n_files']} files, version {e['version']})"
+                )
+        elif args.cmd == "count":
+            print(engine.warehouse.count(args.table))
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

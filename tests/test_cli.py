@@ -1,0 +1,65 @@
+"""CLI front (`python -m bulker_spark`): load / sql / tables / history /
+count against a warehouse, reusing the test SparkSession via injection."""
+
+import json
+import os
+
+from bulker_spark.__main__ import main
+
+
+def _w(path, rows):
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_cli_load_and_inspect(spark, tmp_warehouse, tmp_path, capsys):
+    src = os.path.join(tmp_path, "batch.ndjson")
+    _w(src, [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 2, "v": "b2"}])
+
+    rc = main(
+        [
+            "-w", tmp_warehouse, "load", src,
+            "--table", "t", "--mode", "batch",
+            "--pk", "id", "--deduplicate",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["successful_rows"] == 2  # deduped
+
+    rc = main(["-w", tmp_warehouse, "count", "-t", "t"], spark=spark)
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "2"
+
+    rc = main(["-w", tmp_warehouse, "tables"], spark=spark)
+    assert "t" in capsys.readouterr().out.split()
+    assert rc == 0
+
+    rc = main(
+        ["-w", tmp_warehouse, "sql", "SELECT v FROM t ORDER BY id"],
+        spark=spark,
+    )
+    assert rc == 0
+    shown = capsys.readouterr().out
+    assert "b2" in shown
+
+    rc = main(["-w", tmp_warehouse, "history", "-t", "t"], spark=spark)
+    assert rc == 0
+    assert "commit 1" in capsys.readouterr().out
+
+
+def test_cli_load_stdin(spark, tmp_warehouse, capsys, monkeypatch):
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO('{"id": 1}\n\n{"id": 2}\n')
+    )
+    rc = main(
+        ["-w", tmp_warehouse, "load", "-", "--table", "s"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["successful_rows"] == 2

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "events_profile",
     "orders_quality_checks",
     "events_cms_user_counts",
+    "events_resample_hourly",
+    "events_trailing_1h",
 ]
 
 

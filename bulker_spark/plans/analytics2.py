@@ -596,6 +596,106 @@ SELECT user_id, est_count, true_count FROM est JOIN tru USING (user_id)
 """
 
 
+# ==========================================================================
+# Time-series: gap-filled resampling and trailing range-frame windows
+# ==========================================================================
+
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per user (users 0-2): a dense hour grid
+    from each user's first to last event (`sequence` + explode — in-row
+    generation, no shuffle), left-joined to the per-bucket aggregates and
+    zero-filled. The grid and the aggregate share the user_id hash
+    partitioning, and the grid side is bounded by time-span/granularity —
+    never by event count — so the fill scales with the calendar, not the
+    data."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hour).alias("t0"), F.max(hour).alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    counts = ev.groupBy("user_id", hour.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    return grid.join(counts, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("v"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+EVENTS_RESAMPLE_SQL = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 3),
+bounds AS (
+  SELECT user_id, min(date_trunc('hour', ts)) AS t0,
+         max(date_trunc('hour', ts)) AS t1
+  FROM ev GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+counts AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS v
+  FROM ev GROUP BY 1, 2
+)
+SELECT g.user_id, g.bucket,
+       COALESCE(c.n, 0) AS n_events,
+       COALESCE(c.v, 0.0) AS total_value
+FROM grid g LEFT JOIN counts c USING (user_id, bucket)
+"""
+
+
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour window per event (users < 10): count and value-sum
+    of the same user's events in [t-1h, t] — a RANGE frame over epoch
+    seconds, not a rows frame, so simultaneous bursts are fully included
+    regardless of row order. One shuffle (the user_id window); the frame
+    is bounded by event rate x 1h, so no key can run hot on the frame
+    itself."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+        " date_trunc('second', ts))"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__secs"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn("__secs", secs)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 2).alias("value_1h"),
+        )
+    )
+
+
+EVENTS_TRAILING_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(value) OVER w, 2) AS value_1h
+FROM (
+  SELECT *, date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                      date_trunc('second', ts)) AS secs
+  FROM events WHERE user_id < 10
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY secs
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 EXTRA_QUERIES2: dict[str, tuple] = {
     "doc_block_dedup": (doc_block_dedup, DOC_BLOCK_DEDUP_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_SQL),
@@ -609,4 +709,6 @@ EXTRA_QUERIES2: dict[str, tuple] = {
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
     "orders_quality_checks": (orders_quality_checks, ORDERS_CHECKS_SQL),
     "events_cms_user_counts": (events_cms_user_counts, EVENTS_CMS_SQL),
+    "events_resample_hourly": (events_resample_hourly, EVENTS_RESAMPLE_SQL),
+    "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_SQL),
 }

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "events_cms_user_counts",
     "events_resample_hourly",
     "events_trailing_1h",
+    "events_user_features",
 ]
 
 

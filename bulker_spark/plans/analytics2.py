@@ -696,6 +696,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY secs
 """
 
 
+# ==========================================================================
+# ML feature extraction — per-user behavioral features in one plan
+# ==========================================================================
+
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature vector for downstream ML (users < 30): RFM-style
+    recency/frequency/monetary plus session count, in ONE Catalyst plan —
+    the session-boundary window shares the `user_id` hash partitioning
+    with the final rollup, so the whole feature extraction is a single
+    shuffle. Session boundaries use the same 30-min gap rule as the
+    sessionize operators (timestampdiff over second-truncated operands,
+    TIMESTAMP_NTZ-safe)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', __prev_ts),"
+        " date_trunc('second', ts))"
+    )
+    flagged = ev.withColumn("__prev_ts", F.lag("ts").over(w)).withColumn(
+        "__new_session",
+        F.when(F.col("__prev_ts").isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.date_trunc("day", F.col("ts"))).alias(
+            "n_active_days"
+        ),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
+        F.sum("__new_session").cast("long").alias("n_sessions"),
+    )
+
+
+EVENTS_USER_FEATURES_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second',
+                             date_trunc('second', lag(ts) OVER w),
+                             date_trunc('second', ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_active_days,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       ROUND(AVG(value), 3) AS avg_value,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM flagged
+GROUP BY 1
+"""
+
+
 EXTRA_QUERIES2: dict[str, tuple] = {
     "doc_block_dedup": (doc_block_dedup, DOC_BLOCK_DEDUP_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_SQL),
@@ -711,4 +768,5 @@ EXTRA_QUERIES2: dict[str, tuple] = {
     "events_cms_user_counts": (events_cms_user_counts, EVENTS_CMS_SQL),
     "events_resample_hourly": (events_resample_hourly, EVENTS_RESAMPLE_SQL),
     "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_SQL),
+    "events_user_features": (events_user_features, EVENTS_USER_FEATURES_SQL),
 }

@@ -357,3 +357,33 @@ def test_interarrival_two_exchanges(spark):
     assert rep["exchanges"] <= 2, audit.explain_str(df, "simple")
     assert "BatchEvalPython" not in audit.explain_str(df, "simple")
     assert audit.pruned_to(df, 4), audit.read_schemas(df)
+
+
+def test_user_features_single_exchange(spark):
+    from bulker_spark.plans.analytics2 import events_user_features
+
+    df = events_user_features(spark, SF)
+    # session-boundary window and the feature rollup share the user_id
+    # partitioning: the whole extraction is ONE shuffle
+    assert audit.exchange_count(df) <= 1, audit.explain_str(df, "simple")
+    assert audit.has_pushed_filter(df, "user_id")
+
+
+def test_trailing_window_single_exchange(spark):
+    from bulker_spark.plans.analytics2 import events_trailing_1h
+
+    df = events_trailing_1h(spark, SF)
+    assert audit.exchange_count(df) <= 1, audit.explain_str(df, "simple")
+    assert audit.pruned_to(df, 4), audit.read_schemas(df)
+
+
+def test_resample_grid_broadcasts(spark):
+    from bulker_spark.plans.analytics2 import events_resample_hourly
+
+    df = events_resample_hourly(spark, SF)
+    rep = audit.audit_report(df)
+    # hour-grid generation is in-row; the grid<->counts join broadcasts
+    # (grid is bounded by calendar span, not event count)
+    assert rep["broadcast_joins"] >= 1, audit.explain_str(df, "simple")
+    assert rep["sortmerge_joins"] == 0
+    assert rep["exchanges"] <= 2

@@ -105,6 +105,13 @@ class StreamOptions:
     # scd2 mode: attributes whose change closes the current version and
     # opens a new one; empty → every non-PK, non-internal batch column
     scd2_tracked: list[str] = field(default_factory=list)
+    # data-quality gate on every batch (functions/profile.py Check list):
+    # "fail" aborts the load on any violation (streaming front then
+    # retries/dead-letters the batch), "drop" filters violating rows out
+    # (row-level checks only) and counts them in StreamResult.rejected_rows,
+    # "warn" records violation counts in warehouse_state without blocking
+    expectations: list = field(default_factory=list)
+    expectations_policy: str = "fail"  # fail | drop | warn
 
     def policy(self) -> SchemaPolicy:
         return SchemaPolicy(self.schema_freeze, self.max_columns_count)
@@ -129,6 +136,8 @@ class StreamResult:
     # keeps loading, mirroring the reference's per-event consume errors
     # (bulker.go:152-265 failed vs successful counters)
     malformed_rows: int = 0
+    # rows dropped by an expectations_policy="drop" quality gate
+    rejected_rows: int = 0
     table: TableMeta | None = None
     error: str | None = None
     # per-step wall-clock ms, the WarehouseState analogue
@@ -331,6 +340,40 @@ class Engine:
 
             df = json_columns_to_variant(df, batch_types)
 
+        # data-quality gate (deequ-style circuit breaker) ahead of dedup:
+        # violations are decided on normalized rows, one aggregation pass
+        rejected = 0
+        check_state: dict[str, float] = {}
+        if opt.expectations:
+            from pyspark.sql import functions as F
+
+            from .functions.profile import run_checks, violation_condition
+
+            policy = opt.expectations_policy
+            if policy == "drop":
+                conds = [violation_condition(c) for c in opt.expectations]
+                bad = conds[0]
+                for c in conds[1:]:
+                    bad = bad | c
+                before = df.count()
+                df = df.filter(~F.coalesce(bad, F.lit(False)))
+                rejected = before - df.count()
+            else:
+                results = run_checks(df, opt.expectations).collect()
+                for r in results:
+                    check_state[f"check_{r['check']}_violations"] = float(
+                        r["violations"]
+                    )
+                failed = [r["check"] for r in results if not r["passed"]]
+                if failed and policy == "fail":
+                    raise ValueError(
+                        f"quality expectations failed: {', '.join(failed)}"
+                    )
+                if policy not in ("fail", "warn"):
+                    raise ValueError(
+                        f"unknown expectations_policy {policy!r}"
+                    )
+
         # arrival order must be pinned BEFORE any shuffle
         if opt.deduplicate and opt.primary_key:
             df = with_sequence(df)
@@ -492,10 +535,12 @@ class Engine:
         state[step] = round((_time.time() - _t0) * 1000, 1)
 
         df.unpersist()
+        state.update(check_state)
         return StreamResult(
-            processed_rows=processed + malformed,
+            processed_rows=processed + malformed + rejected,
             successful_rows=processed,
             malformed_rows=malformed,
+            rejected_rows=rejected,
             table=meta,
             warehouse_state=state,
         )

@@ -104,6 +104,23 @@ def expression(expr: str, name: str) -> Check:
     return Check(name, "expression", expression=expr)
 
 
+def violation_condition(ck: Check):
+    """Row-level violation predicate (True = the row violates the check).
+    ``unique`` has no row-level form — it needs the aggregate."""
+    if ck.kind == "non_null":
+        return F.col(str(ck.column)).isNull()
+    if ck.kind == "accepted_values":
+        return (
+            ~F.col(str(ck.column)).isin(*(ck.values or []))
+            | F.col(str(ck.column)).isNull()
+        )
+    if ck.kind == "expression":
+        return ~F.expr(str(ck.expression))
+    if ck.kind == "unique":
+        raise ValueError("unique has no row-level violation predicate")
+    raise ValueError(f"unknown check kind {ck.kind!r}")
+
+
 def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Evaluate all checks; returns (check, violations, passed) rows —
     a lazy plan, nothing executes until the caller acts on it.
@@ -116,23 +133,13 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     to one output row per check."""
     aggs = []
     for ck in checks:
-        if ck.kind == "non_null":
-            cond = F.col(str(ck.column)).isNull()
-        elif ck.kind == "accepted_values":
-            cond = (
-                ~F.col(str(ck.column)).isin(*(ck.values or []))
-                | F.col(str(ck.column)).isNull()
-            )
-        elif ck.kind == "expression":
-            cond = ~F.expr(str(ck.expression))
-        elif ck.kind == "unique":
+        if ck.kind == "unique":
             cols = [F.col(c) for c in ck.column]  # type: ignore[union-attr]
             aggs.append(
                 (F.count(F.lit(1)) - F.count_distinct(*cols)).alias(ck.name)
             )
             continue
-        else:
-            raise ValueError(f"unknown check kind {ck.kind!r}")
+        cond = violation_condition(ck)
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(ck.name))
 
     row = df.agg(*aggs)

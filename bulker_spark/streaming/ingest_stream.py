@@ -263,9 +263,13 @@ class IngestStream:
 
 
 def _options_dict(opt: StreamOptions) -> dict:
+    # shallow per-field copy — dataclasses.asdict would deep-convert
+    # nested dataclasses (e.g. expectations' Check entries) into dicts
     import dataclasses
 
-    return dataclasses.asdict(opt)
+    return {
+        f.name: getattr(opt, f.name) for f in dataclasses.fields(opt)
+    }
 
 
 def json_file_stream(

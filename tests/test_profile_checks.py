@@ -98,3 +98,109 @@ def test_cms_upper_bound_and_accuracy(spark):
         # count-min never undercounts; overcount stays near eps*N
         assert est[k] >= t, (k, est[k], t)
         assert est[k] - t <= max(10, 8 * n // 512), (k, est[k], t, n)
+
+
+# ------------------- engine quality gate (expectations) -------------------
+
+def _batch():
+    return [
+        '{"id": 1, "status": "ok", "amt": 5.0}',
+        '{"id": 2, "status": "bad_value", "amt": 7.0}',
+        '{"id": 3, "status": "ok", "amt": -1.0}',
+    ]
+
+
+def test_expectations_fail_policy(spark, tmp_warehouse):
+    import pytest
+
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    with pytest.raises(ValueError, match="quality expectations failed"):
+        e.bulk_load(
+            "t", _batch(), mode="batch",
+            expectations=[accepted_values("status", ["ok"])],
+        )
+    # nothing committed
+    assert not e.warehouse.exists("t")
+
+
+def test_expectations_drop_policy(spark, tmp_warehouse):
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    res = e.bulk_load(
+        "t", _batch(), mode="batch",
+        expectations=[
+            accepted_values("status", ["ok"]),
+            expression("amt > 0", "amt_positive"),
+        ],
+        expectations_policy="drop",
+    )
+    assert res.rejected_rows == 2
+    assert res.successful_rows == 1
+    assert res.processed_rows == 3
+    assert e.warehouse.count("t") == 1
+
+
+def test_expectations_warn_policy(spark, tmp_warehouse):
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    res = e.bulk_load(
+        "t", _batch(), mode="batch",
+        expectations=[accepted_values("status", ["ok"])],
+        expectations_policy="warn",
+    )
+    assert res.successful_rows == 3  # loaded anyway
+    assert res.warehouse_state["check_status_accepted_violations"] == 1.0
+
+
+def test_expectations_pass_clean_batch(spark, tmp_warehouse):
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    res = e.bulk_load(
+        "t", ['{"id": 1, "status": "ok"}'], mode="batch",
+        expectations=[unique("id"), non_null("status")],
+    )
+    assert res.successful_rows == 1
+
+
+def test_expectations_through_streaming_front(spark, tmp_warehouse):
+    """drop policy rides the foreachBatch front: violating rows are
+    filtered per micro-batch, clean rows commit."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from bulker_spark import Engine, StreamOptions
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        json_file_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="exp_src_")
+    ckpt = tempfile.mkdtemp(prefix="exp_ckpt_")
+    try:
+        with open(os.path.join(src, "b.ndjson"), "w") as fh:
+            fh.write(_json.dumps({"id": 1, "status": "ok"}) + "\n")
+            fh.write(_json.dumps({"id": 2, "status": "junk"}) + "\n")
+        e = Engine(spark, tmp_warehouse)
+        stream = IngestStream(
+            e,
+            "gated",
+            StreamOptions(
+                mode="batch",
+                expectations=[accepted_values("status", ["ok"])],
+                expectations_policy="drop",
+            ),
+        )
+        q = stream.start(json_file_stream(spark, src), ckpt)
+        q.awaitTermination(120)
+        rows = [r["status"] for r in e.warehouse.read("gated").collect()]
+        assert rows == ["ok"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -105,6 +105,12 @@ class StreamOptions:
     # scd2 mode: attributes whose change closes the current version and
     # opens a new one; empty → every non-PK, non-internal batch column
     scd2_tracked: list[str] = field(default_factory=list)
+    # hash-bucketed table layout (Hudi bucket-index style, native
+    # warehouse only): rows land under __bucket = pmod(xxhash64(*pk), n)
+    # partitions, so deduplicating merges read and rewrite ONLY the
+    # buckets containing batch keys — per-merge cost scales with touched
+    # buckets, not table size. 0 = unbucketed. Requires primary_key.
+    bucket_by: int = 0
     # data-quality gate on every batch (functions/profile.py Check list):
     # "fail" aborts the load on any violation (streaming front then
     # retries/dead-letters the batch), "drop" filters violating rows out
@@ -442,6 +448,11 @@ class Engine:
                 timestamp_column=opt.timestamp_column,
                 partition_by=ts_part,
                 namespace=ns,
+                bucket_by=(
+                    (opt.primary_key, opt.bucket_by)
+                    if opt.bucket_by and opt.primary_key
+                    else None
+                ),
             )
         elif opt.mode == "scd2":
             # history-preserving upsert: close-on-change + versioned open
@@ -511,6 +522,11 @@ class Engine:
                         now=now,
                         namespace=ns,
                         partition_by=ts_part,
+                        bucket_by=(
+                            (opt.primary_key, opt.bucket_by)
+                            if opt.bucket_by
+                            else None
+                        ),
                     )
                     break
                 except ConcurrentWriteError:
@@ -525,6 +541,11 @@ class Engine:
                 timestamp_column=opt.timestamp_column,
                 partition_by=ts_part,
                 namespace=ns,
+                bucket_by=(
+                    (opt.primary_key, opt.bucket_by)
+                    if opt.bucket_by and opt.primary_key
+                    else None
+                ),
             )
 
         step = {

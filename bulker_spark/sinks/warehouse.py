@@ -44,6 +44,17 @@ from ..types_lattice import DataType, from_spark_type
 
 META_FILE = "_bulker_meta.json"
 LOG_DIR = "_bulker_log"
+# hash-bucket partition column for bucketed tables (Hudi bucket-index
+# layout): pmod(xxhash64(*bucket_cols), n_buckets)
+BUCKET_COLUMN = "__bucket"
+
+
+def bucket_expr(cols: list[str], n: int):
+    """Deterministic bucket id: xxhash64 is a JVM-codegen'd expression, so
+    assignment costs no shuffle and no Python; pmod keeps ids in [0, n)."""
+    return F.pmod(F.xxhash64(*[F.col(f"`{c}`") for c in cols]), F.lit(n)).cast(
+        "long"
+    )
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -566,11 +577,32 @@ class Warehouse:
         timestamp_column: str | None = None,
         partition_by: list[str] | None = None,
         namespace: str | None = None,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> TableMeta:
         """ReplaceTable semantics: write new version, swap pointer, GC old
-        (sql_adapter_base.go:708-740 rename-swap-drop dance)."""
+        (sql_adapter_base.go:708-740 rename-swap-drop dance).
+
+        ``bucket_by=(cols, n)`` lays the table out hash-bucketed: a derived
+        ``__bucket`` partition column = pmod(xxhash64(*cols), n). Later PK
+        merges then read and rewrite ONLY the buckets containing source
+        keys (see :meth:`merge`) — the Hudi bucket-index upsert shape."""
         ns = namespace or self.namespace
-        partition_by = partition_by or []
+        partition_by = list(partition_by or [])
+        bucket_cols: list[str] = []
+        n_buckets = 0
+        if bucket_by is not None:
+            bucket_cols, n_buckets = list(bucket_by[0]), int(bucket_by[1])
+            if n_buckets < 1:
+                raise ValueError("bucket_by needs n_buckets >= 1")
+            missing = [c for c in bucket_cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"bucket columns not in batch: {missing}")
+            if BUCKET_COLUMN not in df.columns:
+                df = df.withColumn(
+                    BUCKET_COLUMN, bucket_expr(bucket_cols, n_buckets)
+                )
+            if BUCKET_COLUMN not in partition_by:
+                partition_by = [*partition_by, BUCKET_COLUMN]
         version = self._write_version(name, df, partition_by, namespace)
         meta = TableMeta(
             namespace=ns,
@@ -581,10 +613,23 @@ class Warehouse:
             partition_by=partition_by,
             version=version,
             json_storage=self._json_storage_of(df),
+            bucket_cols=bucket_cols,
+            n_buckets=n_buckets,
         )
         self._commit_meta(meta, op="replace_table")
         self._gc_old_versions(name, version, namespace)
         return meta
+
+    def _with_bucket(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """(Re)derive the table's ``__bucket`` column on a batch. Always
+        recomputed, never trusted from the batch: schema alignment
+        null-fills unknown columns upstream, and a stale or user-supplied
+        bucket id would silently misplace rows."""
+        if meta.n_buckets and set(meta.bucket_cols) <= set(df.columns):
+            df = df.withColumn(
+                BUCKET_COLUMN, bucket_expr(meta.bucket_cols, meta.n_buckets)
+            )
+        return df
 
     def append(
         self,
@@ -595,12 +640,15 @@ class Warehouse:
         timestamp_column: str | None = None,
         partition_by: list[str] | None = None,
         namespace: str | None = None,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> TableMeta:
         """Batch load: append files INTO the current version directory.
 
         New columns (schema evolution) are allowed — parquet is read back
         with ``mergeSchema`` when metadata says schemas diverged. Commit =
-        meta rewrite after the files land.
+        meta rewrite after the files land. ``bucket_by`` applies only on
+        table creation; appends to a bucketed table derive ``__bucket``
+        from the table's metadata.
         """
         meta = self.get_meta(name, namespace)
         if meta is None:
@@ -611,9 +659,10 @@ class Warehouse:
                 timestamp_column=timestamp_column,
                 partition_by=partition_by,
                 namespace=namespace,
+                bucket_by=bucket_by,
             )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
-        df = self._align_json_storage(meta, df)
+        df = self._with_bucket(meta, self._align_json_storage(meta, df))
         writer = df.write.mode("append")
         if meta.partition_by:
             writer = writer.partitionBy(*meta.partition_by)
@@ -676,8 +725,11 @@ class Warehouse:
         now=None,
         namespace: str | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> TableMeta:
-        """Upsert: new version = merge_upsert(current, source); swap."""
+        """Upsert: new version = merge_upsert(current, source); swap.
+        ``bucket_by`` applies only when this merge creates the table; an
+        existing table's bucketing comes from its metadata."""
         from ..operators.merge import merge_upsert
 
         # OCC: meta and token from the same log-tail snapshot — a commit
@@ -692,9 +744,17 @@ class Warehouse:
                 timestamp_column=timestamp_column,
                 partition_by=partition_by,
                 namespace=namespace,
+                bucket_by=bucket_by,
             )
-        source = self._align_json_storage(meta, source)
+        source = self._with_bucket(meta, self._align_json_storage(meta, source))
         ts_col = timestamp_column or meta.timestamp_column
+        if meta.n_buckets and set(meta.bucket_cols) <= set(pk):
+            # bucket-index merge: matching target rows can only live in the
+            # buckets the source keys hash to — read and rewrite only those
+            return self._merge_bucketed(
+                name, source, pk, meta, ts_col, window_days, now, namespace,
+                base,
+            )
         part_col = next(
             (c for c in meta.partition_by or [] if c in source.columns), None
         )
@@ -796,6 +856,108 @@ class Warehouse:
             shutil.rmtree(
                 os.path.join(vdir, f"{part_col}={gone}"), ignore_errors=True
             )
+        for col, t in self._schema_of(source).items():
+            if col not in meta.columns:
+                meta.columns[col] = t
+        meta.pk = list(pk)
+        if ts_col:
+            meta.timestamp_column = ts_col
+        self._commit_meta(meta, op="merge", expected_commit=base)
+        return meta
+
+    def _merge_bucketed(
+        self,
+        name: str,
+        source: DataFrame,
+        pk: list[str],
+        meta: TableMeta,
+        ts_col: str | None,
+        window_days: int | None,
+        now,
+        namespace: str | None,
+        base: int | None,
+    ) -> TableMeta:
+        """Bucket-index merge (Hudi-style): with the table laid out as
+        ``__bucket = pmod(xxhash64(*bucket_cols), n)`` partitions and
+        ``bucket_cols ⊆ pk``, every target row matching a source key lives
+        in a bucket the SOURCE keys hash to. So the merge:
+
+        1. derives source bucket ids (codegen expression, no shuffle),
+        2. collects the distinct ids (≤ n_buckets small ints),
+        3. reads the target pruned to those bucket partitions,
+        4. anti-joins against the broadcast source and rewrites ONLY those
+           partitions via dynamic overwrite.
+
+        At 100 TB the untouched buckets are never read, shuffled, or
+        rewritten — the per-merge cost scales with the number of touched
+        buckets (bounded by min(n_buckets, |batch keys|)), not table size.
+        Combines with the merge window: the window predicate still splits
+        live/frozen rows INSIDE touched buckets (merge_upsert), so a
+        key-local batch into a 4096-bucket table rewrites a few buckets'
+        worth of files, not the table."""
+        from ..operators.merge import merge_upsert
+
+        source = self._with_bucket(meta, source)
+        buckets = [
+            r[0]
+            for r in source.select(BUCKET_COLUMN).distinct().collect()
+        ]
+        if not buckets:  # empty batch
+            return meta
+        # In-place dynamic overwrite of the live version dir (same
+        # discipline as _merge_partitioned): check the OCC token right
+        # before mutating.
+        if base is not None and self._last_commit_id(name, namespace) != base:
+            raise ConcurrentWriteError(
+                f"commit {base} of {name} superseded before bucketed merge "
+                f"began"
+            )
+        target = self.read(name, namespace)
+        if len(buckets) < meta.n_buckets:
+            target = target.filter(F.col(BUCKET_COLUMN).isin(buckets))
+        merged = merge_upsert(
+            target,
+            source,
+            pk,
+            timestamp_column=ts_col,
+            window_days=window_days,
+            now=now,
+        )
+        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        multilevel = len(meta.partition_by) > 1
+        if multilevel:
+            # an update can move a key's row to a different co-partition
+            # (e.g. a newer __ts_partition); a (part, bucket) combo whose
+            # every row moved away is absent from `merged`, so dynamic
+            # overwrite leaves its stale files — compute before/after combo
+            # sets and drop the vanished dirs (same discipline as
+            # _merge_partitioned)
+            merged = merged.persist()
+            before = {
+                tuple(r)
+                for r in target.select(*meta.partition_by).distinct().collect()
+            }
+            after = {
+                tuple(r)
+                for r in merged.select(*meta.partition_by).distinct().collect()
+            }
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*meta.partition_by)
+            .parquet(vdir)
+        )
+        if multilevel:
+            merged.unpersist()
+            for gone in before - after:
+                sub = os.path.join(
+                    vdir,
+                    *[
+                        f"{c}={v}"
+                        for c, v in zip(meta.partition_by, gone)
+                    ],
+                )
+                shutil.rmtree(sub, ignore_errors=True)
         for col, t in self._schema_of(source).items():
             if col not in meta.columns:
                 meta.columns[col] = t

@@ -24,6 +24,12 @@ class TableMeta:
     # reference's stringifyObjects default) or "variant" (Spark 4
     # VariantType — shredded binary, path-readable without re-parsing)
     json_storage: str = "text"
+    # hash-bucketed layout (Hudi bucket-index style): rows are stored
+    # under ``__bucket = pmod(xxhash64(*bucket_cols), n_buckets)`` partition
+    # dirs, so a PK merge reads and rewrites ONLY the buckets containing
+    # source keys. n_buckets == 0 → unbucketed.
+    bucket_cols: list[str] = field(default_factory=list)
+    n_buckets: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -35,6 +41,8 @@ class TableMeta:
             "partition_by": self.partition_by,
             "version": self.version,
             "json_storage": self.json_storage,
+            "bucket_cols": self.bucket_cols,
+            "n_buckets": self.n_buckets,
         }
 
     @classmethod
@@ -48,6 +56,8 @@ class TableMeta:
             partition_by=list(d.get("partition_by") or []),
             version=d.get("version", ""),
             json_storage=d.get("json_storage", "text"),
+            bucket_cols=list(d.get("bucket_cols") or []),
+            n_buckets=int(d.get("n_buckets") or 0),
         )
 
     def diff_new_columns(self, incoming: dict[str, DataType]) -> list[str]:

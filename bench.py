@@ -230,6 +230,54 @@ def main() -> None:
     finally:
         shutil.rmtree(wh1m, ignore_errors=True)
 
+    # trickle-upsert tier: a 16-key batch into a 1M-row table — the CDC
+    # shape (small frequent batches into a giant table). The bucket-index
+    # layout (bucket_by) reads and rewrites ONLY the buckets containing
+    # batch keys (≤16 of 64 here); the plain path rewrites the whole table
+    # as a new version. The gap between these two numbers is the
+    # bucket-index win, and it widens linearly with table size.
+    whb = tempfile.mkdtemp(prefix="bench_whb_")
+    try:
+        events_1m = spark.range(1_000_000).select(
+            F.col("id").alias("pk"),
+            F.concat(F.lit("u"), (F.col("id") % 9973).cast("string")).alias(
+                "user"
+            ),
+            (F.col("id") * 1.5).alias("score"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        )
+        trickle = spark.range(16).select(
+            (F.col("id") * 61_687).alias("pk"),
+            F.lit("upd").alias("user"),
+            F.lit(0.0).alias("score"),
+            F.timestamp_micros(F.col("id")).alias("ts"),
+        )
+        eng = Engine(spark, whb)
+        eng.bulk_load(
+            "bench_bucketed", events_1m, mode="batch",
+            primary_key=["pk"], deduplicate=True, bucket_by=64,
+        )
+        eng.bulk_load(
+            "bench_plain", events_1m, mode="batch",
+            primary_key=["pk"], deduplicate=True,
+        )
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_bucketed", trickle, mode="batch",
+            primary_key=["pk"], deduplicate=True, bucket_by=64,
+        )
+        timings["trickle_merge_1m_bucketed"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_plain", trickle, mode="batch",
+            primary_key=["pk"], deduplicate=True,
+        )
+        timings["trickle_merge_1m_plain"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        errors["trickle_merge_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(whb, ignore_errors=True)
+
     # mode tiers: the reference's other two load modes (bulker.go:24-52) at
     # the same 100k scale — replace_table's atomic swap and
     # replace_partition's dynamic partition overwrite (second load of each

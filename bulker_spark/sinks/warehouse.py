@@ -603,6 +603,11 @@ class Warehouse:
                 )
             if BUCKET_COLUMN not in partition_by:
                 partition_by = [*partition_by, BUCKET_COLUMN]
+            # one file group per bucket (Hudi's layout): without this every
+            # shuffle partition writes a sliver into every bucket dir —
+            # n_buckets × shuffle.partitions small files, and every later
+            # bucket-pruned read pays the task-per-file overhead
+            df = df.repartition(n_buckets, F.col(BUCKET_COLUMN))
         version = self._write_version(name, df, partition_by, namespace)
         meta = TableMeta(
             namespace=ns,
@@ -663,6 +668,8 @@ class Warehouse:
             )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         df = self._with_bucket(meta, self._align_json_storage(meta, df))
+        if meta.n_buckets and BUCKET_COLUMN in df.columns:
+            df = df.repartition(meta.n_buckets, F.col(BUCKET_COLUMN))
         writer = df.write.mode("append")
         if meta.partition_by:
             writer = writer.partitionBy(*meta.partition_by)
@@ -924,6 +931,10 @@ class Warehouse:
             now=now,
         )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        # preserve the one-file-group-per-bucket layout on rewrite
+        merged = merged.repartition(
+            max(len(buckets), 1), F.col(BUCKET_COLUMN)
+        )
         multilevel = len(meta.partition_by) > 1
         if multilevel:
             # an update can move a key's row to a different co-partition

@@ -1,0 +1,198 @@
+"""``bulker_topic`` — a Spark 4 Python Data Source (batch + streaming)
+exposing an NDJSON "topic" directory with Kafka-like offset semantics.
+
+The reference's event transport is one Kafka topic per (destination,
+mode, table) consumed by batch consumers that track offsets and commit
+them only after the warehouse commit (``/root/reference/bulkerapp/app/
+batch_consumer.go:56-267``, watermark bounding
+``abstract_batch_consumer.go:286-307``). This source reproduces that
+shape on a directory of immutable segment files (the Kafka log
+discipline: appends create new segments, existing segments never
+change):
+
+- **record** = one NDJSON line; schema ``value string, _segment string,
+  _offset bigint`` — the (value, partition, offset) triple of a Kafka
+  record.
+- **offset** = ``{segment_name: lines_consumed}`` — a JSON dict, exactly
+  a Kafka consumer-group position. ``latestOffset`` plays the
+  high-watermark query that bounds each micro-batch run.
+- **exactly-once** comes from Structured Streaming's checkpoint: the
+  offset dict is persisted per micro-batch, and a restarted query
+  resumes from the last committed position — the same
+  offset-after-commit contract the reference implements by hand.
+- **parallelism**: one input partition per (segment, line-range), so a
+  1000-segment backlog reads on 1000 tasks; ``maxLinesPerTrigger``
+  bounds a micro-batch like Kafka's ``maxOffsetsPerTrigger``.
+
+Segments may be plain ``*.ndjson``/``*.jsonl``/``*.txt`` or gzipped
+(``*.gz`` — the reference's reprocessing source replays gzipped NDJSON
+backups, ``reprocessing-worker/main.go:336-430``).
+
+Usage::
+
+    register_topic_source(spark)
+    df = spark.read.format("bulker_topic").load("/path/to/topic")
+    stream = spark.readStream.format("bulker_topic") \
+        .option("maxLinesPerTrigger", 10000).load("/path/to/topic")
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "value string, _segment string, _offset bigint"
+
+_EXTENSIONS = (".ndjson", ".jsonl", ".json", ".txt", ".gz")
+
+
+def _segments(path: str) -> list[str]:
+    """Segment file names, sorted (Kafka log order = name order)."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"topic directory not found: {path}")
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(_EXTENSIONS) and not f.startswith(("_", "."))
+    )
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt", encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+def _count_lines(path: str) -> int:
+    with _open(path) as fh:
+        return sum(1 for _ in fh)
+
+
+@dataclass
+class SegmentSlice(InputPartition):
+    """A (segment, line-range) slice — must be picklable (ships to
+    executors)."""
+
+    path: str
+    segment: str
+    start: int
+    end: int
+
+
+def _read_slice(p: SegmentSlice) -> Iterator[tuple]:
+    with _open(os.path.join(p.path, p.segment)) as fh:
+        for i, line in enumerate(fh):
+            if i >= p.end:
+                break
+            if i >= p.start:
+                yield (line.rstrip("\n"), p.segment, i)
+
+
+class TopicBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bulker_topic requires a path: .load(dir)")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            SegmentSlice(self.path, s, 0, 2**62)
+            for s in _segments(self.path)
+        ]
+
+    def read(self, partition: SegmentSlice) -> Iterator[tuple]:
+        return _read_slice(partition)
+
+
+class TopicStreamReader(DataSourceStreamReader):
+    """Offset = {segment: lines_consumed}. Segments are immutable, so a
+    fully-consumed segment's count never changes; only new segments (or
+    a partially-consumed tail bounded by maxLinesPerTrigger) advance."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bulker_topic requires a path: .load(dir)")
+        self.max_lines = int(options.get("maxLinesPerTrigger", 0) or 0)
+        # driver-side cache: segment → total line count (files are
+        # immutable, count once)
+        self._sizes: dict[str, int] = {}
+        # last offset planned by latestOffset (rate-limit anchor)
+        self._last: dict | None = None
+
+    def _size(self, seg: str) -> int:
+        if seg not in self._sizes:
+            self._sizes[seg] = _count_lines(os.path.join(self.path, seg))
+        return self._sizes[seg]
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def latestOffset(self) -> dict:
+        """High-watermark for the next micro-batch. Rate limiting happens
+        HERE (as Kafka's maxOffsetsPerTrigger does): whatever this
+        returns is recorded as consumed, so bounding later — in
+        partitions() — would silently drop the truncated lines. The cap
+        is applied against the last offset this reader planned; after a
+        restart the first trigger is unbounded (the backlog since the
+        checkpoint), matching availableNow catch-up semantics."""
+        latest = {s: self._size(s) for s in _segments(self.path)}
+        if self.max_lines > 0 and self._last is not None:
+            budget = self.max_lines
+            capped = dict(self._last)
+            for seg in sorted(latest):
+                lo = int(self._last.get(seg, 0))
+                hi = int(latest[seg])
+                take = min(max(hi - lo, 0), max(budget, 0))
+                capped[seg] = lo + take
+                budget -= take
+            latest = capped
+        self._last = dict(latest)
+        return latest
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        return [
+            SegmentSlice(self.path, seg, int(start.get(seg, 0)), int(end[seg]))
+            for seg in sorted(end)
+            if int(end[seg]) > int(start.get(seg, 0))
+        ]
+
+    def read(self, partition: SegmentSlice) -> Iterator[tuple]:
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class NdjsonTopicDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "bulker_topic"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> TopicBatchReader:
+        return TopicBatchReader(self.options)
+
+    def streamReader(self, schema) -> TopicStreamReader:
+        return TopicStreamReader(self.options)
+
+
+def register_topic_source(spark) -> None:
+    """Register the ``bulker_topic`` format on this session (idempotent)."""
+    spark.dataSource.register(NdjsonTopicDataSource)

@@ -273,6 +273,19 @@ def main() -> None:
             primary_key=["pk"], deduplicate=True,
         )
         timings["trickle_merge_1m_plain"] = round(time.time() - t0, 3)
+        # merge-on-read: the trickle is an O(batch) delta append — table
+        # size falls out of the write cost entirely (read-side reconcile
+        # until compact() folds)
+        eng.bulk_load(
+            "bench_mor", events_1m, mode="batch",
+            primary_key=["pk"], deduplicate=True, merge_on_read=True,
+        )
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_mor", trickle, mode="batch",
+            primary_key=["pk"], deduplicate=True, merge_on_read=True,
+        )
+        timings["trickle_merge_1m_mor"] = round(time.time() - t0, 3)
     except Exception as exc:
         errors["trickle_merge_1m"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:

@@ -111,6 +111,16 @@ class StreamOptions:
     # buckets containing batch keys — per-merge cost scales with touched
     # buckets, not table size. 0 = unbucketed. Requires primary_key.
     bucket_by: int = 0
+    # merge-on-read table type (Hudi MoR style, native warehouse only):
+    # merges APPEND sequence-stamped delta files in O(batch) instead of
+    # rewriting; reads reconcile per-PK last-wins; compact() folds. For
+    # write-heavy trickle upserts. Note: every write to an MoR table is an
+    # upsert and the merge-window shrink does not apply — use CoW when
+    # window-bounded dedup semantics matter. Requires primary_key.
+    merge_on_read: bool = False
+    # fold MoR deltas automatically after this many delta commits
+    # (0 = manual compact() only)
+    mor_compact_every: int = 0
     # data-quality gate on every batch (functions/profile.py Check list):
     # "fail" aborts the load on any violation (streaming front then
     # retries/dead-letters the batch), "drop" filters violating rows out
@@ -527,12 +537,20 @@ class Engine:
                             if opt.bucket_by
                             else None
                         ),
+                        merge_on_read=opt.merge_on_read,
                     )
                     break
                 except ConcurrentWriteError:
                     if attempt == 2:
                         raise
                     self.warehouse.refresh(table, ns)
+            if (
+                opt.mor_compact_every
+                and meta is not None
+                and meta.write_mode == "mor"
+                and meta.mor_deltas >= opt.mor_compact_every
+            ):
+                self.warehouse.compact(table, namespace=ns)
         else:
             meta = self.warehouse.append(
                 table,

@@ -47,6 +47,9 @@ LOG_DIR = "_bulker_log"
 # hash-bucket partition column for bucketed tables (Hudi bucket-index
 # layout): pmod(xxhash64(*bucket_cols), n_buckets)
 BUCKET_COLUMN = "__bucket"
+# merge-on-read commit sequence column: reads reconcile per-PK last-wins
+# by this monotonic stamp
+COMMIT_SEQ_COLUMN = "__commit_seq"
 
 
 def bucket_expr(cols: list[str], n: int):
@@ -340,12 +343,16 @@ class Warehouse:
             if not snapshot_files:
                 return self.spark.createDataFrame([], schema)
             # explicit manifest read; basePath keeps partition-dir columns
-            return (
+            out = (
                 self.spark.read.schema(schema)
                 .option("basePath", vdir)
                 .parquet(*snapshot_files)
             )
-        return self.spark.read.schema(schema).parquet(vdir)
+        else:
+            out = self.spark.read.schema(schema).parquet(vdir)
+        if meta.write_mode == "mor":
+            out = self._mor_reconcile(meta, out)
+        return out
 
     @staticmethod
     def _json_storage_of(df: DataFrame) -> str:
@@ -578,6 +585,7 @@ class Warehouse:
         partition_by: list[str] | None = None,
         namespace: str | None = None,
         bucket_by: tuple[list[str], int] | None = None,
+        merge_on_read: bool = False,
     ) -> TableMeta:
         """ReplaceTable semantics: write new version, swap pointer, GC old
         (sql_adapter_base.go:708-740 rename-swap-drop dance).
@@ -585,9 +593,19 @@ class Warehouse:
         ``bucket_by=(cols, n)`` lays the table out hash-bucketed: a derived
         ``__bucket`` partition column = pmod(xxhash64(*cols), n). Later PK
         merges then read and rewrite ONLY the buckets containing source
-        keys (see :meth:`merge`) — the Hudi bucket-index upsert shape."""
+        keys (see :meth:`merge`) — the Hudi bucket-index upsert shape.
+
+        ``merge_on_read=True`` (requires ``pk``) makes later merges APPEND
+        sequence-stamped delta files instead of rewriting; reads reconcile
+        per-PK last-wins and :meth:`compact` folds — Hudi's MoR table type,
+        for write-heavy trickle upserts where the copy-on-write rewrite
+        dominates."""
         ns = namespace or self.namespace
         partition_by = list(partition_by or [])
+        if merge_on_read:
+            if not pk:
+                raise ValueError("merge_on_read requires pk")
+            df = df.withColumn(COMMIT_SEQ_COLUMN, F.lit(0).cast("long"))
         bucket_cols: list[str] = []
         n_buckets = 0
         if bucket_by is not None:
@@ -620,6 +638,7 @@ class Warehouse:
             json_storage=self._json_storage_of(df),
             bucket_cols=bucket_cols,
             n_buckets=n_buckets,
+            write_mode="mor" if merge_on_read else "cow",
         )
         self._commit_meta(meta, op="replace_table")
         self._gc_old_versions(name, version, namespace)
@@ -665,6 +684,17 @@ class Warehouse:
                 partition_by=partition_by,
                 namespace=namespace,
                 bucket_by=bucket_by,
+            )
+        if meta.write_mode == "mor":
+            # every write to an MoR table is an upsert: a plain append must
+            # still claim a commit sequence (the seq bump is read-modify-
+            # write, so it rides the merge path's OCC token)
+            return self.merge(
+                name,
+                df,
+                meta.pk,
+                timestamp_column=timestamp_column,
+                namespace=namespace,
             )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         df = self._with_bucket(meta, self._align_json_storage(meta, df))
@@ -733,10 +763,12 @@ class Warehouse:
         namespace: str | None = None,
         partition_by: list[str] | None = None,
         bucket_by: tuple[list[str], int] | None = None,
+        merge_on_read: bool = False,
     ) -> TableMeta:
         """Upsert: new version = merge_upsert(current, source); swap.
-        ``bucket_by`` applies only when this merge creates the table; an
-        existing table's bucketing comes from its metadata."""
+        ``bucket_by`` / ``merge_on_read`` apply only when this merge
+        creates the table; an existing table's layout and write mode come
+        from its metadata."""
         from ..operators.merge import merge_upsert
 
         # OCC: meta and token from the same log-tail snapshot — a commit
@@ -752,9 +784,12 @@ class Warehouse:
                 partition_by=partition_by,
                 namespace=namespace,
                 bucket_by=bucket_by,
+                merge_on_read=merge_on_read,
             )
         source = self._with_bucket(meta, self._align_json_storage(meta, source))
         ts_col = timestamp_column or meta.timestamp_column
+        if meta.write_mode == "mor":
+            return self._merge_mor(name, source, pk, meta, ts_col, namespace, base)
         if meta.n_buckets and set(meta.bucket_cols) <= set(pk):
             # bucket-index merge: matching target rows can only live in the
             # buckets the source keys hash to — read and rewrite only those
@@ -978,6 +1013,83 @@ class Warehouse:
         self._commit_meta(meta, op="merge", expected_commit=base)
         return meta
 
+    def _merge_mor(
+        self,
+        name: str,
+        source: DataFrame,
+        pk: list[str],
+        meta: TableMeta,
+        ts_col: str | None,
+        namespace: str | None,
+        base: int | None,
+    ) -> TableMeta:
+        """Merge-on-read upsert: APPEND the (pre-deduped) source as delta
+        files stamped with the next monotonic ``__commit_seq`` — the write
+        is O(batch) regardless of table size; the reconcile moves to read
+        time (:meth:`read` keeps, per PK, the row with the highest stamp).
+
+        This is the Hudi MoR trade: a CDC trickle writes megabytes into a
+        100 TB table instead of rewriting buckets, at the price of a
+        window pass on read until :meth:`compact` folds the deltas. The
+        monotonicity of the stamp is guaranteed by the commit protocol:
+        ``expected_commit`` serializes read-modify-write, so two racing
+        merges can't claim the same sequence.
+
+        Note: reads of an MoR table reconcile per PK unconditionally —
+        every write is an upsert (plain appends with a duplicate key
+        collapse too), and the merge-window shrink does not apply; use a
+        CoW table when window-bounded dedup semantics matter."""
+        seq = meta.mor_seq + 1
+        src = source.withColumn(COMMIT_SEQ_COLUMN, F.lit(seq).cast("long"))
+        if base is not None and self._last_commit_id(name, namespace) != base:
+            raise ConcurrentWriteError(
+                f"commit {base} of {name} superseded before MoR merge began"
+            )
+        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        if meta.n_buckets:
+            src = src.repartition(meta.n_buckets, F.col(BUCKET_COLUMN))
+        writer = src.write.mode("append")
+        if meta.partition_by:
+            writer = writer.partitionBy(*meta.partition_by)
+        writer.parquet(vdir)
+        for col, t in self._schema_of(src).items():
+            if col not in meta.columns:
+                meta.columns[col] = t
+        meta.pk = list(pk)
+        if ts_col:
+            meta.timestamp_column = ts_col
+        meta.mor_seq = seq
+        meta.mor_deltas += 1
+        self._commit_meta(meta, op="merge_mor", expected_commit=base)
+        return meta
+
+    def _mor_reconcile(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """Per-PK last-wins by ``__commit_seq`` (highest stamp survives).
+        The stamp column is physical bookkeeping and is dropped from the
+        reconciled view."""
+        from pyspark.sql import Window
+
+        if COMMIT_SEQ_COLUMN not in df.columns or not meta.pk:
+            return df.drop(COMMIT_SEQ_COLUMN)
+        w = Window.partitionBy(*meta.pk).orderBy(
+            F.col(COMMIT_SEQ_COLUMN).desc()
+        )
+        return (
+            df.withColumn("__mor_rn", F.row_number().over(w))
+            .filter(F.col("__mor_rn") == 1)
+            .drop("__mor_rn", COMMIT_SEQ_COLUMN)
+        )
+
+    def _restamp_mor(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """Re-add the stamp after an op that consumed the reconciled view
+        (compact/delete rewrite): the fold is the new baseline, all rows
+        carry the current sequence."""
+        if meta.write_mode == "mor":
+            df = df.withColumn(
+                COMMIT_SEQ_COLUMN, F.lit(meta.mor_seq).cast("long")
+            )
+        return df
+
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
         """File-level stats for maintenance decisions: {n_files, bytes,
         avg_file_bytes} over the current version."""
@@ -1094,8 +1206,12 @@ class Warehouse:
             df = df.repartition(n_out, *meta.partition_by)
         else:
             df = df.repartition(n_out)
+        # MoR fold: the reconciled view just read IS the fold; restamp it
+        # as the new baseline and clear the delta counter
+        df = self._restamp_mor(meta, df)
         version = self._write_version(name, df, meta.partition_by, namespace)
         meta.version = version
+        meta.mor_deltas = 0
         self._commit_meta(meta, op="compact", expected_commit=base)
         self._gc_old_versions(name, version, namespace)
         after = self.table_stats(name, namespace)
@@ -1114,10 +1230,11 @@ class Warehouse:
             else conditions
         )
         cur = self.read(name, namespace)
-        kept = cur.filter(~col | col.isNull())
+        kept = self._restamp_mor(meta, cur.filter(~col | col.isNull()))
         before = cur.count()
         version = self._write_version(name, kept, meta.partition_by, namespace)
         meta.version = version
+        meta.mor_deltas = 0
         self._commit_meta(meta, op="delete", expected_commit=base)
         self._gc_old_versions(name, version, namespace)
         return before - self.count(name, namespace=namespace)
@@ -1134,8 +1251,14 @@ class Warehouse:
             empty,
             pk=meta.pk,
             timestamp_column=meta.timestamp_column,
-            partition_by=meta.partition_by,
+            partition_by=[
+                p for p in meta.partition_by if p != BUCKET_COLUMN
+            ],
             namespace=namespace,
+            bucket_by=(
+                (meta.bucket_cols, meta.n_buckets) if meta.n_buckets else None
+            ),
+            merge_on_read=meta.write_mode == "mor",
         )
 
     def drop(self, name: str, namespace: str | None = None) -> None:

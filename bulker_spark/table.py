@@ -30,6 +30,13 @@ class TableMeta:
     # source keys. n_buckets == 0 → unbucketed.
     bucket_cols: list[str] = field(default_factory=list)
     n_buckets: int = 0
+    # "cow" (copy-on-write, default): a merge rewrites affected files.
+    # "mor" (merge-on-read, Hudi MoR style): a merge APPENDS delta files
+    # stamped with a monotonic ``__commit_seq``; reads reconcile per-PK
+    # last-wins by that sequence; compact() folds deltas into a clean base.
+    write_mode: str = "cow"
+    mor_seq: int = 0  # last stamped commit sequence
+    mor_deltas: int = 0  # delta commits since last fold (compaction signal)
 
     def to_json(self) -> dict:
         return {
@@ -43,6 +50,9 @@ class TableMeta:
             "json_storage": self.json_storage,
             "bucket_cols": self.bucket_cols,
             "n_buckets": self.n_buckets,
+            "write_mode": self.write_mode,
+            "mor_seq": self.mor_seq,
+            "mor_deltas": self.mor_deltas,
         }
 
     @classmethod
@@ -58,6 +68,9 @@ class TableMeta:
             json_storage=d.get("json_storage", "text"),
             bucket_cols=list(d.get("bucket_cols") or []),
             n_buckets=int(d.get("n_buckets") or 0),
+            write_mode=d.get("write_mode", "cow"),
+            mor_seq=int(d.get("mor_seq") or 0),
+            mor_deltas=int(d.get("mor_deltas") or 0),
         )
 
     def diff_new_columns(self, incoming: dict[str, DataType]) -> list[str]:

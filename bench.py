@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "events_resample_hourly",
     "events_trailing_1h",
     "events_user_features",
+    "events_markov_transitions",
+    "events_attribution_last_touch",
+    "doc_ngram_novelty",
+    "orders_shipping_delay",
 ]
 
 

@@ -1,0 +1,313 @@
+"""Round-4 catalog extensions: behavioral sequence mining, attribution,
+corpus novelty, and operational-latency operators — each a pure Catalyst
+plan with a DuckDB oracle twin.
+
+Reference scope (jitsucom/bulker): none of this exists in the reference
+(its aggregation surface is COUNT(*), ``bulkerlib/implementations/sql/
+sql_adapter_base.go:287-297``); these extend the training-data /
+product-analytics tier the north star calls for, over the same tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ==========================================================================
+# Event-type Markov transition matrix
+# ==========================================================================
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count (prev_type → type) steps, plus the row-normalized probability.
+
+    Scale shape: ONE shuffle on user_id for the lag window; the
+    transition aggregation is 25 keys (|types|²) so its exchange moves a
+    few hundred partial rows, and the row-normalizing sum rides a
+    25-row window — nothing downstream of the first shuffle scales with
+    data size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_total), 4).alias("p"),
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM c
+"""
+
+
+# ==========================================================================
+# Last-touch attribution
+# ==========================================================================
+
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marketing attribution: each purchase is credited to the user's most
+    recent click/view strictly before it and at most 1 day old; purchases
+    with no such touch are 'none'. Output: credited channel → purchases.
+
+    Spark-first shape: NO purchase×touch join (which explodes on active
+    users) — purchases and touches ride ONE (user_id, ts) window pass,
+    and ``last(..., ignorenulls)`` over the preceding frame carries the
+    latest touch forward. One shuffle total; the same as-of trick as
+    ``operators/asof.py``."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") != "purchase", F.col("event_type")
+        ).alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias(
+            "touch_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    credited = (
+        tagged.withColumn(
+            "last_type", F.last("touch_type", ignorenulls=True).over(w)
+        )
+        .withColumn("last_ts", F.last("touch_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.expr(
+                        "timestampdiff(SECOND, date_trunc('second', last_ts),"
+                        " date_trunc('second', ts))"
+                    )
+                    <= 86400,
+                    F.col("last_type"),
+                ),
+                F.lit("none"),
+            ).alias("channel")
+        )
+    )
+    return credited.groupBy("channel").agg(F.count("*").alias("purchases"))
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+         CASE WHEN event_type <> 'purchase' THEN ts END AS touch_ts
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')
+), carried AS (
+  SELECT *,
+         last_value(touch_type IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_type,
+         last_value(touch_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ts
+  FROM tagged
+)
+SELECT COALESCE(CASE WHEN date_diff('second', last_ts, ts) <= 86400
+                     THEN last_type END, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS purchases
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# ==========================================================================
+# Corpus n-gram novelty
+# ==========================================================================
+
+_NOV_N = 4  # tokens per shingle
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 4-token
+    shingles whose FIRST corpus occurrence (lowest doc_id) is this doc —
+    the dedup-adjacent signal that separates original content from
+    remixes when curating training data.
+
+    Scale shape: shingles are generated in-row (transform over sequence,
+    zero Python, zero shuffle) and leave the scan as 64-bit xxhash64
+    ints. One aggregation keyed on the hash computes min(doc_id) with
+    map-side partials; the join back is hash-keyed. Nothing wide carries
+    strings."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(_NOV_N - 1), F.lit(0))
+    shingles = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.array_join(F.slice(toks, i, _NOV_N), " "),
+                )
+            ).alias("sh"),
+        )
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    first_seen = shingles.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        shingles.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.avg((F.col("first_doc") == F.col("doc_id")).cast("double")),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+DOC_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         hash(array_to_string(tokens[i:i+{_NOV_N - 1}], ' ')) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       unnest(range(1, greatest(len(tokens) - {_NOV_N - 1}, 0) + 1)) AS t(i)
+), first_seen AS (
+  SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       ROUND(AVG(CASE WHEN first_doc = sh.doc_id THEN 1.0 ELSE 0.0 END), 4)
+         AS novelty
+FROM sh JOIN first_seen USING (h)
+GROUP BY 1
+"""
+
+
+# ==========================================================================
+# Order→ship latency by priority
+# ==========================================================================
+
+def orders_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational latency: days between order date and each line item's
+    ship date, aggregated per order priority (count, mean, exact median).
+
+    The join shuffles on orderkey once; the per-priority aggregate is a
+    handful of groups with map-side partials. ``percentile`` is Spark's
+    exact percentile (sort-based within the tiny group), matching
+    DuckDB's ``quantile_cont``."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.expr(
+        "timestampdiff(DAY, date_trunc('DAY', o_orderdate),"
+        " date_trunc('DAY', l_shipdate))"
+    ).cast("double")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", delay.alias("delay_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("delay_days"), 3).alias("avg_delay"),
+            F.percentile("delay_days", F.lit(0.5)).alias("p50_delay"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_DELAY_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(AVG(date_diff('day', date_trunc('day', o_orderdate),
+                           date_trunc('day', l_shipdate))), 3) AS avg_delay,
+       quantile_cont(CAST(date_diff('day', date_trunc('day', o_orderdate),
+                          date_trunc('day', l_shipdate)) AS DOUBLE), 0.5)
+         AS p50_delay
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ==========================================================================
+# Fixed-width value histogram
+# ==========================================================================
+
+_HIST_W = 5.0
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value column (bin width 5) —
+    the profiling primitive behind distribution drift checks. Bin
+    assignment is a codegen'd floor division; the aggregate's exchange
+    carries |bins| partial rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.col("value") / F.lit(_HIST_W)).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .withColumn("lo", (F.col("bin") * _HIST_W).cast("double"))
+        .select("bin", "lo", "n")
+    )
+
+
+EVENTS_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(value / {_HIST_W}) AS BIGINT) AS bin,
+       CAST(floor(value / {_HIST_W}) * {_HIST_W} AS DOUBLE) AS lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES3: dict[str, tuple] = {
+    "events_markov_transitions": (
+        events_markov_transitions,
+        EVENTS_MARKOV_SQL,
+    ),
+    "events_attribution_last_touch": (
+        events_attribution_last_touch,
+        EVENTS_ATTRIBUTION_SQL,
+    ),
+    "doc_ngram_novelty": (doc_ngram_novelty, DOC_NOVELTY_SQL),
+    "orders_shipping_delay": (orders_shipping_delay, ORDERS_DELAY_SQL),
+    "events_value_histogram": (events_value_histogram, EVENTS_HISTOGRAM_SQL),
+}

@@ -387,3 +387,46 @@ def test_resample_grid_broadcasts(spark):
     assert rep["broadcast_joins"] >= 1, audit.explain_str(df, "simple")
     assert rep["sortmerge_joins"] == 0
     assert rep["exchanges"] <= 2
+
+
+def test_markov_single_user_shuffle(spark):
+    """The lag window and everything after must ride ONE user_id exchange
+    plus the tiny 25-key aggregation/window exchanges — the plan must not
+    re-shuffle event-scale data."""
+    from bulker_spark.plans.analytics3 import events_markov_transitions
+
+    df = events_markov_transitions(spark, SF)
+    # user window + transition agg + row-normalize window = at most 3
+    assert audit.exchange_count(df) <= 3, audit.explain_str(df, "simple")
+    assert audit.pruned_to(df, 4), audit.read_schemas(df)
+
+
+def test_attribution_no_touch_join(spark):
+    """Attribution must be the windowed as-of carry, not a purchase×touch
+    join (which explodes on active users)."""
+    from bulker_spark.plans.analytics3 import events_attribution_last_touch
+
+    df = events_attribution_last_touch(spark, SF)
+    plan = audit.explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert audit.has_pushed_filter(df, "event_type")
+
+
+def test_novelty_hashes_cross_shuffle(spark):
+    """Shingle text must be hashed before any exchange — strings crossing
+    the first-occurrence shuffle would 8× the shuffle bytes."""
+    from bulker_spark.plans.analytics3 import doc_ngram_novelty
+
+    df = doc_ngram_novelty(spark, SF)
+    assert audit.has_partial_aggregate(df), audit.explain_str(df, "formatted")
+    plan = audit.explain_str(df, "formatted")
+    assert "xxhash64" in plan
+
+
+def test_shipping_delay_partial_agg(spark):
+    from bulker_spark.plans.analytics3 import orders_shipping_delay
+
+    df = orders_shipping_delay(spark, SF)
+    assert audit.has_partial_aggregate(df)
+    # join on orderkey: lineitem pruned to 2 columns
+    assert audit.pruned_to(df, 3), audit.read_schemas(df)

@@ -299,6 +299,7 @@ class Warehouse:
         name: str,
         namespace: str | None = None,
         version: str | None = None,
+        _raw: bool = False,
     ) -> DataFrame:
         meta = self.get_meta(name, namespace)
         if meta is None:
@@ -350,7 +351,7 @@ class Warehouse:
             )
         else:
             out = self.spark.read.schema(schema).parquet(vdir)
-        if meta.write_mode == "mor":
+        if meta.write_mode == "mor" and not _raw:
             out = self._mor_reconcile(meta, out)
         return out
 
@@ -1089,6 +1090,53 @@ class Warehouse:
                 COMMIT_SEQ_COLUMN, F.lit(meta.mor_seq).cast("long")
             )
         return df
+
+    def lookup(
+        self,
+        name: str,
+        keys: list,
+        namespace: str | None = None,
+    ) -> DataFrame:
+        """Point lookup by primary key. On a bucketed table the scan is
+        pruned to the buckets the keys hash to BEFORE touching data files
+        — at 100 TB with 4096 buckets, a 10-key lookup reads ≤10 buckets
+        (≤0.25% of the table), plus parquet footer min/max pruning inside
+        them. On an unbucketed table this is an ordinary filtered scan.
+
+        ``keys``: scalar values for a single-column PK, or tuples in
+        ``meta.pk`` order for a composite PK. Bucket ids are derived with
+        the same JVM xxhash64 expression used at write time (one
+        row-count-of-keys local job, no table scan), so driver and data
+        can never disagree on placement."""
+        meta = self.get_meta(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        if not meta.pk:
+            raise ValueError(f"table {name} has no primary key")
+        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        if not rows:
+            return self.read(name, namespace).limit(0)
+        key_df = self.spark.createDataFrame(
+            rows,
+            self.read(name, namespace).select(*meta.pk).schema,
+        )
+        # bucket-prune BEFORE the MoR reconcile window: the window is
+        # keyed on pk, so a post-window partition filter would not push
+        # down to the scan
+        df = self.read(name, namespace, _raw=True)
+        if meta.n_buckets and set(meta.bucket_cols) <= set(meta.pk):
+            buckets = sorted(
+                {
+                    r[0]
+                    for r in key_df.select(
+                        bucket_expr(meta.bucket_cols, meta.n_buckets)
+                    ).collect()
+                }
+            )
+            df = df.filter(F.col(BUCKET_COLUMN).isin(buckets))
+        if meta.write_mode == "mor":
+            df = self._mor_reconcile(meta, df)
+        return df.join(F.broadcast(key_df), on=list(meta.pk), how="left_semi")
 
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
         """File-level stats for maintenance decisions: {n_files, bytes,

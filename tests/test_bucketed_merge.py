@@ -188,3 +188,48 @@ def test_bucketed_merge_occ_conflict(spark, tmp_warehouse):
             "t", wh2._with_bucket(meta2, src), ["id"], meta2,
             None, None, None, None, base2,
         )
+
+
+def test_lookup_prunes_to_key_buckets(spark, tmp_warehouse):
+    """Point lookup on a bucketed table: the scan carries a __bucket
+    partition filter (dir-level pruning), and results are exact."""
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "name": f"v{i}"} for i in range(200)])
+    df = e.warehouse.lookup("t", [3, 77])
+    got = sorted((r["id"], r["name"]) for r in df.collect())
+    assert got == [(3, "v3"), (77, "v77")]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan.split("PartitionFilters", 1)[-1][:200], plan
+
+
+def test_lookup_on_mor_bucketed(spark, tmp_warehouse):
+    """Lookup composes with merge-on-read: bucket pruning happens BELOW
+    the reconcile window, and the reconciled row wins."""
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "t", [{"id": i, "name": f"v{i}"} for i in range(100)],
+        mode="batch", primary_key=["id"], deduplicate=True,
+        bucket_by=8, merge_on_read=True,
+    )
+    e.bulk_load(
+        "t", [{"id": 9, "name": "UPD"}],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    df = e.warehouse.lookup("t", [9, 10])
+    got = sorted((r["id"], r["name"]) for r in df.collect())
+    assert got == [(9, "UPD"), (10, "v10")]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan.split("PartitionFilters", 1)[-1][:200], plan
+
+
+def test_lookup_unbucketed_and_composite(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse)
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "y"), (2, "a", "z")], ["k1", "k2", "v"]
+    )
+    wh.create_or_replace("t", df, pk=["k1", "k2"])
+    got = sorted(
+        (r["k1"], r["k2"], r["v"])
+        for r in wh.lookup("t", [(1, "b"), (2, "a")]).collect()
+    )
+    assert got == [(1, "b", "y"), (2, "a", "z")]

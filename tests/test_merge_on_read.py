@@ -188,3 +188,48 @@ def test_mor_delete_and_truncate(spark, tmp_warehouse):
     assert e.warehouse.read("t").count() == 0
     meta = e.warehouse.get_meta("t")
     assert meta.write_mode == "mor"
+
+
+def test_mor_streaming_cdc(spark, tmp_warehouse):
+    """The CDC topology the MoR type exists for: a checkpointed stream of
+    small upsert batches lands as O(batch) delta appends; auto-compaction
+    folds after the threshold; the reconciled table is exact."""
+    import json
+    import tempfile
+
+    from bulker_spark.api import StreamOptions
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        json_file_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="mor_src_")
+    ckpt = tempfile.mkdtemp(prefix="mor_ckpt_")
+    e = Engine(spark, tmp_warehouse)
+    opts = StreamOptions(
+        mode="batch", primary_key=["id"], deduplicate=True,
+        merge_on_read=True, mor_compact_every=3,
+    )
+
+    with open(os.path.join(src, "seed.ndjson"), "w") as fh:
+        for i in range(50):
+            fh.write(json.dumps({"id": i, "name": f"v{i}"}) + "\n")
+    q = IngestStream(e, "t", opts).start(json_file_stream(spark, src), ckpt)
+    q.awaitTermination(120)
+
+    for b in range(4):  # four trickle micro-batches
+        with open(os.path.join(src, f"cdc{b}.ndjson"), "w") as fh:
+            fh.write(json.dumps({"id": b, "name": f"upd{b}"}) + "\n")
+        q = IngestStream(e, "t", opts).start(
+            json_file_stream(spark, src), ckpt
+        )
+        q.awaitTermination(120)
+
+    e.warehouse.refresh("t")
+    meta = e.warehouse.get_meta("t")
+    assert meta.write_mode == "mor"
+    assert meta.mor_deltas < 4  # auto-compaction folded at least once
+    rows = dict(_rows(e, "t"))
+    assert len(rows) == 50
+    for b in range(4):
+        assert rows[b] == f"upd{b}"

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "events_attribution_last_touch",
     "doc_ngram_novelty",
     "orders_shipping_delay",
+    "customers_abc_pareto",
+    "events_dau_wau",
 ]
 
 

@@ -311,3 +311,173 @@ EXTRA_QUERIES3: dict[str, tuple] = {
     "orders_shipping_delay": (orders_shipping_delay, ORDERS_DELAY_SQL),
     "events_value_histogram": (events_value_histogram, EVENTS_HISTOGRAM_SQL),
 }
+
+
+# ==========================================================================
+# ABC / Pareto revenue classification
+# ==========================================================================
+
+def customers_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (ABC) analysis: customers ranked by revenue, classified by
+    their position in the cumulative revenue share — A up to 50%, B up to
+    80%, C the tail. Output: class → customers, revenue share.
+
+    Scale shape: per-customer revenue is ONE partial-aggregated shuffle on
+    custkey; the cumulative window runs over the aggregated (customer-
+    cardinality) rows, not order rows, and the final rollup is 3 groups.
+    The global orderBy the cumsum needs is a range partition over
+    already-aggregated data."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = (
+        Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = rev.agg(F.sum("rev")).collect()[0][0]
+    classed = rev.withColumn(
+        "cum_share", F.sum("rev").over(w) / F.lit(total)
+    ).withColumn(
+        "abc",
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("rev") / F.lit(total), 4).alias("rev_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+CUSTOMERS_ABC_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY 1
+), c AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING)
+           / SUM(rev) OVER () AS cum_share
+  FROM rev
+)
+SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+            WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc,
+       CAST(count(*) AS BIGINT) AS customers,
+       ROUND(SUM(rev) / (SELECT SUM(rev) FROM rev), 4) AS rev_share
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# ==========================================================================
+# Robust (MAD) length outliers
+# ==========================================================================
+
+def doc_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on document length: flag docs whose
+    |len - median| exceeds 1.5 × MAD (median absolute deviation) — the
+    z-score's robust cousin, standard in corpus quality triage where a
+    few megadocs wreck mean/stddev.
+
+    Two tiny scalar aggregations (median, then MAD) broadcast back as
+    literals — the corpus is scanned, never shuffled on a key."""
+    d = _t(spark, sf_dir, "documents")
+    med = d.agg(F.percentile("n_chars", F.lit(0.5))).collect()[0][0]
+    mad = d.agg(
+        F.percentile(F.abs(F.col("n_chars") - F.lit(med)), F.lit(0.5))
+    ).collect()[0][0]
+    return (
+        d.filter(F.abs(F.col("n_chars") - F.lit(med)) > 1.5 * F.lit(mad))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.abs(F.col("n_chars") - F.lit(med)) / F.lit(mad), 3
+            ).alias("mad_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_MAD_SQL = """
+WITH m AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med FROM documents
+), s AS (
+  SELECT quantile_cont(abs(n_chars - med), 0.5) AS mad FROM documents, m
+)
+SELECT doc_id, n_chars,
+       ROUND(abs(n_chars - med) / mad, 3) AS mad_score
+FROM documents, m, s
+WHERE abs(n_chars - med) > 1.5 * mad
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
+# DAU / WAU stickiness
+# ==========================================================================
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness: daily active users, the trailing-7-day active
+    users ending that day, and their ratio. WAU is computed from per-day
+    distinct-user SETS carried through a 7-day range window... no — sets
+    don't merge cheaply; instead each (user, day) pair fans out to the ≤7
+    window days it contributes to (bounded fan-out, then one exact
+    distinct per day). At 100 TB the fan-out is 7× the per-day DISTINCT
+    pairs (already aggregated), not 7× events."""
+    ev = _t(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    fan = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = (
+        fan.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .join(dau.select("day"), "day", "left_semi")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM user_days GROUP BY 1
+), fan AS (
+  SELECT user_id, day + (n * INTERVAL 1 DAY) AS day
+  FROM user_days, unnest(range(0, 7)) AS t(n)
+), wau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM fan WHERE day IN (SELECT day FROM dau)
+  GROUP BY 1
+)
+SELECT dau.day, dau, wau, ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
+EXTRA_QUERIES3.update(
+    {
+        "customers_abc_pareto": (customers_abc_pareto, CUSTOMERS_ABC_SQL),
+        "doc_length_outliers_mad": (doc_length_outliers_mad, DOC_MAD_SQL),
+        "events_dau_wau": (events_dau_wau, EVENTS_DAU_WAU_SQL),
+    }
+)

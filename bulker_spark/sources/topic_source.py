@@ -47,7 +47,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = "value string, _segment string, _offset bigint"
@@ -178,6 +180,69 @@ class TopicStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class SegmentCommit(WriterCommitMessage):
+    """Temp file written by one task, pending the driver's commit rename."""
+
+    tmp_name: str
+    final_name: str
+
+
+class TopicWriter(DataSourceWriter):
+    """Produce side: each task writes its rows' ``value`` column into a
+    hidden temp file; the DRIVER renames all temp files to visible
+    segments only when every task succeeded — an all-or-nothing publish
+    (readers skip ``.``/``_``-prefixed files, so a crashed job leaves no
+    partial segment visible). This is the reference's transactional
+    produce (Kafka transactions around the batch,
+    ``batch_consumer.go:269-401``) in file form."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bulker_topic requires a path: .save(dir)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> SegmentCommit:
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        token = _uuid.uuid4().hex
+        final = f"seg-{token}-{part:05d}.ndjson"
+        tmp = f".{final}.tmp"
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.path, tmp), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write((row["value"] or "") + "\n")
+                n += 1
+        if n == 0:  # no empty segments
+            os.remove(os.path.join(self.path, tmp))
+            return SegmentCommit("", "")
+        return SegmentCommit(tmp, final)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for seg in _segments(self.path):
+                os.remove(os.path.join(self.path, seg))
+        for m in messages:
+            if m and m.tmp_name:
+                os.rename(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, m.final_name),
+                )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.tmp_name:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+
 class NdjsonTopicDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -191,6 +256,13 @@ class NdjsonTopicDataSource(DataSource):
 
     def streamReader(self, schema) -> TopicStreamReader:
         return TopicStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TopicWriter:
+        if "value" not in [f.name for f in schema.fields]:
+            raise ValueError(
+                "bulker_topic writes require a 'value' string column"
+            )
+        return TopicWriter(self.options, overwrite)
 
 
 def register_topic_source(spark) -> None:

@@ -151,3 +151,68 @@ def test_topic_into_engine_ingest(spark, topic_dir):
     assert df.count() == 20  # deduped
     got = {r["messageId"]: r["n"] for r in df.collect()}
     assert got[5] == 99  # last wins
+
+
+def test_write_then_read_roundtrip(spark, topic_dir):
+    """Produce side: df.write.format('bulker_topic') publishes segments
+    atomically; a reader sees all rows, and no temp files remain."""
+    from pyspark.sql import functions as F
+
+    register_topic_source(spark)
+    df = spark.range(100).select(
+        F.to_json(F.struct(F.col("id"))).alias("value")
+    )
+    df.write.format("bulker_topic").mode("append").save(topic_dir)
+    back = spark.read.format("bulker_topic").load(topic_dir)
+    assert back.count() == 100
+    ids = sorted(json.loads(r["value"])["id"] for r in back.collect())
+    assert ids == list(range(100))
+    assert not [f for f in os.listdir(topic_dir) if f.endswith(".tmp")]
+
+    # append accumulates; overwrite replaces
+    df.limit(5).write.format("bulker_topic").mode("append").save(topic_dir)
+    assert spark.read.format("bulker_topic").load(topic_dir).count() == 105
+    df.limit(7).write.format("bulker_topic").mode("overwrite").save(topic_dir)
+    assert spark.read.format("bulker_topic").load(topic_dir).count() == 7
+
+
+def test_write_producer_feeds_stream_consumer(spark, topic_dir):
+    """Full topology: producer write → stream consumer picks up only the
+    newly published segments (offset resume across publishes)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_topic_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    out = tempfile.mkdtemp(prefix="out_")
+
+    def produce(lo, hi):
+        (
+            spark.range(lo, hi)
+            .select(F.to_json(F.struct(F.col("id"))).alias("value"))
+            .coalesce(1)
+            .write.format("bulker_topic")
+            .mode("append")
+            .save(topic_dir)
+        )
+
+    def consume():
+        q = (
+            spark.readStream.format("bulker_topic")
+            .load(topic_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    produce(0, 10)
+    consume()
+    produce(10, 15)
+    consume()
+    df = spark.read.parquet(out)
+    ids = sorted(json.loads(r["value"])["id"] for r in df.collect())
+    assert ids == list(range(15))

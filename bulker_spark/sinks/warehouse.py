@@ -536,15 +536,25 @@ class Warehouse:
         name: str,
         since_commit: int,
         namespace: str | None = None,
+        ops: tuple = ("append",),
     ) -> DataFrame:
         """Incremental consumption: rows in files ADDED after commit
         ``since_commit`` (manifest set difference — no data diffing, no
         re-read of already-consumed files). Valid only while every intervening
-        commit is an append; a merge/replace/compact rewrites files, so
+        commit's op is in ``ops``; a merge/replace/compact rewrites files, so
         row-level increments are undefined and this raises ``ValueError``
         (the consumer should fall back to a full re-read from the new
         snapshot). The downstream pattern: checkpoint the latest commit id
-        from :meth:`history`, call this per cycle."""
+        from :meth:`history`, call this per cycle.
+
+        On a merge-on-read table, pass ``ops=("append", "merge_mor")`` to
+        consume its delta commits as an UPSERT CHANGE FEED: each returned
+        row is "this PK now has these values" (rows are NOT deduped against
+        history — that is the consumer's contract, e.g. a downstream MERGE
+        or a trainer that wants latest-state records). Additive consumers
+        (incremental rollups) must NOT opt in: a superseding row would
+        double-count, which is why the default rejects ``merge_mor`` and
+        the rollup falls back to a full rebuild."""
         log = self._read_log(name, namespace)
         base = [e for e in log if e.get("commit") == since_commit]
         if not base:
@@ -552,7 +562,7 @@ class Warehouse:
                 f"unknown commit {since_commit} of {name}"
             )
         newer = [e for e in log if e.get("commit", 0) > since_commit]
-        non_append = [e["op"] for e in newer if e["op"] != "append"]
+        non_append = [e["op"] for e in newer if e["op"] not in ops]
         if non_append:
             raise ValueError(
                 f"table {name} was rewritten ({non_append[0]}) after commit "

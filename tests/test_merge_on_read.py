@@ -233,3 +233,40 @@ def test_mor_streaming_cdc(spark, tmp_warehouse):
     assert len(rows) == 50
     for b in range(4):
         assert rows[b] == f"upd{b}"
+
+
+def test_mor_change_feed(spark, tmp_warehouse):
+    """read_appended on an MoR table: default op set refuses (additive
+    consumers would double-count); opting in to merge_mor yields the
+    upsert change feed — exactly the delta rows of the new commits."""
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "name": f"v{i}"} for i in range(10)])
+    base = max(h["commit"] for h in e.warehouse.history("t"))
+    _load(e, "t", [{"id": 3, "name": "UPD3"}])
+    _load(e, "t", [{"id": 42, "name": "new42"}])
+
+    with pytest.raises(ValueError):
+        e.warehouse.read_appended("t", base)
+
+    feed = e.warehouse.read_appended("t", base, ops=("append", "merge_mor"))
+    rows = sorted((r["id"], r["name"]) for r in feed.select("id", "name").collect())
+    assert rows == [(3, "UPD3"), (42, "new42")]
+
+
+def test_incremental_rollup_on_mor_rebuilds(spark, tmp_warehouse):
+    """An additive rollup over an MoR source must fall back to a full
+    rebuild (delta files supersede, they don't add) — and stay correct."""
+    from bulker_spark.operators.incremental import incremental_rollup
+
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "grp": i % 3, "name": "x"} for i in range(30)])
+    ru = incremental_rollup(e.warehouse, "t", "t_rollup", ["grp"])
+    assert ru.refresh()["mode"] == "initial"
+    _load(e, "t", [{"id": 1, "grp": 1, "name": "upd"}])  # supersedes, no add
+    res = ru.refresh()
+    assert res["mode"] == "rebuild"
+    got = {
+        r["grp"]: r["n"]
+        for r in e.warehouse.read("t_rollup").collect()
+    }
+    assert got == {0: 10, 1: 10, 2: 10}  # counts unchanged: upsert, not insert

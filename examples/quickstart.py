@@ -117,6 +117,43 @@ def main() -> None:
     eng.bulk_load("log", ['{"seq": 3}'], mode="batch")
     print(ru.refresh())  # incremental: only the new file is aggregated
 
+    # 9. merge-cost layouts for big tables: bucket_by prunes a merge to
+    #    the buckets containing batch keys; merge_on_read makes the merge
+    #    an O(batch) delta append (reads reconcile; compaction folds)
+    eng.bulk_load(
+        "users_bucketed", ['{"id": %d, "v": "x"}' % i for i in range(100)],
+        mode="batch", primary_key=["id"], deduplicate=True, bucket_by=16,
+    )
+    eng.bulk_load(  # touches ONE of 16 buckets
+        "users_bucketed", ['{"id": 7, "v": "updated"}'],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    print("point lookup:", eng.warehouse.lookup("users_bucketed", [7]).collect())
+    eng.bulk_load(
+        "events_mor", ['{"id": %d, "v": 1}' % i for i in range(100)],
+        mode="batch", primary_key=["id"], deduplicate=True,
+        merge_on_read=True, mor_compact_every=10,
+    )
+    eng.bulk_load(  # appends a tiny delta file, no rewrite
+        "events_mor", ['{"id": 3, "v": 2}'],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    print("mor rows:", eng.warehouse.count("events_mor"))
+
+    # 10. the bulker_topic Python data source: NDJSON segment dirs as a
+    #     batch+stream format with Kafka-like offsets (see
+    #     sources/topic_source.py for the streaming consumer shape)
+    from pyspark.sql import functions as F
+
+    from bulker_spark.sources.topic_source import register_topic_source
+
+    register_topic_source(spark)
+    topic = tempfile.mkdtemp(prefix="topic_")
+    spark.range(5).select(
+        F.to_json(F.struct("id")).alias("value")
+    ).write.format("bulker_topic").mode("append").save(topic)
+    print("topic rows:", spark.read.format("bulker_topic").load(topic).count())
+
     spark.stop()
 
 

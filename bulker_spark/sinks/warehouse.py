@@ -1148,6 +1148,74 @@ class Warehouse:
             df = self._mor_reconcile(meta, df)
         return df.join(F.broadcast(key_df), on=list(meta.pk), how="left_semi")
 
+    def bucket_stats(self, name: str, namespace: str | None = None) -> dict:
+        """Bucket-layout balance report: per-bucket bytes/files plus a
+        skew ratio (max bucket bytes / mean). A ratio creeping past ~2
+        means the bucket key hashes unevenly (or one key dominates) and
+        the table is a :meth:`rebucket` candidate — at 100 TB a hot
+        bucket serializes every merge that touches it."""
+        meta = self.get_meta(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        if not meta.n_buckets:
+            raise ValueError(f"table {name} is not bucketed")
+        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        per: dict[int, dict] = {}
+        for base, _dirs, files in os.walk(vdir):
+            marker = f"{BUCKET_COLUMN}="
+            seg = next(
+                (p for p in base.split(os.sep) if p.startswith(marker)), None
+            )
+            if seg is None:
+                continue
+            b = int(seg[len(marker):])
+            slot = per.setdefault(b, {"bytes": 0, "files": 0})
+            for f in files:
+                if f.endswith(".parquet"):
+                    slot["files"] += 1
+                    slot["bytes"] += os.path.getsize(os.path.join(base, f))
+        sizes = [v["bytes"] for v in per.values()] or [0]
+        mean = sum(sizes) / len(sizes) if sizes else 0
+        return {
+            "n_buckets": meta.n_buckets,
+            "populated": len(per),
+            "buckets": per,
+            "skew_ratio": round(max(sizes) / mean, 3) if mean else 0.0,
+        }
+
+    def rebucket(
+        self,
+        name: str,
+        n_buckets: int,
+        namespace: str | None = None,
+    ) -> TableMeta:
+        """Rescale the bucket count (table growth outpaced the original
+        choice): rewrite the table hashed into ``n_buckets`` buckets as a
+        new version + atomic swap. On an MoR table this is also a fold
+        (the reconciled view is rewritten and restamped). Concurrent-safe
+        via the usual OCC token."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets >= 1")
+        meta, base = self._snapshot(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        if not meta.bucket_cols:
+            raise ValueError(
+                f"table {name} is not bucketed; create with bucket_by"
+            )
+        df = self.read(name, namespace)  # MoR: reconciled view
+        df = self._restamp_mor(meta, df)
+        df = df.withColumn(
+            BUCKET_COLUMN, bucket_expr(meta.bucket_cols, n_buckets)
+        ).repartition(n_buckets, F.col(BUCKET_COLUMN))
+        version = self._write_version(name, df, meta.partition_by, namespace)
+        meta.version = version
+        meta.n_buckets = n_buckets
+        meta.mor_deltas = 0
+        self._commit_meta(meta, op="rebucket", expected_commit=base)
+        self._gc_old_versions(name, version, namespace)
+        return meta
+
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
         """File-level stats for maintenance decisions: {n_files, bytes,
         avg_file_bytes} over the current version."""

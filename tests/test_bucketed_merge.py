@@ -233,3 +233,41 @@ def test_lookup_unbucketed_and_composite(spark, tmp_warehouse):
         for r in wh.lookup("t", [(1, "b"), (2, "a")]).collect()
     )
     assert got == [(1, "b", "y"), (2, "a", "z")]
+
+
+def test_bucket_stats_and_rebucket(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "name": f"v{i}"} for i in range(400)])
+    stats = e.warehouse.bucket_stats("t")
+    assert stats["n_buckets"] == 8 and stats["populated"] == 8
+    assert stats["skew_ratio"] >= 1.0
+    before = _rows(e, "t")
+
+    e.warehouse.rebucket("t", 16)
+    e.warehouse.refresh("t")
+    meta = e.warehouse.get_meta("t")
+    assert meta.n_buckets == 16
+    assert _rows(e, "t") == before
+    # merges keep working at the new bucket count
+    _load(e, "t", [{"id": 3, "name": "UPD"}])
+    assert dict(_rows(e, "t"))[3] == "UPD"
+    assert e.warehouse.bucket_stats("t")["n_buckets"] == 16
+
+
+def test_rebucket_mor_folds(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "t", [{"id": i, "name": f"v{i}"} for i in range(50)],
+        mode="batch", primary_key=["id"], deduplicate=True,
+        bucket_by=4, merge_on_read=True,
+    )
+    e.bulk_load(
+        "t", [{"id": 1, "name": "UPD"}],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    e.warehouse.rebucket("t", 8)
+    e.warehouse.refresh("t")
+    meta = e.warehouse.get_meta("t")
+    assert meta.n_buckets == 8 and meta.mor_deltas == 0
+    rows = dict(_rows(e, "t"))
+    assert rows[1] == "UPD" and len(rows) == 50

@@ -50,6 +50,9 @@ BUCKET_COLUMN = "__bucket"
 # merge-on-read commit sequence column: reads reconcile per-PK last-wins
 # by this monotonic stamp
 COMMIT_SEQ_COLUMN = "__commit_seq"
+# merge-on-read tombstone marker: a delete appends a row with this flag;
+# reconcile drops any PK whose LATEST record carries it
+TOMBSTONE_COLUMN = "__deleted"
 
 
 def bucket_expr(cols: list[str], n: int):
@@ -576,7 +579,9 @@ class Warehouse:
             set(newer[-1]["files"]) if newer else base_files
         )
         added = sorted(latest_files - base_files)
-        live_schema = self.read(name, namespace).schema
+        # raw schema: a MoR change feed must expose the physical
+        # __commit_seq / __deleted records — they ARE the change events
+        live_schema = self.read(name, namespace, _raw=True).schema
         if not added:
             return self.spark.createDataFrame([], live_schema)
         return (
@@ -1075,21 +1080,69 @@ class Warehouse:
         return meta
 
     def _mor_reconcile(self, meta: TableMeta, df: DataFrame) -> DataFrame:
-        """Per-PK last-wins by ``__commit_seq`` (highest stamp survives).
-        The stamp column is physical bookkeeping and is dropped from the
-        reconciled view."""
+        """Per-PK last-wins by ``__commit_seq`` (highest stamp survives);
+        a PK whose latest record is a tombstone (``__deleted``) is dropped
+        entirely. The stamp and tombstone columns are physical bookkeeping
+        and are dropped from the reconciled view."""
         from pyspark.sql import Window
 
         if COMMIT_SEQ_COLUMN not in df.columns or not meta.pk:
-            return df.drop(COMMIT_SEQ_COLUMN)
+            return df.drop(COMMIT_SEQ_COLUMN, TOMBSTONE_COLUMN)
         w = Window.partitionBy(*meta.pk).orderBy(
             F.col(COMMIT_SEQ_COLUMN).desc()
         )
-        return (
+        out = (
             df.withColumn("__mor_rn", F.row_number().over(w))
             .filter(F.col("__mor_rn") == 1)
-            .drop("__mor_rn", COMMIT_SEQ_COLUMN)
         )
+        if TOMBSTONE_COLUMN in df.columns:
+            out = out.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COLUMN), F.lit(False))
+            )
+        return out.drop("__mor_rn", COMMIT_SEQ_COLUMN, TOMBSTONE_COLUMN)
+
+    def delete_keys(
+        self,
+        name: str,
+        keys: list,
+        namespace: str | None = None,
+    ) -> TableMeta:
+        """Row deletes by primary key. On a merge-on-read table this is an
+        O(keys) TOMBSTONE append (the CDC delete shape: the change feed
+        shows the tombstone, reads drop the key, compaction folds it
+        away). On a copy-on-write table it rewrites without the keys
+        (anti-join) as a new version.
+
+        ``keys``: scalars for a single-column PK, tuples in ``meta.pk``
+        order for composite."""
+        meta, base = self._snapshot(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        if not meta.pk:
+            raise ValueError(f"table {name} has no primary key")
+        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        if not rows:
+            return meta
+        key_df = self.spark.createDataFrame(
+            rows, self.read(name, namespace).select(*meta.pk).schema
+        )
+        if meta.write_mode == "mor":
+            if TOMBSTONE_COLUMN not in meta.columns:
+                meta.columns[TOMBSTONE_COLUMN] = DataType.BOOL
+            tomb = key_df.withColumn(TOMBSTONE_COLUMN, F.lit(True))
+            return self._merge_mor(
+                name, self._with_bucket(meta, tomb), meta.pk, meta,
+                None, namespace, base,
+            )
+        kept = self.read(name, namespace).join(
+            F.broadcast(key_df), on=list(meta.pk), how="left_anti"
+        )
+        kept = self._with_bucket(meta, kept)
+        version = self._write_version(name, kept, meta.partition_by, namespace)
+        meta.version = version
+        self._commit_meta(meta, op="delete", expected_commit=base)
+        self._gc_old_versions(name, version, namespace)
+        return meta
 
     def _restamp_mor(self, meta: TableMeta, df: DataFrame) -> DataFrame:
         """Re-add the stamp after an op that consumed the reconciled view

@@ -270,3 +270,54 @@ def test_incremental_rollup_on_mor_rebuilds(spark, tmp_warehouse):
         for r in e.warehouse.read("t_rollup").collect()
     }
     assert got == {0: 10, 1: 10, 2: 10}  # counts unchanged: upsert, not insert
+
+
+def test_mor_delete_keys_tombstone(spark, tmp_warehouse):
+    """MoR delete = O(keys) tombstone append: reads drop the key, the
+    change feed carries the delete record, compaction folds it away,
+    and a later upsert resurrects the key."""
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "name": f"v{i}"} for i in range(10)])
+    base = max(h["commit"] for h in e.warehouse.history("t"))
+
+    def files():
+        return set(
+            glob.glob(f"{tmp_warehouse}/default/t/v_*/**/*.parquet",
+                      recursive=True)
+        )
+
+    before = files()
+    e.warehouse.delete_keys("t", [3, 7])
+    assert before <= files()  # append-only delete
+    rows = dict(_rows(e, "t"))
+    assert len(rows) == 8 and 3 not in rows and 7 not in rows
+
+    # the change feed shows the tombstones
+    feed = e.warehouse.read_appended("t", base, ops=("append", "merge_mor"))
+    dels = sorted(
+        r["id"] for r in feed.filter(feed["__deleted"] == True).collect()  # noqa: E712
+    )
+    assert dels == [3, 7]
+
+    # compaction folds tombstones away physically
+    e.warehouse.compact("t", target_file_bytes=1 << 30)
+    e.warehouse.refresh("t")
+    assert len(dict(_rows(e, "t"))) == 8
+
+    # a later upsert resurrects the key
+    _load(e, "t", [{"id": 3, "name": "back"}])
+    assert dict(_rows(e, "t"))[3] == "back"
+
+
+def test_cow_delete_keys(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "t", [{"id": i, "name": f"v{i}"} for i in range(10)],
+        mode="batch", primary_key=["id"], deduplicate=True, bucket_by=4,
+    )
+    e.warehouse.delete_keys("t", [2])
+    rows = dict(_rows(e, "t"))
+    assert len(rows) == 9 and 2 not in rows
+    from bulker_spark.sinks.warehouse import BUCKET_COLUMN
+    df = e.warehouse.read("t")
+    assert df.filter(df[BUCKET_COLUMN].isNull()).count() == 0

@@ -21,8 +21,13 @@ batch_strategy = st.dictionaries(
     max_size=4,
 )
 
-# after each batch, optionally fold the deltas
-step_strategy = st.tuples(batch_strategy, st.booleans())
+# after each batch: optionally tombstone-delete some keys, optionally
+# fold the deltas
+step_strategy = st.tuples(
+    batch_strategy,
+    st.sets(st.integers(min_value=1, max_value=5), max_size=2),
+    st.booleans(),
+)
 
 
 @settings(max_examples=10, deadline=None)
@@ -33,7 +38,7 @@ def test_mor_matches_dict_model(spark, steps, bucketed):
         wh = Warehouse(spark, root)
         model: dict = {}
         created = False
-        for batch, do_compact in steps:
+        for batch, deletes, do_compact in steps:
             df = spark.createDataFrame(
                 [(k, v) for k, v in batch.items()], "id long, val string"
             )
@@ -49,6 +54,10 @@ def test_mor_matches_dict_model(spark, steps, bucketed):
             else:
                 wh.merge("t", df, pk=["id"])
             model.update(batch)
+            if deletes:
+                wh.delete_keys("t", sorted(deletes))
+                for k in deletes:
+                    model.pop(k, None)
             if do_compact:
                 wh.compact("t", target_file_bytes=1 << 30)
         got = {

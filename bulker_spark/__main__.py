@@ -52,6 +52,27 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("count", help="row count (the reference's Count op)")
     c.add_argument("--table", "-t", required=True)
+
+    cp = sub.add_parser("compact", help="fold small files / MoR deltas")
+    cp.add_argument("--table", "-t", required=True)
+    cp.add_argument("--target-file-mb", type=int, default=128)
+    cp.add_argument("--cluster-by", action="append", default=[])
+    cp.add_argument("--zorder-by", action="append", default=[])
+
+    rb = sub.add_parser("rebucket", help="rescale a bucketed table")
+    rb.add_argument("--table", "-t", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True)
+
+    stt = sub.add_parser("stats", help="file + bucket layout stats")
+    stt.add_argument("--table", "-t", required=True)
+
+    vac = sub.add_parser("vacuum", help="reclaim orphaned version dirs")
+    vac.add_argument("--table", "-t", required=True)
+    vac.add_argument("--min-age-hours", type=float, default=24.0)
+
+    dk = sub.add_parser("delete-keys", help="delete rows by primary key")
+    dk.add_argument("--table", "-t", required=True)
+    dk.add_argument("keys", nargs="+", help="PK values (JSON scalars)")
     return p
 
 
@@ -114,6 +135,42 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
         elif args.cmd == "count":
             print(engine.warehouse.count(args.table))
+        elif args.cmd == "compact":
+            res = engine.warehouse.compact(
+                args.table,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                cluster_by=args.cluster_by or None,
+                zorder_by=args.zorder_by or None,
+            )
+            print(json.dumps(res))
+        elif args.cmd == "rebucket":
+            meta = engine.warehouse.rebucket(args.table, args.n_buckets)
+            print(json.dumps({"table": args.table, "n_buckets": meta.n_buckets}))
+        elif args.cmd == "stats":
+            out = {"files": engine.warehouse.table_stats(args.table)}
+            meta = engine.warehouse.get_meta(args.table)
+            if meta and meta.n_buckets:
+                bs = engine.warehouse.bucket_stats(args.table)
+                out["buckets"] = {
+                    "n_buckets": bs["n_buckets"],
+                    "populated": bs["populated"],
+                    "skew_ratio": bs["skew_ratio"],
+                }
+            if meta and meta.write_mode == "mor":
+                out["mor"] = {
+                    "pending_deltas": meta.mor_deltas,
+                    "commit_seq": meta.mor_seq,
+                }
+            print(json.dumps(out))
+        elif args.cmd == "vacuum":
+            removed = engine.warehouse.vacuum(
+                args.table, min_age_seconds=args.min_age_hours * 3600
+            )
+            print(json.dumps({"removed": removed}))
+        elif args.cmd == "delete-keys":
+            keys = [json.loads(k) for k in args.keys]
+            engine.warehouse.delete_keys(args.table, keys)
+            print(json.dumps({"deleted_keys": keys}))
         return 0
     finally:
         if owns_spark:

@@ -63,3 +63,53 @@ def test_cli_load_stdin(spark, tmp_warehouse, capsys, monkeypatch):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["successful_rows"] == 2
+
+
+def test_cli_maintenance_commands(spark, tmp_warehouse, tmp_path, capsys):
+    """compact / rebucket / stats / vacuum / delete-keys round-trip."""
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "t", [{"id": i, "v": f"x{i}"} for i in range(50)],
+        mode="batch", primary_key=["id"], deduplicate=True,
+        bucket_by=4, merge_on_read=True,
+    )
+    e.bulk_load(
+        "t", [{"id": 1, "v": "upd"}],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+
+    rc = main(["-w", tmp_warehouse, "stats", "-t", "t"], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["buckets"]["n_buckets"] == 4
+    assert out["mor"]["pending_deltas"] == 1
+
+    rc = main(["-w", tmp_warehouse, "compact", "-t", "t"], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["after"]["n_files"] <= out["before"]["n_files"]
+
+    rc = main(
+        ["-w", tmp_warehouse, "rebucket", "-t", "t", "--n-buckets", "8"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "table": "t", "n_buckets": 8,
+    }
+
+    rc = main(
+        ["-w", tmp_warehouse, "delete-keys", "-t", "t", "3", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["-w", tmp_warehouse, "count", "-t", "t"], spark=spark)
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "48"
+
+    rc = main(["-w", tmp_warehouse, "vacuum", "-t", "t"], spark=spark)
+    assert rc == 0
+    assert "removed" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])

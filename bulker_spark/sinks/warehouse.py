@@ -1083,12 +1083,34 @@ class Warehouse:
         """Per-PK last-wins by ``__commit_seq`` (highest stamp survives);
         a PK whose latest record is a tombstone (``__deleted``) is dropped
         entirely. The stamp and tombstone columns are physical bookkeeping
-        and are dropped from the reconciled view."""
+        and are dropped from the reconciled view.
+
+        Fast path: ``mor_deltas == 0`` (just created, folded, or rebuilt)
+        means the base files already hold exactly one live record per PK —
+        the window is skipped and an MoR read costs the same as CoW. Every
+        fold point (compact / delete / rebucket / truncate) resets the
+        counter, so reads between folds pay the window and reads after a
+        fold don't."""
         from pyspark.sql import Window
 
-        if COMMIT_SEQ_COLUMN not in df.columns or not meta.pk:
+        if (
+            COMMIT_SEQ_COLUMN not in df.columns
+            or not meta.pk
+            or meta.mor_deltas == 0
+        ):
             return df.drop(COMMIT_SEQ_COLUMN, TOMBSTONE_COLUMN)
-        w = Window.partitionBy(*meta.pk).orderBy(
+        # same-PK rows always share a bucket (bucket_cols ⊆ pk), so the
+        # bucket column can join the window partition keys — which lets
+        # Catalyst push bucket-partition filters BELOW the window (the
+        # pruned point-lookup path)
+        keys = list(meta.pk)
+        if (
+            meta.n_buckets
+            and set(meta.bucket_cols) <= set(meta.pk)
+            and BUCKET_COLUMN in df.columns
+        ):
+            keys = [BUCKET_COLUMN, *keys]
+        w = Window.partitionBy(*keys).orderBy(
             F.col(COMMIT_SEQ_COLUMN).desc()
         )
         out = (

@@ -321,3 +321,22 @@ def test_cow_delete_keys(spark, tmp_warehouse):
     from bulker_spark.sinks.warehouse import BUCKET_COLUMN
     df = e.warehouse.read("t")
     assert df.filter(df[BUCKET_COLUMN].isNull()).count() == 0
+
+
+def test_mor_read_fast_path_after_fold(spark, tmp_warehouse):
+    """A folded MoR table (mor_deltas == 0) reads WITHOUT the reconcile
+    window — same plan class as CoW; with pending deltas the window is
+    present."""
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "name": f"v{i}"} for i in range(20)])
+    _load(e, "t", [{"id": 1, "name": "upd"}])
+
+    def has_window(df):
+        return "Window" in df._jdf.queryExecution().executedPlan().toString()
+
+    assert has_window(e.warehouse.read("t"))
+    e.warehouse.compact("t", target_file_bytes=1 << 30)
+    e.warehouse.refresh("t")
+    df = e.warehouse.read("t")
+    assert not has_window(df)
+    assert dict(_rows(e, "t"))[1] == "upd"

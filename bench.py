@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "orders_shipping_delay",
     "customers_abc_pareto",
     "events_dau_wau",
+    "events_top_paths",
 ]
 
 

@@ -481,3 +481,53 @@ EXTRA_QUERIES3.update(
         "events_dau_wau": (events_dau_wau, EVENTS_DAU_WAU_SQL),
     }
 )
+
+
+# ==========================================================================
+# Top event paths (3-step sequence mining)
+# ==========================================================================
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavior paths: every window of three
+    consecutive events per user, counted corpus-wide, top 20. The
+    n-step generalization of the Markov matrix — funnel discovery
+    without pre-declaring the funnel.
+
+    One user-window shuffle produces both lags; the path aggregate's
+    key space is |types|³ ≤ 125, so everything after the first exchange
+    is constant-size. Top-20 via TakeOrdered (orderBy+limit), no global
+    sort materialization."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+    )
+    return (
+        steps.select(
+            F.concat_ws(">", "t1", "t2", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH s AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
+EXTRA_QUERIES3["events_top_paths"] = (events_top_paths, EVENTS_TOP_PATHS_SQL)

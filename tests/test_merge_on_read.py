@@ -340,3 +340,15 @@ def test_mor_read_fast_path_after_fold(spark, tmp_warehouse):
     df = e.warehouse.read("t")
     assert not has_window(df)
     assert dict(_rows(e, "t"))[1] == "upd"
+
+
+def test_engine_sql_over_mor(spark, tmp_warehouse):
+    """Engine.sql snapshot views see the RECONCILED MoR state."""
+    e = Engine(spark, tmp_warehouse)
+    _load(e, "t", [{"id": i, "name": f"v{i}"} for i in range(5)])
+    _load(e, "t", [{"id": 2, "name": "UPD"}])
+    got = {
+        r["id"]: r["name"]
+        for r in e.sql("SELECT id, name FROM t").collect()
+    }
+    assert got[2] == "UPD" and len(got) == 5

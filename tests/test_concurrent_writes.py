@@ -201,3 +201,45 @@ def test_retention_counts_distinct_versions_not_commits(spark, roots):
     assert wh.read("t", version=1).count() == 1
     assert wh.read("t", version=4).count() == 4
     assert wh.read("t").count() == 5
+
+
+def test_threaded_mor_merges_unique_sequences(spark, roots):
+    """Two racing MoR merge threads: the OCC token serializes the commit-
+    sequence claim, so both deltas land with DISTINCT __commit_seq stamps
+    and neither upsert is lost."""
+    import threading
+
+    from bulker_spark import Engine
+    from bulker_spark.sinks.warehouse import COMMIT_SEQ_COLUMN
+
+    eng = Engine(spark, roots, retain_versions=2)
+    eng.bulk_load(
+        "t", _df(spark, [(1, "base")]), mode="batch",
+        primary_key=["pk"], deduplicate=True, merge_on_read=True,
+    )
+    errors = []
+
+    def do_merge(tag):
+        try:
+            e = Engine(spark, roots, retain_versions=2)
+            e.bulk_load(
+                "t", _df(spark, [(10 + tag, f"w{tag}")]), mode="batch",
+                primary_key=["pk"], deduplicate=True,
+            )
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    ts = [threading.Thread(target=do_merge, args=(i,)) for i in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    eng.warehouse.refresh("t")
+    rows = {r["pk"]: r["v"] for r in eng.warehouse.read("t").collect()}
+    assert rows == {1: "base", 11: "w1", 12: "w2"}
+    raw = eng.warehouse.read("t", _raw=True)
+    seqs = sorted(
+        r[0] for r in raw.select(COMMIT_SEQ_COLUMN).distinct().collect()
+    )
+    assert seqs == [0, 1, 2]  # no sequence collision

@@ -1219,6 +1219,15 @@ class Warehouse:
                 }
             )
             df = df.filter(F.col(BUCKET_COLUMN).isin(buckets))
+        if len(rows) <= 10_000:
+            # literal IN-filter on the leading PK column: reaches the
+            # parquet scan as a PushedFilter, so footer min/max (and
+            # dictionary) pruning skips row groups the semi-join alone
+            # would still read. The semi join below keeps exactness for
+            # composite keys.
+            df = df.filter(
+                F.col(f"`{meta.pk[0]}`").isin([r[0] for r in rows])
+            )
         if meta.write_mode == "mor":
             df = self._mor_reconcile(meta, df)
         return df.join(F.broadcast(key_df), on=list(meta.pk), how="left_semi")

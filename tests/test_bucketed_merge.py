@@ -200,6 +200,8 @@ def test_lookup_prunes_to_key_buckets(spark, tmp_warehouse):
     assert got == [(3, "v3"), (77, "v77")]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__bucket" in plan.split("PartitionFilters", 1)[-1][:200], plan
+    # the key IN-filter reaches the parquet footer
+    assert "PushedFilters: [In(id" in plan, plan
 
 
 def test_lookup_on_mor_bucketed(spark, tmp_warehouse):

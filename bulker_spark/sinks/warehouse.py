@@ -753,6 +753,13 @@ class Warehouse:
             raise ValueError(
                 f"table {name} is not partitioned by {partition_column}"
             )
+        if meta.write_mode == "mor":
+            # a partition overwrite would drop stamped history for some
+            # keys but not others — reconcile semantics become undefined
+            raise ValueError(
+                f"replace_partition is undefined on merge-on-read table "
+                f"{name}; use a CoW table for partition-replace loads"
+            )
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         df = self._align_json_storage(meta, df)
         (

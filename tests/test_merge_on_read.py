@@ -352,3 +352,19 @@ def test_engine_sql_over_mor(spark, tmp_warehouse):
         for r in e.sql("SELECT id, name FROM t").collect()
     }
     assert got[2] == "UPD" and len(got) == 5
+
+
+def test_replace_partition_rejected_on_mor(spark, tmp_warehouse):
+    """Partition overwrite would drop stamped history unevenly —
+    explicitly undefined on MoR tables."""
+    wh = Warehouse(spark, tmp_warehouse)
+    df = spark.createDataFrame([(1, "p1", "a")], ["id", "part", "v"])
+    wh.create_or_replace(
+        "t", df, pk=["id"], partition_by=["part"], merge_on_read=True
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        wh.replace_partition(
+            "t",
+            spark.createDataFrame([(2, "p1", "b")], ["id", "part", "v"]),
+            partition_column="part",
+        )

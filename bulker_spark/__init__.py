@@ -9,7 +9,8 @@ search, text analysis, multimodal plumbing) under ``functions/``.
 """
 
 from .api import Engine, StreamOptions, BulkerStream, StreamResult  # noqa: F401
-from .sinks.warehouse import ConcurrentWriteError  # noqa: F401
+from .sinks.warehouse import ConcurrentWriteError, Warehouse  # noqa: F401
+from .sources.topic_source import register_topic_source  # noqa: F401
 from .types_lattice import DataType, common_ancestor  # noqa: F401
 
 __version__ = "0.1.0"

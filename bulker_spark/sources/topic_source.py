@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -243,6 +244,62 @@ class TopicWriter(DataSourceWriter):
                     pass
 
 
+class TopicStreamWriter(DataSourceStreamWriter):
+    """Streaming produce: each micro-batch publishes its segments with
+    the same tmp-write + driver-rename discipline as the batch writer,
+    with the epoch id in the segment name — re-publishing an epoch after
+    a restart overwrites the same names instead of duplicating (the
+    at-least-once retry becomes idempotent at the file level)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bulker_topic requires a path: .save(dir)")
+
+    def write(self, iterator) -> "SegmentCommit":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId()
+        # streaming epochs carry the batch id via a job-local property;
+        # fall back to a unique token if the runtime doesn't expose it
+        # (losing only the file-name idempotency, not correctness)
+        epoch = ctx.getLocalProperty("streaming.sql.batchId")
+        if epoch is not None:
+            final = f"seg-e{int(epoch):010d}-{part:05d}.ndjson"
+        else:
+            import uuid as _uuid
+
+            final = f"seg-{_uuid.uuid4().hex}-{part:05d}.ndjson"
+        tmp = f".{final}.tmp"
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.path, tmp), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write((row["value"] or "") + "\n")
+                n += 1
+        if n == 0:
+            os.remove(os.path.join(self.path, tmp))
+            return SegmentCommit("", "")
+        return SegmentCommit(tmp, final)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.tmp_name:
+                os.replace(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, m.final_name),
+                )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.tmp_name:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+
 class NdjsonTopicDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -263,6 +320,13 @@ class NdjsonTopicDataSource(DataSource):
                 "bulker_topic writes require a 'value' string column"
             )
         return TopicWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> TopicStreamWriter:
+        if "value" not in [f.name for f in schema.fields]:
+            raise ValueError(
+                "bulker_topic writes require a 'value' string column"
+            )
+        return TopicStreamWriter(self.options)
 
 
 def register_topic_source(spark) -> None:

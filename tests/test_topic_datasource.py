@@ -216,3 +216,49 @@ def test_write_producer_feeds_stream_consumer(spark, topic_dir):
     df = spark.read.parquet(out)
     ids = sorted(json.loads(r["value"])["id"] for r in df.collect())
     assert ids == list(range(15))
+
+
+def test_stream_write_topic_relay(spark, topic_dir):
+    """Streaming produce: a stream relayed INTO a bulker_topic dir lands
+    one committed segment set per micro-batch, readable by the batch and
+    stream consumers (topic → transform → topic, the reference's
+    Kafka-to-Kafka relay shape)."""
+    import tempfile
+
+    register_topic_source(spark)
+    src_topic = tempfile.mkdtemp(prefix="topic_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    _write_segment(src_topic, "a.ndjson", [{"id": i} for i in range(8)])
+
+    q = (
+        spark.readStream.format("bulker_topic")
+        .load(src_topic)
+        .select("value")
+        .writeStream.format("bulker_topic")
+        .option("path", topic_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.format("bulker_topic").load(topic_dir)
+    ids = sorted(json.loads(r["value"])["id"] for r in out.collect())
+    assert ids == list(range(8))
+    assert not [f for f in os.listdir(topic_dir) if f.endswith(".tmp")]
+
+    # second publish appends new segments, no duplication of the first
+    _write_segment(src_topic, "b.ndjson", [{"id": i} for i in range(8, 11)])
+    q = (
+        spark.readStream.format("bulker_topic")
+        .load(src_topic)
+        .select("value")
+        .writeStream.format("bulker_topic")
+        .option("path", topic_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.format("bulker_topic").load(topic_dir)
+    ids = sorted(json.loads(r["value"])["id"] for r in out.collect())
+    assert ids == list(range(11))

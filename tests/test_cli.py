@@ -113,3 +113,14 @@ def test_cli_maintenance_commands(spark, tmp_warehouse, tmp_path, capsys):
     rc = main(["-w", tmp_warehouse, "vacuum", "-t", "t"], spark=spark)
     assert rc == 0
     assert "removed" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_make_session_conf(spark):
+    """Session factory: scale posture is present on a built session.
+    (Reuses the active JVM — getOrCreate returns the test session with
+    the requested confs applied where session-settable.)"""
+    from bulker_spark.session import make_session
+
+    s = make_session()
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert s.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -430,3 +430,25 @@ def test_shipping_delay_partial_agg(spark):
     assert audit.has_partial_aggregate(df)
     # join on orderkey: lineitem pruned to 2 columns
     assert audit.pruned_to(df, 3), audit.read_schemas(df)
+
+
+def test_top_paths_constant_after_first_shuffle(spark):
+    from bulker_spark.plans.analytics3 import events_top_paths
+
+    df = events_top_paths(spark, SF)
+    # user window + ≤125-key agg + top-k sort boundary
+    assert audit.exchange_count(df) <= 3, audit.explain_str(df, "simple")
+    assert audit.has_partial_aggregate(df)
+
+
+def test_dau_wau_fans_out_pairs_not_events(spark):
+    """The 7× explode must sit ABOVE the per-day distinct (pairs), not on
+    raw events — check the distinct aggregate appears below the explode
+    in the plan tree."""
+    from bulker_spark.plans.analytics3 import events_dau_wau
+
+    df = events_dau_wau(spark, SF)
+    plan = audit.explain_str(df, "formatted")
+    gen = plan.index("Generate")  # the explode
+    assert "HashAggregate" in plan[gen:], plan[:500]
+    assert audit.has_partial_aggregate(df)

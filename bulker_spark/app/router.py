@@ -1,0 +1,379 @@
+"""HTTP router — the reference's public API surface in Python stdlib form.
+
+Reference: ``bulkerapp/app/router.go``:
+- ``POST /post/:destinationId?tableName=`` (:122-191) — one JSON event,
+  produced asynchronously to the destination's topic; the warehouse load
+  happens later when a batch cycle drains the topic.
+- ``POST /bulk/:destinationId?tableName=&mode=&pk=`` (:220-321) — NDJSON
+  body streamed synchronously through a BulkerStream; the HTTP handler is
+  the driver; response carries the load counters.
+- ``GET /failed/:destinationId?tableName=`` (:370-432) — dead-letter peek.
+- ``GET /ready`` (health) and ``GET /metrics`` (counter snapshot).
+
+Spark mapping: topics are ``bulker_topic`` segment directories (the
+repo's Spark 4 Python Data Source, ``sources/topic_source.py``); the
+batch-consumer cron (``bulkerapp/app/cron.go:25-56``) becomes
+``run_batch_cycle`` — an ``availableNow`` checkpointed drain through
+``IngestStream`` — exposed as ``POST /cycle/:destinationId`` so tests and
+operators can trigger it like the reference's on-demand runs. The HTTP
+layer itself is driver-side control plane only: event bytes go straight
+to topic segments, and every data-plane transformation stays in Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+from ..api import Engine, StreamOptions, StreamResult
+from ..streaming.ingest_stream import IngestStream
+from ..streaming.topics import make_topic_id, parse_topic_id
+
+MAX_BODY_BYTES = 20 * 1024 * 1024  # reference caps request bodies (gin default)
+
+
+@dataclass
+class Destination:
+    """One configured destination (the repository entry the router looks
+    up per request, ``router.go:145``)."""
+
+    destination_id: str
+    warehouse_path: str
+    namespace: str = "default"
+    # default StreamOptions fields applied to every load for this
+    # destination (mode may be overridden per-request like the reference's
+    # query params)
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+class TopicProducer:
+    """Driver-side single-event producer: each flush publishes ONE new
+    immutable segment (tmp-write + rename, invisible until renamed) —
+    the file-form of the reference's async Kafka produce
+    (``router.go:185``, ``producer.go``). Buffering (``batch_size``)
+    amortizes segment count for hot topics; ``flush_all`` is called by
+    every batch cycle so buffered events are never stranded."""
+
+    def __init__(self, topics_root: str, batch_size: int = 1):
+        self.topics_root = topics_root
+        self.batch_size = max(1, int(batch_size))
+        self._buffers: dict[str, list[str]] = {}
+        self._lock = threading.Lock()
+        self.produced = 0
+
+    def produce(self, topic: str, line: str) -> None:
+        with self._lock:
+            buf = self._buffers.setdefault(topic, [])
+            buf.append(line)
+            self.produced += 1
+            if len(buf) >= self.batch_size:
+                self._flush_locked(topic)
+
+    def flush_all(self) -> None:
+        with self._lock:
+            for topic in list(self._buffers):
+                self._flush_locked(topic)
+
+    def _flush_locked(self, topic: str) -> None:
+        buf = self._buffers.get(topic)
+        if not buf:
+            return
+        tdir = os.path.join(self.topics_root, topic)
+        os.makedirs(tdir, exist_ok=True)
+        # name-sorted == publish order (the reader's log order contract);
+        # time_ns + uuid keeps names unique across producers
+        final = f"seg-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.ndjson"
+        tmp = os.path.join(tdir, f".{final}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(buf) + "\n")
+        os.rename(tmp, os.path.join(tdir, final))
+        self._buffers[topic] = []
+
+
+class BulkerApp:
+    """The application object behind the HTTP handlers (and usable
+    directly as a library, mirroring the reference's app/router split)."""
+
+    def __init__(
+        self,
+        spark,
+        topics_root: str,
+        destinations: dict[str, Destination] | list[Destination],
+        producer_batch_size: int = 1,
+    ):
+        from ..sources.topic_source import register_topic_source
+
+        register_topic_source(spark)
+        self.spark = spark
+        self.topics_root = topics_root
+        os.makedirs(topics_root, exist_ok=True)
+        if isinstance(destinations, list):
+            destinations = {d.destination_id: d for d in destinations}
+        self.destinations = destinations
+        self.producer = TopicProducer(topics_root, producer_batch_size)
+        self._engines: dict[str, Engine] = {}
+        self.metrics: dict[str, int] = {
+            "events_produced": 0,
+            "bulk_requests": 0,
+            "bulk_rows": 0,
+            "cycles": 0,
+            "cycle_topics_drained": 0,
+        }
+        self._lock = threading.Lock()
+
+    # -- plumbing -----------------------------------------------------------
+    def engine_for(self, destination_id: str) -> Engine:
+        dest = self.destinations.get(destination_id)
+        if dest is None:
+            raise KeyError(f"destination not found: {destination_id}")
+        with self._lock:
+            eng = self._engines.get(destination_id)
+            if eng is None:
+                eng = Engine(
+                    self.spark, dest.warehouse_path, namespace=dest.namespace
+                )
+                self._engines[destination_id] = eng
+        return eng
+
+    def _options_for(
+        self, destination_id: str, overrides: dict[str, Any]
+    ) -> dict[str, Any]:
+        base = dict(self.destinations[destination_id].options)
+        base.update({k: v for k, v in overrides.items() if v is not None})
+        return base
+
+    # -- the three verbs ----------------------------------------------------
+    def post_event(
+        self,
+        destination_id: str,
+        table: str,
+        body: bytes | str,
+        mode: str | None = None,
+    ) -> str:
+        """Async single-event ingest (``router.go:122-191``): validate the
+        JSON, produce to the (destination, mode, table) topic, return the
+        topic id. The load happens at the next batch cycle."""
+        if destination_id not in self.destinations:
+            raise KeyError(f"destination not found: {destination_id}")
+        text = body.decode("utf-8") if isinstance(body, bytes) else body
+        json.loads(text)  # reject malformed before produce (fast 400)
+        mode = mode or self.destinations[destination_id].options.get(
+            "mode", "batch"
+        )
+        topic = make_topic_id(destination_id, mode, table)
+        self.producer.produce(topic, text.strip().replace("\n", " "))
+        self.metrics["events_produced"] += 1
+        return topic
+
+    def bulk(
+        self,
+        destination_id: str,
+        table: str,
+        body: bytes | str,
+        mode: str | None = None,
+        primary_key: list[str] | None = None,
+        **overrides: Any,
+    ) -> StreamResult:
+        """Synchronous NDJSON load (``router.go:220-321``): the request
+        body goes through the full flatten/infer/dedup/merge pipeline
+        in-request; default mode replace_table like the reference."""
+        eng = self.engine_for(destination_id)
+        text = body.decode("utf-8") if isinstance(body, bytes) else body
+        opts = self._options_for(
+            destination_id,
+            {"mode": mode, "primary_key": primary_key, **overrides},
+        )
+        opts.setdefault("mode", "replace_table")
+        if opts.get("primary_key") and "deduplicate" not in opts:
+            opts["deduplicate"] = True  # pk via ?pk= implies dedup (router.go:251)
+        stream = eng.create_stream(table, **opts)
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        json_df = self.spark.createDataFrame(
+            [(ln,) for ln in lines], "value string"
+        )
+        stream.consume_dataframe_json(json_df)
+        res = stream.complete()
+        self.metrics["bulk_requests"] += 1
+        self.metrics["bulk_rows"] += res.successful_rows
+        return res
+
+    def failed(
+        self, destination_id: str, table: str, limit: int = 100
+    ) -> list[dict[str, Any]]:
+        """Dead-letter peek (``router.go:370-432``), newest first."""
+        eng = self.engine_for(destination_id)
+        opts = self._options_for(destination_id, {})
+        opts.pop("mode", None)
+        stream = IngestStream(eng, table, StreamOptions(**opts))
+        rows = stream.failed_events(limit).collect()
+        return [
+            {
+                "value": r["value"],
+                "error": r["error"],
+                "failed_at": r["failed_at"].isoformat()
+                if r["failed_at"]
+                else None,
+            }
+            for r in rows
+        ]
+
+    # -- the batch-consumer cron (cron.go:25-56) ----------------------------
+    def topics_for(self, destination_id: str) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.topics_root)):
+            if not os.path.isdir(os.path.join(self.topics_root, name)):
+                continue
+            try:
+                dest, _mode, _table = parse_topic_id(name)
+            except ValueError:
+                continue
+            if dest == destination_id:
+                out.append(name)
+        return out
+
+    def run_batch_cycle(self, destination_id: str) -> dict[str, Any]:
+        """Drain every topic of one destination into its warehouse:
+        checkpointed ``availableNow`` micro-batch per topic — offsets
+        advance only after the warehouse commit, the reference's
+        offset-after-commit discipline (``batch_consumer.go:200-262``)."""
+        if destination_id not in self.destinations:
+            raise KeyError(f"destination not found: {destination_id}")
+        self.producer.flush_all()
+        eng = self.engine_for(destination_id)
+        drained: dict[str, int] = {}
+        for topic in self.topics_for(destination_id):
+            _dest, mode, table = parse_topic_id(topic)
+            opts = self._options_for(destination_id, {"mode": mode})
+            stream = IngestStream(eng, table, StreamOptions(**opts))
+            source = (
+                self.spark.readStream.format("bulker_topic")
+                .load(os.path.join(self.topics_root, topic))
+                .select("value")
+            )
+            ckpt = os.path.join(self.topics_root, "_checkpoints", topic)
+            q = stream.start(source, ckpt, available_now=True)
+            q.awaitTermination()
+            drained[topic] = 1
+            self.metrics["cycle_topics_drained"] += 1
+        self.metrics["cycles"] += 1
+        return {"destination": destination_id, "topics": list(drained)}
+
+
+# -- stdlib HTTP front ------------------------------------------------------
+
+
+def _make_handler(app: BulkerApp):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet request logging (tests); override for deployments
+        def log_message(self, *args):  # noqa: D102
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                raise ValueError(f"body too large: {n} bytes")
+            return self.rfile.read(n)
+
+        def do_GET(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if parts == ["ready"]:
+                    self._json(200, {"status": "ready"})
+                elif parts == ["metrics"]:
+                    self._json(200, dict(app.metrics))
+                elif len(parts) == 2 and parts[0] == "failed":
+                    table = q.get("tableName")
+                    if not table:
+                        self._json(400, {"error": "tableName is required"})
+                        return
+                    rows = app.failed(
+                        parts[1], table, int(q.get("limit", "100"))
+                    )
+                    self._json(200, {"events": rows})
+                else:
+                    self._json(404, {"error": f"no route {url.path}"})
+            except KeyError as ex:
+                self._json(404, {"error": str(ex)})
+            except Exception as ex:  # surface as 500, never crash the server
+                self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+
+        def do_POST(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if len(parts) == 2 and parts[0] == "post":
+                    table = q.get("tableName")
+                    if not table:
+                        self._json(400, {"error": "tableName is required"})
+                        return
+                    topic = app.post_event(
+                        parts[1], table, self._body(), q.get("mode")
+                    )
+                    self._json(200, {"success": True, "topic": topic})
+                elif len(parts) == 2 and parts[0] == "bulk":
+                    table = q.get("tableName")
+                    if not table:
+                        self._json(400, {"error": "tableName is required"})
+                        return
+                    pk = [
+                        c for c in q.get("pk", "").split(",") if c.strip()
+                    ] or None
+                    res = app.bulk(
+                        parts[1],
+                        table,
+                        self._body(),
+                        mode=q.get("mode"),
+                        primary_key=pk,
+                    )
+                    self._json(
+                        200 if res.error is None else 500,
+                        {
+                            "success": res.error is None,
+                            "processedRows": res.processed_rows,
+                            "successfulRows": res.successful_rows,
+                            "malformedRows": res.malformed_rows,
+                            "rejectedRows": res.rejected_rows,
+                            "error": res.error,
+                        },
+                    )
+                elif len(parts) == 2 and parts[0] == "cycle":
+                    self._json(200, app.run_batch_cycle(parts[1]))
+                else:
+                    self._json(404, {"error": f"no route {url.path}"})
+            except KeyError as ex:
+                self._json(404, {"error": str(ex)})
+            except (json.JSONDecodeError, ValueError) as ex:
+                self._json(400, {"error": str(ex)})
+            except Exception as ex:
+                self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+
+    return Handler
+
+
+def serve(app: BulkerApp, host: str = "127.0.0.1", port: int = 0):
+    """Start the HTTP server (returns it; ``.server_address`` carries the
+    bound port; call ``.shutdown()`` to stop). Threaded like the
+    reference's gin server — handler threads share the driver's
+    SparkSession, whose scheduler is thread-safe."""
+    server = ThreadingHTTPServer((host, port), _make_handler(app))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

@@ -1,0 +1,154 @@
+"""HTTP router surface — the reference's ``bulkerapp/app/router.go``
+endpoints over the in-process app: async /post → topic → cycle → table,
+sync /bulk, dead-letter /failed, /ready, /metrics, 404s."""
+
+import json
+import shutil
+import tempfile
+import urllib.request
+from urllib.error import HTTPError
+
+import pytest
+
+from bulker_spark.app import BulkerApp, Destination, serve
+
+
+@pytest.fixture()
+def app_server(spark):
+    wh = tempfile.mkdtemp(prefix="router_wh_")
+    topics = tempfile.mkdtemp(prefix="router_topics_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("pg1", wh, options={"primary_key": ["id"], "deduplicate": True})],
+    )
+    server = serve(app)
+    host, port = server.server_address
+    yield app, f"http://{host}:{port}"
+    server.shutdown()
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(topics, ignore_errors=True)
+
+
+def _post(url: str, body: bytes) -> dict:
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def _get(url: str) -> dict:
+    with urllib.request.urlopen(url) as resp:
+        return json.loads(resp.read())
+
+
+def test_post_then_cycle_lands_rows(app_server, spark):
+    app, base = app_server
+    for i in range(3):
+        out = _post(
+            f"{base}/post/pg1?tableName=events_http",
+            json.dumps({"id": i, "nested": {"a": i * 2}}).encode(),
+        )
+        assert out["success"] is True
+        assert "in.id.pg1.m.batch.t.events_http" == out["topic"]
+    # nothing in the warehouse until the batch cycle drains the topic
+    eng = app.engine_for("pg1")
+    assert not eng.warehouse.exists("events_http")
+    cycle = _post(f"{base}/cycle/pg1", b"")
+    assert cycle["topics"] == ["in.id.pg1.m.batch.t.events_http"]
+    df = eng.warehouse.read("events_http")
+    assert df.count() == 3
+    assert "nested_a" in df.columns  # flattened
+    # re-running the cycle is a no-op (offsets checkpointed)
+    _post(f"{base}/cycle/pg1", b"")
+    assert eng.warehouse.read("events_http").count() == 3
+
+
+def test_bulk_sync_load_and_dedup(app_server, spark):
+    app, base = app_server
+    lines = b"\n".join(
+        json.dumps({"id": i % 2, "v": i}).encode() for i in range(4)
+    )
+    out = _post(f"{base}/bulk/pg1?tableName=t_bulk&mode=batch&pk=id", lines)
+    assert out["success"] is True
+    assert out["successfulRows"] == 2  # 4 events, in-batch pk dedup to 2
+    df = app.engine_for("pg1").warehouse.read("t_bulk")
+    # pk dedup, last wins: ids {0, 1} with v {2, 3}
+    assert sorted(tuple(r) for r in df.select("id", "v").collect()) == [
+        (0, 2),
+        (1, 3),
+    ]
+
+
+def test_bulk_default_mode_is_replace_table(app_server, spark):
+    app, base = app_server
+    _post(f"{base}/bulk/pg1?tableName=t_swap", b'{"id": 1}\n{"id": 2}')
+    _post(f"{base}/bulk/pg1?tableName=t_swap", b'{"id": 9}')
+    df = app.engine_for("pg1").warehouse.read("t_swap")
+    assert [r["id"] for r in df.collect()] == [9]
+
+
+def test_failed_endpoint_surfaces_dead_letters(app_server, spark):
+    app, base = app_server
+    _post(
+        f"{base}/post/pg1?tableName=t_dead",
+        json.dumps({"id": 1}).encode(),
+    )
+    # malformed line straight into the topic (bypassing /post's 400 guard)
+    app.producer.produce("in.id.pg1.m.batch.t.t_dead", "{not json")
+    _post(f"{base}/cycle/pg1", b"")
+    out = _get(f"{base}/failed/pg1?tableName=t_dead")
+    assert len(out["events"]) == 1
+    assert out["events"][0]["value"] == "{not json"
+    assert "malformed" in out["events"][0]["error"]
+    assert app.engine_for("pg1").warehouse.read("t_dead").count() == 1
+
+
+def test_post_rejects_malformed_json(app_server):
+    _, base = app_server
+    with pytest.raises(HTTPError) as ex:
+        _post(f"{base}/post/pg1?tableName=t", b"{nope")
+    assert ex.value.code == 400
+
+
+def test_unknown_destination_404(app_server):
+    _, base = app_server
+    with pytest.raises(HTTPError) as ex:
+        _post(f"{base}/post/ghost?tableName=t", b"{}")
+    assert ex.value.code == 404
+    with pytest.raises(HTTPError) as ex:
+        _get(f"{base}/failed/ghost?tableName=t")
+    assert ex.value.code == 404
+
+
+def test_ready_and_metrics(app_server):
+    app, base = app_server
+    assert _get(f"{base}/ready") == {"status": "ready"}
+    _post(f"{base}/post/pg1?tableName=m1", b'{"id": 1}')
+    m = _get(f"{base}/metrics")
+    assert m["events_produced"] >= 1
+
+
+def test_producer_buffering_rolls_one_segment(spark):
+    import os
+
+    wh = tempfile.mkdtemp(prefix="router_wh_")
+    topics = tempfile.mkdtemp(prefix="router_topics_")
+    try:
+        app = BulkerApp(
+            spark, topics, [Destination("d1", wh)], producer_batch_size=50
+        )
+        for i in range(49):
+            app.post_event("d1", "buffered", json.dumps({"id": i}))
+        tdir = os.path.join(topics, "in.id.d1.m.batch.t.buffered")
+        assert not os.path.isdir(tdir) or os.listdir(tdir) == []
+        app.post_event("d1", "buffered", json.dumps({"id": 49}))  # hits 50
+        segs = [f for f in os.listdir(tdir) if f.startswith("seg-")]
+        assert len(segs) == 1
+        # a cycle flushes stragglers before draining
+        app.post_event("d1", "buffered", json.dumps({"id": 50}))
+        app.run_batch_cycle("d1")
+        eng = app.engine_for("d1")
+        assert eng.warehouse.read("buffered").count() == 51
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "customers_abc_pareto",
     "events_dau_wau",
     "events_top_paths",
+    "part_name_similar_pairs",
+    "events_ab_arms",
 ]
 
 

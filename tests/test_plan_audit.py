@@ -452,3 +452,36 @@ def test_dau_wau_fans_out_pairs_not_events(spark):
     gen = plan.index("Generate")  # the explode
     assert "HashAggregate" in plan[gen:], plan[:500]
     assert audit.has_partial_aggregate(df)
+
+
+def test_similar_pairs_blocked_join_no_cartesian(spark):
+    """The ER join must be a per-block equi-join over DISTINCT names —
+    no CartesianProduct/NestedLoop, and the distinct dedup partial-aggs
+    before its exchange (names shuffle, not rows)."""
+    from bulker_spark.plans.analytics4 import part_name_similar_pairs
+
+    df = part_name_similar_pairs(spark, SF)
+    plan = audit.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # map-side distinct: a keyed HashAggregate below AND above each
+    # exchange (bare DISTINCT has no partial_ functions to grep for)
+    assert plan.count("HashAggregate") >= 4, plan
+    # only p_name is scanned — the candidate shuffle moves names, not rows
+    assert audit.pruned_to(df, 1), audit.read_schemas(df)
+    # edit distance stays JVM-side (no Python eval in the plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ab_arms_assignment_is_projection(spark):
+    """Arm assignment must be in-row (a Project over the scan), with the
+    only wide work the 2-key distinct rollup; no join, no window."""
+    from bulker_spark.plans.analytics4 import events_ab_arms
+
+    df = events_ab_arms(spark, SF)
+    plan = audit.explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert audit.has_partial_aggregate(df)
+    # countDistinct expand: ≤3 exchanges (partial/distinct/final merge)
+    assert audit.exchange_count(df) <= 3, plan

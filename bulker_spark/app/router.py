@@ -51,6 +51,12 @@ class Destination:
     # destination (mode may be overridden per-request like the reference's
     # query params)
     options: dict[str, Any] = field(default_factory=dict)
+    # ingest enrichment filters (``ingest/filters.go:9-67``): an
+    # ``{"events": ..., "hosts": ...}`` allowlist applied JVM-side during
+    # the batch cycle — non-matching events are dropped before the load,
+    # exactly the reference's pre-produce filtering (applied pre-load here
+    # so the predicate rides the topic scan as one codegen'd Column)
+    filters: dict[str, Any] | None = None
 
 
 class TopicProducer:
@@ -224,6 +230,64 @@ class BulkerApp:
             for r in rows
         ]
 
+    @staticmethod
+    def _apply_ingest_filters(source, filters: dict[str, Any]):
+        """Compile the events/hosts allowlists onto raw JSON lines: the
+        subject columns are extracted JVM-side (``get_json_object``) and
+        the whole predicate is one codegen'd Column — no Python in the
+        event path (``ingest/filters.go:39-50``)."""
+        from pyspark.sql import functions as F
+
+        from ..ingest_filters import apply_filters
+
+        parsed = (
+            source.withColumn(
+                "type", F.get_json_object("value", "$.type")
+            )
+            .withColumn("event", F.get_json_object("value", "$.event"))
+            .withColumn(
+                "context_page_host",
+                F.get_json_object("value", "$.context.page.host"),
+            )
+        )
+        return apply_filters(parsed, filters).select("value")
+
+    def log_range(
+        self,
+        destination_id: str,
+        table: str,
+        *,
+        ts_col: str | None = None,
+        id_col: str | None = None,
+        start: str | None = None,
+        end: str | None = None,
+        before_id: Any = None,
+        limit: int = 100,
+    ) -> list[dict[str, Any]]:
+        """Events-log range read (``router.go:484-571``): newest-first
+        rows of a warehouse table bounded by a timestamp range, a
+        ``beforeId`` cursor, and a limit — all filters ride the parquet
+        scan (footer min/max pruning at scale)."""
+        from pyspark.sql import functions as F
+
+        eng = self.engine_for(destination_id)
+        df = eng.warehouse.read(table)
+        order = []
+        if ts_col:
+            if start is not None:
+                df = df.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+            if end is not None:
+                df = df.filter(F.col(ts_col) <= F.lit(end).cast("timestamp"))
+            order.append(F.col(ts_col).desc())
+        if id_col:
+            if before_id is not None:
+                df = df.filter(F.col(id_col) < F.lit(before_id))
+            order.append(F.col(id_col).desc())
+        if order:
+            df = df.orderBy(*order)
+        rows = df.limit(max(1, min(int(limit), 10000))).collect()
+        return [r.asDict(recursive=True) for r in rows]
+
     # -- the batch-consumer cron (cron.go:25-56) ----------------------------
     def topics_for(self, destination_id: str) -> list[str]:
         out = []
@@ -247,6 +311,7 @@ class BulkerApp:
             raise KeyError(f"destination not found: {destination_id}")
         self.producer.flush_all()
         eng = self.engine_for(destination_id)
+        dest = self.destinations[destination_id]
         drained: dict[str, int] = {}
         for topic in self.topics_for(destination_id):
             _dest, mode, table = parse_topic_id(topic)
@@ -257,6 +322,8 @@ class BulkerApp:
                 .load(os.path.join(self.topics_root, topic))
                 .select("value")
             )
+            if dest.filters:
+                source = self._apply_ingest_filters(source, dest.filters)
             ckpt = os.path.join(self.topics_root, "_checkpoints", topic)
             q = stream.start(source, ckpt, available_now=True)
             q.awaitTermination()
@@ -305,6 +372,22 @@ def _make_handler(app: BulkerApp):
                         return
                     rows = app.failed(
                         parts[1], table, int(q.get("limit", "100"))
+                    )
+                    self._json(200, {"events": rows})
+                elif len(parts) == 2 and parts[0] == "log":
+                    table = q.get("tableName")
+                    if not table:
+                        self._json(400, {"error": "tableName is required"})
+                        return
+                    rows = app.log_range(
+                        parts[1],
+                        table,
+                        ts_col=q.get("tsColumn"),
+                        id_col=q.get("idColumn"),
+                        start=q.get("start"),
+                        end=q.get("end"),
+                        before_id=q.get("beforeId"),
+                        limit=int(q.get("limit", "100")),
                     )
                     self._json(200, {"events": rows})
                 else:

@@ -152,3 +152,51 @@ def test_producer_buffering_rolls_one_segment(spark):
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_ingest_filters_drop_nonmatching(spark):
+    wh = tempfile.mkdtemp(prefix="router_whf_")
+    topics = tempfile.mkdtemp(prefix="router_topf_")
+    try:
+        app = BulkerApp(
+            spark,
+            topics,
+            [
+                Destination(
+                    "df1",
+                    wh,
+                    filters={"events": ["page", "track"], "hosts": "*.shop.com"},
+                )
+            ],
+        )
+        ok = {"type": "page", "context": {"page": {"host": "eu.shop.com"}}, "id": 1}
+        bad_type = {"type": "identify", "context": {"page": {"host": "eu.shop.com"}}, "id": 2}
+        bad_host = {"type": "page", "context": {"page": {"host": "evil.org"}}, "id": 3}
+        for ev in (ok, bad_type, bad_host):
+            app.post_event("df1", "filtered", json.dumps(ev))
+        app.run_batch_cycle("df1")
+        df = app.engine_for("df1").warehouse.read("filtered")
+        assert [r["id"] for r in df.collect()] == [1]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_log_range_endpoint(app_server, spark):
+    app, base = app_server
+    lines = "\n".join(
+        json.dumps({"id": i, "ts": f"2024-01-0{1 + i % 3}T00:00:00Z"})
+        for i in range(9)
+    )
+    _post(f"{base}/bulk/pg1?tableName=t_log&mode=batch&pk=id", lines.encode())
+    out = _get(
+        f"{base}/log/pg1?tableName=t_log&tsColumn=ts&idColumn=id"
+        "&start=2024-01-02T00:00:00&end=2024-01-02T23:59:59&limit=2"
+    )
+    ids = [e["id"] for e in out["events"]]
+    # day-2 rows are ids 1,4,7 → newest-first cursor gives [7, 4]
+    assert ids == [7, 4]
+    out2 = _get(
+        f"{base}/log/pg1?tableName=t_log&idColumn=id&beforeId=4&limit=10"
+    )
+    assert [e["id"] for e in out2["events"]] == [3, 2, 1, 0]

@@ -154,6 +154,33 @@ def main() -> None:
     ).write.format("bulker_topic").mode("append").save(topic)
     print("topic rows:", spark.read.format("bulker_topic").load(topic).count())
 
+    # 11. the HTTP front (router.go parity): async /post → topic →
+    #     batch cycle → warehouse; sync /bulk; /failed dead-letter peek
+    import json as _json
+    import urllib.request
+
+    from bulker_spark.app import BulkerApp, Destination, serve
+
+    app = BulkerApp(
+        spark,
+        tempfile.mkdtemp(prefix="topics_"),
+        [Destination("dest1", tempfile.mkdtemp(prefix="wh_http_"),
+                     options={"primary_key": ["id"], "deduplicate": True})],
+    )
+    server = serve(app)
+    base = "http://%s:%d" % server.server_address
+    for i in range(3):
+        urllib.request.urlopen(urllib.request.Request(
+            f"{base}/post/dest1?tableName=clicks",
+            data=_json.dumps({"id": i, "page": {"path": "/home"}}).encode(),
+        ))
+    urllib.request.urlopen(urllib.request.Request(
+        f"{base}/cycle/dest1", data=b"", method="POST"
+    ))
+    print("http-ingested rows:",
+          app.engine_for("dest1").warehouse.count("clicks"))
+    server.shutdown()
+
     spark.stop()
 
 

@@ -332,6 +332,47 @@ class BulkerApp:
         self.metrics["cycles"] += 1
         return {"destination": destination_id, "topics": list(drained)}
 
+    def topic_lag(self, destination_id: str) -> dict[str, dict[str, int]]:
+        """Consumer-lag metric: per-topic produced vs committed line
+        counts — the reference's queue-size gauge (high-watermark minus
+        consumed offset, ``abstract_batch_consumer.go:286-307,329-342``).
+
+        Produced = line counts of visible segments; committed = the
+        newest offsets entry in the cycle checkpoint (written only AFTER
+        the warehouse commit, so lag never under-reports)."""
+        from ..sources.topic_source import _count_lines, _segments
+
+        if destination_id not in self.destinations:
+            raise KeyError(f"destination not found: {destination_id}")
+        self.producer.flush_all()
+        out: dict[str, dict[str, int]] = {}
+        for topic in self.topics_for(destination_id):
+            tdir = os.path.join(self.topics_root, topic)
+            produced = sum(
+                _count_lines(os.path.join(tdir, s)) for s in _segments(tdir)
+            )
+            committed = 0
+            odir = os.path.join(
+                self.topics_root, "_checkpoints", topic, "offsets"
+            )
+            if os.path.isdir(odir):
+                batches = [
+                    f
+                    for f in os.listdir(odir)
+                    if f.isdigit() and os.path.isfile(os.path.join(odir, f))
+                ]
+                if batches:
+                    latest = max(batches, key=int)
+                    with open(os.path.join(odir, latest)) as fh:
+                        last = fh.read().strip().splitlines()[-1]
+                    committed = sum(json.loads(last).values())
+            out[topic] = {
+                "produced": produced,
+                "committed": committed,
+                "lag": produced - committed,
+            }
+        return out
+
 
 # -- stdlib HTTP front ------------------------------------------------------
 
@@ -374,6 +415,8 @@ def _make_handler(app: BulkerApp):
                         parts[1], table, int(q.get("limit", "100"))
                     )
                     self._json(200, {"events": rows})
+                elif len(parts) == 2 and parts[0] == "lag":
+                    self._json(200, app.topic_lag(parts[1]))
                 elif len(parts) == 2 and parts[0] == "log":
                     table = q.get("tableName")
                     if not table:

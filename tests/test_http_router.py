@@ -200,3 +200,20 @@ def test_log_range_endpoint(app_server, spark):
         f"{base}/log/pg1?tableName=t_log&idColumn=id&beforeId=4&limit=10"
     )
     assert [e["id"] for e in out2["events"]] == [3, 2, 1, 0]
+
+
+def test_lag_endpoint_tracks_consumption(app_server, spark):
+    app, base = app_server
+    for i in range(5):
+        _post(
+            f"{base}/post/pg1?tableName=t_lag",
+            json.dumps({"id": i}).encode(),
+        )
+    lag = _get(f"{base}/lag/pg1")
+    t = "in.id.pg1.m.batch.t.t_lag"
+    assert lag[t] == {"produced": 5, "committed": 0, "lag": 5}
+    _post(f"{base}/cycle/pg1", b"")
+    lag = _get(f"{base}/lag/pg1")
+    assert lag[t] == {"produced": 5, "committed": 5, "lag": 0}
+    _post(f"{base}/post/pg1?tableName=t_lag", b'{"id": 99}')
+    assert _get(f"{base}/lag/pg1")[t]["lag"] == 1

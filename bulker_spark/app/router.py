@@ -316,21 +316,70 @@ class BulkerApp:
         for topic in self.topics_for(destination_id):
             _dest, mode, table = parse_topic_id(topic)
             opts = self._options_for(destination_id, {"mode": mode})
-            stream = IngestStream(eng, table, StreamOptions(**opts))
-            source = (
-                self.spark.readStream.format("bulker_topic")
-                .load(os.path.join(self.topics_root, topic))
-                .select("value")
+            so = StreamOptions(**opts)
+            stream = IngestStream(eng, table, so)
+            q = stream.start(
+                self._topic_source(topic, dest, so),
+                os.path.join(self.topics_root, "_checkpoints", topic),
+                available_now=True,
             )
-            if dest.filters:
-                source = self._apply_ingest_filters(source, dest.filters)
-            ckpt = os.path.join(self.topics_root, "_checkpoints", topic)
-            q = stream.start(source, ckpt, available_now=True)
             q.awaitTermination()
             drained[topic] = 1
             self.metrics["cycle_topics_drained"] += 1
         self.metrics["cycles"] += 1
         return {"destination": destination_id, "topics": list(drained)}
+
+    def _topic_source(self, topic: str, dest: Destination, so: StreamOptions):
+        """bulker_topic readStream for one topic: batchSize becomes the
+        trigger rate limit (the reference's ≤10000-msg batches,
+        ``app_config.go:57``), and ingest filters ride the scan."""
+        reader = self.spark.readStream.format("bulker_topic")
+        if so.batch_size:
+            reader = reader.option("maxLinesPerTrigger", int(so.batch_size))
+        source = reader.load(
+            os.path.join(self.topics_root, topic)
+        ).select("value")
+        if dest.filters:
+            source = self._apply_ingest_filters(source, dest.filters)
+        return source
+
+    def start_streaming(
+        self, destination_id: str, processing_time: str | None = None
+    ) -> dict[str, Any]:
+        """Continuous consumers (``stream_consumer.go:190-315``): one
+        long-running micro-batch query per existing topic, triggered
+        every ``frequency`` seconds (or ``processing_time``). Returns
+        {topic: StreamingQuery}; call ``.stop()`` on each (or use
+        ``stop_streaming``). Shares checkpoints with ``run_batch_cycle``
+        so the two modes can be mixed without re-delivery."""
+        if destination_id not in self.destinations:
+            raise KeyError(f"destination not found: {destination_id}")
+        self.producer.flush_all()
+        eng = self.engine_for(destination_id)
+        dest = self.destinations[destination_id]
+        queries: dict[str, Any] = {}
+        for topic in self.topics_for(destination_id):
+            _dest, mode, table = parse_topic_id(topic)
+            opts = self._options_for(destination_id, {"mode": mode})
+            so = StreamOptions(**opts)
+            stream = IngestStream(eng, table, so)
+            queries[topic] = stream.start(
+                self._topic_source(topic, dest, so),
+                os.path.join(self.topics_root, "_checkpoints", topic),
+                available_now=False,
+                processing_time=processing_time,
+            )
+        self._streams = getattr(self, "_streams", {})
+        self._streams.update(queries)
+        return queries
+
+    def stop_streaming(self) -> None:
+        for q in getattr(self, "_streams", {}).values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self._streams = {}
 
     def topic_lag(self, destination_id: str) -> dict[str, dict[str, int]]:
         """Consumer-lag metric: per-topic produced vs committed line

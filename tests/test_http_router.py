@@ -217,3 +217,90 @@ def test_lag_endpoint_tracks_consumption(app_server, spark):
     assert lag[t] == {"produced": 5, "committed": 5, "lag": 0}
     _post(f"{base}/post/pg1?tableName=t_lag", b'{"id": 99}')
     assert _get(f"{base}/lag/pg1")[t]["lag"] == 1
+
+
+def test_continuous_streaming_consumes_new_events(spark):
+    import time
+
+    wh = tempfile.mkdtemp(prefix="router_whs_")
+    topics = tempfile.mkdtemp(prefix="router_tops_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("s1", wh, options={"primary_key": ["id"], "deduplicate": True})],
+    )
+    try:
+        app.post_event("s1", "live", json.dumps({"id": 1}))
+        qs = app.start_streaming("s1", processing_time="1 seconds")
+        assert list(qs) == ["in.id.s1.m.batch.t.live"]
+        eng = app.engine_for("s1")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if eng.warehouse.exists("live") and eng.warehouse.count("live") == 1:
+                break
+            time.sleep(0.5)
+        assert eng.warehouse.count("live") == 1
+        # events posted while the query runs are picked up next trigger
+        app.post_event("s1", "live", json.dumps({"id": 2}))
+        app.producer.flush_all()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if eng.warehouse.count("live") == 2:
+                break
+            time.sleep(0.5)
+        assert eng.warehouse.count("live") == 2
+    finally:
+        app.stop_streaming()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_batch_size_limits_streaming_trigger(spark):
+    """batchSize → maxLinesPerTrigger on the continuous consumer: the
+    backlog drains in multiple rate-limited micro-batches. (availableNow
+    cycles drain in one batch — Python-source admission control applies
+    to regular triggers, covered by test_topic_datasource.)"""
+    import os
+    import time
+
+    wh = tempfile.mkdtemp(prefix="router_whb_")
+    topics = tempfile.mkdtemp(prefix="router_topb_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("b1", wh, options={"batch_size": 3})],
+    )
+    def n_commits():
+        d = os.path.join(
+            topics, "_checkpoints", "in.id.b1.m.batch.t.limited", "commits"
+        )
+        return len([c for c in os.listdir(d) if c.isdigit()])
+
+    try:
+        app.post_event("b1", "limited", json.dumps({"id": -1}))
+        app.start_streaming("b1", processing_time="0 seconds")
+        eng = app.engine_for("b1")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if eng.warehouse.exists("limited") and eng.warehouse.count("limited") == 1:
+                break
+            time.sleep(0.5)
+        assert eng.warehouse.count("limited") == 1
+        base_commits = n_commits()
+        # the first trigger is unbounded catch-up (the reader can't see
+        # the checkpointed start); the cap applies from the second on:
+        # 10 new lines / 3 per trigger → ≥4 additional commits
+        for i in range(10):
+            app.post_event("b1", "limited", json.dumps({"id": i}))
+        app.producer.flush_all()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if eng.warehouse.count("limited") == 11:
+                break
+            time.sleep(0.5)
+        assert eng.warehouse.count("limited") == 11
+        assert n_commits() - base_commits >= 4
+    finally:
+        app.stop_streaming()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

@@ -466,6 +466,32 @@ def _make_handler(app: BulkerApp):
                     self._json(200, {"events": rows})
                 elif len(parts) == 2 and parts[0] == "lag":
                     self._json(200, app.topic_lag(parts[1]))
+                elif len(parts) == 2 and parts[0] == "schema":
+                    table = q.get("tableName")
+                    eng = app.engine_for(parts[1])
+                    if not table:  # list tables of the namespace
+                        self._json(
+                            200,
+                            {"tables": eng.warehouse.list_tables()},
+                        )
+                        return
+                    meta = eng.warehouse.get_meta(table)
+                    if meta is None:
+                        self._json(404, {"error": f"no table {table}"})
+                        return
+                    self._json(
+                        200,
+                        {
+                            "namespace": meta.namespace,
+                            "table": meta.name,
+                            "columns": {
+                                c: str(t) for c, t in meta.columns.items()
+                            },
+                            "primaryKey": meta.pk,
+                            "timestampColumn": meta.timestamp_column,
+                            "partitionBy": meta.partition_by,
+                        },
+                    )
                 elif len(parts) == 2 and parts[0] == "log":
                     table = q.get("tableName")
                     if not table:

@@ -304,3 +304,20 @@ def test_batch_size_limits_streaming_trigger(spark):
         app.stop_streaming()
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_schema_endpoint(app_server, spark):
+    app, base = app_server
+    _post(
+        f"{base}/bulk/pg1?tableName=t_schema&mode=batch&pk=id",
+        b'{"id": 1, "name": "x", "score": 1.5}',
+    )
+    out = _get(f"{base}/schema/pg1?tableName=t_schema")
+    assert out["table"] == "t_schema"
+    assert out["primaryKey"] == ["id"]
+    assert list(out["columns"]) == ["id", "name", "score"]  # first-seen order
+    tables = _get(f"{base}/schema/pg1")["tables"]
+    assert "t_schema" in tables
+    with pytest.raises(HTTPError) as ex:
+        _get(f"{base}/schema/pg1?tableName=ghost")
+    assert ex.value.code == 404

@@ -641,21 +641,53 @@ FROM documents
 
 def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length distribution QA (p50/p90/p99 + count) — the
-    standard pre-training corpus health check. Exact linear-interpolation
-    ``percentile`` (not ``percentile_approx``) so the digits match DuckDB's
-    ``quantile_cont`` bit-for-bit; at 100 TB exact percentile costs a
-    per-group sort of one int column, still map-side-combinable by lang."""
+    standard pre-training corpus health check. Exact quantiles computed
+    from a (lang, n_chars) HISTOGRAM instead of Spark's sort-based
+    ``percentile``: exact percentile buffers every group row in one
+    reducer (unbounded state at 100 TB), while the histogram
+    partial-aggregates map-side and bounds all wide state at
+    |langs| × |distinct lengths|. Continuous-rank interpolation over
+    cumulative counts reproduces DuckDB's ``quantile_cont`` digits
+    bit-for-bit; `doc_length_quantiles_sketch` is the same readout on GK
+    sketches when |distinct| itself is unbounded (float metrics)."""
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90"),
-            F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99"),
-        )
-        .orderBy("lang")
+    hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("lang")
+    wo = wp.orderBy("n_chars")
+    cum = hist.withColumn("n", F.sum("c").over(wp)).withColumn(
+        "cum", F.sum("c").over(wo)
     )
+
+    def _rank(p: float):
+        return 1 + (F.col("n") - 1) * F.lit(p)
+
+    aggs = [F.count("*").alias("_bins"), F.first("n").alias("n0")]
+    for tag, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        h = _rank(p)
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.floor(h), F.col("n_chars"))
+            ).alias(f"_{tag}_lo")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(h), F.col("n_chars"))
+            ).alias(f"_{tag}_hi")
+        )
+    out = cum.groupBy("lang").agg(*aggs)
+
+    def _interp(tag: str, p: float):
+        h = 1 + (F.col("n0") - 1) * F.lit(p)
+        lo, hi = F.col(f"_{tag}_lo"), F.col(f"_{tag}_hi")
+        return F.round(lo + (h - F.floor(h)) * (hi - lo), 2).alias(tag)
+
+    return out.select(
+        "lang",
+        F.col("n0").cast("long").alias("n_docs"),
+        _interp("p50", 0.5),
+        _interp("p90", 0.9),
+        _interp("p99", 0.99),
+    ).orderBy("lang")
 
 
 DOC_LENGTH_QUANTILES_SQL = """

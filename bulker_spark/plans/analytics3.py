@@ -417,13 +417,41 @@ def doc_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score's robust cousin, standard in corpus quality triage where a
     few megadocs wreck mean/stddev.
 
-    Two tiny scalar aggregations (median, then MAD) broadcast back as
-    literals — the corpus is scanned, never shuffled on a key."""
+    ONE histogram aggregation (partial-agged map-side, wide state =
+    |distinct lengths|) feeds exact driver-side quantile interpolation
+    for both the median and the MAD — versus Spark's exact
+    ``percentile``, which would buffer the whole column in a single
+    reducer twice. Both scalars then broadcast back as literals — the
+    corpus is scanned, never shuffled on a key."""
+    import math
+
     d = _t(spark, sf_dir, "documents")
-    med = d.agg(F.percentile("n_chars", F.lit(0.5))).collect()[0][0]
-    mad = d.agg(
-        F.percentile(F.abs(F.col("n_chars") - F.lit(med)), F.lit(0.5))
-    ).collect()[0][0]
+    pairs = sorted(
+        (r["n_chars"], r["c"])
+        for r in d.groupBy("n_chars").agg(F.count("*").alias("c")).collect()
+    )
+
+    def _qcont(hist, p):  # quantile_cont over a sorted (value, count) list
+        n = sum(c for _, c in hist)
+        h = 1 + (n - 1) * p
+        k1, k2 = math.floor(h), math.ceil(h)
+        lo = hi = None
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if lo is None and cum >= k1:
+                lo = v
+            if cum >= k2:
+                hi = v
+                break
+        return lo + (h - k1) * (hi - lo)
+
+    med = _qcont(pairs, 0.5)
+    dev: dict[float, int] = {}
+    for v, c in pairs:
+        k = abs(v - med)
+        dev[k] = dev.get(k, 0) + c
+    mad = _qcont(sorted(dev.items()), 0.5)
     return (
         d.filter(F.abs(F.col("n_chars") - F.lit(med)) > 1.5 * F.lit(mad))
         .select(

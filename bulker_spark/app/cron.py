@@ -61,15 +61,31 @@ class BatchRunner:
         self.clock = clock
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        now = clock()
+        self.period_s = period_s
+        self.retry_period_s = retry_period_s
+        self.spread = spread
         self.schedules: dict[str, _Schedule] = {}
-        for dest_id, dest in app.destinations.items():
-            p = float(dest.options.get("frequency", period_s))
+        self._reconcile(clock())
+
+    def _reconcile(self, now: float) -> None:
+        """Converge schedules to the app's live destination set — the
+        config-watch diff (``topic_manager.go:424-490``): new
+        destinations get a schedule (spread-jittered), removed ones are
+        retired. Runs every tick, so ``PUT/DELETE /config`` takes effect
+        at the next scheduler step without a restart."""
+        for dest_id, dest in self.app.destinations.items():
+            if dest_id in self.schedules:
+                continue
+            p = float(dest.options.get("frequency", self.period_s))
             rp = float(
-                dest.options.get("retry_frequency", retry_period_s or p)
+                dest.options.get(
+                    "retry_frequency", self.retry_period_s or p
+                )
             )
             off = (
-                spread_offset_seconds(dest_id, "", int(p)) % p if spread else 0
+                spread_offset_seconds(dest_id, "", int(p)) % p
+                if self.spread
+                else 0
             )
             self.schedules[dest_id] = _Schedule(
                 period_s=p,
@@ -77,10 +93,14 @@ class BatchRunner:
                 retry_period_s=rp,
                 retry_next_due=now + off + rp,
             )
+        for dest_id in list(self.schedules):
+            if dest_id not in self.app.destinations:
+                del self.schedules[dest_id]
 
     # -- one scheduler step (deterministic, test-friendly) ------------------
     def tick(self, now: float | None = None) -> list[str]:
         now = self.clock() if now is None else now
+        self._reconcile(now)
         ran: list[str] = []
         for dest_id, sched in self.schedules.items():
             if now >= sched.next_due:

@@ -381,6 +381,30 @@ class BulkerApp:
                 pass
         self._streams = {}
 
+    # -- config hot-reload (topic_manager.go:424-490) -----------------------
+    def put_destination(self, spec: dict[str, Any]) -> Destination:
+        """Add or replace a destination at runtime (the config-watcher
+        path). A changed config drops the cached Engine so the next
+        request rebuilds against the new warehouse/namespace; topics and
+        checkpoints are keyed by destination id and survive the swap."""
+        dest = Destination(
+            destination_id=spec["destination_id"],
+            warehouse_path=spec["warehouse_path"],
+            namespace=spec.get("namespace", "default"),
+            options=spec.get("options", {}) or {},
+            filters=spec.get("filters"),
+        )
+        with self._lock:
+            self.destinations[dest.destination_id] = dest
+            self._engines.pop(dest.destination_id, None)
+        return dest
+
+    def delete_destination(self, destination_id: str) -> bool:
+        with self._lock:
+            existed = self.destinations.pop(destination_id, None) is not None
+            self._engines.pop(destination_id, None)
+        return existed
+
     def topic_lag(self, destination_id: str) -> dict[str, dict[str, int]]:
         """Consumer-lag metric: per-topic produced vs committed line
         counts — the reference's queue-size gauge (high-watermark minus
@@ -453,6 +477,19 @@ def _make_handler(app: BulkerApp):
             try:
                 if parts == ["ready"]:
                     self._json(200, {"status": "ready"})
+                elif parts == ["config"]:
+                    self._json(
+                        200,
+                        {
+                            d.destination_id: {
+                                "warehouse_path": d.warehouse_path,
+                                "namespace": d.namespace,
+                                "options": d.options,
+                                "filters": d.filters,
+                            }
+                            for d in app.destinations.values()
+                        },
+                    )
                 elif parts == ["metrics"]:
                     self._json(200, dict(app.metrics))
                 elif len(parts) == 2 and parts[0] == "failed":
@@ -557,12 +594,39 @@ def _make_handler(app: BulkerApp):
                     )
                 elif len(parts) == 2 and parts[0] == "cycle":
                     self._json(200, app.run_batch_cycle(parts[1]))
+                elif len(parts) == 2 and parts[0] == "config":
+                    spec = json.loads(self._body() or b"{}")
+                    spec["destination_id"] = parts[1]
+                    dest = app.put_destination(spec)
+                    self._json(
+                        200,
+                        {
+                            "success": True,
+                            "destination": dest.destination_id,
+                        },
+                    )
                 else:
                     self._json(404, {"error": f"no route {url.path}"})
             except KeyError as ex:
                 self._json(404, {"error": str(ex)})
             except (json.JSONDecodeError, ValueError) as ex:
                 self._json(400, {"error": str(ex)})
+            except Exception as ex:
+                self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+
+        def do_DELETE(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            try:
+                if len(parts) == 2 and parts[0] == "config":
+                    if app.delete_destination(parts[1]):
+                        self._json(200, {"success": True})
+                    else:
+                        self._json(
+                            404, {"error": f"destination not found: {parts[1]}"}
+                        )
+                else:
+                    self._json(404, {"error": f"no route {url.path}"})
             except Exception as ex:
                 self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
 

@@ -106,3 +106,21 @@ def test_daemon_loop_runs_and_stops(app, spark):
 
     _t.sleep(0.5)
     assert runner.status()["d1"]["runs"] == runs_after_stop
+
+
+def test_config_hot_reload_reconciles_schedules(app, spark):
+    import tempfile as _tf
+
+    runner = BatchRunner(app, spread=False, clock=lambda: 0.0)
+    assert sorted(runner.schedules) == ["d1", "d2"]
+    wh3 = _tf.mkdtemp(prefix="cron_wh3_")
+    app.put_destination(
+        {"destination_id": "d3", "warehouse_path": wh3, "options": {"frequency": 50}}
+    )
+    app.post_event("d3", "t_new", json.dumps({"id": 1}))
+    assert "d3" in runner.tick(now=0.0)  # picked up without restart
+    assert app.engine_for("d3").warehouse.read("t_new").count() == 1
+    assert runner.schedules["d3"].period_s == 50
+    app.delete_destination("d2")
+    runner.tick(now=1000.0)
+    assert "d2" not in runner.schedules

@@ -321,3 +321,28 @@ def test_schema_endpoint(app_server, spark):
     with pytest.raises(HTTPError) as ex:
         _get(f"{base}/schema/pg1?tableName=ghost")
     assert ex.value.code == 404
+
+
+def test_config_endpoints(app_server, spark):
+    import tempfile as _tf
+
+    app, base = app_server
+    wh2 = _tf.mkdtemp(prefix="router_wh2_")
+    req = urllib.request.Request(
+        f"{base}/config/pg2",
+        data=json.dumps({"warehouse_path": wh2, "options": {"mode": "batch"}}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read())["success"] is True
+    cfg = _get(f"{base}/config")
+    assert set(cfg) == {"pg1", "pg2"}
+    _post(f"{base}/post/pg2?tableName=t_cfg", b'{"id": 1}')
+    _post(f"{base}/cycle/pg2", b"")
+    assert app.engine_for("pg2").warehouse.read("t_cfg").count() == 1
+    req = urllib.request.Request(f"{base}/config/pg2", method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read())["success"] is True
+    with pytest.raises(HTTPError) as ex:
+        _post(f"{base}/post/pg2?tableName=t_cfg", b'{"id": 2}')
+    assert ex.value.code == 404

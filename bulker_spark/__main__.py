@@ -73,6 +73,28 @@ def _build_parser() -> argparse.ArgumentParser:
     dk = sub.add_parser("delete-keys", help="delete rows by primary key")
     dk.add_argument("--table", "-t", required=True)
     dk.add_argument("keys", nargs="+", help="PK values (JSON scalars)")
+    srv = sub.add_parser(
+        "serve", help="start the HTTP app (router.go surface)"
+    )
+    srv.add_argument("--topics", required=True, help="topic segments root")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=3042)
+    srv.add_argument(
+        "--destination",
+        default="default",
+        help="destination id served against --warehouse",
+    )
+    srv.add_argument(
+        "--options",
+        default="{}",
+        help='StreamOptions JSON, e.g. \'{"primary_key": ["id"]}\'',
+    )
+    srv.add_argument(
+        "--period",
+        type=float,
+        default=300.0,
+        help="batch-cycle period seconds (0 disables the cron)",
+    )
     return p
 
 
@@ -171,6 +193,48 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             keys = [json.loads(k) for k in args.keys]
             engine.warehouse.delete_keys(args.table, keys)
             print(json.dumps({"deleted_keys": keys}))
+        elif args.cmd == "serve":
+            from bulker_spark.app import (
+                BatchRunner,
+                BulkerApp,
+                Destination,
+                serve,
+            )
+
+            app = BulkerApp(
+                spark,
+                args.topics,
+                [
+                    Destination(
+                        args.destination,
+                        args.warehouse,
+                        namespace=args.namespace,
+                        options=json.loads(args.options),
+                    )
+                ],
+            )
+            server = serve(app, host=args.host, port=args.port)
+            runner = None
+            if args.period > 0:
+                runner = BatchRunner(app, period_s=args.period)
+                runner.start()
+            host, port = server.server_address
+            print(
+                json.dumps(
+                    {"listening": f"http://{host}:{port}", "cron_s": args.period}
+                ),
+                flush=True,
+            )
+            try:
+                import threading
+
+                threading.Event().wait()  # serve until interrupted
+            except KeyboardInterrupt:
+                pass
+            finally:
+                if runner:
+                    runner.stop()
+                server.shutdown()
         return 0
     finally:
         if owns_spark:

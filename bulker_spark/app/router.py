@@ -522,7 +522,8 @@ def _make_handler(app: BulkerApp):
                             "namespace": meta.namespace,
                             "table": meta.name,
                             "columns": {
-                                c: str(t) for c, t in meta.columns.items()
+                                c: getattr(t, "name", str(t))
+                                for c, t in meta.columns.items()
                             },
                             "primaryKey": meta.pk,
                             "timestampColumn": meta.timestamp_column,

@@ -131,8 +131,20 @@ class BulkerApp:
             "bulk_rows": 0,
             "cycles": 0,
             "cycle_topics_drained": 0,
+            # accumulated per-micro-batch StreamResult counters
+            # (bulker.go:152-265's running state, fed by IngestStream's
+            # on_result callback)
+            "loaded_batches": 0,
+            "loaded_rows": 0,
+            "malformed_rows": 0,
         }
         self._lock = threading.Lock()
+
+    def _record_load(self, table: str, res) -> None:
+        with self._lock:
+            self.metrics["loaded_batches"] += 1
+            self.metrics["loaded_rows"] += res.successful_rows
+            self.metrics["malformed_rows"] += res.malformed_rows
 
     # -- plumbing -----------------------------------------------------------
     def engine_for(self, destination_id: str) -> Engine:
@@ -317,7 +329,9 @@ class BulkerApp:
             _dest, mode, table = parse_topic_id(topic)
             opts = self._options_for(destination_id, {"mode": mode})
             so = StreamOptions(**opts)
-            stream = IngestStream(eng, table, so)
+            stream = IngestStream(
+                eng, table, so, on_result=self._record_load
+            )
             q = stream.start(
                 self._topic_source(topic, dest, so),
                 os.path.join(self.topics_root, "_checkpoints", topic),
@@ -362,7 +376,9 @@ class BulkerApp:
             _dest, mode, table = parse_topic_id(topic)
             opts = self._options_for(destination_id, {"mode": mode})
             so = StreamOptions(**opts)
-            stream = IngestStream(eng, table, so)
+            stream = IngestStream(
+                eng, table, so, on_result=self._record_load
+            )
             queries[topic] = stream.start(
                 self._topic_source(topic, dest, so),
                 os.path.join(self.topics_root, "_checkpoints", topic),

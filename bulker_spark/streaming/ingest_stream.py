@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime as _dt
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +79,33 @@ class IngestStream:
     engine: Engine
     table: str
     options: StreamOptions
+    # running counters across micro-batches — the reference's
+    # BulkerStream/WarehouseState accumulation (bulker.go:152-265);
+    # driver-side (foreachBatch runs on the driver), surfaced via the
+    # app's /metrics
+    totals: dict = None  # type: ignore[assignment]
+    # optional per-batch callback: on_result(table, StreamResult)
+    on_result: Any = None
+
+    def __post_init__(self) -> None:
+        if self.totals is None:
+            self.totals = {
+                "batches": 0,
+                "processed_rows": 0,
+                "successful_rows": 0,
+                "malformed_rows": 0,
+                "retried_batches": 0,
+                "dead_rows": 0,
+            }
+
+    def _record(self, res) -> None:
+        t = self.totals
+        t["batches"] += 1
+        t["processed_rows"] += res.processed_rows
+        t["successful_rows"] += res.successful_rows
+        t["malformed_rows"] += res.malformed_rows
+        if self.on_result is not None:
+            self.on_result(self.table, res)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """The foreachBatch body. Failure handling mirrors the reference:
@@ -109,8 +137,11 @@ class IngestStream:
             if bad.isEmpty() is False:
                 self._to_dead(bad, "malformed JSON", now)
             self._to_retry(good, str(ex)[:500], 1, now)
+            self.totals["retried_batches"] += 1
             return
+        self._record(res)
         if res.malformed_rows:
+            self.totals["dead_rows"] += res.malformed_rows
             _good, bad = split_valid_json(batch)
             self._to_dead(bad, "malformed JSON", now)
 

@@ -346,3 +346,15 @@ def test_config_endpoints(app_server, spark):
     with pytest.raises(HTTPError) as ex:
         _post(f"{base}/post/pg2?tableName=t_cfg", b'{"id": 2}')
     assert ex.value.code == 404
+
+
+def test_metrics_accumulate_stream_results(app_server, spark):
+    app, base = app_server
+    for i in range(4):
+        _post(f"{base}/post/pg1?tableName=t_m", json.dumps({"id": i}).encode())
+    app.producer.produce("in.id.pg1.m.batch.t.t_m", "{broken")
+    _post(f"{base}/cycle/pg1", b"")
+    m = _get(f"{base}/metrics")
+    assert m["loaded_batches"] >= 1
+    assert m["loaded_rows"] == 4
+    assert m["malformed_rows"] == 1

@@ -188,8 +188,10 @@ def test_length_quantiles_single_exchange(spark):
 
     df = doc_length_quantiles(spark, SF)
     txt = audit.explain_str(df, "simple")
-    # exact percentile by lang: one hash exchange + presentation sort
-    assert txt.count("hashpartitioning") <= 1, txt
+    # histogram form: (lang, n_chars) partial-agged exchange + the lang
+    # window/final-agg exchange — nothing wide beyond the histogram
+    assert txt.count("hashpartitioning") <= 2, txt
+    assert audit.has_partial_aggregate(df), txt  # map-side histogram
     assert audit.pruned_to(df, 2), audit.read_schemas(df)  # lang, n_chars
 
 

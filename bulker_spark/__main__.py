@@ -235,6 +235,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 if runner:
                     runner.stop()
                 server.shutdown()
+                # durability: publish any producer-buffered events as
+                # segments so they survive the process (next cycle of a
+                # future process drains them)
+                app.producer.flush_all()
         return 0
     finally:
         if owns_spark:

@@ -358,3 +358,34 @@ def test_metrics_accumulate_stream_results(app_server, spark):
     assert m["loaded_batches"] >= 1
     assert m["loaded_rows"] == 4
     assert m["malformed_rows"] == 1
+
+
+def test_concurrent_posts_all_land(app_server, spark):
+    """20 threads × 10 events through the threaded server: the producer
+    lock must serialize buffer flushes without losing or duplicating
+    lines."""
+    import threading
+
+    app, base = app_server
+    errs = []
+
+    def worker(t):
+        try:
+            for i in range(10):
+                _post(
+                    f"{base}/post/pg1?tableName=t_conc",
+                    json.dumps({"id": t * 1000 + i}).encode(),
+                )
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(20)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    _post(f"{base}/cycle/pg1", b"")
+    df = app.engine_for("pg1").warehouse.read("t_conc")
+    ids = sorted(r["id"] for r in df.collect())
+    assert len(ids) == 200 and len(set(ids)) == 200

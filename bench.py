@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "events_top_paths",
     "part_name_similar_pairs",
     "events_ab_arms",
+    "doc_mixture_temperature",
 ]
 
 

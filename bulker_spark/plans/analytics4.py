@@ -135,10 +135,74 @@ GROUP BY 1
 """
 
 
+# ==========================================================================
+# Temperature-scaled corpus mixture weights
+# ==========================================================================
+
+def doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design: per-language sampling weights under
+    temperature τ=0.7 — ``p_g ∝ tokens_g^τ`` (the standard multilingual
+    re-balancing: τ<1 up-samples low-resource groups), plus the
+    effective epoch count each group would see when drawing the corpus'
+    total token budget under those weights.
+
+    Scale shape: ONE aggregation keyed on lang (map-side partials over
+    an in-row token count); the normalization window runs over |langs|
+    rows — everything after the first exchange is constant-size."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    tau = 0.7
+    pw = F.pow(F.col("tokens").cast("double"), F.lit(tau))
+    return g.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.sum("tokens").over(w), 4).alias(
+            "raw_share"
+        ),
+        F.round(pw / F.sum(pw).over(w), 4).alias("temp_share"),
+        # epochs over this group when the sampler draws total_tokens
+        # according to temp_share
+        F.round(
+            (pw / F.sum(pw).over(w))
+            * F.sum("tokens").over(w)
+            / F.col("tokens"),
+            4,
+        ).alias("epochs"),
+    ).orderBy("lang")
+
+
+DOC_MIXTURE_SQL = """
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+)
+SELECT lang, n_docs, tokens,
+       ROUND(tokens / SUM(tokens) OVER (), 4) AS raw_share,
+       ROUND(POW(tokens, 0.7) / SUM(POW(tokens, 0.7)) OVER (), 4)
+         AS temp_share,
+       ROUND(POW(tokens, 0.7) / SUM(POW(tokens, 0.7)) OVER ()
+             * SUM(tokens) OVER () / tokens, 4) AS epochs
+FROM g ORDER BY lang
+"""
+
+
 EXTRA_QUERIES4: dict[str, tuple] = {
     "part_name_similar_pairs": (
         part_name_similar_pairs,
         PART_NAME_SIMILAR_SQL,
     ),
     "events_ab_arms": (events_ab_arms, EVENTS_AB_ARMS_SQL),
+    "doc_mixture_temperature": (
+        doc_mixture_temperature,
+        DOC_MIXTURE_SQL,
+    ),
 }

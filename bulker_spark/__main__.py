@@ -73,6 +73,15 @@ def _build_parser() -> argparse.ArgumentParser:
     dk = sub.add_parser("delete-keys", help="delete rows by primary key")
     dk.add_argument("--table", "-t", required=True)
     dk.add_argument("keys", nargs="+", help="PK values (JSON scalars)")
+    ex = sub.add_parser(
+        "export", help="write a table as deterministic training shards"
+    )
+    ex.add_argument("--table", "-t", required=True)
+    ex.add_argument("--key", required=True, help="shard-by column")
+    ex.add_argument("--shards", type=int, default=64)
+    ex.add_argument("--max-records-per-file", type=int, default=None)
+    ex.add_argument("--salt", default="")
+    ex.add_argument("path", help="output directory")
     srv = sub.add_parser(
         "serve", help="start the HTTP app (router.go surface)"
     )
@@ -193,6 +202,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             keys = [json.loads(k) for k in args.keys]
             engine.warehouse.delete_keys(args.table, keys)
             print(json.dumps({"deleted_keys": keys}))
+        elif args.cmd == "export":
+            from bulker_spark.functions.export import write_training_shards
+
+            df = engine.warehouse.read(args.table)
+            write_training_shards(
+                df,
+                args.path,
+                args.key,
+                args.shards,
+                salt=args.salt,
+                max_records_per_file=args.max_records_per_file,
+            )
+            print(
+                json.dumps(
+                    {
+                        "table": args.table,
+                        "path": args.path,
+                        "shards": args.shards,
+                        "rows": df.count(),
+                    }
+                )
+            )
         elif args.cmd == "serve":
             from bulker_spark.app import (
                 BatchRunner,

@@ -139,6 +139,7 @@ class BulkerApp:
             "malformed_rows": 0,
         }
         self._lock = threading.Lock()
+        self._cycle_locks: dict[str, threading.Lock] = {}
 
     def _record_load(self, table: str, res) -> None:
         with self._lock:
@@ -321,6 +322,17 @@ class BulkerApp:
         offset-after-commit discipline (``batch_consumer.go:200-262``)."""
         if destination_id not in self.destinations:
             raise KeyError(f"destination not found: {destination_id}")
+        # serialize cycles per destination: two drains of one topic would
+        # race on its checkpoint (Spark rejects concurrent queries on one
+        # checkpoint; the reference serializes via the consumer group)
+        with self._lock:
+            gate = self._cycle_locks.setdefault(
+                destination_id, threading.Lock()
+            )
+        with gate:
+            return self._run_batch_cycle_locked(destination_id)
+
+    def _run_batch_cycle_locked(self, destination_id: str) -> dict[str, Any]:
         self.producer.flush_all()
         eng = self.engine_for(destination_id)
         dest = self.destinations[destination_id]

@@ -389,3 +389,29 @@ def test_concurrent_posts_all_land(app_server, spark):
     df = app.engine_for("pg1").warehouse.read("t_conc")
     ids = sorted(r["id"] for r in df.collect())
     assert len(ids) == 200 and len(set(ids)) == 200
+
+
+def test_concurrent_cycles_serialized(app_server, spark):
+    """Two simultaneous /cycle calls must not race one topic's
+    checkpoint — the per-destination gate serializes them and both
+    succeed."""
+    import threading
+
+    app, base = app_server
+    for i in range(6):
+        _post(f"{base}/post/pg1?tableName=t_cc", json.dumps({"id": i}).encode())
+    results, errs = [], []
+
+    def cyc():
+        try:
+            results.append(_post(f"{base}/cycle/pg1", b""))
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=cyc) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and len(results) == 2
+    assert app.engine_for("pg1").warehouse.read("t_cc").count() == 6

@@ -57,6 +57,11 @@ class Destination:
     # exactly the reference's pre-produce filtering (applied pre-load here
     # so the predicate rides the topic scan as one codegen'd Column)
     filters: dict[str, Any] | None = None
+    # materialized rollups auto-refreshed after each cycle: list of
+    # RollupSpec-shaped dicts ({source, target, group_by, counts, sums})
+    # — each refresh aggregates ONLY the files appended since its last
+    # refreshed commit (operators/incremental.py)
+    rollups: list[dict[str, Any]] | None = None
 
 
 class TopicProducer:
@@ -353,7 +358,46 @@ class BulkerApp:
             drained[topic] = 1
             self.metrics["cycle_topics_drained"] += 1
         self.metrics["cycles"] += 1
-        return {"destination": destination_id, "topics": list(drained)}
+        refreshed = self._refresh_rollups(eng, dest)
+        out: dict[str, Any] = {
+            "destination": destination_id,
+            "topics": list(drained),
+        }
+        if refreshed:
+            out["rollups"] = refreshed
+        return out
+
+    def _refresh_rollups(self, eng: Engine, dest: Destination) -> list[dict]:
+        """Post-cycle materialized-view maintenance: each configured
+        rollup folds ONLY the commits this cycle appended (delta
+        aggregation via the commit log; full rebuild if a rewrite is
+        detected — see operators/incremental.py)."""
+        if not dest.rollups:
+            return []
+        from ..operators.incremental import IncrementalRollup, RollupSpec
+
+        out = []
+        for spec in dest.rollups:
+            try:
+                r = IncrementalRollup(
+                    eng.warehouse,
+                    RollupSpec(
+                        source=spec["source"],
+                        target=spec["target"],
+                        group_by=list(spec.get("group_by", [])),
+                        counts=list(spec.get("counts", [])),
+                        sums=dict(spec.get("sums", {})),
+                    ),
+                )
+                out.append({"target": spec["target"], **r.refresh()})
+            except Exception as ex:  # a broken rollup must not fail the cycle
+                out.append(
+                    {
+                        "target": spec.get("target"),
+                        "error": f"{type(ex).__name__}: {ex}",
+                    }
+                )
+        return out
 
     def _topic_source(self, topic: str, dest: Destination, so: StreamOptions):
         """bulker_topic readStream for one topic: batchSize becomes the
@@ -421,6 +465,7 @@ class BulkerApp:
             namespace=spec.get("namespace", "default"),
             options=spec.get("options", {}) or {},
             filters=spec.get("filters"),
+            rollups=spec.get("rollups"),
         )
         with self._lock:
             self.destinations[dest.destination_id] = dest

@@ -415,3 +415,58 @@ def test_concurrent_cycles_serialized(app_server, spark):
         t.join()
     assert not errs and len(results) == 2
     assert app.engine_for("pg1").warehouse.read("t_cc").count() == 6
+
+
+def test_cycle_refreshes_configured_rollups(spark):
+    """Materialized-view maintenance rides the cycle: the rollup folds
+    only the newly appended files each time and matches a full
+    recompute."""
+    wh = tempfile.mkdtemp(prefix="router_whr_")
+    topics = tempfile.mkdtemp(prefix="router_topr_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [
+            Destination(
+                "r1",
+                wh,
+                rollups=[
+                    {
+                        "source": "ev",
+                        "target": "ev_by_kind",
+                        "group_by": ["kind"],
+                        "counts": ["n"],
+                        "sums": {"total_v": "v"},
+                    }
+                ],
+            )
+        ],
+    )
+    try:
+        for i in range(6):
+            app.post_event(
+                "r1", "ev", json.dumps({"id": i, "kind": "ab"[i % 2], "v": i})
+            )
+        out = app.run_batch_cycle("r1")
+        assert out["rollups"][0]["target"] == "ev_by_kind"
+        eng = app.engine_for("r1")
+        got = {
+            r["kind"]: (r["n"], r["total_v"])
+            for r in eng.warehouse.read("ev_by_kind").collect()
+        }
+        assert got == {"a": (3, 0 + 2 + 4), "b": (3, 1 + 3 + 5)}
+        # second batch folds incrementally
+        for i in range(6, 10):
+            app.post_event(
+                "r1", "ev", json.dumps({"id": i, "kind": "a", "v": i})
+            )
+        out2 = app.run_batch_cycle("r1")
+        assert out2["rollups"][0].get("error") is None
+        got2 = {
+            r["kind"]: (r["n"], r["total_v"])
+            for r in eng.warehouse.read("ev_by_kind").collect()
+        }
+        assert got2 == {"a": (7, 6 + 30), "b": (3, 9)}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

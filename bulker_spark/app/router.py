@@ -402,9 +402,18 @@ class BulkerApp:
     def _topic_source(self, topic: str, dest: Destination, so: StreamOptions):
         """bulker_topic readStream for one topic: batchSize becomes the
         trigger rate limit (the reference's ≤10000-msg batches,
-        ``app_config.go:57``), and ingest filters ride the scan."""
+        ``app_config.go:57``), and ingest filters ride the scan.
+
+        Replace modes are NEVER rate-limited: splitting a replace_table
+        drain into N micro-batches would run N replacements and keep
+        only the last chunk (the reference's batch consumer likewise
+        feeds the whole run to one stream before Complete,
+        ``batch_consumer.go:56-199``)."""
         reader = self.spark.readStream.format("bulker_topic")
-        if so.batch_size:
+        if so.batch_size and so.mode not in (
+            "replace_table",
+            "replace_partition",
+        ):
             reader = reader.option("maxLinesPerTrigger", int(so.batch_size))
         source = reader.load(
             os.path.join(self.topics_root, topic)

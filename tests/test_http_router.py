@@ -470,3 +470,36 @@ def test_cycle_refreshes_configured_rollups(spark):
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_replace_mode_topic_never_rate_limited(spark):
+    """A replace_table topic must drain in ONE batch even with
+    batch_size set — otherwise each rate-limited chunk would replace
+    the table and only the last would survive."""
+    import time
+
+    wh = tempfile.mkdtemp(prefix="router_whrt_")
+    topics = tempfile.mkdtemp(prefix="router_toprt_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("rt1", wh, options={"batch_size": 2})],
+    )
+    try:
+        for i in range(7):
+            app.post_event(
+                "rt1", "swapped", json.dumps({"id": i}), mode="replace_table"
+            )
+        qs = app.start_streaming("rt1", processing_time="0 seconds")
+        eng = app.engine_for("rt1")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if eng.warehouse.exists("swapped") and eng.warehouse.count("swapped") == 7:
+                break
+            time.sleep(0.5)
+        # all 7 present: the drain was not chunked into replacements
+        assert eng.warehouse.count("swapped") == 7
+    finally:
+        app.stop_streaming()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

@@ -234,7 +234,7 @@ def test_continuous_streaming_consumes_new_events(spark):
         qs = app.start_streaming("s1", processing_time="1 seconds")
         assert list(qs) == ["in.id.s1.m.batch.t.live"]
         eng = app.engine_for("s1")
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         while time.time() < deadline:
             if eng.warehouse.exists("live") and eng.warehouse.count("live") == 1:
                 break
@@ -243,7 +243,7 @@ def test_continuous_streaming_consumes_new_events(spark):
         # events posted while the query runs are picked up next trigger
         app.post_event("s1", "live", json.dumps({"id": 2}))
         app.producer.flush_all()
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         while time.time() < deadline:
             if eng.warehouse.count("live") == 2:
                 break

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "part_name_similar_pairs",
     "events_ab_arms",
     "doc_mixture_temperature",
+    "emb_label_centroids",
 ]
 
 

@@ -195,6 +195,41 @@ FROM g ORDER BY lang
 """
 
 
+# ==========================================================================
+# Per-label embedding centroids
+# ==========================================================================
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label (first 8 dims) — the centroid
+    primitive under IVF indexing, k-means, and SemDeDup.
+
+    Scale shape: ``posexplode`` fans each vector into (label, pos, val)
+    rows IN the scan stage, and the single aggregation partial-sums
+    map-side — the shuffle carries |labels| × dims partial cells, not
+    vectors. Truncating to the first 8 dims happens before the explode,
+    so the fan-out is 8× rows, independent of true dimensionality."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).alias("centroid_val"))
+        .orderBy("label", "pos")
+    )
+
+
+EMB_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(e), 4) AS centroid_val
+FROM (SELECT label, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+WHERE i <= 8
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXTRA_QUERIES4: dict[str, tuple] = {
     "part_name_similar_pairs": (
         part_name_similar_pairs,
@@ -205,4 +240,5 @@ EXTRA_QUERIES4: dict[str, tuple] = {
         doc_mixture_temperature,
         DOC_MIXTURE_SQL,
     ),
+    "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
 }

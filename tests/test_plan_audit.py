@@ -487,3 +487,30 @@ def test_ab_arms_assignment_is_projection(spark):
     assert audit.has_partial_aggregate(df)
     # countDistinct expand: ≤3 exchanges (partial/distinct/final merge)
     assert audit.exchange_count(df) <= 3, plan
+
+
+def test_label_centroids_partial_agg_in_scan_stage(spark):
+    """posexplode fans out inside the scan stage and the aggregation
+    partial-sums before its single exchange — vectors never shuffle."""
+    from bulker_spark.plans.analytics4 import emb_label_centroids
+
+    df = emb_label_centroids(spark, SF)
+    plan = audit.explain_str(df, "simple")
+    assert audit.has_partial_aggregate(df), plan
+    assert "Join" not in plan
+    # one hash exchange (the (label, pos) agg) + the presentation sort
+    assert audit.exchange_count(df) <= 2, plan
+    assert audit.pruned_to(df, 2), audit.read_schemas(df)
+
+
+def test_mixture_temperature_constant_tail(spark):
+    """One lang-keyed aggregation with map-side partials; the
+    normalization window runs over |langs| rows (single partition is
+    fine at that size)."""
+    from bulker_spark.plans.analytics4 import doc_mixture_temperature
+
+    df = doc_mixture_temperature(spark, SF)
+    plan = audit.explain_str(df, "simple")
+    assert audit.has_partial_aggregate(df), plan
+    assert "Join" not in plan
+    assert audit.pruned_to(df, 2), audit.read_schemas(df)  # lang, text

@@ -97,3 +97,59 @@ def replay_backups(
         )
         results[table] = stream.complete()
     return results
+
+
+def replay_backups_to_topics(
+    spark: SparkSession,
+    path_glob: str,
+    topics_root: str,
+    destination_id: str,
+    mode: str = "batch",
+    date_from: _dt.date | None = None,
+    date_to: _dt.date | None = None,
+    router: Callable[[str], str] = table_from_path,
+) -> dict[str, str]:
+    """The reference's reprocessing-worker shape: replay backups INTO
+    TOPICS, not straight into tables (``reprocessing-worker/main.go:
+    336-430`` re-produces each gzipped NDJSON line to Kafka; consumers
+    then load it through the normal path, retries/dead-letter included).
+
+    Distributed produce: each table's lines are written through the
+    ``bulker_topic`` batch writer (executor-side segment files, driver
+    rename = all-or-nothing publish) — the replay never funnels through
+    the driver. Returns {table: topic_id}; drain with the app's batch
+    cycle."""
+    import os
+
+    from ..streaming.topics import make_topic_id
+
+    lines = read_backup_lines(spark, path_glob)
+    files = [r["_file"] for r in lines.select("_file").distinct().collect()]
+
+    def in_range(f: str) -> bool:
+        d = date_from_path(f)
+        if d is None:
+            return True
+        if date_from and d < date_from:
+            return False
+        if date_to and d > date_to:
+            return False
+        return True
+
+    by_table: dict[str, list[str]] = {}
+    for f in files:
+        if in_range(f):
+            by_table.setdefault(router(f), []).append(f)
+
+    out: dict[str, str] = {}
+    for table, table_files in sorted(by_table.items()):
+        topic = make_topic_id(destination_id, mode, table)
+        (
+            lines.filter(F.col("_file").isin(table_files))
+            .select("value")
+            .write.format("bulker_topic")
+            .mode("append")
+            .save(os.path.join(topics_root, topic))
+        )
+        out[table] = topic
+    return out

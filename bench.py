@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "events_ab_arms",
     "doc_mixture_temperature",
     "emb_label_centroids",
+    "mm_image_ahash_pairs",
+    "doc_prefix_dedup",
+    "emb_quantize_int8",
+    "doc_sample_det_k",
+    "doc_dup_ngram_coverage",
 ]
 
 
@@ -150,6 +155,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
+        if name not in QUERIES:  # renamed/removed query must not crash
+            errors[name] = "not in QUERIES"
+            continue
         fn = QUERIES[name][0]
         best = None
         try:
@@ -400,4 +408,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always emit ONE parsable JSON line, rc=0
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": None,
+                    "errors": {"fatal": f"{type(exc).__name__}: {exc}"[:500]},
+                }
+            )
+        )

@@ -56,6 +56,20 @@ def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     return IMAGE_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
 
 
+def make_fake_image_pixels(width: int, height: int, pixels) -> bytes:
+    """FAKE image from an explicit pixel sequence (values taken mod 256) —
+    lets callers build images whose pixels are *arithmetic* functions of a
+    key, so downstream decode stages are oracle-checkable in plain SQL."""
+    px = np.asarray(pixels, dtype=np.int64) % 256
+    if px.size != width * height:
+        raise ValueError(f"need {width * height} pixels, got {px.size}")
+    return (
+        IMAGE_MAGIC
+        + struct.pack("<II", width, height)
+        + px.astype(np.uint8).tobytes()
+    )
+
+
 def make_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
     rng = np.random.RandomState(seed)
     samples = rng.randint(-32768, 32767, size=n_samples, dtype=np.int16)
@@ -214,6 +228,64 @@ def image_resize(
                     )
             pdf = pdf.copy()
             pdf["resized"] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+AHASH_BANDS = 4  # 64-bit hash as 4×16-bit bands (the LSH band unit)
+
+
+def image_ahash(
+    df: DataFrame, content_col: str = "content", codec: str = "fake"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over image binaries → 4×16-bit
+    band columns ``b0..b3`` (+ ``ahash_valid``).
+
+    The kernel nearest-neighbor-downsamples to 8×8, then sets bit *i* iff
+    ``pixel_i * 64 >= sum(pixels)`` — the integer form of "pixel above
+    mean", exact (no float mean), so the whole stage is oracle-checkable.
+    Bands instead of one 64-bit value: band equality is the LSH bucketing
+    key for near-duplicate candidate generation (hamming-≤k pairs share a
+    band with high probability), and per-band ``xor``+``bit_count`` gives
+    the verify-stage hamming distance JVM-side. Arrow-batched, vectorized
+    numpy; only candidate *pairs* ever shuffle, never pixel data."""
+    out_schema = T.StructType(
+        [
+            *df.schema.fields,
+            *[T.StructField(f"b{k}", T.IntegerType()) for k in range(AHASH_BANDS)],
+            T.StructField("ahash_valid", T.BooleanType()),
+        ]
+    )
+    if codec == "real":
+        _require_real_codec("PIL")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands: list[list[int | None]] = [[] for _ in range(AHASH_BANDS)]
+            valid = []
+            for b in pdf[content_col]:
+                d = _decode_fake_image(b)
+                if d is None:
+                    for k in range(AHASH_BANDS):
+                        bands[k].append(None)
+                    valid.append(False)
+                    continue
+                w, h, px = d
+                ys = (np.arange(8) * h // 8).clip(0, h - 1)
+                xs = (np.arange(8) * w // 8).clip(0, w - 1)
+                small = px[np.ix_(ys, xs)].astype(np.int64).ravel()
+                bits = (small * 64 >= small.sum()).astype(np.int64)
+                weights = 1 << np.arange(16, dtype=np.int64)
+                for k in range(AHASH_BANDS):
+                    bands[k].append(
+                        int((bits[16 * k : 16 * (k + 1)] * weights).sum())
+                    )
+                valid.append(True)
+            pdf = pdf.copy()
+            for k in range(AHASH_BANDS):
+                pdf[f"b{k}"] = pd.array(bands[k], dtype="Int32")
+            pdf["ahash_valid"] = valid
             yield pdf
 
     return df.mapInPandas(kernel, schema=out_schema)

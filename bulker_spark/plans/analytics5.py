@@ -1,0 +1,391 @@
+"""Round-2 catalog extensions: multimodal perceptual-hash dedup, prefix
+fingerprint dedup, int8 embedding quantization, deterministic sampling,
+and duplicated-n-gram coverage — each a Catalyst-first plan with a DuckDB
+oracle twin.
+
+Reference scope (jitsucom/bulker): none of this exists in the reference
+(`SURVEY.md §2` — no similarity ops, no media columns); these extend the
+training-data pipeline tier the north star asks for: image near-dup via
+LSH-banded aHash, RefinedWeb-style prefix/n-gram duplication signals, and
+the quantization/sampling primitives of a 100 TB curation run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bulker_spark.plans._common import _SHINGLE_DUCK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ==========================================================================
+# Multimodal near-dup: LSH-banded perceptual hash over image binaries
+# ==========================================================================
+
+_AHASH_MAX_DOC = 400
+_AHASH_HAMMING = 8
+
+
+def _docs_with_arith_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach a deterministic FAKE image whose pixels are an *arithmetic*
+    function of doc_id, so the whole decode→hash→pair pipeline is
+    oracle-checkable in SQL.
+
+    Image for doc d (8×8 grayscale): with g = d % 40,
+      pixel[i] = ((g*37) % 256 + i * (1 + g % 7)
+                  + (96 * ((d // 40) % 2) if i == d % 64 else 0)) % 256
+    Docs sharing a group g render near-identical images (same gradient),
+    differing only in one boosted "hot" pixel — the realistic shape of
+    re-encoded / lightly-edited duplicate images."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from bulker_spark.functions.multimodal import make_fake_image_pixels
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _AHASH_MAX_DOC)
+    )
+    out_schema = T.StructType(
+        [*docs.schema.fields, T.StructField("content", T.BinaryType())]
+    )
+
+    def encode(batches):
+        i = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            pdf = pdf.copy()
+            content = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 40
+                px = ((g * 37) % 256 + i * (1 + g % 7)) % 256
+                px[d % 64] = (px[d % 64] + 96 * ((d // 40) % 2)) % 256
+                content.append(make_fake_image_pixels(8, 8, px))
+            pdf["content"] = content
+            yield pdf
+
+    return docs.mapInPandas(encode, schema=out_schema)
+
+
+def mm_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: perceptual average-hash (aHash) via an
+    Arrow-batched decode kernel → 4×16-bit LSH bands → band-equality
+    candidate join → JVM xor+bit_count hamming verify (≤ 8 bits).
+
+    Scale shape: pixels never shuffle — the hash kernel reduces each
+    image to 4 small ints in the scan stage; the self-join shuffles only
+    (doc_id, band, val) tuples; the verify stage is whole-stage-codegen
+    integer ops on candidate pairs only (LSH guarantees every hamming≤k
+    pair shares a band w.h.p., and the oracle pins the *same* candidate
+    semantics: pairs sharing ≥1 band). At 10⁹ images this is the standard
+    pHash dedup layout (bands as the shuffle key, verify on pairs)."""
+    hashed = __import__(
+        "bulker_spark.functions.multimodal", fromlist=["image_ahash"]
+    ).image_ahash(_docs_with_arith_images(spark, sf_dir)).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
+    bands = hashed.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha, hb = hashed.alias("ha"), hashed.alias("hb")
+    ham = sum(
+        F.bit_count(
+            F.col(f"ha.b{k}").bitwiseXOR(F.col(f"hb.b{k}"))
+        ).cast("long")
+        for k in range(4)
+    )
+    return (
+        cand.join(ha, F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _AHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+MM_AHASH_PAIRS_SQL = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         (((doc_id % 40) * 37) % 256
+          + i * (1 + (doc_id % 40) % 7)
+          + CASE WHEN i = doc_id % 64
+                 THEN 96 * ((doc_id // 40) % 2) ELSE 0 END) % 256 AS p
+  FROM documents, generate_series(0, 63) AS t(i)
+  WHERE doc_id < {_AHASH_MAX_DOC}
+),
+tot AS (SELECT doc_id, SUM(p) AS s FROM px GROUP BY 1),
+bits AS (
+  SELECT px.doc_id, px.i,
+         CASE WHEN px.p * 64 >= tot.s THEN 1 ELSE 0 END AS b
+  FROM px JOIN tot USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS band_idx,
+         CAST(SUM(b * (1::BIGINT << CAST(i % 16 AS INT))) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(bit_count(xor(ba.val, bb.val))) AS hamming
+  FROM cand c
+  JOIN bands ba ON ba.doc_id = c.doc_a
+  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band_idx = ba.band_idx
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= {_AHASH_HAMMING}
+"""
+
+
+# ==========================================================================
+# Prefix-fingerprint dedup (RefinedWeb/CCNet-style head-of-document dup)
+# ==========================================================================
+
+def doc_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by first-10-token prefix fingerprint — the cheap
+    head-of-document near-dup signal (crawl boilerplate, mirrored intros).
+
+    Scale shape: one hash-agg shuffle on the md5 prefix key (constant
+    width regardless of document size — the prefix is cut in the scan
+    projection, so full text never crosses the wire); survivors pick the
+    min doc_id, the canonical-keeper convention of the dedup family."""
+    d = _t(spark, sf_dir, "documents")
+    pref = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+        ).alias("prefix_key"),
+    )
+    return (
+        pref.groupBy("prefix_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DOC_PREFIX_DEDUP_SQL = """
+SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '))
+         AS prefix_key,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# ==========================================================================
+# Embedding int8 quantization (storage/serving compression audit)
+# ==========================================================================
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (scale =
+    max|v| / 127) with a per-label quantized checksum and worst-case
+    reconstruction error — the compression-audit pass before shipping
+    vectors to an ANN index.
+
+    Scale shape: everything per-row is JVM array expressions (transform /
+    aggregate / zip_with — no Python, no explode: a 64-dim corpus never
+    fans out 64×); the only shuffle carries |labels| partial aggregates.
+    Determinism: the checksum is integer-exact, and the error metric is a
+    MAX (order-free), so the oracle hash cannot drift with partitioning."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = e.withColumn(
+        "scale",
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0),
+    ).filter(F.col("scale") > 0)
+    r = s.select(
+        "label",
+        F.aggregate(
+            F.transform(
+                "v", lambda x: F.round(x / F.col("scale")).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + q,
+        ).alias("checksum"),
+        F.array_max(
+            F.transform(
+                "v",
+                lambda x: F.abs(
+                    x - F.round(x / F.col("scale")) * F.col("scale")
+                ),
+            )
+        ).alias("maxerr"),
+    )
+    return (
+        r.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("checksum").cast("long").alias("q_checksum"),
+            F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS vv,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings
+),
+r AS (
+  SELECT label,
+         list_sum(list_transform(vv, x -> CAST(round(x / scale) AS BIGINT)))
+           AS checksum,
+         list_max(list_transform(vv,
+             x -> abs(x - round(x / scale) * scale))) AS maxerr
+  FROM s WHERE scale > 0
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(checksum) AS BIGINT) AS q_checksum,
+       ROUND(MAX(maxerr), 6) AS max_abs_err
+FROM r GROUP BY label ORDER BY label
+"""
+
+
+# ==========================================================================
+# Deterministic k-sample (hash order statistics, no full sort)
+# ==========================================================================
+
+_SAMPLE_K = 64
+
+
+def doc_sample_det_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k corpus sample: the k smallest md5(doc_id)
+    values — reproducible across runs, partitionings, and cluster sizes
+    (the property `TABLESAMPLE` and `rand()` both lack).
+
+    Scale shape: orderBy+limit compiles to TakeOrdered — each partition
+    keeps its local top-k and only k rows per partition reach the driver;
+    no global sort, no single-reducer shuffle. The final rank window runs
+    on k rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    top = d.orderBy("h", "doc_id").limit(_SAMPLE_K)
+    w = Window.orderBy("h", "doc_id")
+    return top.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("sample_rank")
+    )
+
+
+DOC_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS sample_rank
+FROM documents
+ORDER BY sample_rank LIMIT {_SAMPLE_K}
+"""
+
+
+# ==========================================================================
+# Duplicated-n-gram coverage (RefinedWeb dup-text fraction)
+# ==========================================================================
+
+_COVER_MAX_DOC = 150
+
+
+def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content fraction: share of the doc's
+    distinct 8-gram shingles that also occur in at least one other doc —
+    RefinedWeb's "fraction of duplicated n-grams" quality signal.
+
+    Scale shape: one shuffle keyed on the shingle (hashed, constant
+    width), one map-side-combined count, one join back; the 0/1 coverage
+    average sums exactly in doubles, so the result is partition-order
+    free."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _COVER_MAX_DOC
+    )
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - F.lit(7), F.lit(1))
+            )
+        ).alias("i"),
+        "text",
+    )
+    sh = pos.select(
+        "doc_id", F.expr("substring(text, i, 8)").alias("sh")
+    ).distinct()
+    counts = sh.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n_docs") > 1, F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DOC_DUP_COVERAGE_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM ({_SHINGLE_DUCK.format(max_doc=_COVER_MAX_DOC)})
+),
+c AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY 1)
+SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       ROUND(AVG(CASE WHEN c.n_docs > 1 THEN 1.0 ELSE 0.0 END), 4)
+         AS dup_frac
+FROM sh JOIN c USING (sh)
+GROUP BY 1
+"""
+
+
+EXTRA_QUERIES5: dict[str, tuple] = {
+    "mm_image_ahash_pairs": (mm_image_ahash_pairs, MM_AHASH_PAIRS_SQL),
+    "doc_prefix_dedup": (doc_prefix_dedup, DOC_PREFIX_DEDUP_SQL),
+    "emb_quantize_int8": (emb_quantize_int8, EMB_QUANTIZE_SQL),
+    "doc_sample_det_k": (doc_sample_det_k, DOC_SAMPLE_SQL),
+    "doc_dup_ngram_coverage": (
+        doc_dup_ngram_coverage,
+        DOC_DUP_COVERAGE_SQL,
+    ),
+}

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "emb_quantize_int8",
     "doc_sample_det_k",
     "doc_dup_ngram_coverage",
+    "parts_pagerank",
+    "events_dedup_ttl",
+    "events_value_psi",
 ]
 
 

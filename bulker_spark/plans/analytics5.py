@@ -379,6 +379,275 @@ GROUP BY 1
 """
 
 
+# ==========================================================================
+# Fixed-point PageRank over the co-purchase graph (deterministic iterative)
+# ==========================================================================
+
+_PR_SCALE = 10**12
+_PR_MAX_PART = 300
+_PR_ITERS = 2
+
+
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the parts co-purchase graph (edge u→v iff u and v
+    appear in the same order), run a fixed number of iterations in
+    **integer fixed-point arithmetic** (ranks scaled by 10¹², integer
+    division for the deg split and the 0.85 damping) — so the result is
+    bit-identical regardless of partitioning, join order, or engine: the
+    float-summation nondeterminism that makes naive distributed PageRank
+    unreproducible is gone by construction.
+
+    Scale shape: the per-iteration cost is one join (edges × ranks,
+    shuffles on the graph key both sides — the same hash partitioning
+    reused every iteration) and one map-side-combined integer sum; the
+    driver runs O(iters) jobs over a cached edge list. The standard
+    Pregel-on-DataFrames layout."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < _PR_MAX_PART
+    )
+    sides = l.select("l_orderkey", F.col("l_partkey").alias("u"))
+    edges = (
+        sides.alias("a")
+        .join(
+            sides.withColumnRenamed("u", "v").alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.u") != F.col("b.v")),
+        )
+        .select("u", "v")
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("u").alias("part_id")).distinct()
+    n = nodes.count()
+    base = 15 * (_PR_SCALE // n) // 100
+    pr = nodes.withColumn("pr", F.lit(_PR_SCALE // n).cast("long"))
+    ed = edges.join(deg, "u")  # (u, v, deg), reused every iteration
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(pr, ed.u == pr.part_id)
+            .select("v", F.expr("pr div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = nodes.join(
+            contrib, nodes.part_id == contrib.v, "left"
+        ).select(
+            "part_id",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"(85 * coalesce(contrib, 0)) div 100"
+                )
+            ).cast("long").alias("pr"),
+        )
+    return pr.join(deg, pr.part_id == deg.u).select(
+        "part_id", "pr", F.col("deg").cast("long").alias("out_degree")
+    )
+
+
+PARTS_PAGERANK_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < {_PR_MAX_PART}
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT u AS part_id FROM edges),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (SELECT part_id, {_PR_SCALE} // n.n AS pr FROM nodes, n),
+c1 AS (
+  SELECT e.v, SUM(pr0.pr // deg.deg) AS contrib
+  FROM edges e JOIN deg ON e.u = deg.u JOIN pr0 ON e.u = pr0.part_id
+  GROUP BY 1
+),
+pr1 AS (
+  SELECT nodes.part_id,
+         (15 * ({_PR_SCALE} // n.n) // 100)
+           + (85 * COALESCE(c1.contrib, 0)) // 100 AS pr
+  FROM nodes LEFT JOIN c1 ON nodes.part_id = c1.v, n
+),
+c2 AS (
+  SELECT e.v, SUM(pr1.pr // deg.deg) AS contrib
+  FROM edges e JOIN deg ON e.u = deg.u JOIN pr1 ON e.u = pr1.part_id
+  GROUP BY 1
+),
+pr2 AS (
+  SELECT nodes.part_id,
+         (15 * ({_PR_SCALE} // n.n) // 100)
+           + (85 * COALESCE(c2.contrib, 0)) // 100 AS pr
+  FROM nodes LEFT JOIN c2 ON nodes.part_id = c2.v, n
+)
+SELECT pr2.part_id, CAST(pr2.pr AS BIGINT) AS pr,
+       CAST(deg.deg AS BIGINT) AS out_degree
+FROM pr2 JOIN deg ON pr2.part_id = deg.u
+"""
+
+
+# ==========================================================================
+# TTL dedup (batch twin of the streaming state-TTL dedup)
+# ==========================================================================
+
+def events_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-live dedup: an event is kept iff no earlier event with the
+    same (user, type) landed within the last hour — the batch twin of
+    ``streaming/stateful.py:streaming_dedup``'s TTL state semantics
+    (dedupe retries/re-fires without suppressing genuine recurrences).
+
+    Scale shape: one shuffle on (user_id, event_type) — the window's
+    partition key — then a constant-size per-type rollup; the lag frame
+    holds one row of state per partition, nothing buffers."""
+    from bulker_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    kept = ev.withColumn("__prev", F.lag("ts").over(w)).withColumn(
+        "__kept",
+        F.col("__prev").isNull()
+        | (
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', __prev),"
+                " date_trunc('second', ts))"
+            )
+            > 3600
+        ),
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+    )
+
+
+EVENTS_DEDUP_TTL_SQL = """
+WITH w AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_total,
+       SUM(CASE WHEN prev IS NULL
+                  OR date_diff('second', prev, ts) > 3600
+                THEN 1 ELSE 0 END) AS n_kept
+FROM w GROUP BY 1
+"""
+
+
+# ==========================================================================
+# Distribution drift: population stability index between event segments
+# ==========================================================================
+
+_PSI_BIN_W = 50.0
+_PSI_BINS = 10
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index terms between the `view` and `click`
+    value distributions over fixed-width bins — the drift monitor a
+    training pipeline runs between data snapshots before retraining.
+
+    Scale shape: one pass, one shuffle of (segment, bin) partial counts —
+    ≤ 2×10 cells regardless of row count; the PSI terms are computed on
+    the driver-sized result. Laplace smoothing keeps empty bins finite.
+    Determinism: counts are integer-exact; each term is rounded from
+    exact-rational inputs, so engines agree."""
+    from bulker_spark.plans.queries import _events
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("c")
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("c").alias("t"))
+    # full bin × segment grid so empty bins get the smoothed floor
+    # 1/(t+k), never a log-of-zero
+    grid = (
+        spark.range(_PSI_BINS)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("view",), ("click",)], ["event_type"]
+            )
+        )
+    )
+    p = (
+        grid.join(cells, ["event_type", "bin"], "left")
+        .na.fill({"c": 0})
+        .join(tot, "event_type")
+        .select(
+            "bin",
+            "event_type",
+            (
+                (F.col("c") + 1) / (F.col("t") + _PSI_BINS)
+            ).alias("share"),
+        )
+    )
+    wide = (
+        p.groupBy("bin")
+        .pivot("event_type", ["view", "click"])
+        .agg(F.first("share"))
+    )
+    return wide.select(
+        "bin",
+        F.round("view", 6).alias("p_view"),
+        F.round("click", 6).alias("p_click"),
+        F.round(
+            (F.col("view") - F.col("click"))
+            * F.log(F.col("view") / F.col("click")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bin")
+
+
+EVENTS_PSI_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(least(floor(value / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS INT)
+           AS bin
+  FROM events WHERE event_type IN ('view', 'click')
+),
+cells AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(c) AS t FROM cells GROUP BY 1),
+grid AS (
+  SELECT CAST(g.bin AS INT) AS bin, s.event_type
+  FROM generate_series(0, {_PSI_BINS - 1}) g(bin),
+       (VALUES ('view'), ('click')) s(event_type)
+),
+p AS (
+  SELECT grid.bin, grid.event_type,
+         (COALESCE(cells.c, 0) + 1) / (t + {_PSI_BINS}.0) AS share
+  FROM grid
+  LEFT JOIN cells ON grid.bin = cells.bin
+                 AND grid.event_type = cells.event_type
+  JOIN tot ON grid.event_type = tot.event_type
+),
+wide AS (
+  SELECT bin,
+         MAX(CASE WHEN event_type = 'view' THEN share END) AS p_view,
+         MAX(CASE WHEN event_type = 'click' THEN share END) AS p_click
+  FROM p GROUP BY 1
+)
+SELECT bin, ROUND(p_view, 6) AS p_view, ROUND(p_click, 6) AS p_click,
+       ROUND((p_view - p_click) * ln(p_view / p_click), 6) AS psi_term
+FROM wide ORDER BY bin
+"""
+
+
 EXTRA_QUERIES5: dict[str, tuple] = {
     "mm_image_ahash_pairs": (mm_image_ahash_pairs, MM_AHASH_PAIRS_SQL),
     "doc_prefix_dedup": (doc_prefix_dedup, DOC_PREFIX_DEDUP_SQL),
@@ -388,4 +657,7 @@ EXTRA_QUERIES5: dict[str, tuple] = {
         doc_dup_ngram_coverage,
         DOC_DUP_COVERAGE_SQL,
     ),
+    "parts_pagerank": (parts_pagerank, PARTS_PAGERANK_SQL),
+    "events_dedup_ttl": (events_dedup_ttl, EVENTS_DEDUP_TTL_SQL),
+    "events_value_psi": (events_value_psi, EVENTS_PSI_SQL),
 }

@@ -10,7 +10,10 @@ from bulker_spark.plans.analytics5 import (
     doc_prefix_dedup,
     doc_sample_det_k,
     emb_quantize_int8,
+    events_dedup_ttl,
+    events_value_psi,
     mm_image_ahash_pairs,
+    parts_pagerank,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -114,6 +117,33 @@ def test_dup_coverage_fraction_in_unit_interval(spark):
     for r in rows:
         assert 0.0 <= r.dup_frac <= 1.0
         assert r.n_shingles > 0
+
+
+def test_pagerank_mass_conservation_fixed_point(spark):
+    # fixed-point ranks: total mass stays within integer-truncation loss
+    # of SCALE (each of the N nodes truncates <1 unit at the base term
+    # plus <deg units in the contrib splits), and is partition-invariant
+    rows = parts_pagerank(spark, SF).collect()
+    assert rows
+    total = sum(r.pr for r in rows)
+    assert total <= 10**12
+    assert total >= int(0.95 * 10**12)  # damping returns all mass here
+    again = sum(r.pr for r in parts_pagerank(spark, SF).collect())
+    assert again == total  # bit-identical across runs
+
+
+def test_dedup_ttl_kept_bounded(spark):
+    for r in events_dedup_ttl(spark, SF).collect():
+        assert 1 <= r.n_kept <= r.n_total
+
+
+def test_psi_terms_shape(spark):
+    rows = events_value_psi(spark, SF).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    for r in rows:
+        assert r.p_view > 0 and r.p_click > 0  # smoothing floor
+        assert r.psi_term >= -1e-9 or True  # terms can be ±; just finite
+        assert r.psi_term == r.psi_term  # not NaN
 
 
 # -- plan audits (the 100 TB properties) -----------------------------------

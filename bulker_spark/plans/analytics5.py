@@ -86,10 +86,17 @@ def mm_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair shares a band w.h.p., and the oracle pins the *same* candidate
     semantics: pairs sharing ≥1 band). At 10⁹ images this is the standard
     pHash dedup layout (bands as the shuffle key, verify on pairs)."""
-    hashed = __import__(
-        "bulker_spark.functions.multimodal", fromlist=["image_ahash"]
-    ).image_ahash(_docs_with_arith_images(spark, sf_dir)).select(
-        "doc_id", "b0", "b1", "b2", "b3"
+    from bulker_spark.functions.multimodal import image_ahash
+
+    # persist the hash table (5 small ints per image): the plan consumes
+    # it four times (bands twice for the self-join, verify twice), and
+    # without materialization each consumer would re-run the decode
+    # kernel over the full image corpus — at 10⁹ images, 4× the decode
+    # cost for no reason. The cached form is ~40 bytes/image.
+    hashed = (
+        image_ahash(_docs_with_arith_images(spark, sf_dir))
+        .select("doc_id", "b0", "b1", "b2", "b3")
+        .persist()
     )
     bands = hashed.select(
         "doc_id",
@@ -406,6 +413,10 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey") < _PR_MAX_PART
     )
     sides = l.select("l_orderkey", F.col("l_partkey").alias("u"))
+    # persist the topology: deg, nodes, the per-iteration joins and the
+    # final readout all fan out from the edge list — without
+    # materialization each consumer re-runs the lineitem scan +
+    # self-join (O(iters) fact-table scans instead of O(1))
     edges = (
         sides.alias("a")
         .join(
@@ -415,13 +426,14 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v")
         .distinct()
+        .persist()
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("u").alias("part_id")).distinct()
     n = nodes.count()
     base = 15 * (_PR_SCALE // n) // 100
     pr = nodes.withColumn("pr", F.lit(_PR_SCALE // n).cast("long"))
-    ed = edges.join(deg, "u")  # (u, v, deg), reused every iteration
+    ed = edges.join(deg, "u")  # (u, v, deg), read from the cached edges
     for _ in range(_PR_ITERS):
         contrib = (
             ed.join(pr, ed.u == pr.part_id)

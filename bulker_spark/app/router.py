@@ -487,6 +487,62 @@ class BulkerApp:
             self._engines.pop(destination_id, None)
         return existed
 
+    def test_connection(self, spec: dict[str, Any]) -> dict[str, Any]:
+        """Validate a destination spec WITHOUT registering it — the
+        reference's ``POST /test`` (``router.go:159-191``,
+        ``TestConnectionHandler``): parse the config, construct the
+        bulker, fail with 422-style errors on bad configs. Here:
+        options must construct a valid ``StreamOptions`` and the
+        warehouse path must be creatable and writable (the Spark
+        analogue of "can I open a connection")."""
+        if not spec.get("warehouse_path"):
+            raise ValueError("warehouse_path is required")
+        StreamOptions(
+            **{
+                k: v
+                for k, v in (spec.get("options") or {}).items()
+            }
+        )  # unknown option names / bad values raise here
+        path = spec["warehouse_path"]
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, f".bulker_test.{uuid.uuid4().hex}")
+        with open(probe, "w") as fh:
+            fh.write("ok")
+        os.unlink(probe)
+        return {
+            "id": spec.get("destination_id", spec.get("id", "")),
+            "warehouse_path": path,
+        }
+
+    def post_profile(
+        self, profile_builder_id: str, priority: str, profile_id: str
+    ) -> str:
+        """Profile-recompute trigger (``router.go:193-218``,
+        ``ProfilesHandler``): enqueue the profile id to the
+        per-(builder, priority) topic; a downstream consumer recomputes
+        that profile. The message is the keyed id, no payload."""
+        if not profile_id:
+            raise ValueError("profileId is required")
+        topic = make_topic_id(profile_builder_id, "profiles", priority)
+        self.producer.produce(topic, json.dumps({"profileId": profile_id}))
+        self.metrics["events_produced"] += 1
+        return topic
+
+    def connections_metrics(
+        self, workspace_id: str
+    ) -> dict[str, dict[str, Any]]:
+        """Per-workspace queue/lag rollup (``router.go:344-369``,
+        ``ConnectionsMetricsHandler``). The reference proxies a
+        Prometheus query for ``destinationId=~"<ws>-.*"``; here the same
+        shape is computed locally: every destination whose id is
+        ``<workspaceId>-*`` reports its per-topic produced/committed/lag
+        gauges (the ``bulkerapp_consumer_queue_size`` analogue)."""
+        out: dict[str, dict[str, Any]] = {}
+        for dst in list(self.destinations):
+            if dst == workspace_id or dst.startswith(f"{workspace_id}-"):
+                out[dst] = {"queues": self.topic_lag(dst)}
+        return out
+
     def topic_lag(self, destination_id: str) -> dict[str, dict[str, int]]:
         """Consumer-lag metric: per-topic produced vs committed line
         counts — the reference's queue-size gauge (high-watermark minus
@@ -557,7 +613,7 @@ def _make_handler(app: BulkerApp):
             parts = [p for p in url.path.split("/") if p]
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
-                if parts == ["ready"]:
+                if parts == ["ready"] or parts == ["health"]:
                     self._json(200, {"status": "ready"})
                 elif parts == ["config"]:
                     self._json(
@@ -585,6 +641,8 @@ def _make_handler(app: BulkerApp):
                     self._json(200, {"events": rows})
                 elif len(parts) == 2 and parts[0] == "lag":
                     self._json(200, app.topic_lag(parts[1]))
+                elif len(parts) == 2 and parts[0] == "connections-metrics":
+                    self._json(200, app.connections_metrics(parts[1]))
                 elif len(parts) == 2 and parts[0] == "schema":
                     table = q.get("tableName")
                     eng = app.engine_for(parts[1])
@@ -657,12 +715,23 @@ def _make_handler(app: BulkerApp):
                     pk = [
                         c for c in q.get("pk", "").split(",") if c.strip()
                     ] or None
+                    # X-Jitsu-Schema pins column types for the load
+                    # (router.go:228,261-265: {"fields":[{name,type}]})
+                    extra: dict[str, Any] = {}
+                    schema_hdr = self.headers.get("X-Jitsu-Schema")
+                    if schema_hdr:
+                        parsed = json.loads(schema_hdr)
+                        extra["schema"] = {
+                            f["name"]: str(f["type"])
+                            for f in parsed.get("fields", [])
+                        }
                     res = app.bulk(
                         parts[1],
                         table,
                         self._body(),
                         mode=q.get("mode"),
                         primary_key=pk,
+                        **extra,
                     )
                     self._json(
                         200 if res.error is None else 500,
@@ -677,6 +746,20 @@ def _make_handler(app: BulkerApp):
                     )
                 elif len(parts) == 2 and parts[0] == "cycle":
                     self._json(200, app.run_batch_cycle(parts[1]))
+                elif parts == ["test"]:
+                    spec = json.loads(self._body() or b"{}")
+                    try:
+                        info = app.test_connection(spec)
+                        self._json(200, {"success": True, **info})
+                    except (TypeError, ValueError, OSError) as ex:
+                        self._json(
+                            422, {"success": False, "error": str(ex)}
+                        )
+                elif len(parts) == 3 and parts[0] == "profiles":
+                    topic = app.post_profile(
+                        parts[1], parts[2], q.get("profileId", "")
+                    )
+                    self._json(200, {"message": "ok", "topic": topic})
                 elif len(parts) == 2 and parts[0] == "config":
                     spec = json.loads(self._body() or b"{}")
                     spec["destination_id"] = parts[1]

@@ -61,6 +61,11 @@ _HINT_TYPES = {
     "date": DataType.TIMESTAMP,
     "json": DataType.JSON,
     "jsonb": DataType.JSON,
+    # the reference DataType names themselves (datatype.go:54-71), as sent
+    # in X-Jitsu-Schema headers and WithSchema options
+    "int64": DataType.INT64,
+    "long": DataType.INT64,
+    "float64": DataType.FLOAT64,
 }
 
 

@@ -503,3 +503,98 @@ def test_replace_mode_topic_never_rate_limited(spark):
         app.stop_streaming()
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_health_alias(app_server):
+    _app, base = app_server
+    assert _get(f"{base}/health")["status"] == "ready"
+
+
+def test_test_connection_endpoint(app_server):
+    import tempfile as _tf
+
+    _app, base = app_server
+    ok = _post(
+        f"{base}/test",
+        json.dumps(
+            {
+                "destination_id": "probe",
+                "warehouse_path": _tf.mkdtemp(prefix="router_test_"),
+                "options": {"mode": "batch", "primary_key": ["id"]},
+            }
+        ).encode(),
+    )
+    assert ok["success"] is True and ok["id"] == "probe"
+    # bad option name -> 422, nothing registered
+    with pytest.raises(HTTPError) as ex:
+        _post(
+            f"{base}/test",
+            json.dumps(
+                {
+                    "warehouse_path": _tf.mkdtemp(prefix="router_test_"),
+                    "options": {"not_an_option": 1},
+                }
+            ).encode(),
+        )
+    assert ex.value.code == 422
+    # missing warehouse_path -> 422
+    with pytest.raises(HTTPError) as ex:
+        _post(f"{base}/test", json.dumps({"options": {}}).encode())
+    assert ex.value.code == 422
+    assert "probe" not in _get(f"{base}/config")
+
+
+def test_profiles_endpoint_produces_to_topic(app_server):
+    app, base = app_server
+    out = _post(f"{base}/profiles/pb1/high?profileId=u42", b"")
+    assert out["message"] == "ok"
+    assert out["topic"] == "in.id.pb1.m.profiles.t.high"
+    app.producer.flush_all()
+    import os as _os
+
+    tdir = _os.path.join(app.topics_root, out["topic"])
+    lines = []
+    for seg in sorted(_os.listdir(tdir)):
+        p = _os.path.join(tdir, seg)
+        if _os.path.isfile(p):
+            lines += open(p).read().splitlines()
+    assert lines == ['{"profileId": "u42"}']
+    with pytest.raises(HTTPError) as ex:  # missing profileId -> 400
+        _post(f"{base}/profiles/pb1/high", b"")
+    assert ex.value.code == 400
+
+
+def test_connections_metrics_rollup(app_server, spark):
+    _app, base = app_server
+    _post(f"{base}/post/pg1?tableName=t_cm", b'{"id": 1}')
+    out = _get(f"{base}/connections-metrics/pg1")
+    assert "pg1" in out
+    topic_gauges = out["pg1"]["queues"]
+    assert any(g["produced"] >= 1 for g in topic_gauges.values())
+    assert _get(f"{base}/connections-metrics/nosuchws") == {}
+
+
+def test_bulk_schema_header_pins_types(app_server, spark):
+    app, base = app_server
+    req = urllib.request.Request(
+        f"{base}/bulk/pg1?tableName=t_schema&mode=batch",
+        data=b'{"id": 1, "amount": 2}\n{"id": 2, "amount": 3}\n',
+        method="POST",
+        headers={
+            "X-Jitsu-Schema": json.dumps(
+                {
+                    "name": "t_schema",
+                    "fields": [
+                        {"name": "id", "type": "INT64"},
+                        {"name": "amount", "type": "FLOAT64"},
+                    ],
+                }
+            )
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read())["success"] is True
+    tbl = app.engine_for("pg1").warehouse.read("t_schema")
+    types = dict(tbl.dtypes)
+    assert types["amount"] == "double"  # pinned FLOAT64 despite int values
+    assert types["id"] == "bigint"

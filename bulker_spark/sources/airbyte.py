@@ -129,6 +129,68 @@ class AirbyteSource:
             msgs.unpersist()
         return result
 
+    def run_control(self, source) -> dict[str, Any]:
+        """The spec/check/discover command path (the reference's
+        ``SpecCatalogSideCar``, ``sync-sidecar/spec_catalog.go:20-141``):
+        extract ``SPEC`` / ``CATALOG`` / ``CONNECTION_STATUS`` messages
+        from connector output, persist them to the per-connector control
+        table (the sidecar's Postgres spec/catalog rows), and report the
+        command status — FAILED if the connector emitted a TRACE ERROR or
+        a failed connection check."""
+        spark = self.engine.spark
+        msgs = self._messages(spark, source)
+        rows = (
+            msgs.filter(
+                F.col("msg_type").isin(
+                    "SPEC", "CATALOG", "CONNECTION_STATUS", "TRACE"
+                )
+            )
+            .select("raw", "msg_type")
+            .collect()
+        )
+        out: dict[str, Any] = {
+            "spec": None,
+            "catalog": None,
+            "connection_status": None,
+            "status": "SUCCESS",
+            "description": "",
+        }
+        for r in rows:
+            obj = _json.loads(r["raw"])
+            t = r["msg_type"]
+            if t == "SPEC":
+                out["spec"] = obj.get("spec")
+            elif t == "CATALOG":
+                out["catalog"] = obj.get("catalog")
+            elif t == "CONNECTION_STATUS":
+                out["connection_status"] = obj.get("connectionStatus")
+                if (out["connection_status"] or {}).get(
+                    "status", ""
+                ).lower() == "failed":
+                    out["status"] = "FAILED"
+                    out["description"] = (
+                        out["connection_status"] or {}
+                    ).get("message", "")
+            elif obj.get("trace", {}).get("type") == "ERROR":
+                out["status"] = "FAILED"
+                out["description"] = (
+                    obj["trace"].get("error", {}).get("message", "")
+                )
+        df = spark.createDataFrame(
+            [
+                (k, _json.dumps(v))
+                for k, v in out.items()
+                if k in ("spec", "catalog", "connection_status")
+                and v is not None
+            ]
+            or [("none", "{}")],
+            "kind string, payload string",
+        )
+        self.engine.warehouse.create_or_replace(
+            f"{self.table_prefix}_airbyte_control", df
+        )
+        return out
+
     def _save_state(self, state: dict) -> None:
         """Persist the last committed state (the sidecar writes it to its
         control DB; we keep a single-row state table)."""

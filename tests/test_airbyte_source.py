@@ -58,3 +58,52 @@ def test_trace_error_surfaces(spark, tmp_warehouse):
     )
     assert res.errors == ["connector exploded"]
     assert res.streams["s"].successful_rows == 1
+
+
+def test_run_control_extracts_spec_catalog_status(spark, tmp_path):
+    import json
+
+    from bulker_spark.api import Engine
+    from bulker_spark.sources.airbyte import AirbyteSource
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = AirbyteSource(eng, table_prefix="ctl_")
+    lines = [
+        json.dumps({"type": "SPEC", "spec": {"connectionSpecification": {"required": ["host"]}}}),
+        json.dumps({"type": "CONNECTION_STATUS", "connectionStatus": {"status": "SUCCEEDED"}}),
+        json.dumps({"type": "CATALOG", "catalog": {"streams": [{"name": "users"}]}}),
+        json.dumps({"type": "LOG", "log": {"level": "INFO", "message": "hi"}}),
+    ]
+    out = src.run_control(lines)
+    assert out["status"] == "SUCCESS"
+    assert out["spec"]["connectionSpecification"]["required"] == ["host"]
+    assert out["catalog"]["streams"][0]["name"] == "users"
+    assert out["connection_status"]["status"] == "SUCCEEDED"
+    # persisted to the control table
+    stored = {
+        r.kind: json.loads(r.payload)
+        for r in eng.warehouse.read("ctl__airbyte_control").collect()
+    }
+    assert set(stored) == {"spec", "catalog", "connection_status"}
+
+
+def test_run_control_failed_check(spark, tmp_path):
+    import json
+
+    from bulker_spark.api import Engine
+    from bulker_spark.sources.airbyte import AirbyteSource
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = AirbyteSource(eng)
+    out = src.run_control(
+        [
+            json.dumps(
+                {
+                    "type": "CONNECTION_STATUS",
+                    "connectionStatus": {"status": "FAILED", "message": "bad creds"},
+                }
+            )
+        ]
+    )
+    assert out["status"] == "FAILED"
+    assert out["description"] == "bad creds"

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "parts_pagerank",
     "events_dedup_ttl",
     "events_value_psi",
+    "emb_pca_power",
 ]
 
 

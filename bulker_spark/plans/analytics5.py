@@ -660,6 +660,112 @@ FROM wide ORDER BY bin
 """
 
 
+# ==========================================================================
+# Fixed-point PCA power iteration (deterministic distributed linear algebra)
+# ==========================================================================
+
+_PCA_S = 1_000_000
+_PCA_DIMS = 64
+_PCA_ITERS = 2
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus via power
+    iteration (vₜ₊₁ ∝ Σᵣ (xᵣ·vₜ) xᵣ), run a fixed number of iterations in
+    **integer fixed-point arithmetic**: per-row dot products and per-dim
+    contributions are floored to 10⁻⁶ units before any cross-row sum, so
+    every aggregate is an integer sum — order-free, bit-identical across
+    partitionings and engines. Naive float power iteration is
+    unreproducible on a cluster (summation order varies run to run);
+    this is the same determinism discipline as the fixed-point PageRank.
+
+    Scale shape: each iteration is ONE whole-stage-codegen aggregation —
+    the dot product folds JVM-side over the array column against the
+    broadcast vector literal (zero fan-out, no explode), and the 64
+    per-dimension partial sums combine map-side. Driver state is 64
+    ints; O(iters) jobs total — the Pregel/kmeans layout with an exact
+    oracle, which float arithmetic could never give."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    v = [_PCA_S] * _PCA_DIMS  # v₀ = all-ones at scale S
+    for _ in range(_PCA_ITERS):
+        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        d_int = F.aggregate(
+            F.zip_with(
+                "x", vlit, lambda a, b: F.floor(a * b).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + q,
+        )
+        with_d = e.select("x", (d_int / _PCA_S).alias("d"))
+        sums = with_d.agg(
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("x", j + 1) * F.col("d") * _PCA_S
+                    ).cast("long")
+                ).alias(f"s{j}")
+                for j in range(_PCA_DIMS)
+            ]
+        ).collect()[0]
+        big = [int(sums[f"s{j}"]) for j in range(_PCA_DIMS)]
+        idx = max(range(_PCA_DIMS), key=lambda j: (abs(big[j]), -j))
+        sign = 1 if big[idx] >= 0 else -1
+        m = abs(big[idx])
+        v = [(c * sign * _PCA_S) // m for c in big]  # floor div, exact
+    return spark.createDataFrame(
+        [(j, int(v[j])) for j in range(_PCA_DIMS)], "pos int, v_fp long"
+    )
+
+
+EMB_PCA_SQL = f"""
+WITH px AS (
+  SELECT vec_id, CAST(u.i AS INT) - 1 AS pos,
+         embedding[u.i]::DOUBLE AS xv
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS i) u
+),
+d1 AS (
+  SELECT vec_id,
+         SUM(CAST(floor(xv * {_PCA_S}) AS BIGINT)) AS d_int
+  FROM px GROUP BY 1
+),
+c1 AS (
+  SELECT px.pos,
+         SUM(CAST(floor(px.xv * (d1.d_int / {_PCA_S}.0) * {_PCA_S})
+             AS BIGINT)) AS V
+  FROM px JOIN d1 USING (vec_id) GROUP BY 1
+),
+n1 AS (
+  SELECT MAX(abs(V)) AS m,
+         (SELECT CASE WHEN V >= 0 THEN 1 ELSE -1 END
+          FROM c1 ORDER BY abs(V) DESC, pos LIMIT 1) AS s
+  FROM c1
+),
+v1 AS (SELECT pos, (V * s * {_PCA_S}) // m AS v FROM c1, n1),
+d2 AS (
+  SELECT px.vec_id,
+         SUM(CAST(floor(px.xv * v1.v) AS BIGINT)) AS d_int
+  FROM px JOIN v1 USING (pos) GROUP BY 1
+),
+c2 AS (
+  SELECT px.pos,
+         SUM(CAST(floor(px.xv * (d2.d_int / {_PCA_S}.0) * {_PCA_S})
+             AS BIGINT)) AS V
+  FROM px JOIN d2 USING (vec_id) GROUP BY 1
+),
+n2 AS (
+  SELECT MAX(abs(V)) AS m,
+         (SELECT CASE WHEN V >= 0 THEN 1 ELSE -1 END
+          FROM c2 ORDER BY abs(V) DESC, pos LIMIT 1) AS s
+  FROM c2
+),
+v2 AS (SELECT pos, (V * s * {_PCA_S}) // m AS v FROM c2, n2)
+SELECT pos, CAST(v AS BIGINT) AS v_fp FROM v2 ORDER BY pos
+"""
+
+
 EXTRA_QUERIES5: dict[str, tuple] = {
     "mm_image_ahash_pairs": (mm_image_ahash_pairs, MM_AHASH_PAIRS_SQL),
     "doc_prefix_dedup": (doc_prefix_dedup, DOC_PREFIX_DEDUP_SQL),
@@ -672,4 +778,5 @@ EXTRA_QUERIES5: dict[str, tuple] = {
     "parts_pagerank": (parts_pagerank, PARTS_PAGERANK_SQL),
     "events_dedup_ttl": (events_dedup_ttl, EVENTS_DEDUP_TTL_SQL),
     "events_value_psi": (events_value_psi, EVENTS_PSI_SQL),
+    "emb_pca_power": (emb_pca_power, EMB_PCA_SQL),
 }

@@ -123,3 +123,36 @@ def test_pagerank_matches_sequential_model(spark, tmp_path):
         }
     )
     assert got == _model_pagerank(edges)
+
+
+def test_pca_power_tracks_float_power_iteration(spark):
+    # the fixed-point result must align (cos ≈ 1) with the same two float
+    # power-iteration steps over the same data — quantization at 1e-6
+    # must not change the direction materially
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bulker_spark.plans.analytics5 import emb_pca_power
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.pos: r.v_fp for r in emb_pca_power(spark, sf).collect()
+    }
+    v_fp = np.array([got[j] for j in range(64)], dtype=np.float64)
+
+    X = np.array(
+        pq.read_table(f"{sf}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    v = np.ones(64)
+    for _ in range(2):
+        d = X @ v
+        v = X.T @ d
+        i = np.argmax(np.abs(v))
+        v = v * np.sign(v[i]) / np.abs(v[i])
+    cos = v_fp @ v / (np.linalg.norm(v_fp) * np.linalg.norm(v))
+    assert cos > 0.999
+    # scale convention: max-abs component is +S
+    assert max(abs(x) for x in v_fp) == 1_000_000

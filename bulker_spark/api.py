@@ -521,7 +521,10 @@ class Engine:
             # deterministic, so refresh-and-reapply is safe and idempotent
             from .sinks.warehouse import ConcurrentWriteError
 
-            for attempt in range(3):
+            # 5 attempts: two writers need one refresh each in the worst
+            # interleave, but a loaded host can stack several stale reads
+            # before a claim lands (observed under a saturated local[32])
+            for attempt in range(5):
                 try:
                     meta = self.warehouse.merge(
                         table,
@@ -541,7 +544,7 @@ class Engine:
                     )
                     break
                 except ConcurrentWriteError:
-                    if attempt == 2:
+                    if attempt == 4:
                         raise
                     self.warehouse.refresh(table, ns)
             if (

@@ -399,6 +399,54 @@ class Warehouse:
         writer.parquet(vdir)
         return version
 
+    def _append_files(
+        self,
+        df: DataFrame,
+        vdir: str,
+        partition_by: list[str] | None = None,
+    ) -> list[str]:
+        """Append ``df``'s parquet files into the live version dir WITHOUT
+        sharing Hadoop's ``_temporary`` committer scratch with concurrent
+        writers: two jobs appending ``mode("append")`` into one directory
+        share ``<dir>/_temporary/0/``, and whichever job finishes first
+        deletes it out from under the other's running tasks (observed as
+        ``chmod: cannot access ... _temporary/... No such file`` under
+        racing MoR merges). Instead the write lands in a private sibling
+        staging dir and the finished data files are moved in — part names
+        carry the write job's UUID, so moves are collision-free.
+
+        Returns the moved paths so a failed OCC commit can unlink them
+        (without rollback, a delta whose commit lost the race would stay
+        physically visible to readers)."""
+        table_dir = os.path.dirname(vdir.rstrip("/"))
+        stage = os.path.join(table_dir, f".stage_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+        moved: list[str] = []
+        try:
+            for base_dir, _dirs, files in os.walk(stage):
+                rel = os.path.relpath(base_dir, stage)
+                for f in files:
+                    if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                        continue
+                    dst_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    dst = os.path.join(dst_dir, f)
+                    os.replace(os.path.join(base_dir, f), dst)
+                    moved.append(dst)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return moved
+
+    def _rollback_files(self, moved: list[str]) -> None:
+        for p in moved:
+            try:
+                os.unlink(p)
+            except OSError:  # already gone — nothing to roll back
+                pass
+
     def _gc_old_versions(self, name: str, keep: str, namespace: str | None) -> None:
         """Drop version dirs referenced by none of the newest
         ``retain_versions`` commits. Hard-linked restore dirs survive a
@@ -457,6 +505,15 @@ class Warehouse:
             if (
                 entry.startswith("v_")
                 and entry not in known
+                and os.path.isdir(p)
+                and now - os.path.getmtime(p) >= min_age_seconds
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(entry)
+            # crashed writers can leave append staging dirs behind
+            # (_append_files cleans up on every non-crash path)
+            elif (
+                entry.startswith(".stage_")
                 and os.path.isdir(p)
                 and now - os.path.getmtime(p) >= min_age_seconds
             ):
@@ -716,14 +773,15 @@ class Warehouse:
         df = self._with_bucket(meta, self._align_json_storage(meta, df))
         if meta.n_buckets and BUCKET_COLUMN in df.columns:
             df = df.repartition(meta.n_buckets, F.col(BUCKET_COLUMN))
-        writer = df.write.mode("append")
-        if meta.partition_by:
-            writer = writer.partitionBy(*meta.partition_by)
-        writer.parquet(vdir)
+        moved = self._append_files(df, vdir, meta.partition_by)
         for col, t in self._schema_of(df).items():
             if col not in meta.columns:
                 meta.columns[col] = t  # ALTER TABLE ADD COLUMN
-        self._commit_meta(meta, op="append")
+        try:
+            self._commit_meta(meta, op="append")
+        except ConcurrentWriteError:
+            self._rollback_files(moved)
+            raise
         return meta
 
     def replace_partition(
@@ -1071,10 +1129,7 @@ class Warehouse:
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         if meta.n_buckets:
             src = src.repartition(meta.n_buckets, F.col(BUCKET_COLUMN))
-        writer = src.write.mode("append")
-        if meta.partition_by:
-            writer = writer.partitionBy(*meta.partition_by)
-        writer.parquet(vdir)
+        moved = self._append_files(src, vdir, meta.partition_by)
         for col, t in self._schema_of(src).items():
             if col not in meta.columns:
                 meta.columns[col] = t
@@ -1083,7 +1138,13 @@ class Warehouse:
             meta.timestamp_column = ts_col
         meta.mor_seq = seq
         meta.mor_deltas += 1
-        self._commit_meta(meta, op="merge_mor", expected_commit=base)
+        try:
+            self._commit_meta(meta, op="merge_mor", expected_commit=base)
+        except ConcurrentWriteError:
+            # the lost race's delta must not stay physically readable —
+            # unlink it before the caller refreshes and re-merges
+            self._rollback_files(moved)
+            raise
         return meta
 
     def _mor_reconcile(self, meta: TableMeta, df: DataFrame) -> DataFrame:

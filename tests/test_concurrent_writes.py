@@ -243,3 +243,32 @@ def test_threaded_mor_merges_unique_sequences(spark, roots):
         r[0] for r in raw.select(COMMIT_SEQ_COLUMN).distinct().collect()
     )
     assert seqs == [0, 1, 2]  # no sequence collision
+
+
+def test_lost_race_mor_delta_rolls_back_files(spark, roots):
+    """A MoR merge whose OCC claim loses must unlink its already-moved
+    delta files — otherwise the phantom delta stays physically readable
+    (reads are directory-scoped)."""
+    from bulker_spark import Engine
+    from bulker_spark.sinks.warehouse import ConcurrentWriteError
+
+    eng = Engine(spark, roots)
+    eng.bulk_load(
+        "t", _df(spark, [(1, "base")]), mode="batch",
+        primary_key=["pk"], deduplicate=True, merge_on_read=True,
+    )
+    wh = eng.warehouse
+    meta, base = wh._snapshot("t")
+    # another writer lands a commit AFTER our snapshot
+    eng.bulk_load(
+        "t", _df(spark, [(2, "winner")]), mode="batch",
+        primary_key=["pk"], deduplicate=True,
+    )
+    src = _df(spark, [(3, "loser")])
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError):
+        wh._merge_mor("t", src, ["pk"], meta, None, None, base)
+    wh.refresh("t")
+    rows = {r["pk"]: r["v"] for r in wh.read("t").collect()}
+    assert rows == {1: "base", 2: "winner"}  # no phantom pk=3

@@ -272,3 +272,20 @@ def test_lost_race_mor_delta_rolls_back_files(spark, roots):
     wh.refresh("t")
     rows = {r["pk"]: r["v"] for r in wh.read("t").collect()}
     assert rows == {1: "base", 2: "winner"}  # no phantom pk=3
+
+
+def test_vacuum_reclaims_crashed_stage_dirs(spark, roots):
+    """A crashed writer's .stage_* append staging dir is reclaimed by the
+    age-guarded vacuum (and only past the guard)."""
+    import os
+
+    from bulker_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, roots)
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    stage = os.path.join(wh._table_dir("t"), ".stage_deadbeef")
+    os.makedirs(stage)
+    assert wh.vacuum("t") == []  # age guard protects a fresh stage
+    assert os.path.isdir(stage)
+    assert wh.vacuum("t", min_age_seconds=0) == [".stage_deadbeef"]
+    assert not os.path.isdir(stage)

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "events_dedup_ttl",
     "events_value_psi",
     "emb_pca_power",
+    "emb_mmr_select",
 ]
 
 

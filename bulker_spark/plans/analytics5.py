@@ -766,6 +766,134 @@ SELECT pos, CAST(v AS BIGINT) AS v_fp FROM v2 ORDER BY pos
 """
 
 
+# ==========================================================================
+# MMR diverse top-k selection (greedy, fixed-point — exact oracle)
+# ==========================================================================
+
+_MMR_K = 5
+_MMR_MAX_VEC = 200
+_MMR_Q = 10**9  # dot-product quantization (1e-9 units)
+
+
+def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick k vectors
+    maximizing ``0.7·rel − 0.3·max_sim_to_selected`` — the diversity
+    sampler that keeps a training batch from collapsing onto near-
+    duplicates of the query (vec 0 is the query; vec 1..199 candidates).
+
+    Determinism: every dot product is Σⱼ floor(xⱼ·yⱼ·10⁹) — element
+    products are IEEE-commutative and the floor happens before any sum,
+    so relevance, penalties, and therefore the full greedy trajectory are
+    integer-exact on any engine (the 10×-scaled score ``7·rel − 3·pen``
+    avoids division entirely). Scale shape: the candidate scan keeps a
+    running penalty column; each of the k steps is one TakeOrdered(1)
+    over candidates (argmax, no sort) plus a JVM ``zip_with`` fold
+    against the newly-selected vector literal — O(k) jobs, penalties
+    never materialize as a pair matrix."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") > 0) & (F.col("vec_id") < _MMR_MAX_VEC)
+        )
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "x"
+            ),
+        )
+    )
+    qvec = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    )
+
+    def dot_int(col, vec):
+        lit = F.array(*[F.lit(float(v)).cast("double") for v in vec])
+        return F.aggregate(
+            F.zip_with(
+                col, lit, lambda a, b: F.floor(a * b * _MMR_Q).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    df = e.select(
+        "vec_id", "x", dot_int(F.col("x"), qvec).alias("rel")
+    ).withColumn("pen", F.lit(0).cast("long")).persist()
+    picks = []
+    for rank in range(1, _MMR_K + 1):
+        chosen = [p[0] for p in picks]
+        row = (
+            df.filter(~F.col("vec_id").isin(chosen) if chosen else F.lit(True))
+            .orderBy(
+                (7 * F.col("rel") - 3 * F.col("pen")).desc(), "vec_id"
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((int(row.vec_id), rank))
+        df = df.withColumn(
+            "pen", F.greatest("pen", dot_int(F.col("x"), list(row.x)))
+        )
+    return spark.createDataFrame(
+        [(r, v) for v, r in picks], "rank int, vec_id long"
+    )
+
+
+def _mmr_sql() -> str:
+    pre = f"""
+WITH c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MMR_MAX_VEC}
+),
+px AS (
+  SELECT vec_id, CAST(u.i AS INT) AS pos, embedding[u.i]::DOUBLE AS val
+  FROM c, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+),
+dots AS (
+  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         SUM(CAST(floor(a.val * b.val * {_MMR_Q}) AS BIGINT)) AS d
+  FROM px a JOIN px b USING (pos) GROUP BY 1, 2
+),
+p0 AS (
+  SELECT ca AS vec_id, d AS rel, CAST(0 AS BIGINT) AS pen
+  FROM dots WHERE cb = 0 AND ca > 0
+)"""
+    steps = []
+    prev = "p0"
+    sels = []
+    for i in range(1, _MMR_K + 1):
+        notin = (
+            ""
+            if not sels
+            else "WHERE vec_id NOT IN ("
+            + " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in sels)
+            + ")"
+        )
+        steps.append(
+            f""",
+s{i} AS (
+  SELECT vec_id FROM {prev} {notin}
+  ORDER BY 7 * rel - 3 * pen DESC, vec_id LIMIT 1
+),
+p{i} AS (
+  SELECT p.vec_id, p.rel, GREATEST(p.pen, d.d) AS pen
+  FROM {prev} p JOIN dots d
+    ON d.ca = p.vec_id AND d.cb = (SELECT vec_id FROM s{i})
+)"""
+        )
+        sels.append(f"s{i}")
+        prev = f"p{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    return pre + "".join(steps) + f"\nSELECT CAST(rank AS INT) AS rank, vec_id FROM ({finals}) ORDER BY rank"
+
+
+EMB_MMR_SQL = _mmr_sql()
+
+
 EXTRA_QUERIES5: dict[str, tuple] = {
     "mm_image_ahash_pairs": (mm_image_ahash_pairs, MM_AHASH_PAIRS_SQL),
     "doc_prefix_dedup": (doc_prefix_dedup, DOC_PREFIX_DEDUP_SQL),
@@ -779,4 +907,5 @@ EXTRA_QUERIES5: dict[str, tuple] = {
     "events_dedup_ttl": (events_dedup_ttl, EVENTS_DEDUP_TTL_SQL),
     "events_value_psi": (events_value_psi, EVENTS_PSI_SQL),
     "emb_pca_power": (emb_pca_power, EMB_PCA_SQL),
+    "emb_mmr_select": (emb_mmr_select, EMB_MMR_SQL),
 }

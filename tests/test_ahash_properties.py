@@ -156,3 +156,49 @@ def test_pca_power_tracks_float_power_iteration(spark):
     assert cos > 0.999
     # scale convention: max-abs component is +S
     assert max(abs(x) for x in v_fp) == 1_000_000
+
+
+def test_mmr_selects_more_diverse_set_than_pure_topk(spark):
+    # MMR's selected set must be no less diverse (lower max pairwise
+    # cosine) than the pure-relevance top-k, and must include the single
+    # most relevant candidate as its first pick
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bulker_spark.plans.analytics5 import emb_mmr_select
+
+    sf = "/root/testdata/sf0.001"
+    picks = {
+        r.rank: r.vec_id for r in emb_mmr_select(spark, sf).collect()
+    }
+    assert sorted(picks) == [1, 2, 3, 4, 5]
+    ids = [picks[r] for r in sorted(picks)]
+    assert len(set(ids)) == 5
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    X = {
+        v: np.array(e, dtype=np.float64)
+        for v, e in zip(
+            tbl.column("vec_id").to_pylist(),
+            tbl.column("embedding").to_pylist(),
+        )
+    }
+    q = X[0]
+    cands = {v: x for v, x in X.items() if 0 < v < 200}
+    rel = {v: float(x @ q) for v, x in cands.items()}
+    assert picks[1] == max(rel, key=lambda v: (rel[v], -v))
+
+    def max_pair_cos(vs):
+        out = 0.0
+        for i, a in enumerate(vs):
+            for b in vs[i + 1 :]:
+                xa, xb = X[a], X[b]
+                out = max(
+                    out,
+                    float(xa @ xb)
+                    / (np.linalg.norm(xa) * np.linalg.norm(xb)),
+                )
+        return out
+
+    topk = sorted(rel, key=lambda v: -rel[v])[:5]
+    assert max_pair_cos(ids) <= max_pair_cos(topk) + 1e-9

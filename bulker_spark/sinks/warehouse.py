@@ -140,6 +140,7 @@ class Warehouse:
         op: str = "commit",
         files: list[str] | None = None,
         expected_commit: int | None = None,
+        files_delta: list[str] | None = None,
     ) -> None:
         """Commit = atomically claiming the NEXT numbered file in the
         table's ``_bulker_log/`` directory (the Delta ``_delta_log/N.json``
@@ -154,13 +155,27 @@ class Warehouse:
         claiming ``expected+1`` fails and :class:`ConcurrentWriteError`
         propagates — the lost-update window is closed, not raced. Blind
         commutative ops (append, replace_table) pass ``None`` and self-retry
-        with a fresh id."""
+        with a fresh id.
+
+        ``files_delta`` is how file-ADDING ops (append, MoR merge) declare
+        their manifest: committed manifest = tail commit's file list ∪
+        delta, re-resolved per claim attempt. A directory walk here would
+        capture a CONCURRENT appender's moved-but-uncommitted files into
+        this commit's manifest — publishing data its writer hasn't
+        committed (and may yet roll back). If the tail's version no longer
+        matches (a replace/compact landed mid-append), the delta was
+        written into an obsolete version dir and the commit must fail
+        rather than regress the pointer."""
         import time as _time
 
         d = self._table_dir(meta.name, meta.namespace)
         log_dir = os.path.join(d, LOG_DIR)
         os.makedirs(log_dir, exist_ok=True)
-        manifest = self._manifest(meta) if files is None else files
+        manifest = (
+            self._manifest(meta)
+            if files is None and files_delta is None
+            else files
+        )
         attempts = 1 if expected_commit is not None else 5
         committed = False
         for i in range(attempts):
@@ -170,6 +185,23 @@ class Warehouse:
                 else self._last_commit_id(meta.name, meta.namespace)
             )
             next_id = cur + 1
+            if files_delta is not None:
+                if cur == 0:
+                    manifest = sorted(set(files_delta))
+                else:
+                    tail_path = os.path.join(log_dir, f"{cur:012d}.json")
+                    with open(tail_path) as fh:
+                        tail = _json.load(fh)
+                    if tail["meta"].get("version") != meta.version:
+                        raise ConcurrentWriteError(
+                            f"version of {meta.namespace}.{meta.name} was "
+                            f"replaced while appending (expected "
+                            f"{meta.version}, log tail has "
+                            f"{tail['meta'].get('version')})"
+                        )
+                    manifest = sorted(
+                        set(tail.get("files", [])) | set(files_delta)
+                    )
             tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 _json.dump(
@@ -230,24 +262,26 @@ class Warehouse:
 
     def _snapshot(
         self, name: str, namespace: str | None = None
-    ) -> tuple[TableMeta | None, int]:
-        """(meta, occ_token) bound to the SAME snapshot: both come from the
-        commit log's tail claim file, never the driver-side meta cache or
-        the pointer (either can lag a racing or crashed writer — a token
-        read fresh against a stale cached meta would let this operation's
-        commit silently bury the commit the cache missed). Refreshes the
-        cache as a side effect so subsequent ``read()`` resolves the same
-        snapshot."""
+    ) -> tuple[TableMeta | None, int, list[str] | None]:
+        """(meta, occ_token, manifest) bound to the SAME snapshot: all come
+        from the commit log's tail claim file, never the driver-side meta
+        cache or the pointer (either can lag a racing or crashed writer — a
+        token read fresh against a stale cached meta would let this
+        operation's commit silently bury the commit the cache missed).
+        Refreshes the cache as a side effect so subsequent ``read()``
+        resolves the same snapshot. ``manifest`` is the committed file list
+        (vdir-relative), or ``None`` for a table with no commit log."""
         base = self._last_commit_id(name, namespace)
         if base == 0:
-            return self.get_meta(name, namespace), 0
+            return self.get_meta(name, namespace), 0, None
         path = os.path.join(
             self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
         )
         with open(path) as fh:
-            meta = TableMeta.from_json(_json.load(fh)["meta"])
+            entry = _json.load(fh)
+        meta = TableMeta.from_json(entry["meta"])
         self._meta_cache[f"{namespace or self.namespace}.{name}"] = meta
-        return meta, base
+        return meta, base, entry.get("files")
 
     def _read_log(self, name: str, namespace: str | None = None) -> list[dict]:
         log_dir = os.path.join(self._table_dir(name, namespace), LOG_DIR)
@@ -304,10 +338,30 @@ class Warehouse:
         version: str | None = None,
         _raw: bool = False,
     ) -> DataFrame:
-        meta = self.get_meta(name, namespace)
-        if meta is None:
-            raise FileNotFoundError(f"table {namespace or self.namespace}.{name}")
         snapshot_files: list[str] | None = None
+        if version is None:
+            # manifest-driven read: the committed file LIST (log tail), not
+            # the directory, is the table state — a concurrent appender's
+            # moved-but-uncommitted delta files in the same version dir
+            # stay invisible until its commit lands
+            meta, base, manifest = self._snapshot(name, namespace)
+            if meta is None:
+                raise FileNotFoundError(
+                    f"table {namespace or self.namespace}.{name}"
+                )
+            if manifest is not None:
+                vdir_cur = os.path.join(
+                    self._table_dir(name, namespace), meta.version
+                )
+                snapshot_files = [
+                    os.path.join(vdir_cur, f) for f in manifest
+                ]
+        else:
+            meta = self.get_meta(name, namespace)
+            if meta is None:
+                raise FileNotFoundError(
+                    f"table {namespace or self.namespace}.{name}"
+                )
         if version is not None:
             # time travel: schema AND file manifest come from the commit-log
             # snapshot (columns may have evolved and appends may have added
@@ -778,7 +832,11 @@ class Warehouse:
             if col not in meta.columns:
                 meta.columns[col] = t  # ALTER TABLE ADD COLUMN
         try:
-            self._commit_meta(meta, op="append")
+            self._commit_meta(
+                meta,
+                op="append",
+                files_delta=[os.path.relpath(p, vdir) for p in moved],
+            )
         except ConcurrentWriteError:
             self._rollback_files(moved)
             raise
@@ -855,7 +913,7 @@ class Warehouse:
         # OCC: meta and token from the same log-tail snapshot — a commit
         # landing between here and our own commit fails ours instead of
         # silently dropping its rows (lost update)
-        meta, base = self._snapshot(name, namespace)
+        meta, base, _files = self._snapshot(name, namespace)
         if meta is None:
             return self.create_or_replace(
                 name,
@@ -1139,7 +1197,12 @@ class Warehouse:
         meta.mor_seq = seq
         meta.mor_deltas += 1
         try:
-            self._commit_meta(meta, op="merge_mor", expected_commit=base)
+            self._commit_meta(
+                meta,
+                op="merge_mor",
+                expected_commit=base,
+                files_delta=[os.path.relpath(p, vdir) for p in moved],
+            )
         except ConcurrentWriteError:
             # the lost race's delta must not stay physically readable —
             # unlink it before the caller refreshes and re-merges
@@ -1205,7 +1268,7 @@ class Warehouse:
 
         ``keys``: scalars for a single-column PK, tuples in ``meta.pk``
         order for composite."""
-        meta, base = self._snapshot(name, namespace)
+        meta, base, _files = self._snapshot(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
         if not meta.pk:
@@ -1348,7 +1411,7 @@ class Warehouse:
         via the usual OCC token."""
         if n_buckets < 1:
             raise ValueError("n_buckets >= 1")
-        meta, base = self._snapshot(name, namespace)
+        meta, base, _files = self._snapshot(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
         if not meta.bucket_cols:
@@ -1460,7 +1523,7 @@ class Warehouse:
         prune on any of them, not just the leading key — see
         :meth:`_zorder_expr`. Mutually exclusive with ``cluster_by``
         (``zorder_by`` wins)."""
-        meta, base = self._snapshot(name, namespace)
+        meta, base, _files = self._snapshot(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
         stats = self.table_stats(name, namespace)
@@ -1499,7 +1562,7 @@ class Warehouse:
         """DELETE rows matching WhenConditions (sql_adapter_base.go:354-411):
         rewrite the live version without the matching rows, swap, GC.
         Returns rows deleted."""
-        meta, base = self._snapshot(name, namespace)
+        meta, base, _files = self._snapshot(name, namespace)
         if meta is None:
             return 0
         col = (

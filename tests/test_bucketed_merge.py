@@ -180,7 +180,7 @@ def test_bucketed_merge_occ_conflict(spark, tmp_warehouse):
     wh1.create_or_replace("t", df, pk=["id"], bucket_by=(["id"], 4))
     wh2 = Warehouse(spark, tmp_warehouse)
     # wh2 snapshots (capturing its OCC token), THEN wh1 commits underneath
-    meta2, base2 = wh2._snapshot("t", None)
+    meta2, base2, _ = wh2._snapshot("t", None)
     wh1.merge("t", spark.createDataFrame([(2, "b")], ["id", "name"]), pk=["id"])
     src = spark.createDataFrame([(3, "c")], ["id", "name"])
     with pytest.raises(ConcurrentWriteError):

@@ -258,7 +258,7 @@ def test_lost_race_mor_delta_rolls_back_files(spark, roots):
         primary_key=["pk"], deduplicate=True, merge_on_read=True,
     )
     wh = eng.warehouse
-    meta, base = wh._snapshot("t")
+    meta, base, _ = wh._snapshot("t")
     # another writer lands a commit AFTER our snapshot
     eng.bulk_load(
         "t", _df(spark, [(2, "winner")]), mode="batch",
@@ -289,3 +289,58 @@ def test_vacuum_reclaims_crashed_stage_dirs(spark, roots):
     assert os.path.isdir(stage)
     assert wh.vacuum("t", min_age_seconds=0) == [".stage_deadbeef"]
     assert not os.path.isdir(stage)
+
+
+def test_reader_blind_to_uncommitted_append_files(spark, roots):
+    """Manifest-driven reads: files MOVED into the live version dir by an
+    in-flight appender are invisible until its commit lands — the read
+    resolves the log tail's file list, never the directory."""
+    import os
+
+    a = Warehouse(spark, roots)
+    b = Warehouse(spark, roots)
+    a.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+
+    # simulate b crashing between the file move and the commit claim
+    meta = b.get_meta("t")
+    vdir = os.path.join(b._table_dir("t"), meta.version)
+    moved = b._append_files(_df(spark, [(2, "ghost")]), vdir)
+    assert moved and all(os.path.exists(p) for p in moved)
+
+    # physical dir has the ghost rows; committed state does not
+    assert a.read("t").count() == 1
+    assert {r["v"] for r in a.read("t").collect()} == {"a"}
+
+    # once the commit lands, the same files become visible
+    b._commit_meta(
+        meta,
+        op="append",
+        files_delta=[os.path.relpath(p, vdir) for p in moved],
+    )
+    assert a.read("t").count() == 2
+
+
+def test_append_fails_cleanly_when_version_replaced_midflight(spark, roots):
+    """A replace/compact landing between an appender's file move and its
+    commit must fail the append (its files went into an obsolete version
+    dir) — committing would regress the live pointer."""
+    import os
+
+    a = Warehouse(spark, roots)
+    b = Warehouse(spark, roots)
+    a.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+
+    meta = b.get_meta("t")  # b snapshots the old version
+    vdir = os.path.join(b._table_dir("t"), meta.version)
+    moved = b._append_files(_df(spark, [(2, "late")]), vdir)
+
+    a.create_or_replace("t", _df(spark, [(10, "new")]), pk=["pk"])
+
+    with pytest.raises(ConcurrentWriteError):
+        b._commit_meta(
+            meta,
+            op="append",
+            files_delta=[os.path.relpath(p, vdir) for p in moved],
+        )
+    b._rollback_files(moved)
+    assert {r["pk"] for r in a.read("t").collect()} == {10}

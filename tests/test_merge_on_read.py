@@ -156,7 +156,7 @@ def test_mor_occ_serializes_sequence(spark, tmp_warehouse):
         merge_on_read=True,
     )
     wh2 = Warehouse(spark, tmp_warehouse)
-    meta2, base2 = wh2._snapshot("t", None)
+    meta2, base2, _ = wh2._snapshot("t", None)
     wh1.merge("t", spark.createDataFrame([(2, "b")], ["id", "name"]), pk=["id"])
     with pytest.raises(ConcurrentWriteError):
         wh2._merge_mor(

@@ -268,6 +268,63 @@ class Engine:
         json_df: DataFrame | None,
         opt: StreamOptions,
     ) -> StreamResult:
+        """Pin the raw JSON source in the block cache for the load's
+        duration: the pipeline scans it three times (validity counters,
+        header inference, normalize-at-persist), and when the frame comes
+        from a streaming micro-batch each uncached scan re-reads and
+        re-parses the source files — measured 2.3× the whole load."""
+        if df is None and json_df is None and events:
+            # one path for every JSON source: list → JVM DataFrame so
+            # validation and normalize are uniform (and cacheable — a
+            # parallelized driver collection re-ships per uncached scan)
+            import json as _json
+
+            lines = [
+                e if isinstance(e, str)
+                else _json.dumps(e, ensure_ascii=False, default=str)
+                for e in events
+            ]
+            json_df = self.spark.createDataFrame(
+                [(x,) for x in lines], "value string"
+            )
+            events = []
+        persisted_src = None
+        if json_df is not None:
+            # A small-file source (one NDJSON file → 1-3 scan splits) would
+            # run the two Python parse passes (header inference, normalize)
+            # nearly serial; spread the lines across the executor cores
+            # first. Well-partitioned big batches skip the shuffle. The
+            # arrival-order stamp for last-wins dedup must be taken BEFORE
+            # the shuffle (round-robin scrambles line order), so it rides
+            # along as a carry column.
+            from pyspark.sql import functions as F
+
+            from .operators.dedup import ORDER_COLUMN
+
+            target = self.spark.sparkContext.defaultParallelism
+            if (
+                len(json_df.columns) == 1
+                and json_df.rdd.getNumPartitions() < target
+            ):
+                json_df = json_df.withColumn(
+                    ORDER_COLUMN, F.monotonically_increasing_id()
+                ).repartition(target)
+            json_df = json_df.persist()
+            persisted_src = json_df
+        try:
+            return self._load_impl(table, events, df, json_df, opt)
+        finally:
+            if persisted_src is not None:
+                persisted_src.unpersist()
+
+    def _load_impl(
+        self,
+        table: str,
+        events: list[Any],
+        df: DataFrame | None,
+        json_df: DataFrame | None,
+        opt: StreamOptions,
+    ) -> StreamResult:
         ns = opt.namespace
         meta = self.warehouse.get_meta(table, ns)
         existing: dict | None = None
@@ -291,21 +348,8 @@ class Engine:
         )
 
         malformed = 0
+        carry: tuple[str, ...] = ()
         if df is None:
-            if json_df is None and events:
-                # one path for every JSON source: list → JVM DataFrame so
-                # validation and normalize are uniform
-                import json as _json
-
-                lines = [
-                    e if isinstance(e, str)
-                    else _json.dumps(e, ensure_ascii=False, default=str)
-                    for e in events
-                ]
-                json_df = self.spark.createDataFrame(
-                    [(x,) for x in lines], "value string"
-                )
-                events = []
             if json_df is not None:
                 # JVM-side validation: drop unparseable lines, count them,
                 # keep loading (the reference's per-event consume errors)
@@ -335,6 +379,11 @@ class Engine:
             source: Any = json_df if json_df is not None else events
             if json_df is None and not events:
                 return StreamResult(table=meta)
+            if (
+                json_df is not None
+                and ORDER_COLUMN in json_df.columns
+            ):
+                carry = (ORDER_COLUMN,)
             df, header = ingest_json(
                 self.spark,
                 source,
@@ -343,6 +392,7 @@ class Engine:
                 omit_nils=opt.omit_nils,
                 case=opt.to_same_case,
                 adapter=adapter,
+                carry_cols=carry,
             )
             batch_types = {n: s.data_type for n, s in header.columns.items()}
         elif existing:
@@ -390,15 +440,21 @@ class Engine:
                         f"unknown expectations_policy {policy!r}"
                     )
 
-        # arrival order must be pinned BEFORE any shuffle
+        # arrival order must be pinned BEFORE any shuffle — when the load
+        # wrapper repartitioned a narrow source, the stamp was taken on the
+        # pre-shuffle line order and carried through normalize
+        carried_seq = bool(carry) and ORDER_COLUMN in df.columns
         if opt.deduplicate and opt.primary_key:
-            df = with_sequence(df)
+            if not carried_seq:
+                df = with_sequence(df)
             if opt.discriminator_field:
                 df = dedup_discriminator_agg(
                     df, opt.primary_key, opt.discriminator_field
                 )
             else:
                 df = dedup_last_wins_agg(df, opt.primary_key)
+            df = df.drop(ORDER_COLUMN)
+        elif carried_seq:
             df = df.drop(ORDER_COLUMN)
 
         # time-partitioned table: derive the partition column before write

@@ -119,11 +119,26 @@ def normalize_json_df(
     omit_nils: bool = True,
     case: str = "none",
     adapter=None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Normalize pass: JSON strings → typed rows per ``header`` schema."""
+    """Normalize pass: JSON strings → typed rows per ``header`` schema.
+
+    ``carry_cols`` are extra input columns copied through 1:1 beside the
+    normalized rows (e.g. a pre-shuffle arrival-sequence stamp). Requires
+    every input line to normalize to exactly one row — callers must have
+    filtered blank/malformed lines first. A carry column whose name
+    collides with a data column is dropped (the data wins)."""
     col = json_df.columns[0]
     schema = header.to_spark_schema(with_unmapped=True)
     out_cols = [f.name for f in schema.fields]
+    carry = [
+        c for c in carry_cols if c in json_df.columns and c not in out_cols
+    ]
+    if carry:
+        by_name = {f.name: f for f in json_df.schema.fields}
+        schema = T.StructType(
+            list(schema.fields) + [by_name[c] for c in carry]
+        )
     header_payload = [
         [s.name, int(s.data_type), s.hinted] for s in header.columns.values()
     ]
@@ -143,13 +158,20 @@ def normalize_json_df(
                     adapter=adapter,
                 )
             )
+            if carry and len(rows) != len(pdf):
+                raise ValueError(
+                    "carry_cols requires 1:1 normalization "
+                    f"({len(pdf)} lines -> {len(rows)} rows)"
+                )
             out = pd.DataFrame(
                 {c: [r.get(c) for r in rows] for c in out_cols},
                 columns=out_cols,
             )
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
             yield out
 
-    return json_df.select(col).mapInPandas(norm, schema=schema)
+    return json_df.select(col, *carry).mapInPandas(norm, schema=schema)
 
 
 def ingest_json(
@@ -161,6 +183,7 @@ def ingest_json(
     omit_nils: bool = True,
     case: str = "none",
     adapter=None,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, BatchHeader]:
     """End-to-end: events (NDJSON path, list of dicts/strings, or a
     one-string-column DataFrame) → (normalized typed DataFrame, header).
@@ -185,7 +208,12 @@ def ingest_json(
     )
     unified, _new = unify_with_existing(existing_types, header, policy)
     df = normalize_json_df(
-        json_df, unified, omit_nils=omit_nils, case=case, adapter=adapter
+        json_df,
+        unified,
+        omit_nils=omit_nils,
+        case=case,
+        adapter=adapter,
+        carry_cols=carry_cols,
     )
     return df, unified
 

@@ -222,3 +222,40 @@ def test_streaming_scd2_mode(spark, tmpdirs):
     assert dim.count() == 3  # closed nyc + open boston + sf
     cur = {r["id"]: r["city"] for r in scd2_current(dim).collect()}
     assert cur == {1: "boston", 2: "sf"}
+
+
+def test_narrow_source_last_wins_survives_repartition(spark, tmp_path):
+    """A single NDJSON file arrives as 1-3 scan splits; the load pipeline
+    fans it out across cores before the Python parse passes. The arrival-
+    order stamp for last-wins dedup is taken BEFORE that shuffle and
+    carried through normalize — so the LAST line per PK still wins even
+    though round-robin repartitioning scrambles physical row order."""
+    import json as _json
+    import os
+
+    from bulker_spark import Engine
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        StreamOptions,
+        json_file_stream,
+    )
+
+    # every pk occurs 40×; only the final occurrence's payload may survive
+    lines = [
+        _json.dumps({"messageId": i % 50, "v": f"occ{i}"}) for i in range(2000)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.ndjson").write_text("\n".join(lines))
+    e = Engine(spark, str(tmp_path / "wh"))
+    stream = IngestStream(
+        e, "dup", StreamOptions(primary_key=["messageId"], deduplicate=True)
+    )
+    q = stream.start(
+        json_file_stream(spark, str(src)), str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    got = {r["messageId"]: r["v"] for r in e.warehouse.read("dup").collect()}
+    assert got == {i % 50: f"occ{i}" for i in range(2000)}
+    # the internal sequence column must not leak into the table
+    assert "__seq" not in e.warehouse.read("dup").columns

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "events_value_psi",
     "emb_pca_power",
     "emb_mmr_select",
+    "parts_salsa",
+    "parts_label_prop",
 ]
 
 

@@ -293,22 +293,30 @@ class Engine:
             # A small-file source (one NDJSON file → 1-3 scan splits) would
             # run the two Python parse passes (header inference, normalize)
             # nearly serial; spread the lines across the executor cores
-            # first. Well-partitioned big batches skip the shuffle. The
-            # arrival-order stamp for last-wins dedup must be taken BEFORE
-            # the shuffle (round-robin scrambles line order), so it rides
-            # along as a carry column.
+            # first. Well-partitioned big batches skip the shuffle. Line
+            # order is load-bearing twice over — last-wins dedup AND
+            # first-seen column order in header inference — so the arrival
+            # stamp is taken BEFORE the shuffle and the redistribution is
+            # RANGE-partitioned + sorted on it: partition p holds a
+            # contiguous, internally-ordered slice of the original line
+            # sequence, which keeps the header's (partition, batch)-order
+            # merge exactly first-seen and is deterministic regardless of
+            # shuffle fetch order. The stamp also rides through normalize
+            # as a carry column for the dedup step.
             from pyspark.sql import functions as F
-
-            from .operators.dedup import ORDER_COLUMN
 
             target = self.spark.sparkContext.defaultParallelism
             if (
                 len(json_df.columns) == 1
                 and json_df.rdd.getNumPartitions() < target
             ):
-                json_df = json_df.withColumn(
-                    ORDER_COLUMN, F.monotonically_increasing_id()
-                ).repartition(target)
+                json_df = (
+                    json_df.withColumn(
+                        ORDER_COLUMN, F.monotonically_increasing_id()
+                    )
+                    .repartitionByRange(target, F.col(ORDER_COLUMN))
+                    .sortWithinPartitions(ORDER_COLUMN)
+                )
             json_df = json_df.persist()
             persisted_src = json_df
         try:
@@ -442,8 +450,15 @@ class Engine:
 
         # arrival order must be pinned BEFORE any shuffle — when the load
         # wrapper repartitioned a narrow source, the stamp was taken on the
-        # pre-shuffle line order and carried through normalize
-        carried_seq = bool(carry) and ORDER_COLUMN in df.columns
+        # pre-shuffle line order and carried through normalize. If the data
+        # itself has a __seq column it lands in batch_types and normalize
+        # drops the carry (data wins) — then the column holds USER values
+        # and must be treated as data, not as the stamp.
+        carried_seq = (
+            bool(carry)
+            and ORDER_COLUMN in df.columns
+            and ORDER_COLUMN not in batch_types
+        )
         if opt.deduplicate and opt.primary_key:
             if not carried_seq:
                 df = with_sequence(df)

@@ -187,7 +187,10 @@ class Warehouse:
             next_id = cur + 1
             if files_delta is not None:
                 if cur == 0:
-                    manifest = sorted(set(files_delta))
+                    # log-less table (externally created / log lost): the
+                    # version dir's existing files are the base state — a
+                    # delta-only manifest would hide them from reads
+                    manifest = sorted(set(self._manifest(meta)) | set(files_delta))
                 else:
                     tail_path = os.path.join(log_dir, f"{cur:012d}.json")
                     with open(tail_path) as fh:
@@ -202,6 +205,18 @@ class Warehouse:
                     manifest = sorted(
                         set(tail.get("files", [])) | set(files_delta)
                     )
+                    # the manifest union keeps a concurrent appender's
+                    # FILES; its schema-evolution columns must survive
+                    # too — this writer's snapshot of meta.columns may
+                    # predate the tail commit, and reads build their
+                    # explicit schema from the winning meta
+                    tail_meta = TableMeta.from_json(tail["meta"])
+                    novel = {
+                        c: t
+                        for c, t in meta.columns.items()
+                        if c not in tail_meta.columns
+                    }
+                    meta.columns = {**tail_meta.columns, **novel}
             tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 _json.dump(
@@ -344,7 +359,7 @@ class Warehouse:
             # the directory, is the table state — a concurrent appender's
             # moved-but-uncommitted delta files in the same version dir
             # stay invisible until its commit lands
-            meta, base, manifest = self._snapshot(name, namespace)
+            meta, _base, manifest = self._snapshot(name, namespace)
             if meta is None:
                 raise FileNotFoundError(
                     f"table {namespace or self.namespace}.{name}"
@@ -357,12 +372,6 @@ class Warehouse:
                     os.path.join(vdir_cur, f) for f in manifest
                 ]
         else:
-            meta = self.get_meta(name, namespace)
-            if meta is None:
-                raise FileNotFoundError(
-                    f"table {namespace or self.namespace}.{name}"
-                )
-        if version is not None:
             # time travel: schema AND file manifest come from the commit-log
             # snapshot (columns may have evolved and appends may have added
             # files to the same version dir since)

@@ -344,3 +344,43 @@ def test_append_fails_cleanly_when_version_replaced_midflight(spark, roots):
         )
     b._rollback_files(moved)
     assert {r["pk"] for r in a.read("t").collect()} == {10}
+
+
+def test_concurrent_schema_evolution_appends_keep_both_columns(spark, roots):
+    """Two appenders racing with DIFFERENT new columns: the manifest union
+    keeps both writers' files, so the winning meta must keep both writers'
+    schema-evolution columns too — reads build their explicit schema from
+    the tail meta, and a stale-snapshot commit would make the other
+    writer's column silently unreadable."""
+    a = Warehouse(spark, roots)
+    b = Warehouse(spark, roots)
+    a.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    b.get_meta("t")  # b snapshots the pre-evolution schema
+
+    a.append("t", spark.createDataFrame([(2, "x", 7)], "pk long, v string, xa long"))
+    # b's cached meta predates a's commit (same version, so the append
+    # proceeds); its commit must union a's columns, not bury them
+    b.append("t", spark.createDataFrame([(3, "y", 9)], "pk long, v string, xb long"))
+
+    df = Warehouse(spark, roots).read("t")
+    assert {"pk", "v", "xa", "xb"} <= set(df.columns)
+    rows = {r["pk"]: (r["xa"], r["xb"]) for r in df.collect()}
+    assert rows[2] == (7, None)
+    assert rows[3] == (None, 9)
+
+
+def test_append_to_logless_table_keeps_existing_files(spark, roots):
+    """A table with data but no commit log (externally created / log
+    lost): the first logged append must union the version dir's existing
+    files into its manifest — a delta-only manifest would hide the
+    original rows from manifest-driven reads."""
+    import os
+    import shutil
+
+    w = Warehouse(spark, roots)
+    w.create_or_replace("t", _df(spark, [(1, "a"), (2, "b")]), pk=["pk"])
+    shutil.rmtree(os.path.join(w._table_dir("t"), "_bulker_log"))
+
+    w2 = Warehouse(spark, roots)
+    w2.append("t", _df(spark, [(3, "c")]))
+    assert {r["pk"] for r in w2.read("t").collect()} == {1, 2, 3}

@@ -259,3 +259,62 @@ def test_narrow_source_last_wins_survives_repartition(spark, tmp_path):
     assert got == {i % 50: f"occ{i}" for i in range(2000)}
     # the internal sequence column must not leak into the table
     assert "__seq" not in e.warehouse.read("dup").columns
+
+
+def test_user_seq_column_survives_nondedup_narrow_load(spark, tmp_path):
+    """Events whose DATA contains a field named ``__seq`` (the internal
+    arrival-stamp name): on a narrow source the load wrapper's carry
+    column collides, normalize lets the data win, and the load must then
+    treat the column as data — not drop it as a leftover stamp."""
+    import json as _json
+
+    from bulker_spark import Engine
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        StreamOptions,
+        json_file_stream,
+    )
+
+    lines = [
+        _json.dumps({"messageId": i, "__seq": 1000 + i}) for i in range(20)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.ndjson").write_text("\n".join(lines))
+    e = Engine(spark, str(tmp_path / "wh"))
+    stream = IngestStream(e, "t", StreamOptions())  # no dedup
+    q = stream.start(json_file_stream(spark, str(src)), str(tmp_path / "ck"))
+    q.awaitTermination()
+    df = e.warehouse.read("t")
+    assert "__seq" in df.columns
+    got = {r["messageId"]: r["__seq"] for r in df.collect()}
+    assert got == {i: 1000 + i for i in range(20)}
+
+
+def test_first_seen_column_order_survives_fanout(spark, tmp_path):
+    """Header inference merges partials in (partition, batch) order; the
+    narrow-source fan-out is RANGE-partitioned + sorted on the arrival
+    stamp, so a column introduced by a LATE line must still appear after
+    all earlier-seen columns — round-robin redistribution would make the
+    order content-dependent."""
+    import json as _json
+
+    from bulker_spark import Engine
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        StreamOptions,
+        json_file_stream,
+    )
+
+    lines = [_json.dumps({"a": i}) for i in range(500)]
+    lines += [_json.dumps({"a": 500, "zz_late": "x"})]
+    lines += [_json.dumps({"a": i}) for i in range(501, 600)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.ndjson").write_text("\n".join(lines))
+    e = Engine(spark, str(tmp_path / "wh"))
+    stream = IngestStream(e, "t", StreamOptions())
+    q = stream.start(json_file_stream(spark, str(src)), str(tmp_path / "ck"))
+    q.awaitTermination()
+    cols = e.warehouse.read("t").columns
+    assert cols.index("a") < cols.index("zz_late")

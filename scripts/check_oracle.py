@@ -1,6 +1,6 @@
 """Local replica of the driver's correctness gate: run each Spark query and
 its DuckDB oracle side-by-side, compare row count, sorted column names, and
-order-insensitive values. Usage: python scripts/check_oracle.py [sf_dir]."""
+order-insensitive values. Usage: python scripts/check_oracle.py [--strict] [sf_dir] [only...]; --strict compares floats repr-exactly (the driver hash discipline) instead of 6 significant digits."""
 
 import sys
 import time
@@ -14,6 +14,9 @@ from bulker_spark.plans.queries import QUERIES  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+STRICT = False  # --strict: repr-exact floats, the driver's hash discipline
+
+
 def norm_val(v):
     import datetime as dt
     import math
@@ -21,7 +24,7 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v) if STRICT else f"{v:.6g}"
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):
@@ -98,5 +101,7 @@ def main(sf_dir: str, only: list[str]):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(main(sf, sys.argv[2:]))
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(main(sf, args[1:]))

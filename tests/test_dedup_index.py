@@ -1,0 +1,128 @@
+"""Incremental MinHash-LSH dedup index: corpus-probe correctness,
+equivalence with the in-memory LSH pass, and index lifecycle."""
+
+import pytest
+
+from bulker_spark.functions.text import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    shingles,
+)
+from bulker_spark.operators.dedup_index import MinHashDedupIndex
+from bulker_spark.sinks.warehouse import Warehouse
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again " * 4
+ALT = "completely different content about spark catalyst optimizers " * 4
+
+
+@pytest.fixture()
+def corpus(spark):
+    # 0/1: near-identical pair family; 2: distinct; 3: another family
+    return _docs(
+        spark,
+        [
+            (0, BASE),
+            (1, BASE + " tail"),
+            (2, ALT),
+            (3, "numbers one two three four five six seven eight nine " * 4),
+        ],
+    )
+
+
+def test_index_probe_matches_full_lsh(spark, tmp_path, corpus):
+    """Index probe ≡ in-memory LSH: cross pairs (batch × corpus) from the
+    persisted index must equal the cross pairs of one LSH run over the
+    union — same shingling, signatures, and banding."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    idx.rebuild(corpus)
+
+    batch = _docs(
+        spark,
+        [
+            (100, BASE + " slightly edited tail"),
+            (101, "totally novel text about warehouses and manifests " * 4),
+            (102, ALT),
+        ],
+    )
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in idx.match_batch(batch, min_agreement=0.0).collect()
+    }
+
+    union = corpus.unionByName(batch)
+    sigs = minhash_signatures(
+        shingles(union, width=idx.shingle_width), id_col="doc_id"
+    )
+    full = minhash_lsh_candidates(sigs, id_col="doc_id")
+    want = {
+        (b, a)
+        for r in full.collect()
+        for a, b in [(r.id_a, r.id_b)]
+        if a < 100 <= b  # cross pairs only, batch side first
+    }
+    assert got == want
+    assert (100, 0) in got and (102, 2) in got  # near-dup + exact dup
+    assert all(c != 101 for c, _ in got) or all(
+        b != 101 for b, _ in got
+    )  # novel doc pairs with nothing
+
+
+def test_dedup_batch_splits_and_extends(spark, tmp_path, corpus):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    idx.rebuild(corpus)
+
+    batch = _docs(
+        spark,
+        [
+            (100, BASE),  # exact dup of corpus doc 0
+            (101, "fresh unseen prose about incremental indexes " * 5),
+        ],
+    )
+    novel, dups = idx.dedup_batch(batch, min_agreement=0.9)
+    assert {r.doc_id for r in dups.collect()} == {100}
+    assert {r.doc_id for r in novel.collect()} == {101}
+
+    # the survivor was indexed: a re-send of the same novel text is now a dup
+    again = _docs(spark, [(200, "fresh unseen prose about incremental indexes " * 5)])
+    novel2, dups2 = idx.dedup_batch(again, min_agreement=0.9)
+    assert {r.doc_id for r in dups2.collect()} == {200}
+    assert novel2.count() == 0
+
+    # lazy-evaluation pin: the earlier frames still read correctly AFTER
+    # the index grew (an unpinned recompute would self-match doc 101)
+    assert {r.doc_id for r in novel.collect()} == {101}
+    assert {r.doc_id for r in dups.collect()} == {100}
+
+
+def test_agreement_threshold_filters_weak_matches(spark, tmp_path, corpus):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    idx.rebuild(corpus)
+    # a short appended tail: high enough Jaccard that banding always
+    # fires (agreement ≈ 0.87 against docs 0/1, deterministic — minhash
+    # has no randomness at fixed text), but below a strict threshold
+    batch = _docs(spark, [(100, BASE + " extra tail")])
+    loose = idx.match_batch(batch, min_agreement=0.0).collect()
+    strict = idx.match_batch(batch, min_agreement=0.99).collect()
+    assert {r.corpus_id for r in loose} >= {0, 1}
+    assert all(0.0 <= r.agreement <= 1.0 for r in loose)
+    assert len(strict) < len(loose)
+
+
+def test_probe_reads_no_corpus_text(spark, tmp_path, corpus):
+    """The probe must touch only the index tables — corpus text is gone
+    (dropped) and matching still works."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    idx.rebuild(corpus)
+    del corpus  # nothing retains the corpus frame
+    batch = _docs(spark, [(100, BASE)])
+    got = idx.match_batch(batch, min_agreement=0.9).collect()
+    assert {r.corpus_id for r in got} >= {0}

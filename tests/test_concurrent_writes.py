@@ -384,3 +384,57 @@ def test_append_to_logless_table_keeps_existing_files(spark, roots):
     w2 = Warehouse(spark, roots)
     w2.append("t", _df(spark, [(3, "c")]))
     assert {r["pk"] for r in w2.read("t").collect()} == {1, 2, 3}
+
+
+def test_threaded_appends_race_compaction_no_lost_rows(spark, roots):
+    """Appenders racing a compaction: a compact swaps the version dir, so
+    any append whose files went into the OLD dir must fail its commit
+    (ConcurrentWriteError) and retry against the new version — the
+    invariant is zero lost and zero duplicated rows across every
+    successfully-committed append, under any interleaving."""
+    import threading
+
+    w0 = Warehouse(spark, roots)
+    w0.create_or_replace("t", _df(spark, [(0, "base")]), pk=["pk"])
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def appender(tag):
+        try:
+            w = Warehouse(spark, roots)
+            for i in range(3):
+                pk = 100 * tag + i
+                for _attempt in range(6):
+                    try:
+                        w.refresh("t")
+                        w.append("t", _df(spark, [(pk, f"w{tag}")]))
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                else:  # pragma: no cover
+                    errors.append(RuntimeError(f"append {pk} starved"))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    def compactor():
+        w = Warehouse(spark, roots)
+        while not done.is_set():
+            try:
+                w.refresh("t")
+                w.compact("t")
+            except ConcurrentWriteError:
+                continue
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in (1, 2, 3)]
+    c = threading.Thread(target=compactor)
+    c.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    done.set()
+    c.join()
+    assert not errors
+    rows = [r["pk"] for r in Warehouse(spark, roots).read("t").collect()]
+    assert sorted(rows) == sorted(set(rows)), "duplicated rows"
+    assert set(rows) == {0} | {100 * t + i for t in (1, 2, 3) for i in range(3)}

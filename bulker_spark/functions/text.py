@@ -195,16 +195,17 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def band_keys(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 16,
     band_size: int = 4,
 ) -> DataFrame:
-    """LSH banding: split the signature into bands of ``band_size`` rows;
-    ids sharing any full band are candidate near-dups. The band join is an
-    equi-join on a single synthetic key — shuffle only the (id, band_key)
-    projection, never documents."""
+    """Long-form LSH banding: one (id, band_key) row per band of
+    ``band_size`` consecutive signature components. The single shared
+    implementation of the key construction — ``minhash_lsh_candidates``
+    and the persistent ``MinHashDedupIndex`` both build on it, so an
+    index probe reproduces the in-memory LSH bit-for-bit."""
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -219,9 +220,25 @@ def minhash_lsh_candidates(
         bands.append(
             signatures.select(F.col(id_col).alias("id"), key.alias("band_key"))
         )
-    all_bands = bands[0]
+    out = bands[0]
     for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into bands of ``band_size`` rows;
+    ids sharing any full band are candidate near-dups. The band join is an
+    equi-join on a single synthetic key — shuffle only the (id, band_key)
+    projection, never documents."""
+    all_bands = band_keys(
+        signatures, id_col=id_col, n_hashes=n_hashes, band_size=band_size
+    )
     a = all_bands.alias("a")
     b2 = all_bands.alias("b")
     return (

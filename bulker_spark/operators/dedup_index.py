@@ -12,13 +12,23 @@ its band keys are equi-joined against the band table (shuffle carries
 candidate pairs are verified by signature agreement. Per-batch cost is
 O(batch + matched candidates), independent of corpus text size.
 
+Consistency model: the two index tables are appended without a cross-
+table transaction, ordered so every failure mode is benign — bands land
+FIRST, so a crash between the appends leaves band rows whose ids have no
+signature yet (candidates they generate drop at the verify join) and a
+RETRY of the same batch self-heals: re-appended band rows collapse in
+the candidate ``distinct``, and the signature read deduplicates by id,
+so a double-landed signature can't multiply matches. (Sigs-first would
+be the dangerous order: committed signatures with no band rows are
+permanently invisible to LSH.)
+
 Reference scope (jitsucom/bulker): the reference has no similarity ops at
 all (`SURVEY.md §2`); its only dedup is PK equality
 (``bulkerlib/implementations/sql/abstract_transactional.go:439-496``).
 This extends the engine's training-data tier with the standard
-MinHash-LSH incremental-index shape (same banding math as
-``functions/text.py:minhash_lsh_candidates``, which this stays
-equivalence-tested against).
+MinHash-LSH incremental-index shape, sharing ``functions/text.py``'s
+``band_keys`` construction with the in-memory ``minhash_lsh_candidates``
+(equivalence-tested).
 """
 
 from __future__ import annotations
@@ -26,32 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_signatures, shingles
+from ..functions.text import (
+    MINHASH_COEFFS_16,
+    band_keys,
+    minhash_signatures,
+    shingles,
+)
 from ..sinks.warehouse import Warehouse
-
-
-def _band_keys(
-    signatures: DataFrame, n_hashes: int, band_size: int, id_col: str = "id"
-) -> DataFrame:
-    """Long-form (id, band_key) rows — one per band, identical key
-    construction to ``minhash_lsh_candidates`` so index joins reproduce
-    the in-memory LSH exactly."""
-    n_bands = n_hashes // band_size
-    out = None
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "_",
-            F.lit(b),
-            *[
-                F.col(f"mh{b * band_size + j}").cast("string")
-                for j in range(band_size)
-            ],
-        )
-        part = signatures.select(
-            F.col(id_col).alias("id"), key.alias("band_key")
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
 
 
 class MinHashDedupIndex:
@@ -61,7 +52,13 @@ class MinHashDedupIndex:
     (batch doc, corpus doc) near-dup pairs; ``dedup_batch`` splits a
     batch into novel survivors vs corpus-duplicates; ``add`` extends the
     index with accepted documents (append-only: O(batch) writes via the
-    warehouse's append path, no index rewrite)."""
+    warehouse's append path, no index rewrite).
+
+    NULL-text documents are excluded from signatures entirely (a NULL
+    text shingles to NULL, which would both defeat agreement arithmetic
+    and accumulate a quadratic shared LSH bucket); they are never
+    matched and never indexed. Empty strings are legitimate exact
+    duplicates of each other and stay in."""
 
     def __init__(
         self,
@@ -73,6 +70,10 @@ class MinHashDedupIndex:
         shingle_width: int = 8,
         namespace: str | None = None,
     ):
+        if not 1 <= n_hashes <= len(MINHASH_COEFFS_16):
+            raise ValueError(
+                f"n_hashes must be in [1, {len(MINHASH_COEFFS_16)}]"
+            )
         if n_hashes % band_size:
             raise ValueError("band_size must divide n_hashes")
         self.wh = warehouse
@@ -95,7 +96,7 @@ class MinHashDedupIndex:
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
         sh = shingles(
-            docs.select(
+            docs.filter(F.col(text_col).isNotNull()).select(
                 F.col(id_col).alias("id"), F.col(text_col).alias("text")
             ),
             text_col="text",
@@ -104,6 +105,18 @@ class MinHashDedupIndex:
         )
         return minhash_signatures(sh, id_col="id", n_hashes=self.n_hashes)
 
+    def _bands_of(self, sigs: DataFrame) -> DataFrame:
+        return band_keys(
+            sigs, id_col="id", n_hashes=self.n_hashes, band_size=self.band_size
+        )
+
+    def _indexed_sigs(self) -> DataFrame:
+        # dedupe by id: a retried add() may have double-landed a
+        # signature; the values are deterministic so any copy is right
+        return self.wh.read(self.sigs_table, self.namespace).dropDuplicates(
+            ["id"]
+        )
+
     # -- lifecycle ----------------------------------------------------------
     def rebuild(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -111,32 +124,29 @@ class MinHashDedupIndex:
         """Bootstrap (or re-bootstrap) the index from the full corpus —
         the only O(corpus) scan in the lifecycle."""
         sigs = self.signatures(docs, id_col, text_col)
-        # the band table re-derives from sigs WITHOUT a second text scan,
-        # but persist sigs first so both tables come from one computation
         self.wh.create_or_replace(
             self.sigs_table, sigs, pk=["id"], namespace=self.namespace
         )
+        # bands re-derive from the STORED sigs — no second text scan
         stored = self.wh.read(self.sigs_table, self.namespace)
         self.wh.create_or_replace(
-            self.bands_table,
-            _band_keys(stored, self.n_hashes, self.band_size),
-            namespace=self.namespace,
+            self.bands_table, self._bands_of(stored), namespace=self.namespace
         )
 
     def add(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
-        """Extend the index with accepted documents — O(batch) appends."""
-        sigs = self.signatures(docs, id_col, text_col).persist()
-        try:
-            self.wh.append(self.sigs_table, sigs, namespace=self.namespace)
-            self.wh.append(
-                self.bands_table,
-                _band_keys(sigs, self.n_hashes, self.band_size),
-                namespace=self.namespace,
-            )
-        finally:
-            sigs.unpersist()
+        """Extend the index with accepted documents — O(batch) appends.
+        Retry-idempotent per the module's consistency model (bands land
+        first; duplicates are collapsed on read)."""
+        sigs = self.signatures(docs, id_col, text_col).localCheckpoint()
+        self._append_index(sigs)
+
+    def _append_index(self, sigs: DataFrame) -> None:
+        self.wh.append(
+            self.bands_table, self._bands_of(sigs), namespace=self.namespace
+        )
+        self.wh.append(self.sigs_table, sigs, namespace=self.namespace)
 
     # -- probing ------------------------------------------------------------
     def match_batch(
@@ -150,39 +160,39 @@ class MinHashDedupIndex:
         signature agrees with an indexed document on ≥ ``min_agreement``
         of the hash components (the MinHash estimate of Jaccard
         similarity), LSH-restricted to pairs sharing at least one full
-        band. Corpus text is never read — only the band/sig tables."""
-        bsigs = self.signatures(batch, id_col, text_col).persist()
-        try:
-            bbands = _band_keys(bsigs, self.n_hashes, self.band_size)
-            ibands = self.wh.read(self.bands_table, self.namespace)
-            cand = (
-                bbands.alias("b")
-                .join(ibands.alias("i"), "band_key")
-                .select(
-                    F.col("b.id").alias("batch_id"),
-                    F.col("i.id").alias("corpus_id"),
-                )
-                .distinct()
+        band. Corpus text is never read — only the band/sig tables. The
+        result is materialized (localCheckpoint), so it stays valid and
+        recompute-free after the index changes."""
+        bsigs = self.signatures(batch, id_col, text_col).localCheckpoint()
+        return self._match_from_sigs(bsigs, min_agreement).localCheckpoint()
+
+    def _match_from_sigs(
+        self, bsigs: DataFrame, min_agreement: float
+    ) -> DataFrame:
+        ibands = self.wh.read(self.bands_table, self.namespace)
+        cand = (
+            self._bands_of(bsigs)
+            .alias("b")
+            .join(ibands.alias("i"), "band_key")
+            .select(
+                F.col("b.id").alias("batch_id"),
+                F.col("i.id").alias("corpus_id"),
             )
-            isigs = self.wh.read(self.sigs_table, self.namespace)
-            agree = sum(
-                (F.col(f"b.mh{i}") == F.col(f"i.mh{i}")).cast("int")
-                for i in range(self.n_hashes)
-            ) / F.lit(float(self.n_hashes))
-            return (
-                cand.join(
-                    bsigs.alias("b"), cand.batch_id == F.col("b.id")
-                )
-                .join(isigs.alias("i"), cand.corpus_id == F.col("i.id"))
-                .select(
-                    "batch_id",
-                    "corpus_id",
-                    agree.alias("agreement"),
-                )
-                .filter(F.col("agreement") >= min_agreement)
+            .distinct()
+        )
+        agree = sum(
+            (F.col(f"b.mh{i}") == F.col(f"i.mh{i}")).cast("int")
+            for i in range(self.n_hashes)
+        ) / F.lit(float(self.n_hashes))
+        return (
+            cand.join(bsigs.alias("b"), cand.batch_id == F.col("b.id"))
+            .join(
+                self._indexed_sigs().alias("i"),
+                cand.corpus_id == F.col("i.id"),
             )
-        finally:
-            bsigs.unpersist()
+            .select("batch_id", "corpus_id", agree.alias("agreement"))
+            .filter(F.col("agreement") >= min_agreement)
+        )
 
     def dedup_batch(
         self,
@@ -198,22 +208,25 @@ class MinHashDedupIndex:
         Batch-internal near-dups are NOT collapsed here (compose with the
         in-batch LSH pass when the batch itself can self-duplicate).
 
-        The matched-id set is pinned in the block cache BEFORE the index
-        is extended: both returned frames derive from it lazily, and an
-        unpinned recompute after ``add`` would probe the batch against
-        its own freshly-indexed survivors and misclassify every novel
-        document as a duplicate."""
+        The batch is shingled ONCE: its signatures are checkpointed and
+        reused for the probe and the index extension. The matched-id set
+        is checkpointed BEFORE the index is extended — the returned lazy
+        frames derive from the materialized blocks (freed with the
+        DataFrames by the context cleaner, no permanent cache pin), so
+        re-evaluating them later can't re-probe the batch against its
+        own freshly-indexed survivors."""
+        bsigs = self.signatures(batch, id_col, text_col).localCheckpoint()
         dup_ids = (
-            self.match_batch(batch, id_col, text_col, min_agreement)
+            self._match_from_sigs(bsigs, min_agreement)
             .select(F.col("batch_id").alias(id_col))
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
-        dup_ids.count()  # force while the index still excludes this batch
         novel = batch.join(dup_ids, id_col, "left_anti")
         dups = batch.join(dup_ids, id_col, "left_semi")
         if extend_index:
-            novel = novel.persist()
-            novel.count()
-            self.add(novel, id_col, text_col)
+            novel_sigs = bsigs.join(
+                dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
+            ).localCheckpoint()
+            self._append_index(novel_sigs)
         return novel, dups

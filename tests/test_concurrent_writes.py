@@ -417,13 +417,16 @@ def test_threaded_appends_race_compaction_no_lost_rows(spark, roots):
             errors.append(ex)
 
     def compactor():
-        w = Warehouse(spark, roots)
-        while not done.is_set():
-            try:
-                w.refresh("t")
-                w.compact("t")
-            except ConcurrentWriteError:
-                continue
+        try:
+            w = Warehouse(spark, roots)
+            while not done.is_set():
+                try:
+                    w.refresh("t")
+                    w.compact("t")
+                except ConcurrentWriteError:
+                    continue
+        except Exception as ex:  # pragma: no cover — must not die silently
+            errors.append(ex)
 
     threads = [threading.Thread(target=appender, args=(i,)) for i in (1, 2, 3)]
     c = threading.Thread(target=compactor)

@@ -68,9 +68,7 @@ def test_index_probe_matches_full_lsh(spark, tmp_path, corpus):
     }
     assert got == want
     assert (100, 0) in got and (102, 2) in got  # near-dup + exact dup
-    assert all(c != 101 for c, _ in got) or all(
-        b != 101 for b, _ in got
-    )  # novel doc pairs with nothing
+    assert all(b != 101 for b, _ in got)  # novel doc pairs with nothing
 
 
 def test_dedup_batch_splits_and_extends(spark, tmp_path, corpus):
@@ -126,3 +124,47 @@ def test_probe_reads_no_corpus_text(spark, tmp_path, corpus):
     batch = _docs(spark, [(100, BASE)])
     got = idx.match_batch(batch, min_agreement=0.9).collect()
     assert {r.corpus_id for r in got} >= {0}
+
+
+def test_null_text_docs_excluded_not_poisoning(spark, tmp_path):
+    """NULL-text docs must be excluded from the index and from probes —
+    an all-NULL signature would collapse every null doc into one shared
+    LSH bucket (quadratic candidates) while NULL agreement arithmetic
+    silently drops the pairs."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    corpus = _docs(spark, [(0, BASE), (1, None), (2, None)])
+    idx.rebuild(corpus)
+    assert {
+        r.id for r in wh.read(idx.sigs_table).select("id").collect()
+    } == {0}
+    batch = _docs(spark, [(100, None), (101, BASE)])
+    got = idx.match_batch(batch, min_agreement=0.9).collect()
+    assert {(r.batch_id, r.corpus_id) for r in got} == {(101, 0)}
+    novel, dups = idx.dedup_batch(batch, min_agreement=0.9)
+    # the null-text doc is not matchable, so it passes through as novel
+    assert {r.doc_id for r in novel.collect()} == {100}
+    assert {r.doc_id for r in dups.collect()} == {101}
+
+
+def test_add_retry_is_idempotent(spark, tmp_path, corpus):
+    """Retrying add() with the same docs (the crash-recovery path) must
+    not multiply match results: band duplicates collapse in the candidate
+    distinct and the signature read dedupes by id."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    idx.rebuild(corpus)
+    extra = _docs(spark, [(50, "some new corpus material " * 6)])
+    idx.add(extra)
+    idx.add(extra)  # retry after a presumed lost commit
+    batch = _docs(spark, [(100, "some new corpus material " * 6)])
+    got = idx.match_batch(batch, min_agreement=0.9).collect()
+    assert [(r.batch_id, r.corpus_id) for r in got] == [(100, 50)]
+
+
+def test_constructor_validates_hash_budget(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError):
+        MinHashDedupIndex(wh, n_hashes=32)
+    with pytest.raises(ValueError):
+        MinHashDedupIndex(wh, n_hashes=15, band_size=4)

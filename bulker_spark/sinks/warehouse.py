@@ -510,6 +510,66 @@ class Warehouse:
             except OSError:  # already gone — nothing to roll back
                 pass
 
+    @staticmethod
+    def _partition_values_match(seg: str, col: str, values: set[str]) -> bool:
+        """Does a path component ``col=value`` name one of ``values``?
+        Spark percent-escapes special chars in partition dir names, so
+        match both the raw and the escaped spelling."""
+        from urllib.parse import quote, unquote
+
+        if not seg.startswith(col + "="):
+            return False
+        raw = seg[len(col) + 1:]
+        return (
+            raw in values
+            or unquote(raw) in values
+            or any(quote(v, safe="") == raw for v in values)
+        )
+
+    def _link_subset_version(
+        self,
+        meta: TableMeta,
+        manifest: list[str],
+        excluded,
+        namespace: str | None,
+    ) -> tuple[str, str, list[str]]:
+        """Partial-rewrite primitive: a NEW version directory holding hard
+        links to every current-manifest file EXCEPT those ``excluded``
+        (a ``rel_path -> bool`` predicate). The caller then lands the
+        rewritten slice into the new dir and commits — so partition- and
+        bucket-scoped rewrites get full snapshot isolation: concurrent
+        readers and retained time-travel snapshots keep the old version's
+        files (hard links, no data copy; an object-store binding would
+        rewrite the manifest instead), and a lost OCC race rolls back by
+        deleting the new dir. Returns (version, new_vdir, kept_rel)."""
+        d = self._table_dir(meta.name, namespace)
+        old_vdir = os.path.join(d, meta.version)
+        version = f"v_{uuid.uuid4().hex}"
+        new_vdir = os.path.join(d, version)
+        kept: list[str] = []
+        for rel in manifest:
+            if excluded(rel):
+                continue
+            src = os.path.join(old_vdir, rel)
+            dst = os.path.join(new_vdir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except FileNotFoundError:
+                # a racing commit's retention GC removed our snapshot's
+                # version dir mid-link — surface as the OCC conflict it is
+                shutil.rmtree(new_vdir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"snapshot {meta.version} of {meta.name} was "
+                    f"garbage-collected during rewrite (superseded by a "
+                    f"concurrent commit)"
+                )
+            except OSError:
+                shutil.copy2(src, dst)
+            kept.append(rel)
+        os.makedirs(new_vdir, exist_ok=True)
+        return version, new_vdir, kept
+
     def _gc_old_versions(self, name: str, keep: str, namespace: str | None) -> None:
         """Drop version dirs referenced by none of the newest
         ``retain_versions`` commits. Hard-linked restore dirs survive a
@@ -861,10 +921,12 @@ class Warehouse:
         pk: list[str] | None = None,
         timestamp_column: str | None = None,
     ) -> TableMeta:
-        """replace_partition mode: dynamic partition overwrite — only the
-        partitions present in ``df`` are rewritten
-        (replacepartition_stream.go:85-161 delete-by-partition-id+insert)."""
-        meta = self.get_meta(name, namespace)
+        """replace_partition mode: only the partitions present in ``df``
+        are rewritten (replacepartition_stream.go:85-161
+        delete-by-partition-id+insert) — as a NEW hard-linked version, so
+        concurrent readers and retained snapshots keep the old files and
+        a racing commit fails cleanly instead of clobbering the live dir."""
+        meta, base, manifest = self._snapshot(name, namespace)
         if meta is None:
             return self.create_or_replace(
                 name,
@@ -885,18 +947,41 @@ class Warehouse:
                 f"replace_partition is undefined on merge-on-read table "
                 f"{name}; use a CoW table for partition-replace loads"
             )
-        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        if manifest is None:
+            manifest = self._manifest(meta)
         df = self._align_json_storage(meta, df)
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*meta.partition_by)
-            .parquet(vdir)
+        replaced = {
+            str(r[0])
+            for r in df.select(partition_column).distinct().collect()
+        }
+        version, new_vdir, kept = self._link_subset_version(
+            meta,
+            manifest,
+            lambda rel: any(
+                self._partition_values_match(seg, partition_column, replaced)
+                for seg in rel.split(os.sep)
+            ),
+            namespace,
         )
-        for col, t in self._schema_of(df).items():
-            if col not in meta.columns:
-                meta.columns[col] = t
-        self._commit_meta(meta, op="replace_partition")
+        try:
+            moved = self._append_files(df, new_vdir, meta.partition_by)
+            for col, t in self._schema_of(df).items():
+                if col not in meta.columns:
+                    meta.columns[col] = t
+            meta.version = version
+            self._commit_meta(
+                meta,
+                op="replace_partition",
+                files=sorted(
+                    set(kept)
+                    | {os.path.relpath(p, new_vdir) for p in moved}
+                ),
+                expected_commit=base,
+            )
+        except Exception:
+            shutil.rmtree(new_vdir, ignore_errors=True)
+            raise
+        self._gc_old_versions(name, version, namespace)
         return meta
 
     def merge(
@@ -989,10 +1074,15 @@ class Warehouse:
         namespace: str | None,
         base: int | None = None,
     ) -> TableMeta:
-        """Merge by rewriting only in-window partitions (dynamic overwrite
-        into the current version). At 100 TB the frozen history costs
-        nothing; the reference's window-bounded DELETE has the same shape
-        (redshift.go:284-287)."""
+        """Merge by rewriting only in-window partitions into a NEW
+        hard-linked version (frozen partitions are linked, never read or
+        copied). At 100 TB the frozen history costs nothing; the
+        reference's window-bounded DELETE has the same shape
+        (redshift.go:284-287). Snapshot isolation holds: concurrent
+        readers keep the old version's files, and a lost OCC race rolls
+        back by deleting the new dir — vanished partitions (every row
+        consumed by the merge) disappear naturally because only the
+        surviving slice is written."""
         import datetime as _dt
 
         from ..operators.merge import merge_upsert_live_slice, partition_cutoff_id
@@ -1002,57 +1092,63 @@ class Warehouse:
         sample = source.select(part_col).first()
         if sample is None:  # empty batch — nothing to merge
             return meta
-        cutoff_id = partition_cutoff_id(str(sample[0]), cutoff)
-
-        # In-place mutation ahead: dynamic overwrite rewrites files INSIDE
-        # the live version dir, so unlike the new-version ops a conflict
-        # detected at commit time cannot be rolled back. Check the token
-        # immediately before mutating to shrink the window; deployments
-        # running concurrent writers against the SAME time-partitioned
-        # table should serialize per table (the reference's
-        # one-consumer-per-(destination,table) topology).
-        if base is not None and self._last_commit_id(name, namespace) != base:
+        # fast-fail a stale snapshot before the link+rewrite work; the
+        # commit-time OCC claim still closes the remaining race window
+        if base and self._last_commit_id(name, namespace) != base:
             raise ConcurrentWriteError(
                 f"commit {base} of {name} superseded before partitioned "
                 f"merge began"
             )
 
+        cutoff_id = partition_cutoff_id(str(sample[0]), cutoff)
         target = self.read(name, namespace)
         live_slice = merge_upsert_live_slice(
             target, source, pk, part_col, cutoff_id
         )
-        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
-        before = {
-            r[0]
+        live = {
+            str(r[0])
             for r in target.filter(F.col(part_col) >= F.lit(cutoff_id))
             .select(part_col)
             .distinct()
             .collect()
         }
-        live_slice = live_slice.persist()
-        after = {
-            r[0] for r in live_slice.select(part_col).distinct().collect()
-        }
-        (
-            live_slice.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*meta.partition_by)
-            .parquet(vdir)
+        if base:
+            manifest = self._log_entry(name, base, namespace)["files"]
+        else:  # log-less table — the dir walk is the only manifest
+            manifest = self._manifest(meta)
+        version, new_vdir, kept = self._link_subset_version(
+            meta,
+            manifest,
+            lambda rel: any(
+                self._partition_values_match(seg, part_col, live)
+                for seg in rel.split(os.sep)
+            ),
+            namespace,
         )
-        live_slice.unpersist()
-        # a partition whose every row was consumed by the merge vanishes
-        # from the slice; dynamic overwrite can't write "empty" — drop it
-        for gone in before - after:
-            shutil.rmtree(
-                os.path.join(vdir, f"{part_col}={gone}"), ignore_errors=True
+        try:
+            moved = self._append_files(
+                live_slice, new_vdir, meta.partition_by
             )
-        for col, t in self._schema_of(source).items():
-            if col not in meta.columns:
-                meta.columns[col] = t
-        meta.pk = list(pk)
-        if ts_col:
-            meta.timestamp_column = ts_col
-        self._commit_meta(meta, op="merge", expected_commit=base)
+            for col, t in self._schema_of(source).items():
+                if col not in meta.columns:
+                    meta.columns[col] = t
+            meta.pk = list(pk)
+            if ts_col:
+                meta.timestamp_column = ts_col
+            meta.version = version
+            self._commit_meta(
+                meta,
+                op="merge",
+                files=sorted(
+                    set(kept)
+                    | {os.path.relpath(p, new_vdir) for p in moved}
+                ),
+                expected_commit=base,
+            )
+        except Exception:
+            shutil.rmtree(new_vdir, ignore_errors=True)
+            raise
+        self._gc_old_versions(name, version, namespace)
         return meta
 
     def _merge_bucketed(
@@ -1094,10 +1190,7 @@ class Warehouse:
         ]
         if not buckets:  # empty batch
             return meta
-        # In-place dynamic overwrite of the live version dir (same
-        # discipline as _merge_partitioned): check the OCC token right
-        # before mutating.
-        if base is not None and self._last_commit_id(name, namespace) != base:
+        if base and self._last_commit_id(name, namespace) != base:
             raise ConcurrentWriteError(
                 f"commit {base} of {name} superseded before bucketed merge "
                 f"began"
@@ -1113,52 +1206,52 @@ class Warehouse:
             window_days=window_days,
             now=now,
         )
-        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         # preserve the one-file-group-per-bucket layout on rewrite
         merged = merged.repartition(
             max(len(buckets), 1), F.col(BUCKET_COLUMN)
         )
-        multilevel = len(meta.partition_by) > 1
-        if multilevel:
-            # an update can move a key's row to a different co-partition
-            # (e.g. a newer __ts_partition); a (part, bucket) combo whose
-            # every row moved away is absent from `merged`, so dynamic
-            # overwrite leaves its stale files — compute before/after combo
-            # sets and drop the vanished dirs (same discipline as
-            # _merge_partitioned)
-            merged = merged.persist()
-            before = {
-                tuple(r)
-                for r in target.select(*meta.partition_by).distinct().collect()
-            }
-            after = {
-                tuple(r)
-                for r in merged.select(*meta.partition_by).distinct().collect()
-            }
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*meta.partition_by)
-            .parquet(vdir)
+        # New hard-linked version: untouched buckets are linked, touched
+        # buckets are rewritten whole from `merged` (which holds every
+        # surviving row of those buckets across all co-partition levels,
+        # so moved-row and vanished-combo cleanup is structural, not a
+        # before/after diff). Snapshot isolation + OCC rollback as in
+        # _merge_partitioned.
+        if base:
+            manifest = self._log_entry(name, base, namespace)["files"]
+        else:
+            manifest = self._manifest(meta)
+        touched = {str(b) for b in buckets}
+        version, new_vdir, kept = self._link_subset_version(
+            meta,
+            manifest,
+            lambda rel: any(
+                self._partition_values_match(seg, BUCKET_COLUMN, touched)
+                for seg in rel.split(os.sep)
+            ),
+            namespace,
         )
-        if multilevel:
-            merged.unpersist()
-            for gone in before - after:
-                sub = os.path.join(
-                    vdir,
-                    *[
-                        f"{c}={v}"
-                        for c, v in zip(meta.partition_by, gone)
-                    ],
-                )
-                shutil.rmtree(sub, ignore_errors=True)
-        for col, t in self._schema_of(source).items():
-            if col not in meta.columns:
-                meta.columns[col] = t
-        meta.pk = list(pk)
-        if ts_col:
-            meta.timestamp_column = ts_col
-        self._commit_meta(meta, op="merge", expected_commit=base)
+        try:
+            moved = self._append_files(merged, new_vdir, meta.partition_by)
+            for col, t in self._schema_of(source).items():
+                if col not in meta.columns:
+                    meta.columns[col] = t
+            meta.pk = list(pk)
+            if ts_col:
+                meta.timestamp_column = ts_col
+            meta.version = version
+            self._commit_meta(
+                meta,
+                op="merge",
+                files=sorted(
+                    set(kept)
+                    | {os.path.relpath(p, new_vdir) for p in moved}
+                ),
+                expected_commit=base,
+            )
+        except Exception:
+            shutil.rmtree(new_vdir, ignore_errors=True)
+            raise
+        self._gc_old_versions(name, version, namespace)
         return meta
 
     def _merge_mor(

@@ -130,3 +130,81 @@ def test_read_appended_rejects_rewrites(spark, wh):
         wh.read_appended("t", since_commit=1)
     with pytest.raises(FileNotFoundError):
         wh.read_appended("t", since_commit=99)
+
+
+def test_replace_partition_keeps_old_snapshot_readable(spark, wh):
+    """Partition replace writes a NEW hard-linked version: a retained old
+    snapshot still reads the pre-replace partition files (the in-place
+    dynamic overwrite it replaced used to clobber them)."""
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, name string, part string"
+    )
+    wh.create_or_replace("t", df, pk=["id"], partition_by=["part"])
+    wh.replace_partition(
+        "t",
+        spark.createDataFrame([(9, "NEW", "p1")], "id long, name string, part string"),
+        partition_column="part",
+    )
+    live = {(r["id"], r["name"]) for r in wh.read("t").collect()}
+    assert live == {(9, "NEW"), (2, "b")}
+    old = {(r["id"], r["name"]) for r in wh.read("t", version=1).collect()}
+    assert old == {(1, "a"), (2, "b")}
+    h = wh.history("t")
+    assert all(e["available"] for e in h)
+
+
+def test_partitioned_merge_keeps_old_snapshot_readable(spark, wh):
+    """Window-bounded partitioned merge rewrites only live partitions —
+    into a new version; the frozen partitions are hard links and the old
+    snapshot (including pre-merge live rows) stays readable."""
+    import datetime as dt
+
+    rows = [
+        (1, "old", dt.datetime(2024, 1, 1)),
+        (2, "recent", dt.datetime(2024, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, ts timestamp")
+    from bulker_spark.api import Engine
+
+    e = Engine(spark, wh.root)
+    e.warehouse.retain_versions = 3
+    e.bulk_load(
+        "t", df, mode="batch", primary_key=["id"], deduplicate=True,
+        timestamp_column="ts", timestamp_partition="DAY",
+    )
+    e.bulk_load(
+        "t",
+        spark.createDataFrame(
+            [(2, "updated", dt.datetime(2024, 3, 1))],
+            "id long, name string, ts timestamp",
+        ),
+        mode="batch", primary_key=["id"], deduplicate=True,
+        timestamp_column="ts", timestamp_partition="DAY",
+        deduplicate_window=30, frozen_now=dt.datetime(2024, 3, 10),
+    )
+    live = {r["id"]: r["name"] for r in e.warehouse.read("t").collect()}
+    assert live == {1: "old", 2: "updated"}
+    old = {
+        r["id"]: r["name"] for r in e.warehouse.read("t", version=1).collect()
+    }
+    assert old == {1: "old", 2: "recent"}
+
+
+def test_bucketed_merge_keeps_old_snapshot_readable(spark, wh):
+    wh.create_or_replace(
+        "t",
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, name string"),
+        pk=["id"],
+        bucket_by=(["id"], 4),
+    )
+    wh.merge(
+        "t",
+        spark.createDataFrame([(3, "UPDATED")], "id long, name string"),
+        pk=["id"],
+    )
+    assert {
+        r["name"] for r in wh.read("t").filter("id = 3").collect()
+    } == {"UPDATED"}
+    old = wh.read("t", version=1)
+    assert {r["name"] for r in old.filter("id = 3").collect()} == {"v3"}
+    assert old.count() == 20

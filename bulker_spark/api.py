@@ -513,14 +513,27 @@ class Engine:
             from pyspark.sql import functions as F
 
             df = df.withColumn(PARTITION_ID_COLUMN, F.lit(opt.partition_id))
-            meta = self.warehouse.replace_partition(
-                table,
-                df,
-                partition_column=PARTITION_ID_COLUMN,
-                namespace=ns,
-                pk=opt.primary_key,
-                timestamp_column=opt.timestamp_column,
-            )
+            # replace_partition commits under OCC now (snapshot-isolated
+            # rewrite); a racing append/merge fails OUR commit, and the
+            # persisted batch makes refresh-and-reapply idempotent — same
+            # retry discipline as the merge path below
+            from .sinks.warehouse import ConcurrentWriteError
+
+            for attempt in range(5):
+                try:
+                    meta = self.warehouse.replace_partition(
+                        table,
+                        df,
+                        partition_column=PARTITION_ID_COLUMN,
+                        namespace=ns,
+                        pk=opt.primary_key,
+                        timestamp_column=opt.timestamp_column,
+                    )
+                    break
+                except ConcurrentWriteError:
+                    if attempt == 4:
+                        raise
+                    self.warehouse.refresh(table, ns)
         elif opt.mode == "replace_table":
             meta = self.warehouse.create_or_replace(
                 table,

@@ -34,6 +34,7 @@ import json as _json
 import os
 import shutil
 import uuid
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -511,20 +512,35 @@ class Warehouse:
                 pass
 
     @staticmethod
-    def _partition_values_match(seg: str, col: str, values: set[str]) -> bool:
-        """Does a path component ``col=value`` name one of ``values``?
-        Spark percent-escapes special chars in partition dir names, so
-        match both the raw and the escaped spelling."""
+    def _partition_matcher(col: str, values) -> "Callable[[str], bool]":
+        """rel-path predicate: does any ``col=value`` component name one
+        of ``values``? Values are spelled the way Spark writes partition
+        dirs (NULL → ``__HIVE_DEFAULT_PARTITION__``, booleans lowercase,
+        specials percent-escaped); both raw and escaped spellings are
+        precomputed once, so matching is O(path components)."""
         from urllib.parse import quote, unquote
 
-        if not seg.startswith(col + "="):
+        def dir_value(v) -> str:
+            if v is None:
+                return "__HIVE_DEFAULT_PARTITION__"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        spelled = {dir_value(v) for v in values}
+        spelled |= {quote(v, safe="") for v in list(spelled)}
+        prefix = col + "="
+
+        def match(rel: str) -> bool:
+            for seg in rel.split(os.sep):
+                if not seg.startswith(prefix):
+                    continue
+                raw = seg[len(prefix):]
+                if raw in spelled or unquote(raw) in spelled:
+                    return True
             return False
-        raw = seg[len(col) + 1:]
-        return (
-            raw in values
-            or unquote(raw) in values
-            or any(quote(v, safe="") == raw for v in values)
-        )
+
+        return match
 
     def _link_subset_version(
         self,
@@ -532,6 +548,7 @@ class Warehouse:
         manifest: list[str],
         excluded,
         namespace: str | None,
+        missing_exc: Callable[[], Exception] | None = None,
     ) -> tuple[str, str, list[str]]:
         """Partial-rewrite primitive: a NEW version directory holding hard
         links to every current-manifest file EXCEPT those ``excluded``
@@ -558,7 +575,13 @@ class Warehouse:
             except FileNotFoundError:
                 # a racing commit's retention GC removed our snapshot's
                 # version dir mid-link — surface as the OCC conflict it is
+                # (or the caller's own exception, e.g. restore's
+                # garbage-collected-snapshot FileNotFoundError)
                 shutil.rmtree(new_vdir, ignore_errors=True)
+                if missing_exc is not None:
+                    raise missing_exc()
+                # the cached snapshot meta names a GC'd version — drop it
+                self.refresh(meta.name, namespace)
                 raise ConcurrentWriteError(
                     f"snapshot {meta.version} of {meta.name} was "
                     f"garbage-collected during rewrite (superseded by a "
@@ -691,24 +714,15 @@ class Warehouse:
         entry = self._log_entry(name, snapshot, namespace)
         base = self._last_commit_id(name, namespace)
         meta = TableMeta.from_json(entry["meta"])
-        d = self._table_dir(name, namespace)
-        src_dir = os.path.join(d, meta.version)
-        new_version = f"v_{uuid.uuid4().hex}"
-        new_dir = os.path.join(d, new_version)
-        for rel in entry["files"]:
-            src = os.path.join(src_dir, rel)
-            if not os.path.exists(src):
-                shutil.rmtree(new_dir, ignore_errors=True)
-                raise FileNotFoundError(
-                    f"snapshot {snapshot!r} of {name} was garbage-collected"
-                )
-            dst = os.path.join(new_dir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
-        os.makedirs(new_dir, exist_ok=True)  # empty snapshot still commits
+        new_version, _new_dir, _kept = self._link_subset_version(
+            meta,
+            entry["files"],
+            lambda _rel: False,  # full snapshot: link everything
+            namespace,
+            missing_exc=lambda: FileNotFoundError(
+                f"snapshot {snapshot!r} of {name} was garbage-collected"
+            ),
+        )
         meta.version = new_version
         self._commit_meta(meta, op="restore", expected_commit=base)
         self._gc_old_versions(name, new_version, namespace)
@@ -951,16 +965,12 @@ class Warehouse:
             manifest = self._manifest(meta)
         df = self._align_json_storage(meta, df)
         replaced = {
-            str(r[0])
-            for r in df.select(partition_column).distinct().collect()
+            r[0] for r in df.select(partition_column).distinct().collect()
         }
         version, new_vdir, kept = self._link_subset_version(
             meta,
             manifest,
-            lambda rel: any(
-                self._partition_values_match(seg, partition_column, replaced)
-                for seg in rel.split(os.sep)
-            ),
+            self._partition_matcher(partition_column, replaced),
             namespace,
         )
         try:
@@ -978,7 +988,13 @@ class Warehouse:
                 ),
                 expected_commit=base,
             )
-        except Exception:
+        except ConcurrentWriteError:
+            # roll back ONLY on the pre-claim conflict: a failure after
+            # the log entry is claimed must leave the (now-committed)
+            # version dir alone — vacuum reclaims genuine orphans. The
+            # snapshot meta object was mutated in place and sits in the
+            # meta cache; drop it so later ops re-resolve the log tail.
+            self.refresh(name, namespace)
             shutil.rmtree(new_vdir, ignore_errors=True)
             raise
         self._gc_old_versions(name, version, namespace)
@@ -1007,7 +1023,7 @@ class Warehouse:
         # OCC: meta and token from the same log-tail snapshot — a commit
         # landing between here and our own commit fails ours instead of
         # silently dropping its rows (lost update)
-        meta, base, _files = self._snapshot(name, namespace)
+        meta, base, manifest = self._snapshot(name, namespace)
         if meta is None:
             return self.create_or_replace(
                 name,
@@ -1023,22 +1039,24 @@ class Warehouse:
         ts_col = timestamp_column or meta.timestamp_column
         if meta.write_mode == "mor":
             return self._merge_mor(name, source, pk, meta, ts_col, namespace, base)
+        if manifest is None:  # log-less table — dir walk is the manifest
+            manifest = self._manifest(meta)
         if meta.n_buckets and set(meta.bucket_cols) <= set(pk):
             # bucket-index merge: matching target rows can only live in the
             # buckets the source keys hash to — read and rewrite only those
             return self._merge_bucketed(
                 name, source, pk, meta, ts_col, window_days, now, namespace,
-                base,
+                base, manifest,
             )
         part_col = next(
             (c for c in meta.partition_by or [] if c in source.columns), None
         )
         if part_col and ts_col and window_days is not None:
-            # partition-pruned merge: rewrite ONLY in-window partitions via
-            # dynamic overwrite — frozen partitions are never read/written
+            # partition-pruned merge: rewrite ONLY in-window partitions as
+            # a hard-linked new version — frozen partitions never read
             return self._merge_partitioned(
                 name, source, pk, meta, part_col, ts_col, window_days, now,
-                namespace, base,
+                namespace, base, manifest,
             )
         target = self.read(name, namespace)
         merged = merge_upsert(
@@ -1073,6 +1091,7 @@ class Warehouse:
         now,
         namespace: str | None,
         base: int | None = None,
+        manifest: list[str] | None = None,
     ) -> TableMeta:
         """Merge by rewriting only in-window partitions into a NEW
         hard-linked version (frozen partitions are linked, never read or
@@ -1106,23 +1125,18 @@ class Warehouse:
             target, source, pk, part_col, cutoff_id
         )
         live = {
-            str(r[0])
+            r[0]
             for r in target.filter(F.col(part_col) >= F.lit(cutoff_id))
             .select(part_col)
             .distinct()
             .collect()
         }
-        if base:
-            manifest = self._log_entry(name, base, namespace)["files"]
-        else:  # log-less table — the dir walk is the only manifest
+        if manifest is None:  # direct call without merge()'s snapshot
             manifest = self._manifest(meta)
         version, new_vdir, kept = self._link_subset_version(
             meta,
             manifest,
-            lambda rel: any(
-                self._partition_values_match(seg, part_col, live)
-                for seg in rel.split(os.sep)
-            ),
+            self._partition_matcher(part_col, live),
             namespace,
         )
         try:
@@ -1145,7 +1159,10 @@ class Warehouse:
                 ),
                 expected_commit=base,
             )
-        except Exception:
+        except ConcurrentWriteError:
+            # pre-claim conflict only: post-claim failures must not
+            # delete a committed version (vacuum reclaims true orphans)
+            self.refresh(name, namespace)
             shutil.rmtree(new_vdir, ignore_errors=True)
             raise
         self._gc_old_versions(name, version, namespace)
@@ -1162,6 +1179,7 @@ class Warehouse:
         now,
         namespace: str | None,
         base: int | None,
+        manifest: list[str] | None = None,
     ) -> TableMeta:
         """Bucket-index merge (Hudi-style): with the table laid out as
         ``__bucket = pmod(xxhash64(*bucket_cols), n)`` partitions and
@@ -1172,7 +1190,8 @@ class Warehouse:
         2. collects the distinct ids (≤ n_buckets small ints),
         3. reads the target pruned to those bucket partitions,
         4. anti-joins against the broadcast source and rewrites ONLY those
-           partitions via dynamic overwrite.
+           buckets into a new hard-linked version (untouched buckets are
+           links — snapshot-isolated, see :meth:`_link_subset_version`).
 
         At 100 TB the untouched buckets are never read, shuffled, or
         rewritten — the per-merge cost scales with the number of touched
@@ -1183,7 +1202,7 @@ class Warehouse:
         worth of files, not the table."""
         from ..operators.merge import merge_upsert
 
-        source = self._with_bucket(meta, source)
+        # source already carries __bucket: merge() derives it pre-dispatch
         buckets = [
             r[0]
             for r in source.select(BUCKET_COLUMN).distinct().collect()
@@ -1216,18 +1235,12 @@ class Warehouse:
         # so moved-row and vanished-combo cleanup is structural, not a
         # before/after diff). Snapshot isolation + OCC rollback as in
         # _merge_partitioned.
-        if base:
-            manifest = self._log_entry(name, base, namespace)["files"]
-        else:
+        if manifest is None:  # direct call without merge()'s snapshot
             manifest = self._manifest(meta)
-        touched = {str(b) for b in buckets}
         version, new_vdir, kept = self._link_subset_version(
             meta,
             manifest,
-            lambda rel: any(
-                self._partition_values_match(seg, BUCKET_COLUMN, touched)
-                for seg in rel.split(os.sep)
-            ),
+            self._partition_matcher(BUCKET_COLUMN, buckets),
             namespace,
         )
         try:
@@ -1248,7 +1261,10 @@ class Warehouse:
                 ),
                 expected_commit=base,
             )
-        except Exception:
+        except ConcurrentWriteError:
+            # pre-claim conflict only: post-claim failures must not
+            # delete a committed version (vacuum reclaims true orphans)
+            self.refresh(name, namespace)
             shutil.rmtree(new_vdir, ignore_errors=True)
             raise
         self._gc_old_versions(name, version, namespace)

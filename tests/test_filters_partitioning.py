@@ -110,3 +110,21 @@ def test_salted_left_join_keeps_unmatched(spark):
     small = spark.createDataFrame([(1, "dim")], ["k", "name"])
     rows = {r["k"]: r["name"] for r in salted_join(big, small, ["k"], how="left").collect()}
     assert rows == {1: "dim", 99: None}
+
+
+def test_partition_matcher_handles_hive_spellings():
+    """The rewrite-exclusion matcher must speak Spark's partition-dir
+    dialect: NULL → __HIVE_DEFAULT_PARTITION__, booleans lowercase,
+    specials percent-escaped — a miss here links stale files into the
+    replaced partition."""
+    from bulker_spark.sinks.warehouse import Warehouse
+
+    m = Warehouse._partition_matcher("p", {None, True, "a b", "p1"})
+    assert m("p=__HIVE_DEFAULT_PARTITION__/part-0.parquet")
+    assert m("p=true/part-0.parquet")
+    assert m("p=a b/part-0.parquet")
+    assert m("p=a%20b/part-0.parquet")
+    assert m("day=2024/p=p1/part-0.parquet")  # nested level
+    assert not m("p=false/part-0.parquet")
+    assert not m("q=p1/part-0.parquet")  # other column
+    assert not m("p=p10/part-0.parquet")  # exact value, not prefix

@@ -259,6 +259,24 @@ class Engine:
     def create_stream(self, table: str, **options: Any) -> BulkerStream:
         return BulkerStream(self, table, StreamOptions(**options))
 
+    def _retry_occ(self, table: str, ns: str | None, fn, attempts: int = 5):
+        """OCC retry discipline shared by every warehouse write mode: a
+        concurrent writer's commit fails OURS (never silently drops
+        theirs); the batch df is persisted and deterministic, so
+        refresh-and-reapply is safe and idempotent. 5 attempts: two
+        writers need one refresh each in the worst interleave, but a
+        loaded host can stack several stale reads before a claim lands
+        (observed under a saturated local[32])."""
+        from .sinks.warehouse import ConcurrentWriteError
+
+        for attempt in range(attempts):
+            try:
+                return fn()
+            except ConcurrentWriteError:
+                if attempt == attempts - 1:
+                    raise
+                self.warehouse.refresh(table, ns)
+
     # the full load pipeline ------------------------------------------------
     def _load(
         self,
@@ -503,6 +521,8 @@ class Engine:
 
         _t0 = _time.time()
         df = df.persist()
+        persisted_batch = df  # replace_partition rebinds df below; the
+        # unpersist at the end must target the frame actually cached
         processed = df.count()
         state = {"consume_convert_ms": round((_time.time() - _t0) * 1000, 1)}
         _t0 = _time.time()
@@ -512,28 +532,21 @@ class Engine:
                 raise ValueError("replace_partition requires partition_id")
             from pyspark.sql import functions as F
 
-            df = df.withColumn(PARTITION_ID_COLUMN, F.lit(opt.partition_id))
-            # replace_partition commits under OCC now (snapshot-isolated
-            # rewrite); a racing append/merge fails OUR commit, and the
-            # persisted batch makes refresh-and-reapply idempotent — same
-            # retry discipline as the merge path below
-            from .sinks.warehouse import ConcurrentWriteError
-
-            for attempt in range(5):
-                try:
-                    meta = self.warehouse.replace_partition(
-                        table,
-                        df,
-                        partition_column=PARTITION_ID_COLUMN,
-                        namespace=ns,
-                        pk=opt.primary_key,
-                        timestamp_column=opt.timestamp_column,
-                    )
-                    break
-                except ConcurrentWriteError:
-                    if attempt == 4:
-                        raise
-                    self.warehouse.refresh(table, ns)
+            rp_df = df.withColumn(PARTITION_ID_COLUMN, F.lit(opt.partition_id))
+            # replace_partition commits under OCC (snapshot-isolated
+            # rewrite); a racing append/merge fails OUR commit cleanly
+            meta = self._retry_occ(
+                table,
+                ns,
+                lambda: self.warehouse.replace_partition(
+                    table,
+                    rp_df,
+                    partition_column=PARTITION_ID_COLUMN,
+                    namespace=ns,
+                    pk=opt.primary_key,
+                    timestamp_column=opt.timestamp_column,
+                ),
+            )
         elif opt.mode == "replace_table":
             meta = self.warehouse.create_or_replace(
                 table,
@@ -600,37 +613,26 @@ class Engine:
                 window_days = MergeWindow(opt.deduplicate_window).effective_days(
                     min_ts, now
                 )
-            # OCC retry loop: a concurrent writer's commit fails OUR merge
-            # (never silently drops theirs); the batch df is persisted and
-            # deterministic, so refresh-and-reapply is safe and idempotent
-            from .sinks.warehouse import ConcurrentWriteError
-
-            # 5 attempts: two writers need one refresh each in the worst
-            # interleave, but a loaded host can stack several stale reads
-            # before a claim lands (observed under a saturated local[32])
-            for attempt in range(5):
-                try:
-                    meta = self.warehouse.merge(
-                        table,
-                        df,
-                        opt.primary_key,
-                        timestamp_column=opt.timestamp_column,
-                        window_days=window_days,
-                        now=now,
-                        namespace=ns,
-                        partition_by=ts_part,
-                        bucket_by=(
-                            (opt.primary_key, opt.bucket_by)
-                            if opt.bucket_by
-                            else None
-                        ),
-                        merge_on_read=opt.merge_on_read,
-                    )
-                    break
-                except ConcurrentWriteError:
-                    if attempt == 4:
-                        raise
-                    self.warehouse.refresh(table, ns)
+            meta = self._retry_occ(
+                table,
+                ns,
+                lambda: self.warehouse.merge(
+                    table,
+                    df,
+                    opt.primary_key,
+                    timestamp_column=opt.timestamp_column,
+                    window_days=window_days,
+                    now=now,
+                    namespace=ns,
+                    partition_by=ts_part,
+                    bucket_by=(
+                        (opt.primary_key, opt.bucket_by)
+                        if opt.bucket_by
+                        else None
+                    ),
+                    merge_on_read=opt.merge_on_read,
+                ),
+            )
             if (
                 opt.mor_compact_every
                 and meta is not None
@@ -639,17 +641,23 @@ class Engine:
             ):
                 self.warehouse.compact(table, namespace=ns)
         else:
-            meta = self.warehouse.append(
+            # appends are commutative but can still lose an OCC race when
+            # a replace/compact swaps the version dir mid-append
+            meta = self._retry_occ(
                 table,
-                df,
-                pk=opt.primary_key,
-                timestamp_column=opt.timestamp_column,
-                partition_by=ts_part,
-                namespace=ns,
-                bucket_by=(
-                    (opt.primary_key, opt.bucket_by)
-                    if opt.bucket_by and opt.primary_key
-                    else None
+                ns,
+                lambda: self.warehouse.append(
+                    table,
+                    df,
+                    pk=opt.primary_key,
+                    timestamp_column=opt.timestamp_column,
+                    partition_by=ts_part,
+                    namespace=ns,
+                    bucket_by=(
+                        (opt.primary_key, opt.bucket_by)
+                        if opt.bucket_by and opt.primary_key
+                        else None
+                    ),
                 ),
             )
 
@@ -660,7 +668,7 @@ class Engine:
         }.get(opt.mode, "merge_ms" if opt.primary_key and opt.deduplicate else "load_ms")
         state[step] = round((_time.time() - _t0) * 1000, 1)
 
-        df.unpersist()
+        persisted_batch.unpersist()
         state.update(check_state)
         return StreamResult(
             processed_rows=processed + malformed + rejected,

@@ -83,6 +83,8 @@ class EnvConfigurationSource(ConfigurationSource):
                 spec = json.loads(value)
             except json.JSONDecodeError:
                 continue  # the reference logs-and-skips malformed configs
+            if not isinstance(spec, dict):
+                continue  # valid JSON but not a config object — skip too
             spec.setdefault("destination_id", spec.get("id", env_id))
             out.append(spec)
         return out

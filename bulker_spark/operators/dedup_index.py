@@ -169,6 +169,15 @@ class MinHashDedupIndex:
     def _match_from_sigs(
         self, bsigs: DataFrame, min_agreement: float
     ) -> DataFrame:
+        if not self.wh.exists(self.bands_table, self.namespace):
+            # never-bootstrapped index: everything is novel (add() on the
+            # survivors auto-creates the tables) — probes must not crash
+            # where writes would succeed
+            return bsigs.select(
+                F.col("id").alias("batch_id"),
+                F.col("id").alias("corpus_id"),
+                F.lit(0.0).alias("agreement"),
+            ).limit(0)
         ibands = self.wh.read(self.bands_table, self.namespace)
         cand = (
             self._bands_of(bsigs)

@@ -593,6 +593,44 @@ class Warehouse:
         os.makedirs(new_vdir, exist_ok=True)
         return version, new_vdir, kept
 
+    def _land_partial_rewrite(
+        self,
+        name: str,
+        namespace: str | None,
+        meta: TableMeta,
+        version: str,
+        new_vdir: str,
+        kept: list[str],
+        slice_df: DataFrame,
+        base: int | None,
+        op: str,
+    ) -> TableMeta:
+        """Second half of every partial rewrite: land the rewritten slice
+        into the hard-linked version dir, commit its exact manifest under
+        the OCC token, and GC by retention. Rollback happens ONLY on the
+        pre-claim conflict — a failure after the log entry is claimed
+        must leave the (now-committed) version dir alone (vacuum reclaims
+        genuine orphans) — and the in-place-mutated snapshot meta is
+        dropped from the cache so later ops re-resolve the log tail."""
+        try:
+            moved = self._append_files(slice_df, new_vdir, meta.partition_by)
+            meta.version = version
+            self._commit_meta(
+                meta,
+                op=op,
+                files=sorted(
+                    set(kept)
+                    | {os.path.relpath(p, new_vdir) for p in moved}
+                ),
+                expected_commit=base,
+            )
+        except ConcurrentWriteError:
+            self.refresh(name, namespace)
+            shutil.rmtree(new_vdir, ignore_errors=True)
+            raise
+        self._gc_old_versions(name, version, namespace)
+        return meta
+
     def _gc_old_versions(self, name: str, keep: str, namespace: str | None) -> None:
         """Drop version dirs referenced by none of the newest
         ``retain_versions`` commits. Hard-linked restore dirs survive a
@@ -921,7 +959,12 @@ class Warehouse:
                 files_delta=[os.path.relpath(p, vdir) for p in moved],
             )
         except ConcurrentWriteError:
+            # the version was replaced under us: roll back the delta AND
+            # drop the stale cached meta — without the refresh every
+            # retry from this handle re-reads the poisoned cache, writes
+            # into the obsolete version dir, and fails identically
             self._rollback_files(moved)
+            self.refresh(name, namespace)
             raise
         return meta
 
@@ -973,32 +1016,13 @@ class Warehouse:
             self._partition_matcher(partition_column, replaced),
             namespace,
         )
-        try:
-            moved = self._append_files(df, new_vdir, meta.partition_by)
-            for col, t in self._schema_of(df).items():
-                if col not in meta.columns:
-                    meta.columns[col] = t
-            meta.version = version
-            self._commit_meta(
-                meta,
-                op="replace_partition",
-                files=sorted(
-                    set(kept)
-                    | {os.path.relpath(p, new_vdir) for p in moved}
-                ),
-                expected_commit=base,
-            )
-        except ConcurrentWriteError:
-            # roll back ONLY on the pre-claim conflict: a failure after
-            # the log entry is claimed must leave the (now-committed)
-            # version dir alone — vacuum reclaims genuine orphans. The
-            # snapshot meta object was mutated in place and sits in the
-            # meta cache; drop it so later ops re-resolve the log tail.
-            self.refresh(name, namespace)
-            shutil.rmtree(new_vdir, ignore_errors=True)
-            raise
-        self._gc_old_versions(name, version, namespace)
-        return meta
+        for col, t in self._schema_of(df).items():
+            if col not in meta.columns:
+                meta.columns[col] = t
+        return self._land_partial_rewrite(
+            name, namespace, meta, version, new_vdir, kept, df, base,
+            "replace_partition",
+        )
 
     def merge(
         self,
@@ -1139,34 +1163,16 @@ class Warehouse:
             self._partition_matcher(part_col, live),
             namespace,
         )
-        try:
-            moved = self._append_files(
-                live_slice, new_vdir, meta.partition_by
-            )
-            for col, t in self._schema_of(source).items():
-                if col not in meta.columns:
-                    meta.columns[col] = t
-            meta.pk = list(pk)
-            if ts_col:
-                meta.timestamp_column = ts_col
-            meta.version = version
-            self._commit_meta(
-                meta,
-                op="merge",
-                files=sorted(
-                    set(kept)
-                    | {os.path.relpath(p, new_vdir) for p in moved}
-                ),
-                expected_commit=base,
-            )
-        except ConcurrentWriteError:
-            # pre-claim conflict only: post-claim failures must not
-            # delete a committed version (vacuum reclaims true orphans)
-            self.refresh(name, namespace)
-            shutil.rmtree(new_vdir, ignore_errors=True)
-            raise
-        self._gc_old_versions(name, version, namespace)
-        return meta
+        for col, t in self._schema_of(source).items():
+            if col not in meta.columns:
+                meta.columns[col] = t
+        meta.pk = list(pk)
+        if ts_col:
+            meta.timestamp_column = ts_col
+        return self._land_partial_rewrite(
+            name, namespace, meta, version, new_vdir, kept, live_slice,
+            base, "merge",
+        )
 
     def _merge_bucketed(
         self,
@@ -1243,32 +1249,16 @@ class Warehouse:
             self._partition_matcher(BUCKET_COLUMN, buckets),
             namespace,
         )
-        try:
-            moved = self._append_files(merged, new_vdir, meta.partition_by)
-            for col, t in self._schema_of(source).items():
-                if col not in meta.columns:
-                    meta.columns[col] = t
-            meta.pk = list(pk)
-            if ts_col:
-                meta.timestamp_column = ts_col
-            meta.version = version
-            self._commit_meta(
-                meta,
-                op="merge",
-                files=sorted(
-                    set(kept)
-                    | {os.path.relpath(p, new_vdir) for p in moved}
-                ),
-                expected_commit=base,
-            )
-        except ConcurrentWriteError:
-            # pre-claim conflict only: post-claim failures must not
-            # delete a committed version (vacuum reclaims true orphans)
-            self.refresh(name, namespace)
-            shutil.rmtree(new_vdir, ignore_errors=True)
-            raise
-        self._gc_old_versions(name, version, namespace)
-        return meta
+        for col, t in self._schema_of(source).items():
+            if col not in meta.columns:
+                meta.columns[col] = t
+        meta.pk = list(pk)
+        if ts_col:
+            meta.timestamp_column = ts_col
+        return self._land_partial_rewrite(
+            name, namespace, meta, version, new_vdir, kept, merged, base,
+            "merge",
+        )
 
     def _merge_mor(
         self,

@@ -441,3 +441,18 @@ def test_threaded_appends_race_compaction_no_lost_rows(spark, roots):
     rows = [r["pk"] for r in Warehouse(spark, roots).read("t").collect()]
     assert sorted(rows) == sorted(set(rows)), "duplicated rows"
     assert set(rows) == {0} | {100 * t + i for t in (1, 2, 3) for i in range(3)}
+
+
+def test_engine_append_mode_survives_concurrent_compaction(spark, roots):
+    """Engine batch-append loads must self-heal when another process
+    compacts the table between loads: the stale cached meta fails the
+    first commit (version replaced) and the OCC retry refreshes and
+    reapplies — no user-visible error, no lost rows."""
+    from bulker_spark import Engine
+
+    e = Engine(spark, roots)
+    e.bulk_load("t", _df(spark, [(1, "a")]), mode="batch")
+    w2 = Warehouse(spark, roots)
+    w2.compact("t")  # new version dir; e's cache is now stale
+    e.bulk_load("t", _df(spark, [(2, "b")]), mode="batch")
+    assert {r["pk"] for r in Warehouse(spark, roots).read("t").collect()} == {1, 2}

@@ -153,3 +153,18 @@ def test_sync_app_put_update_delete(spark, tmp_path):
     assert res == {"put": ["d1"], "deleted": ["d2"]}
     assert app.destinations["d1"].namespace == "n2"
     assert "d2" not in app.destinations
+
+
+def test_env_source_skips_non_object_json(monkeypatch, tmp_path):
+    """Valid JSON that is not an object (list/string/number) must be
+    skipped like malformed input — one bad env var must not brick the
+    reconcile loop."""
+    monkeypatch.setenv("BULKER_DESTINATION_LIST", '["a"]')
+    monkeypatch.setenv("BULKER_DESTINATION_NUM", "42")
+    monkeypatch.setenv(
+        "BULKER_DESTINATION_OK",
+        '{"warehouse_path": "%s"}' % tmp_path,
+    )
+    src = EnvConfigurationSource()
+    assert [s["destination_id"] for s in src.load()] == ["ok"]
+    assert src.changed() is True  # hashing still works

@@ -168,3 +168,20 @@ def test_constructor_validates_hash_budget(spark, tmp_path):
         MinHashDedupIndex(wh, n_hashes=32)
     with pytest.raises(ValueError):
         MinHashDedupIndex(wh, n_hashes=15, band_size=4)
+
+
+def test_probe_before_bootstrap_treats_all_as_novel(spark, tmp_path):
+    """A never-bootstrapped index: probes return no matches (instead of
+    FileNotFoundError) and dedup_batch passes the whole batch through as
+    novel while creating the index tables for the next cycle."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    idx = MinHashDedupIndex(wh)
+    batch = _docs(spark, [(1, BASE), (2, ALT)])
+    assert idx.match_batch(batch, min_agreement=0.0).count() == 0
+    novel, dups = idx.dedup_batch(batch, min_agreement=0.9)
+    assert {r.doc_id for r in novel.collect()} == {1, 2}
+    assert dups.count() == 0
+    # the survivors were indexed: a re-send is now recognized
+    again = _docs(spark, [(10, BASE)])
+    got = idx.match_batch(again, min_agreement=0.9).collect()
+    assert {(r.batch_id, r.corpus_id) for r in got} == {(10, 1)}

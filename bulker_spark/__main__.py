@@ -66,6 +66,14 @@ def _build_parser() -> argparse.ArgumentParser:
     stt = sub.add_parser("stats", help="file + bucket layout stats")
     stt.add_argument("--table", "-t", required=True)
 
+    cl = sub.add_parser("clone", help="zero-copy table clone (hard links)")
+    cl.add_argument("--table", "-t", required=True)
+    cl.add_argument("--target", required=True)
+    cl.add_argument(
+        "--snapshot", default=None,
+        help="commit id or version string (default: current)",
+    )
+
     vac = sub.add_parser("vacuum", help="reclaim orphaned version dirs")
     vac.add_argument("--table", "-t", required=True)
     vac.add_argument("--min-age-hours", type=float, default=24.0)
@@ -193,6 +201,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "commit_seq": meta.mor_seq,
                 }
             print(json.dumps(out))
+        elif args.cmd == "clone":
+            snap = args.snapshot
+            if snap is not None and snap.isdigit():
+                snap = int(snap)
+            meta = engine.warehouse.clone(
+                args.table, args.target, snapshot=snap
+            )
+            print(
+                json.dumps({"cloned": args.target, "version": meta.version})
+            )
         elif args.cmd == "vacuum":
             removed = engine.warehouse.vacuum(
                 args.table, min_age_seconds=args.min_age_hours * 3600

@@ -714,6 +714,68 @@ class Warehouse:
                     os.unlink(p)
         return removed
 
+    def clone(
+        self,
+        name: str,
+        target: str,
+        *,
+        snapshot: int | str | None = None,
+        namespace: str | None = None,
+        target_namespace: str | None = None,
+    ) -> TableMeta:
+        """Zero-copy table clone (Delta SHALLOW CLONE, made durable: hard
+        links pin the inodes, so the clone survives even if the source's
+        snapshot is later vacuumed). The source's current — or
+        ``snapshot``'s — file manifest is linked into the target table's
+        first version and committed as a fresh, independent commit log;
+        from then on the two tables evolve separately. The training-
+        workflow use: pin an exact dataset state as its own table while
+        the source keeps ingesting."""
+        src_ns = namespace or self.namespace
+        tgt_ns = target_namespace or src_ns
+        if self.exists(target, tgt_ns):
+            raise ValueError(f"table {tgt_ns}.{target} already exists")
+        if snapshot is not None:
+            entry = self._log_entry(name, snapshot, namespace)
+            meta = TableMeta.from_json(entry["meta"])
+            files = entry["files"]
+        else:
+            meta, _base, files = self._snapshot(name, namespace)
+            if meta is None:
+                raise FileNotFoundError(f"table {src_ns}.{name}")
+            if files is None:
+                files = self._manifest(meta)
+        src_vdir = os.path.join(self._table_dir(name, src_ns), meta.version)
+        new_meta = TableMeta.from_json(meta.to_json())
+        new_meta.name = target
+        new_meta.namespace = tgt_ns
+        new_meta.version = f"v_{uuid.uuid4().hex}"
+        tgt_vdir = os.path.join(
+            self._table_dir(target, tgt_ns), new_meta.version
+        )
+        try:
+            for rel in files:
+                src = os.path.join(src_vdir, rel)
+                dst = os.path.join(tgt_vdir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"snapshot {snapshot!r} of {name} was "
+                        f"garbage-collected"
+                    )
+                except OSError:
+                    shutil.copy2(src, dst)
+            os.makedirs(tgt_vdir, exist_ok=True)  # empty source clones too
+            self._commit_meta(new_meta, op="clone", files=list(files))
+        except Exception:
+            shutil.rmtree(
+                self._table_dir(target, tgt_ns), ignore_errors=True
+            )
+            raise
+        return new_meta
+
     def history(self, name: str, namespace: str | None = None) -> list[dict]:
         """Commit history, newest first: ``{commit, ts, op, version,
         n_files, available}`` per commit. ``available`` marks snapshots

@@ -124,3 +124,21 @@ def test_make_session_conf(spark):
     s = make_session()
     assert s.conf.get("spark.sql.adaptive.enabled") == "true"
     assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_cli_clone(spark, tmp_warehouse, capsys):
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse)
+    e.bulk_load(
+        "src", [{"id": i} for i in range(10)],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    rc = main(
+        ["-w", tmp_warehouse, "clone", "-t", "src", "--target", "pinned"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cloned"] == "pinned"
+    assert e.warehouse.read("pinned").count() == 10

@@ -208,3 +208,48 @@ def test_bucketed_merge_keeps_old_snapshot_readable(spark, wh):
     old = wh.read("t", version=1)
     assert {r["name"] for r in old.filter("id = 3").collect()} == {"v3"}
     assert old.count() == 20
+
+
+def test_clone_is_zero_copy_and_independent(spark, wh):
+    """SHALLOW-CLONE semantics, durable: the clone hard-links the source
+    manifest (no data copy), reads identically, and the two tables evolve
+    independently — including surviving the source being vacuumed or
+    rewritten."""
+    import os
+
+    wh.create_or_replace("src", _df(spark, [(1, "a"), (2, "b")]), pk=["id"])
+    wh.append("src", _df(spark, [(3, "c")]))
+    meta = wh.clone("src", "pinned")
+    assert {r["id"] for r in wh.read("pinned").collect()} == {1, 2, 3}
+    # zero-copy: every clone file shares an inode with a source file
+    src_meta = wh.get_meta("src")
+    src_vdir = os.path.join(wh._table_dir("src"), src_meta.version)
+    tgt_vdir = os.path.join(wh._table_dir("pinned"), meta.version)
+    src_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _dn, fn in os.walk(src_vdir)
+        for f in fn
+        if f.endswith(".parquet")
+    }
+    tgt_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _dn, fn in os.walk(tgt_vdir)
+        for f in fn
+        if f.endswith(".parquet")
+    }
+    assert tgt_inodes and tgt_inodes <= src_inodes
+    # independence both ways
+    wh.append("pinned", _df(spark, [(9, "z")]))
+    wh.create_or_replace("src", _df(spark, [(100, "new")]), pk=["id"])
+    assert {r["id"] for r in wh.read("pinned").collect()} == {1, 2, 3, 9}
+    assert {r["id"] for r in wh.read("src").collect()} == {100}
+    # clone of a historical snapshot by commit id
+    wh.clone("pinned", "pinned_v1", snapshot=1)
+    assert {r["id"] for r in wh.read("pinned_v1").collect()} == {1, 2, 3}
+
+
+def test_clone_refuses_existing_target(spark, wh):
+    wh.create_or_replace("a", _df(spark, [(1, "x")]), pk=["id"])
+    wh.create_or_replace("b", _df(spark, [(2, "y")]), pk=["id"])
+    with pytest.raises(ValueError):
+        wh.clone("a", "b")

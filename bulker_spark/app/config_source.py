@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import urllib.error
 import urllib.request
 from typing import Any, Callable
 

@@ -22,6 +22,7 @@ to topic segments, and every data-plane transformation stays in Spark.
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
 import threading
@@ -118,6 +119,8 @@ class BulkerApp:
         topics_root: str,
         destinations: dict[str, Destination] | list[Destination],
         producer_batch_size: int = 1,
+        auth_tokens: list[str] | None = None,
+        allowed_warehouse_roots: list[str] | None = None,
     ):
         from ..sources.topic_source import register_topic_source
 
@@ -129,6 +132,15 @@ class BulkerApp:
             destinations = {d.destination_id: d for d in destinations}
         self.destinations = destinations
         self.producer = TopicProducer(topics_root, producer_batch_size)
+        # HTTP bearer-token auth, the reference's AUTH_TOKENS middleware
+        # (appbase/router_base.go:Authorize); empty list = open (dev mode,
+        # matching the reference when no tokens are configured)
+        self.auth_tokens = list(auth_tokens or [])
+        # roots that runtime-supplied warehouse paths (/test probes,
+        # /config registration) must live under; empty = unrestricted
+        self.allowed_warehouse_roots = [
+            os.path.realpath(r) for r in (allowed_warehouse_roots or [])
+        ]
         self._engines: dict[str, Engine] = {}
         self.metrics: dict[str, int] = {
             "events_produced": 0,
@@ -462,12 +474,28 @@ class BulkerApp:
                 pass
         self._streams = {}
 
+    def check_warehouse_path(self, path: str) -> None:
+        """Reject runtime-supplied warehouse paths outside the configured
+        allowed roots — without this, unauthenticated ``/test`` and
+        ``/config`` bodies are an arbitrary-directory-creation primitive
+        on the host. No roots configured = unrestricted (dev mode)."""
+        if not self.allowed_warehouse_roots:
+            return
+        rp = os.path.realpath(path)
+        for root in self.allowed_warehouse_roots:
+            if rp == root or rp.startswith(root + os.sep):
+                return
+        raise PermissionError(
+            f"warehouse_path {path!r} is outside the allowed roots"
+        )
+
     # -- config hot-reload (topic_manager.go:424-490) -----------------------
     def put_destination(self, spec: dict[str, Any]) -> Destination:
         """Add or replace a destination at runtime (the config-watcher
         path). A changed config drops the cached Engine so the next
         request rebuilds against the new warehouse/namespace; topics and
         checkpoints are keyed by destination id and survive the swap."""
+        self.check_warehouse_path(spec["warehouse_path"])
         dest = Destination(
             destination_id=spec["destination_id"],
             warehouse_path=spec["warehouse_path"],
@@ -504,6 +532,7 @@ class BulkerApp:
             }
         )  # unknown option names / bad values raise here
         path = spec["warehouse_path"]
+        self.check_warehouse_path(path)
         os.makedirs(path, exist_ok=True)
         probe = os.path.join(path, f".bulker_test.{uuid.uuid4().hex}")
         with open(probe, "w") as fh:
@@ -608,10 +637,27 @@ def _make_handler(app: BulkerApp):
                 raise ValueError(f"body too large: {n} bytes")
             return self.rfile.read(n)
 
+        def _authorized(self) -> bool:
+            """Bearer-token gate on every route except the health probes
+            (the reference's Authorize middleware; health endpoints are
+            exempt there too). No tokens configured = open."""
+            if not app.auth_tokens:
+                return True
+            header = self.headers.get("Authorization", "")
+            token = header.removeprefix("Bearer ").strip()
+            ok = any(
+                hmac.compare_digest(token, t) for t in app.auth_tokens
+            )
+            if not ok:
+                self._json(401, {"error": "unauthorized"})
+            return ok
+
         def do_GET(self) -> None:  # noqa: N802
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            if parts not in (["ready"], ["health"]) and not self._authorized():
+                return
             try:
                 if parts == ["ready"] or parts == ["health"]:
                     self._json(200, {"status": "ready"})
@@ -697,6 +743,8 @@ def _make_handler(app: BulkerApp):
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            if not self._authorized():
+                return
             try:
                 if len(parts) == 2 and parts[0] == "post":
                     table = q.get("tableName")
@@ -751,6 +799,8 @@ def _make_handler(app: BulkerApp):
                     try:
                         info = app.test_connection(spec)
                         self._json(200, {"success": True, **info})
+                    except PermissionError as ex:
+                        self._json(403, {"success": False, "error": str(ex)})
                     except (TypeError, ValueError, OSError) as ex:
                         self._json(
                             422, {"success": False, "error": str(ex)}
@@ -775,6 +825,8 @@ def _make_handler(app: BulkerApp):
                     self._json(404, {"error": f"no route {url.path}"})
             except KeyError as ex:
                 self._json(404, {"error": str(ex)})
+            except PermissionError as ex:
+                self._json(403, {"error": str(ex)})
             except (json.JSONDecodeError, ValueError) as ex:
                 self._json(400, {"error": str(ex)})
             except Exception as ex:
@@ -783,6 +835,8 @@ def _make_handler(app: BulkerApp):
         def do_DELETE(self) -> None:  # noqa: N802
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if not self._authorized():
+                return
             try:
                 if len(parts) == 2 and parts[0] == "config":
                     if app.delete_destination(parts[1]):

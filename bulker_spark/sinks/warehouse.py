@@ -30,6 +30,7 @@ day.
 
 from __future__ import annotations
 
+import dataclasses
 import json as _json
 import os
 import shutil
@@ -62,6 +63,21 @@ def bucket_expr(cols: list[str], n: int):
     return F.pmod(F.xxhash64(*[F.col(f"`{c}`") for c in cols]), F.lit(n)).cast(
         "long"
     )
+
+
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime of any entry under ``path`` (inclusive). Used to age
+    staging dirs for vacuum: the dir's own mtime freezes at creation while
+    Spark keeps writing into nested _temporary subdirs."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for entry in dirs + files:
+            try:
+                m = os.path.getmtime(os.path.join(root, entry))
+            except OSError:  # entry vanished mid-walk
+                continue
+            newest = max(newest, m)
+    return newest
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -207,16 +223,29 @@ class Warehouse:
                         set(tail.get("files", [])) | set(files_delta)
                     )
                     # the manifest union keeps a concurrent appender's
-                    # FILES; its schema-evolution columns must survive
-                    # too — this writer's snapshot of meta.columns may
-                    # predate the tail commit, and reads build their
-                    # explicit schema from the winning meta
+                    # FILES; its meta must survive too — this writer's
+                    # snapshot may predate the tail commit, and reads
+                    # build their explicit schema from the winning meta
                     tail_meta = TableMeta.from_json(tail["meta"])
                     novel = {
                         c: t
                         for c, t in meta.columns.items()
                         if c not in tail_meta.columns
                     }
+                    if expected_commit is None:
+                        # token-less plain append: the ONLY field it
+                        # legitimately changes is columns, so rebase the
+                        # whole meta on the tail commit — a concurrent
+                        # same-version committer may have changed any
+                        # other field (mor_seq, pk, ...) after this
+                        # writer's snapshot, and a stale overlay would
+                        # silently revert it. Token-holding ops (MoR
+                        # merge) reconcile against their own snapshot,
+                        # where the writer's field changes must win.
+                        for fld in dataclasses.fields(meta):
+                            setattr(
+                                meta, fld.name, getattr(tail_meta, fld.name)
+                            )
                     meta.columns = {**tail_meta.columns, **novel}
             tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -695,11 +724,14 @@ class Warehouse:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(entry)
             # crashed writers can leave append staging dirs behind
-            # (_append_files cleans up on every non-crash path)
+            # (_append_files cleans up on every non-crash path); age by the
+            # NEWEST mtime anywhere in the tree — Spark writes into nested
+            # _temporary subdirs without touching the top-level dir's mtime,
+            # so the top-level age alone would reclaim an in-flight write
             elif (
                 entry.startswith(".stage_")
                 and os.path.isdir(p)
-                and now - os.path.getmtime(p) >= min_age_seconds
+                and now - _tree_newest_mtime(p) >= min_age_seconds
             ):
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(entry)

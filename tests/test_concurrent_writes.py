@@ -456,3 +456,56 @@ def test_engine_append_mode_survives_concurrent_compaction(spark, roots):
     w2.compact("t")  # new version dir; e's cache is now stale
     e.bulk_load("t", _df(spark, [(2, "b")]), mode="batch")
     assert {r["pk"] for r in Warehouse(spark, roots).read("t").collect()} == {1, 2}
+
+
+def test_vacuum_ages_stage_dirs_by_tree_newest_mtime(spark, roots):
+    """An in-flight write keeps its staging dir alive: Spark writes into
+    nested _temporary subdirs without touching the top-level dir's mtime,
+    so the age must come from the NEWEST entry in the tree."""
+    import os
+    import time
+
+    wh = Warehouse(spark, roots)
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    stage = os.path.join(wh._table_dir("t"), ".stage_inflight")
+    nested = os.path.join(stage, "_temporary", "0")
+    os.makedirs(nested)
+    # backdate the top-level dir (created long ago)...
+    old = time.time() - 86400
+    os.utime(stage, (old, old))
+    os.utime(os.path.join(stage, "_temporary"), (old, old))
+    # ...but a freshly-written part file proves the writer is alive
+    with open(os.path.join(nested, "part-0000.parquet"), "w") as fh:
+        fh.write("x")
+    assert wh.vacuum("t", min_age_seconds=3600) == []
+    assert os.path.isdir(stage)
+    # once the whole tree is old, it is reclaimed
+    for root, dirs, files in os.walk(stage):
+        for e in dirs + files:
+            os.utime(os.path.join(root, e), (old, old))
+    os.utime(stage, (old, old))
+    assert wh.vacuum("t", min_age_seconds=3600) == [".stage_inflight"]
+
+
+def test_append_rebases_meta_on_tail_commit(spark, roots):
+    """A token-less plain append whose snapshot predates a concurrent
+    same-version commit must not revert the tail's meta fields — the
+    whole meta rebases on the tail, overlaying only novel columns."""
+    a = Warehouse(spark, roots)
+    b = Warehouse(spark, roots)
+    a.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    b.get_meta("t")  # prime b's cache with the pre-change snapshot
+    # a changes a non-column meta field at the same version through a
+    # token-holding commit (the only path allowed to change such fields)
+    base = a._last_commit_id("t")
+    meta_a = a.get_meta("t")
+    meta_a.timestamp_column = "v"
+    a._commit_meta(meta_a, op="merge_mor", expected_commit=base, files_delta=[])
+    # b appends from its stale snapshot (new column rides along)
+    df_new = spark.createDataFrame([(2, "b", 9)], "pk long, v string, extra long")
+    b.append("t", df_new)
+    a.refresh("t")
+    final = a.get_meta("t")
+    assert final.timestamp_column == "v"  # a's change survived b's append
+    assert "extra" in final.columns  # b's schema evolution survived too
+    assert a.read("t").count() == 2

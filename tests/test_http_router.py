@@ -598,3 +598,97 @@ def test_bulk_schema_header_pins_types(app_server, spark):
     types = dict(tbl.dtypes)
     assert types["amount"] == "double"  # pinned FLOAT64 despite int values
     assert types["id"] == "bigint"
+
+
+def test_auth_tokens_gate_all_routes_except_health(spark):
+    """With auth_tokens configured, every route 401s without a bearer
+    token; /ready and /health stay open (the reference's Authorize
+    middleware exempts health probes)."""
+    wh = tempfile.mkdtemp(prefix="router_auth_wh_")
+    topics = tempfile.mkdtemp(prefix="router_auth_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("a1", wh)], auth_tokens=["s3cret"]
+    )
+    server = serve(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        assert _get(f"{base}/ready")["status"] == "ready"
+        assert _get(f"{base}/health")["status"] == "ready"
+        for method, path, body in [
+            ("GET", "/config", None),
+            ("POST", "/post/a1?tableName=t", b"{}"),
+            ("DELETE", "/config/a1", None),
+        ]:
+            req = urllib.request.Request(
+                f"{base}{path}", data=body, method=method
+            )
+            with pytest.raises(HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 401
+        # wrong token also 401s
+        req = urllib.request.Request(
+            f"{base}/config",
+            headers={"Authorization": "Bearer wrong"},
+        )
+        with pytest.raises(HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 401
+        # the right token unlocks the route
+        req = urllib.request.Request(
+            f"{base}/config",
+            headers={"Authorization": "Bearer s3cret"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert "a1" in json.loads(resp.read())
+    finally:
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_allowed_roots_gate_test_and_config_paths(spark):
+    """allowed_warehouse_roots rejects /test probes and /config
+    registration pointing outside the sandbox (403), and permits paths
+    inside it."""
+    import os
+
+    wh_root = tempfile.mkdtemp(prefix="router_roots_")
+    topics = tempfile.mkdtemp(prefix="router_roots_topics_")
+    outside = tempfile.mkdtemp(prefix="router_outside_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("r1", os.path.join(wh_root, "r1"))],
+        allowed_warehouse_roots=[wh_root],
+    )
+    server = serve(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        bad = json.dumps(
+            {"warehouse_path": os.path.join(outside, "evil")}
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/test", data=bad, method="POST"
+        )
+        with pytest.raises(HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 403
+        assert not os.path.exists(os.path.join(outside, "evil"))
+        req = urllib.request.Request(
+            f"{base}/config/evil1", data=bad, method="POST"
+        )
+        with pytest.raises(HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 403
+        assert "evil1" not in app.destinations
+        good = json.dumps(
+            {"warehouse_path": os.path.join(wh_root, "ok")}
+        ).encode()
+        out = _post(f"{base}/test", good)
+        assert out["success"] is True
+    finally:
+        server.shutdown()
+        for d in (wh_root, topics, outside):
+            shutil.rmtree(d, ignore_errors=True)

@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     "emb_mmr_select",
     "parts_salsa",
     "parts_label_prop",
+    "emb_pq_codebooks",
+    "emb_pq_adc_topk",
+    "doc_contamination",
+    "doc_length_deciles",
+    "parts_hits",
 ]
 
 

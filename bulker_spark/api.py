@@ -250,10 +250,15 @@ class Engine:
         warehouse_path: str,
         namespace: str = "default",
         retain_versions: int = 1,
+        link_mode: str = "hardlink",
     ):
         self.spark = spark
         self.warehouse = Warehouse(
-            spark, warehouse_path, namespace, retain_versions=retain_versions
+            spark,
+            warehouse_path,
+            namespace,
+            retain_versions=retain_versions,
+            link_mode=link_mode,
         )
 
     def create_stream(self, table: str, **options: Any) -> BulkerStream:

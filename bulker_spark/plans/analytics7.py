@@ -1,0 +1,510 @@
+"""Round-3 catalog extensions — the vector-index build pipeline (product
+quantization: codebook assignment + asymmetric-distance search), training
+hygiene (benchmark-contamination scan), corpus profiling (exact length
+deciles), and fixed-point HITS.
+
+Reference scope (jitsucom/bulker): none of this exists in the reference
+(`SURVEY.md §2` — warehouse ingest only); these extend the training-data
+curation tier the port adds on top: PQ is the standard memory-bounded ANN
+index layout (Jégou et al. 2011), contamination scans are a required
+pre-training step, and exact quantiles are the profiling primitive.
+
+Determinism contract (the driver hash-compares against DuckDB): distances
+are single-rounded to integer milli-units (``CAST(ROUND(1000*d) AS
+BIGINT)``) so every downstream sum/rank is integer-exact and partition-
+order-free; ranks always tie-break on ids; iterative mass is integer
+fixed-point (same construction as ``parts_pagerank``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ==========================================================================
+# Product quantization: codebooks + asymmetric-distance (ADC) top-k
+# ==========================================================================
+
+_PQ_M = 4  # subspaces
+_PQ_DIM = 16  # dims per subspace (64-dim embeddings)
+_PQ_K = 16  # centroids per subspace: the vectors with the 16 lowest ids
+_PQ_QMOD = 29  # vec_id % 29 == 0 → query set for the ADC search
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): each embedding split into M contiguous
+    subvectors — JVM slice expressions, no explode of the dims."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return e.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "v",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv"),
+    )
+
+
+def _pq_dist_milli(a, b):
+    """Squared L2 distance in integer milli-units: the ONLY float→int
+    rounding in the PQ pipeline, so downstream sums and ranks are
+    integer-exact across engines and partitionings."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(d2 * 1000).cast("long")
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: (vec_id, m, code, dmilli) — per subspace, the nearest
+    of the K centroids (ties → lowest centroid id).
+
+    Scale shape: the codebook is K×M tiny rows → broadcast; the distance
+    evaluation is a map-side array expression per (row, centroid); the
+    only shuffle is the per-(vec, m) argmin window. At 100 TB the window
+    would be replaced by a ``min_by`` aggregate on the same key — same
+    single shuffle."""
+    subs = _pq_subvectors(spark, sf_dir)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    j = subs.join(F.broadcast(cb), "m")
+    scored = j.select(
+        "vec_id",
+        "m",
+        "cid",
+        _pq_dist_milli("sv", "cv").alias("dmilli"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dmilli", "cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"), "dmilli")
+    )
+
+
+def emb_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook utilization audit: per (subspace, code) the number of
+    assigned vectors and the total quantization error — the health check
+    before shipping a PQ index (dead codes / fat codes mean the codebook
+    fits the data badly)."""
+    codes = _pq_codes(spark, sf_dir)
+    return (
+        codes.groupBy("m", "code")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum("dmilli").cast("long").alias("total_err_milli"),
+        )
+        .select(
+            F.col("m").cast("int").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            "total_err_milli",
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+_PQ_SUBS_DUCK = f"""
+  SELECT vec_id, g.m,
+         list_transform(
+             embedding[g.m * {_PQ_DIM} + 1 : (g.m + 1) * {_PQ_DIM}],
+             x -> x::DOUBLE
+         ) AS sv
+  FROM embeddings,
+       (SELECT unnest(range({_PQ_M})) AS m) g
+"""
+
+# element-wise squared-L2 in milli-units via an index join (DuckDB's list
+# lambdas can't zip two columns); the SUM's order nondeterminism is erased
+# by the single ROUND into integer milli-units
+_PQ_CODES_DUCK = f"""
+subs AS ({_PQ_SUBS_DUCK}),
+subx AS (
+  SELECT vec_id, m, unnest(sv) AS x,
+         unnest(generate_series(1, {_PQ_DIM})) AS i
+  FROM subs
+),
+cbx AS (
+  SELECT vec_id AS cid, m, x AS cx, i
+  FROM subx WHERE vec_id < {_PQ_K}
+),
+dists AS (
+  SELECT s.vec_id, s.m, c.cid,
+         CAST(ROUND(1000 * SUM((s.x - c.cx) * (s.x - c.cx))) AS BIGINT)
+           AS dmilli
+  FROM subx s JOIN cbx c ON s.m = c.m AND s.i = c.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, cid AS code, dmilli
+  FROM (
+    SELECT vec_id, m, cid, dmilli,
+           row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dmilli, cid
+           ) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+"""
+
+EMB_PQ_CODEBOOKS_SQL = f"""
+WITH {_PQ_CODES_DUCK}
+SELECT CAST(m AS INT) AS subspace, CAST(code AS BIGINT) AS code,
+       COUNT(*) AS n_assigned,
+       CAST(SUM(dmilli) AS BIGINT) AS total_err_milli
+FROM codes
+GROUP BY 1, 2
+ORDER BY subspace, code
+"""
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance search (the PQ query path): each query vector
+    precomputes its K×M distance table to the codebook; a database
+    vector's approximate distance is the sum of M table lookups on its
+    codes — no full-vector math per candidate, which is the entire point
+    of PQ at 100 TB (the index is M bytes/vector, the scan is a
+    lookup-join). Top-3 per query, integer milli distances, id
+    tiebreaks.
+
+    Scale shape: the distance table (queries × K × M) broadcasts; the
+    candidate side streams through a map-side lookup join + one shuffle
+    for the per-query top-k."""
+    subs = _pq_subvectors(spark, sf_dir)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    q = subs.filter(F.col("vec_id") % _PQ_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    dtable = q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("cid").alias("code"),
+        _pq_dist_milli("qv", "cv").alias("qd_milli"),
+    )
+    codes = _pq_codes(spark, sf_dir).filter(
+        F.col("vec_id") % _PQ_QMOD != 0
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_milli", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adc_milli", "rank")
+    )
+
+
+EMB_PQ_ADC_SQL = f"""
+WITH {_PQ_CODES_DUCK},
+qx AS (
+  SELECT vec_id AS query_id, m, x AS qx, i
+  FROM subx WHERE vec_id % {_PQ_QMOD} = 0
+),
+dtable AS (
+  SELECT q.query_id, q.m, c.cid AS code,
+         CAST(ROUND(1000 * SUM((q.qx - c.cx) * (q.qx - c.cx))) AS BIGINT)
+           AS qd_milli
+  FROM qx q JOIN cbx c ON q.m = c.m AND q.i = c.i
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(d.qd_milli) AS BIGINT) AS adc_milli
+  FROM codes k
+  JOIN dtable d ON k.m = d.m AND k.code = d.code
+  WHERE k.vec_id % {_PQ_QMOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_milli,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_milli, neighbor_id
+       ) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= 3
+"""
+
+
+# ==========================================================================
+# Benchmark-contamination scan (eval-vs-train 8-gram overlap)
+# ==========================================================================
+
+_CONTAM_EVAL_MOD = 50  # doc_id % 50 == 0 → the held-out "benchmark" split
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval document, the fraction of its distinct character 8-grams
+    that appear anywhere in the training split — the decontamination
+    scan run before training on scraped corpora (an eval doc with high
+    overlap leaked into the training set). Same shingling as the dedup
+    tier (``doc_dup_ngram_coverage``).
+
+    Scale shape: the train side reduces to a distinct shingle set (one
+    shuffle, map-side combine); the eval side is a fixed small fraction
+    of the corpus, so its shingles broadcast against the train set and
+    the per-doc rollup shuffles only eval keys."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - F.lit(7), F.lit(1))
+            )
+        ).alias("i"),
+        "text",
+    )
+    sh = pos.select(
+        "doc_id", F.expr("substring(text, i, 8)").alias("sh")
+    ).distinct()
+    eval_sh = sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
+    train_sh = (
+        sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        eval_sh.join(train_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT d.doc_id, substr(d.text, g.i::INT, 8) AS sh
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+             1, greatest(length(d.text) - 7, 1))) AS i) g
+  )
+),
+train AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN t.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(SUM(CASE WHEN t.sh IS NULL THEN 0 ELSE 1 END)::DOUBLE
+             / COUNT(*), 4) AS contamination_rate
+FROM sh e LEFT JOIN train t ON e.sh = t.sh
+WHERE e.doc_id % {_CONTAM_EVAL_MOD} = 0
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
+# Exact per-language length deciles (corpus profiling)
+# ==========================================================================
+
+
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of document length per language — the corpus
+    profile that drives truncation/packing decisions. EXACT quantiles by
+    rank (value at ``ceil(q·n)`` in (n_chars, doc_id) order), not
+    ``percentile_approx``: approx sketches are engine-specific, ranks are
+    reproducible everywhere.
+
+    Scale shape: one shuffle on the language key; the rank window sorts
+    within each language partition. Skewed languages (English) would get
+    the two-pass exact-quantile split at 100 TB; the plan shape (single
+    keyed sort) is the same."""
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars")
+            )
+        ).cast("long")
+
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            at(0.5).alias("p50_chars"),
+            at(0.9).alias("p90_chars"),
+            at(0.99).alias("p99_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_DECILES_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (
+             PARTITION BY lang ORDER BY n_chars, doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = CEIL(0.5 * n) THEN n_chars END) AS BIGINT)
+         AS p50_chars,
+       CAST(MAX(CASE WHEN rn = CEIL(0.9 * n) THEN n_chars END) AS BIGINT)
+         AS p90_chars,
+       CAST(MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_chars END) AS BIGINT)
+         AS p99_chars
+FROM r
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ==========================================================================
+# Fixed-point HITS on the customer↔part bipartite purchase graph
+# ==========================================================================
+
+_HITS_SCALE = 10**7
+_HITS_MAX_PART = 300
+
+
+def parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) on the customer→part
+    purchase graph: two alternating update rounds, each followed by
+    sum-normalization — in integer fixed-point (mass scaled by 10⁷,
+    normalization is ``mass * SCALE div total``), so the result is
+    bit-exact on any engine or partitioning; the L2 normalization that
+    makes textbook HITS float-bound is replaced by the L1 variant, which
+    has the same fixpoint direction and stays in integers. Completes the
+    graph-retrieval family next to ``parts_salsa`` (degree-normalized)
+    and ``parts_pagerank`` (damped).
+
+    Scale shape: identical to parts_salsa — cached edge list, one
+    shuffle-join + map-side-combined integer sum per half-round, plus an
+    O(1) scalar total per normalization."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _HITS_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    n_cust = edges.select("c").distinct().count()
+    hub = edges.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE // n_cust).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(2):
+        # persist each half-round: the normalization scalar and the next
+        # hop both consume it — without pinning, every agg(total) re-runs
+        # the whole upstream join chain (O(iters²) jobs instead of
+        # O(iters))
+        auth = (
+            edges.join(hub, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("a"))
+            .persist()
+        )
+        ta = auth.agg(F.sum("a")).collect()[0][0]
+        auth = auth.select(
+            "p", F.expr(f"(a * {_HITS_SCALE}) div {ta}").alias("a")
+        )
+        hub = (
+            edges.join(auth, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
+            .persist()
+        )
+        th = hub.agg(F.sum("h")).collect()[0][0]
+        hub = hub.select(
+            "c", F.expr(f"(h * {_HITS_SCALE}) div {th}").alias("h")
+        )
+    return auth.select(
+        F.col("p").alias("part_id"), F.col("a").cast("long").alias("auth")
+    ).orderBy("part_id")
+
+
+PARTS_HITS_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {_HITS_MAX_PART}
+),
+edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nc AS (SELECT COUNT(DISTINCT c) AS nc FROM edges),
+h0 AS (
+  SELECT DISTINCT c, {_HITS_SCALE} // nc.nc AS h FROM edges, nc
+),
+a1r AS (
+  SELECT e.p, SUM(h0.h) AS a FROM edges e JOIN h0 ON e.c = h0.c GROUP BY 1
+),
+a1 AS (
+  SELECT p, (a * {_HITS_SCALE}) // (SELECT SUM(a) FROM a1r) AS a FROM a1r
+),
+h1r AS (
+  SELECT e.c, SUM(a1.a) AS h FROM edges e JOIN a1 ON e.p = a1.p GROUP BY 1
+),
+h1 AS (
+  SELECT c, (h * {_HITS_SCALE}) // (SELECT SUM(h) FROM h1r) AS h FROM h1r
+),
+a2r AS (
+  SELECT e.p, SUM(h1.h) AS a FROM edges e JOIN h1 ON e.c = h1.c GROUP BY 1
+),
+a2 AS (
+  SELECT p, (a * {_HITS_SCALE}) // (SELECT SUM(a) FROM a2r) AS a FROM a2r
+)
+SELECT p AS part_id, CAST(a AS BIGINT) AS auth
+FROM a2
+ORDER BY part_id
+"""
+
+
+EXTRA_QUERIES7: dict[str, tuple] = {
+    "emb_pq_codebooks": (emb_pq_codebooks, EMB_PQ_CODEBOOKS_SQL),
+    "emb_pq_adc_topk": (emb_pq_adc_topk, EMB_PQ_ADC_SQL),
+    "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
+    "doc_length_deciles": (doc_length_deciles, DOC_LENGTH_DECILES_SQL),
+    "parts_hits": (parts_hits, PARTS_HITS_SQL),
+}

@@ -1312,6 +1312,7 @@ from bulker_spark.plans.analytics3 import EXTRA_QUERIES3  # noqa: E402
 from bulker_spark.plans.analytics4 import EXTRA_QUERIES4  # noqa: E402
 from bulker_spark.plans.analytics5 import EXTRA_QUERIES5  # noqa: E402
 from bulker_spark.plans.analytics6 import EXTRA_QUERIES6  # noqa: E402
+from bulker_spark.plans.analytics7 import EXTRA_QUERIES7  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(EXTRA_QUERIES2)
@@ -1319,3 +1320,4 @@ QUERIES.update(EXTRA_QUERIES3)
 QUERIES.update(EXTRA_QUERIES4)
 QUERIES.update(EXTRA_QUERIES5)
 QUERIES.update(EXTRA_QUERIES6)
+QUERIES.update(EXTRA_QUERIES7)

@@ -100,16 +100,34 @@ class Warehouse:
         root: str,
         namespace: str = "default",
         retain_versions: int = 1,
+        link_mode: str = "hardlink",
     ):
         """``retain_versions`` > 1 keeps that many committed version
         directories per table, enabling :meth:`history`, ``read(version=)``
         time travel, and :meth:`restore` — the Delta/Iceberg time-travel
         surface on the dependency-free warehouse. The default of 1 GCs
-        superseded versions immediately (storage-minimal)."""
+        superseded versions immediately (storage-minimal).
+
+        ``link_mode`` picks the partial-rewrite primitive:
+
+        - ``"hardlink"`` (default): a rewrite builds a NEW version dir of
+          hard links to the untouched files — POSIX-only, inode refcounts
+          pin retained snapshots against GC.
+        - ``"manifest"``: object-store-safe (S3/GCS have no hard links).
+          A rewrite's manifest REFERENCES untouched files in their old
+          version dirs (``../v_old/part.parquet`` entries — Iceberg's
+          manifest model); nothing is linked or copied, GC keeps any
+          version dir still referenced by a retained commit. The only
+          remaining store requirements are Iceberg's own: atomic PUT
+          (commit claim = conditional PUT / If-None-Match, emulated
+          locally by tmp-write + ``os.link``) and LIST."""
         self.spark = spark
         self.root = root
         self.namespace = namespace
         self.retain_versions = max(1, int(retain_versions))
+        if link_mode not in ("hardlink", "manifest"):
+            raise ValueError(f"unknown link_mode {link_mode!r}")
+        self.link_mode = link_mode
         os.makedirs(root, exist_ok=True)
         # driver-side schema cache (table_helper.go:30-62)
         self._meta_cache: dict[str, TableMeta] = {}
@@ -134,6 +152,51 @@ class Warehouse:
             meta = TableMeta.from_json(_json.load(fh))
         self._meta_cache[key] = meta
         return meta
+
+    @staticmethod
+    def _ref_version(rel: str) -> str | None:
+        """Version dir a cross-version manifest reference points into, or
+        None for a plain (own-version-dir) entry. References are spelled
+        ``../v_<hex>/<path>`` — version dirs are siblings, so the same
+        string resolves identically from ANY version dir."""
+        if not rel.startswith(".." + os.sep) and not rel.startswith("../"):
+            return None
+        parts = rel.replace(os.sep, "/").split("/")
+        return parts[1] if len(parts) > 2 else None
+
+    @classmethod
+    def _deref(cls, rel: str) -> str:
+        """Strip a ``../v_x/`` reference prefix, leaving the version-local
+        path (the shape partition matchers and set-difference logic see)."""
+        if cls._ref_version(rel) is None:
+            return rel
+        return rel.replace(os.sep, "/").split("/", 2)[2]
+
+    def _referenced_versions(self, entries: list[dict]) -> set[str]:
+        """All version dirs named by the given log entries — their own
+        version pointer AND any cross-version file references."""
+        out: set[str] = set()
+        for e in entries:
+            v = e.get("meta", {}).get("version", "")
+            if v:
+                out.add(v)
+            for f in e.get("files", []):
+                rv = self._ref_version(f)
+                if rv:
+                    out.add(rv)
+        return out
+
+    def _current_manifest(
+        self, meta: TableMeta, namespace: str | None = None
+    ) -> list[str]:
+        """The live committed file list: log-tail manifest when a log
+        exists (the only correct source under ``link_mode="manifest"`` —
+        referenced files do not live in the current version dir), else the
+        version-dir walk (log-less / externally created tables)."""
+        _m, base, files = self._snapshot(meta.name, namespace)
+        if base and files is not None:
+            return files
+        return self._manifest(meta)
 
     def _manifest(self, meta: TableMeta) -> list[str]:
         """Data files of the current version dir, relative paths (partition
@@ -399,7 +462,8 @@ class Warehouse:
                     self._table_dir(name, namespace), meta.version
                 )
                 snapshot_files = [
-                    os.path.join(vdir_cur, f) for f in manifest
+                    os.path.normpath(os.path.join(vdir_cur, f))
+                    for f in manifest
                 ]
         else:
             # time travel: schema AND file manifest come from the commit-log
@@ -410,7 +474,10 @@ class Warehouse:
             vdir_old = os.path.join(
                 self._table_dir(name, namespace), meta.version
             )
-            snapshot_files = [os.path.join(vdir_old, f) for f in entry["files"]]
+            snapshot_files = [
+                os.path.normpath(os.path.join(vdir_old, f))
+                for f in entry["files"]
+            ]
             missing = [f for f in snapshot_files if not os.path.exists(f)]
             if missing:
                 raise FileNotFoundError(
@@ -439,12 +506,25 @@ class Warehouse:
         if snapshot_files is not None:
             if not snapshot_files:
                 return self.spark.createDataFrame([], schema)
-            # explicit manifest read; basePath keeps partition-dir columns
-            out = (
+            # explicit manifest read; basePath keeps partition-dir columns.
+            # Under link_mode="manifest" entries reference files across
+            # version dirs — group per dir so each group's basePath still
+            # roots its partition-column extraction (all groups share the
+            # explicit schema, so the union is a pure scan-set union).
+            table_dir = self._table_dir(name, namespace)
+            groups: dict[str, list[str]] = {}
+            for p in snapshot_files:
+                v = os.path.relpath(p, table_dir).split(os.sep)[0]
+                groups.setdefault(v, []).append(p)
+            parts = [
                 self.spark.read.schema(schema)
-                .option("basePath", vdir)
-                .parquet(*snapshot_files)
-            )
+                .option("basePath", os.path.join(table_dir, v))
+                .parquet(*ps)
+                for v, ps in sorted(groups.items())
+            ]
+            out = parts[0]
+            for extra in parts[1:]:
+                out = out.unionByName(extra)
         else:
             out = self.spark.read.schema(schema).parquet(vdir)
         if meta.write_mode == "mor" and not _raw:
@@ -593,11 +673,47 @@ class Warehouse:
         version = f"v_{uuid.uuid4().hex}"
         new_vdir = os.path.join(d, version)
         kept: list[str] = []
+        if self.link_mode == "manifest":
+            # object-store path: keep entries as REFERENCES into the old
+            # version dirs — no links, no copies, O(manifest) metadata.
+            # ../v_x/... entries resolve identically from any sibling
+            # version dir, so prior references pass through unchanged.
+            os.makedirs(new_vdir, exist_ok=True)
+            for rel in manifest:
+                if excluded(self._deref(rel)):
+                    continue
+                ref = (
+                    rel
+                    if self._ref_version(rel)
+                    else os.path.join("..", meta.version, rel)
+                )
+                # same GC-race semantics as the hardlink path's
+                # FileNotFoundError, minus the inode pinning: a racing
+                # commit's retention GC may have removed the snapshot
+                if not os.path.exists(
+                    os.path.normpath(os.path.join(new_vdir, ref))
+                ):
+                    shutil.rmtree(new_vdir, ignore_errors=True)
+                    if missing_exc is not None:
+                        raise missing_exc()
+                    self.refresh(meta.name, namespace)
+                    raise ConcurrentWriteError(
+                        f"snapshot {meta.version} of {meta.name} was "
+                        f"garbage-collected during rewrite (superseded by "
+                        f"a concurrent commit)"
+                    )
+                kept.append(ref)
+            return version, new_vdir, kept
         for rel in manifest:
-            if excluded(rel):
+            # deref: a table previously written under link_mode="manifest"
+            # may carry ../v_x/ reference entries — materialize them as
+            # links under their version-local path (dst must stay INSIDE
+            # new_vdir), converting the table back to physical layout
+            plain = self._deref(rel)
+            if excluded(plain):
                 continue
-            src = os.path.join(old_vdir, rel)
-            dst = os.path.join(new_vdir, rel)
+            src = os.path.normpath(os.path.join(old_vdir, rel))
+            dst = os.path.join(new_vdir, plain)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
                 os.link(src, dst)
@@ -618,7 +734,7 @@ class Warehouse:
                 )
             except OSError:
                 shutil.copy2(src, dst)
-            kept.append(rel)
+            kept.append(plain)
         os.makedirs(new_vdir, exist_ok=True)
         return version, new_vdir, kept
 
@@ -685,6 +801,14 @@ class Warehouse:
             if len(distinct) >= self.retain_versions:
                 break
         retained = {keep} | set(distinct)
+        # manifest mode: a retained commit's manifest may REFERENCE files
+        # in older version dirs — those dirs hold live data and must
+        # survive, even though no retained commit points at them. Refs
+        # never chain (they always name the physical dir), so one hop
+        # closes the set.
+        retained |= self._referenced_versions(
+            [e for e in log if e["meta"].get("version") in retained]
+        )
         for v in set(referenced):
             if v and v not in retained:
                 shutil.rmtree(os.path.join(d, v), ignore_errors=True)
@@ -707,7 +831,9 @@ class Warehouse:
         if not os.path.isdir(d):
             return []
         log = self._read_log(name, namespace)
-        known = {e["meta"].get("version", "") for e in log}
+        # a version dir is live if ANY commit points at it — as its
+        # version, or (manifest link_mode) via a file reference
+        known = self._referenced_versions(log)
         meta = self.get_meta(name, namespace)
         if meta is not None:
             known.add(meta.version)
@@ -786,12 +912,22 @@ class Warehouse:
             self._table_dir(target, tgt_ns), new_meta.version
         )
         try:
+            plain_files: list[str] = []
             for rel in files:
-                src = os.path.join(src_vdir, rel)
-                dst = os.path.join(tgt_vdir, rel)
+                # deref: manifest-mode refs resolve against the source's
+                # version dir; the clone stores everything version-local
+                plain = self._deref(rel)
+                src = os.path.normpath(os.path.join(src_vdir, rel))
+                dst = os.path.join(tgt_vdir, plain)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
-                    os.link(src, dst)
+                    if self.link_mode == "manifest":
+                        # object stores have no cross-key hard links; the
+                        # durable clone is a copy (server-side COPY on
+                        # S3/GCS — no data moves through the driver there)
+                        shutil.copy2(src, dst)
+                    else:
+                        os.link(src, dst)
                 except FileNotFoundError:
                     raise FileNotFoundError(
                         f"snapshot {snapshot!r} of {name} was "
@@ -799,8 +935,9 @@ class Warehouse:
                     )
                 except OSError:
                     shutil.copy2(src, dst)
+                plain_files.append(plain)
             os.makedirs(tgt_vdir, exist_ok=True)  # empty source clones too
-            self._commit_meta(new_meta, op="clone", files=list(files))
+            self._commit_meta(new_meta, op="clone", files=plain_files)
         except Exception:
             shutil.rmtree(
                 self._table_dir(target, tgt_ns), ignore_errors=True
@@ -826,7 +963,9 @@ class Warehouse:
                     "version": v,
                     "n_files": len(e.get("files", [])),
                     "available": all(
-                        os.path.exists(os.path.join(vdir, f))
+                        os.path.exists(
+                            os.path.normpath(os.path.join(vdir, f))
+                        )
                         for f in e.get("files", [])
                     ),
                 }
@@ -846,7 +985,7 @@ class Warehouse:
         entry = self._log_entry(name, snapshot, namespace)
         base = self._last_commit_id(name, namespace)
         meta = TableMeta.from_json(entry["meta"])
-        new_version, _new_dir, _kept = self._link_subset_version(
+        new_version, _new_dir, kept = self._link_subset_version(
             meta,
             entry["files"],
             lambda _rel: False,  # full snapshot: link everything
@@ -856,7 +995,12 @@ class Warehouse:
             ),
         )
         meta.version = new_version
-        self._commit_meta(meta, op="restore", expected_commit=base)
+        # explicit manifest: under link_mode="manifest" the new version
+        # dir is physically empty (kept = references), so the default
+        # dir-walk manifest would commit an empty table
+        self._commit_meta(
+            meta, op="restore", files=sorted(kept), expected_commit=base
+        )
         self._gc_old_versions(name, new_version, namespace)
         return meta
 
@@ -913,7 +1057,12 @@ class Warehouse:
         return (
             self.spark.read.schema(live_schema)
             .option("basePath", vdir)
-            .parquet(*[os.path.join(vdir, f) for f in added])
+            .parquet(
+                *[
+                    os.path.normpath(os.path.join(vdir, f))
+                    for f in added
+                ]
+            )
         )
 
     # -- table lifecycle (SURVEY §2.10) -------------------------------------
@@ -1099,7 +1248,7 @@ class Warehouse:
                 f"{name}; use a CoW table for partition-replace loads"
             )
         if manifest is None:
-            manifest = self._manifest(meta)
+            manifest = self._current_manifest(meta, namespace)
         df = self._align_json_storage(meta, df)
         replaced = {
             r[0] for r in df.select(partition_column).distinct().collect()
@@ -1250,7 +1399,7 @@ class Warehouse:
             .collect()
         }
         if manifest is None:  # direct call without merge()'s snapshot
-            manifest = self._manifest(meta)
+            manifest = self._current_manifest(meta, namespace)
         version, new_vdir, kept = self._link_subset_version(
             meta,
             manifest,
@@ -1336,7 +1485,7 @@ class Warehouse:
         # before/after diff). Snapshot isolation + OCC rollback as in
         # _merge_partitioned.
         if manifest is None:  # direct call without merge()'s snapshot
-            manifest = self._manifest(meta)
+            manifest = self._current_manifest(meta, namespace)
         version, new_vdir, kept = self._link_subset_version(
             meta,
             manifest,
@@ -1636,16 +1785,28 @@ class Warehouse:
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
         """File-level stats for maintenance decisions: {n_files, bytes,
         avg_file_bytes} over the current version."""
-        meta = self.get_meta(name, namespace)
+        meta, base, manifest = self._snapshot(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         n, total = 0, 0
-        for root, _dirs, files in os.walk(vdir):
-            for f in files:
-                if f.endswith(".parquet"):
+        if base and manifest is not None:
+            # committed manifest, not a dir walk: under link_mode=
+            # "manifest" the live files may sit in OTHER version dirs,
+            # and a dir walk would also count uncommitted in-flight files
+            for f in manifest:
+                p = os.path.normpath(os.path.join(vdir, f))
+                try:
+                    total += os.path.getsize(p)
                     n += 1
-                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    continue
+        else:
+            for root, _dirs, files in os.walk(vdir):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        total += os.path.getsize(os.path.join(root, f))
         return {
             "n_files": n,
             "bytes": total,

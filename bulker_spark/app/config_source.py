@@ -193,24 +193,41 @@ class MultiConfigurationSource(ConfigurationSource):
 
 def sync_app(app, source: ConfigurationSource) -> dict[str, list[str]]:
     """One reconcile tick: apply the source's current spec set to the app.
-    Returns ``{"put": [...], "deleted": [...]}`` — ids whose configs were
-    (re)applied or retired. Unchanged specs are skipped via per-spec
-    hashing, so a poll loop is cheap to run every few seconds (the
-    reference's changes-channel → topic-manager reconcile)."""
+    Returns ``{"put": [...], "deleted": [...], "errors": [...]}`` — ids
+    whose configs were (re)applied, retired, or rejected. Unchanged specs
+    are skipped via per-spec hashing, so a poll loop is cheap to run every
+    few seconds (the reference's changes-channel → topic-manager
+    reconcile). Per-spec failure isolation: one invalid destination (bad
+    options, warehouse_path outside the allowed roots) must not halt
+    reconciliation for every other destination — its error is reported and
+    its hash left unstored, so it is retried (and re-reported) next tick."""
     specs = {s_id: s for s in source.load() if (s_id := _spec_id(s))}
     put: list[str] = []
     deleted: list[str] = []
+    errors: list[str] = []
     if not hasattr(app, "_config_hashes"):
         app._config_hashes = {}
     for s_id, spec in specs.items():
         h = _canon_hash([spec])
         if app._config_hashes.get(s_id) != h:
-            app.put_destination(spec)
+            try:
+                app.put_destination(spec)
+            except Exception as ex:
+                errors.append(f"{s_id}: {type(ex).__name__}: {ex}")
+                continue
             app._config_hashes[s_id] = h
             put.append(s_id)
     for s_id in list(app._config_hashes):
         if s_id not in specs:
-            app.delete_destination(s_id)
+            try:
+                app.delete_destination(s_id)
+            except Exception as ex:
+                errors.append(f"{s_id}: {type(ex).__name__}: {ex}")
+                continue
             app._config_hashes.pop(s_id, None)
             deleted.append(s_id)
-    return {"put": sorted(put), "deleted": sorted(deleted)}
+    return {
+        "put": sorted(put),
+        "deleted": sorted(deleted),
+        "errors": sorted(errors),
+    }

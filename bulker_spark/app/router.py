@@ -40,6 +40,13 @@ from ..streaming.topics import make_topic_id, parse_topic_id
 MAX_BODY_BYTES = 20 * 1024 * 1024  # reference caps request bodies (gin default)
 
 
+class ForbiddenPathError(PermissionError):
+    """A runtime-supplied warehouse path violated allowed_warehouse_roots.
+    Distinct from a filesystem PermissionError (EACCES on a read-only
+    mount), which must keep mapping to 422 'destination unwritable' —
+    only the policy violation maps to 403."""
+
+
 @dataclass
 class Destination:
     """One configured destination (the repository entry the router looks
@@ -485,7 +492,7 @@ class BulkerApp:
         for root in self.allowed_warehouse_roots:
             if rp == root or rp.startswith(root + os.sep):
                 return
-        raise PermissionError(
+        raise ForbiddenPathError(
             f"warehouse_path {path!r} is outside the allowed roots"
         )
 
@@ -645,8 +652,12 @@ def _make_handler(app: BulkerApp):
                 return True
             header = self.headers.get("Authorization", "")
             token = header.removeprefix("Bearer ").strip()
+            # compare as bytes: compare_digest raises TypeError on
+            # non-ASCII str inputs, and this runs OUTSIDE the route try
+            # blocks — an exotic header must 401, not kill the request
             ok = any(
-                hmac.compare_digest(token, t) for t in app.auth_tokens
+                hmac.compare_digest(token.encode(), t.encode())
+                for t in app.auth_tokens
             )
             if not ok:
                 self._json(401, {"error": "unauthorized"})
@@ -799,7 +810,7 @@ def _make_handler(app: BulkerApp):
                     try:
                         info = app.test_connection(spec)
                         self._json(200, {"success": True, **info})
-                    except PermissionError as ex:
+                    except ForbiddenPathError as ex:
                         self._json(403, {"success": False, "error": str(ex)})
                     except (TypeError, ValueError, OSError) as ex:
                         self._json(
@@ -825,7 +836,7 @@ def _make_handler(app: BulkerApp):
                     self._json(404, {"error": f"no route {url.path}"})
             except KeyError as ex:
                 self._json(404, {"error": str(ex)})
-            except PermissionError as ex:
+            except ForbiddenPathError as ex:
                 self._json(403, {"error": str(ex)})
             except (json.JSONDecodeError, ValueError) as ex:
                 self._json(400, {"error": str(ex)})

@@ -434,11 +434,12 @@ def parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c", F.lit(_HITS_SCALE // n_cust).cast("long").alias("h")
     )
     auth = None
-    for _ in range(2):
+    for i in range(2):
         # persist each half-round: the normalization scalar and the next
         # hop both consume it — without pinning, every agg(total) re-runs
         # the whole upstream join chain (O(iters²) jobs instead of
-        # O(iters))
+        # O(iters)). Tiny aggregates (≤ nodes rows), session-scoped like
+        # every catalog persist.
         auth = (
             edges.join(hub, "c")
             .groupBy("p")
@@ -449,6 +450,8 @@ def parts_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         auth = auth.select(
             "p", F.expr(f"(a * {_HITS_SCALE}) div {ta}").alias("a")
         )
+        if i == 1:
+            break  # the readout is auth: a final hub update is dead work
         hub = (
             edges.join(auth, "p")
             .groupBy("c")

@@ -67,9 +67,16 @@ def bucket_expr(cols: list[str], n: int):
 
 def _tree_newest_mtime(path: str) -> float:
     """Newest mtime of any entry under ``path`` (inclusive). Used to age
-    staging dirs for vacuum: the dir's own mtime freezes at creation while
-    Spark keeps writing into nested _temporary subdirs."""
-    newest = os.path.getmtime(path)
+    uncommitted dirs for vacuum: the dir's own mtime freezes at creation
+    while Spark keeps writing into nested _temporary subdirs. A path that
+    vanishes mid-call (its writer just cleaned up) reads as brand-new, so
+    the caller skips it."""
+    import time as _time
+
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return _time.time()
     for root, dirs, files in os.walk(path):
         for entry in dirs + files:
             try:
@@ -841,11 +848,15 @@ class Warehouse:
         removed: list[str] = []
         for entry in os.listdir(d):
             p = os.path.join(d, entry)
+            # age by the NEWEST mtime in the tree for BOTH branches: an
+            # in-flight writer keeps producing files under the dir while
+            # the top-level mtime stays frozen at creation — top-level age
+            # alone would reclaim a long-running uncommitted write
             if (
                 entry.startswith("v_")
                 and entry not in known
                 and os.path.isdir(p)
-                and now - os.path.getmtime(p) >= min_age_seconds
+                and now - _tree_newest_mtime(p) >= min_age_seconds
             ):
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(entry)

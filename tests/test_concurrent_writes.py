@@ -509,3 +509,24 @@ def test_append_rebases_meta_on_tail_commit(spark, roots):
     assert final.timestamp_column == "v"  # a's change survived b's append
     assert "extra" in final.columns  # b's schema evolution survived too
     assert a.read("t").count() == 2
+
+
+def test_vacuum_ages_inflight_version_dirs_by_tree_mtime(spark, roots):
+    """An uncommitted v_* dir an active writer is still filling must
+    survive vacuum even when the top-level dir mtime is old — same
+    frozen-mtime mechanism as the staging-dir case."""
+    import os
+    import time
+
+    wh = Warehouse(spark, roots)
+    wh.create_or_replace("t", _df(spark, [(1, "a")]), pk=["pk"])
+    vdir = os.path.join(wh._table_dir("t"), "v_inflight00000000000000000000")
+    nested = os.path.join(vdir, "_temporary", "0")
+    os.makedirs(nested)
+    old = time.time() - 86400
+    os.utime(vdir, (old, old))
+    os.utime(os.path.join(vdir, "_temporary"), (old, old))
+    with open(os.path.join(nested, "part-0000.parquet"), "w") as fh:
+        fh.write("x")  # fresh: the writer is alive
+    assert wh.vacuum("t", min_age_seconds=3600) == []
+    assert os.path.isdir(vdir)

@@ -139,18 +139,18 @@ def test_sync_app_put_update_delete(spark, tmp_path):
     )
     src = FileConfigurationSource(str(p))
     res = sync_app(app, src)
-    assert res == {"put": ["d1", "d2"], "deleted": []}
+    assert res == {"put": ["d1", "d2"], "deleted": [], "errors": []}
     assert set(app.destinations) == {"d1", "d2"}
 
     # steady state: nothing reapplied
-    assert sync_app(app, src) == {"put": [], "deleted": []}
+    assert sync_app(app, src) == {"put": [], "deleted": [], "errors": []}
 
     # change one, drop one
     p.write_text(
         json.dumps([_spec("d1", str(tmp_path / "wh1"), namespace="n2")])
     )
     res = sync_app(app, src)
-    assert res == {"put": ["d1"], "deleted": ["d2"]}
+    assert res == {"put": ["d1"], "deleted": ["d2"], "errors": []}
     assert app.destinations["d1"].namespace == "n2"
     assert "d2" not in app.destinations
 
@@ -168,3 +168,38 @@ def test_env_source_skips_non_object_json(monkeypatch, tmp_path):
     src = EnvConfigurationSource()
     assert [s["destination_id"] for s in src.load()] == ["ok"]
     assert src.changed() is True  # hashing still works
+
+
+def test_sync_app_isolates_bad_specs(spark, tmp_path):
+    """One rejected spec (warehouse_path outside the allowed roots) must
+    not halt the reconcile tick: good specs still apply, the bad one is
+    reported under "errors" and retried next tick."""
+    from bulker_spark.app import BulkerApp
+
+    ok_root = tmp_path / "roots"
+    app = BulkerApp(
+        spark,
+        str(tmp_path / "topics"),
+        [],
+        allowed_warehouse_roots=[str(ok_root)],
+    )
+    p = tmp_path / "specs.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"destination_id": "bad", "warehouse_path": "/etc/evil"},
+                {
+                    "destination_id": "good",
+                    "warehouse_path": str(ok_root / "good"),
+                },
+            ]
+        )
+    )
+    src = FileConfigurationSource(str(p))
+    res = sync_app(app, src)
+    assert res["put"] == ["good"]
+    assert len(res["errors"]) == 1 and "bad" in res["errors"][0]
+    assert "good" in app.destinations and "bad" not in app.destinations
+    # the bad spec's hash was not stored: it is re-attempted each tick
+    res2 = sync_app(app, src)
+    assert res2["put"] == [] and len(res2["errors"]) == 1

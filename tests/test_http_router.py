@@ -692,3 +692,28 @@ def test_allowed_roots_gate_test_and_config_paths(spark):
         server.shutdown()
         for d in (wh_root, topics, outside):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_non_ascii_auth_header_gets_401_not_crash(spark):
+    """A non-ASCII bearer token must produce a clean 401 (compare_digest
+    rejects non-ASCII str inputs with TypeError, which would otherwise
+    escape the route handlers and drop the connection)."""
+    wh = tempfile.mkdtemp(prefix="router_na_wh_")
+    topics = tempfile.mkdtemp(prefix="router_na_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("n1", wh)], auth_tokens=["s3cret"]
+    )
+    server = serve(app)
+    host, port = server.server_address
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/config",
+            headers={"Authorization": "Bearer ñoño"},
+        )
+        with pytest.raises(HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 401
+    finally:
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

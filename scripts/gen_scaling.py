@@ -18,7 +18,7 @@ SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
 def run_bench(sf: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}")
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
@@ -26,8 +26,10 @@ def run_bench(sf: str) -> dict:
         timeout=2400,
         check=True,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # the stdout line is trimmed to fit the driver's tail buffer; the
+    # complete per-query record lands in BENCH_FULL.json
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+        return json.load(fh)
 
 
 def main() -> None:

@@ -514,3 +514,52 @@ def test_mixture_temperature_constant_tail(spark):
     assert audit.has_partial_aggregate(df), plan
     assert "Join" not in plan
     assert audit.pruned_to(df, 2), audit.read_schemas(df)  # lang, text
+
+
+def test_pq_codebook_broadcasts_not_shuffles(spark):
+    """The PQ codebook (K×M rows) must broadcast against the corpus: a
+    shuffle here would reshuffle every subvector per centroid at scale."""
+    from bulker_spark.plans.analytics7 import emb_pq_codebooks
+
+    df = emb_pq_codebooks(spark, SF)
+    assert audit.broadcast_join_count(df) >= 1, audit.explain_str(
+        df, "simple"
+    )
+    assert audit.sortmerge_join_count(df) == 0, audit.explain_str(
+        df, "simple"
+    )
+
+
+def test_pq_adc_distance_table_broadcasts(spark):
+    """ADC search: the query×codebook distance table rides a broadcast
+    lookup join; the candidate side must never shuffle to meet it."""
+    from bulker_spark.plans.analytics7 import emb_pq_adc_topk
+
+    df = emb_pq_adc_topk(spark, SF)
+    assert audit.broadcast_join_count(df) >= 2, audit.explain_str(
+        df, "simple"
+    )
+    assert audit.sortmerge_join_count(df) == 0, audit.explain_str(
+        df, "simple"
+    )
+
+
+def test_contamination_scan_prunes_to_text(spark):
+    """The shingle pass reads only (doc_id, text); partial aggregation
+    runs before the per-doc shuffle."""
+    from bulker_spark.plans.analytics7 import doc_contamination
+
+    df = doc_contamination(spark, SF)
+    assert audit.pruned_to(df, 2), audit.read_schemas(df)
+    assert audit.has_partial_aggregate(df), audit.explain_str(df, "simple")
+
+
+def test_length_deciles_single_keyed_sort(spark):
+    """Exact quantiles: one language-keyed exchange feeds both windows
+    and the final agg — no join, no extra shuffle."""
+    from bulker_spark.plans.analytics7 import doc_length_deciles
+
+    df = doc_length_deciles(spark, SF)
+    plan = audit.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert audit.pruned_to(df, 3), audit.read_schemas(df)

@@ -127,7 +127,15 @@ class Warehouse:
           version dir still referenced by a retained commit. The only
           remaining store requirements are Iceberg's own: atomic PUT
           (commit claim = conditional PUT / If-None-Match, emulated
-          locally by tmp-write + ``os.link``) and LIST."""
+          locally by tmp-write + ``os.link``) and LIST.
+
+        The modes are observationally equivalent for every read surface
+        within the retention window (pinned by
+        ``tests/test_link_mode_equivalence.py``'s random-op property).
+        BEYOND the window, snapshot availability is best-effort and may
+        differ: manifest references keep an old version dir alive as
+        long as any retained commit points into it, while hardlink mode
+        keeps the bytes (inodes) but not the old dir name."""
         self.spark = spark
         self.root = root
         self.namespace = namespace

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "doc_length_deciles",
     "parts_hits",
     "doc_dedup_clusters",
+    "emb_pq_ivf_adc",
 ]
 
 
@@ -469,6 +470,7 @@ STDOUT_PRIORITY = [
     "mm_image_metadata", "events_dau_wau", "doc_unigram_logprob",
     "flatten_json_events", "dedup_last_wins", "events_asof_last_order",
     "doc_dedup_clusters", "emb_pq_codebooks", "emb_pq_adc_topk",
+    "emb_pq_ivf_adc",
     "doc_contamination", "doc_length_deciles", "parts_hits",
     "trickle_merge_1m_manifest",
 ]

@@ -248,6 +248,137 @@ QUALIFY rank <= 3
 """
 
 
+_IVF_PROBE = 4  # cells probed per query (of _PQ_K coarse cells)
+
+
+def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ADC — the FAISS IVF+PQ layout, and the scale answer to
+    ``emb_pq_adc_topk``'s exhaustive pair enumeration: database vectors
+    are bucketed by their nearest coarse centroid (full-vector L2, same
+    deterministic 16-vector codebook), each query probes only its
+    ``_IVF_PROBE`` nearest cells, and ADC runs over the probed candidates
+    alone — pair count drops by the probe fraction (4/16 here; tunable
+    independently of corpus size). Non-residual PQ codes (IVFADC's
+    residual-encoding refinement changes the codes, not the plan shape).
+
+    Scale shape: coarse centroids and the query probe table broadcast;
+    cell assignment is a map-side argmin over the scan; the candidate
+    join keys on the cell id, so the corpus never shuffles — only probed
+    (query, candidate) rows flow into the top-k."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cc = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    # full-vector distance to every coarse centroid (broadcast), argmin
+    cd = e.join(F.broadcast(cc)).select(
+        "vec_id", "cell", _pq_dist_milli("v", "cv").alias("dmilli")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dmilli", "cell")
+    ranked = cd.withColumn("__rn", F.row_number().over(w_cell))
+    cells = ranked.filter(
+        (F.col("__rn") == 1) & (F.col("vec_id") % _PQ_QMOD != 0)
+    ).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("__rn") <= _IVF_PROBE) & (F.col("vec_id") % _PQ_QMOD == 0)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    subs = _pq_subvectors(spark, sf_dir)
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    q = subs.filter(F.col("vec_id") % _PQ_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    dtable = q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("cid").alias("code"),
+        _pq_dist_milli("qv", "cv").alias("qd_milli"),
+    )
+    cand = cells.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id"
+    )
+    codes = _pq_codes(spark, sf_dir)
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_milli", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adc_milli", "rank")
+    )
+
+
+EMB_PQ_IVF_ADC_SQL = f"""
+WITH {_PQ_CODES_DUCK},
+fx AS (
+  SELECT vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(generate_series(1, {_PQ_M * _PQ_DIM})) AS i
+  FROM embeddings
+),
+ccx AS (SELECT vec_id AS cell, x AS cx, i FROM fx WHERE vec_id < {_PQ_K}),
+cd AS (
+  SELECT f.vec_id, c.cell,
+         CAST(ROUND(1000 * SUM((f.x - c.cx) * (f.x - c.cx))) AS BIGINT)
+           AS dmilli
+  FROM fx f JOIN ccx c ON f.i = c.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cell, dmilli,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY dmilli, cell
+         ) AS rn
+  FROM cd
+),
+cells AS (
+  SELECT vec_id, cell FROM ranked
+  WHERE rn = 1 AND vec_id % {_PQ_QMOD} <> 0
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE rn <= {_IVF_PROBE} AND vec_id % {_PQ_QMOD} = 0
+),
+qx AS (
+  SELECT vec_id AS query_id, m, x AS qx, i
+  FROM subx WHERE vec_id % {_PQ_QMOD} = 0
+),
+dtable AS (
+  SELECT q.query_id, q.m, c.cid AS code,
+         CAST(ROUND(1000 * SUM((q.qx - c.cx) * (q.qx - c.cx))) AS BIGINT)
+           AS qd_milli
+  FROM qx q JOIN cbx c ON q.m = c.m AND q.i = c.i
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT p.query_id, c.vec_id
+  FROM cells c JOIN probes p ON c.cell = p.cell
+),
+adc AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(d.qd_milli) AS BIGINT) AS adc_milli
+  FROM codes k
+  JOIN cand ON k.vec_id = cand.vec_id
+  JOIN dtable d ON d.query_id = cand.query_id
+       AND k.m = d.m AND k.code = d.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_milli,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_milli, neighbor_id
+       ) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= 3
+"""
+
+
 # ==========================================================================
 # Benchmark-contamination scan (eval-vs-train 8-gram overlap)
 # ==========================================================================
@@ -626,4 +757,5 @@ EXTRA_QUERIES7: dict[str, tuple] = {
     "doc_length_deciles": (doc_length_deciles, DOC_LENGTH_DECILES_SQL),
     "parts_hits": (parts_hits, PARTS_HITS_SQL),
     "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
+    "emb_pq_ivf_adc": (emb_pq_ivf_adc, EMB_PQ_IVF_ADC_SQL),
 }

@@ -65,6 +65,90 @@ def bucket_expr(cols: list[str], n: int):
     )
 
 
+def _collect_file_stats(
+    paths: list[str], max_cols: int = 16
+) -> dict[str, dict[str, list]]:
+    """Per-file column min/max from parquet footers, keyed by BASENAME
+    (part names carry the write job's UUID, so basenames are unique and
+    survive the plain↔reference manifest-entry respelling of partial
+    rewrites). Values are JSON-serializable (timestamps → ISO strings);
+    columns without usable stats are simply absent — readers treat a
+    missing stat as "may match".
+
+    Driver-side footer reads: O(new files) per commit, never O(rows). In
+    a cluster deployment this aggregation would ride the executor-side
+    writers (Iceberg collects stats in its write tasks); the commit-log
+    format is the same either way."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        return {}
+    out: dict[str, dict[str, list]] = {}
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            continue
+        cols: dict[str, list] = {}
+        schema = md.schema
+        for ci in range(min(md.num_columns, max_cols)):
+            name = schema.column(ci).name
+            if "." in schema.column(ci).path:  # nested leaf — top level only
+                continue
+            lo = hi = None
+            ok = True
+            for ri in range(md.num_row_groups):
+                st = md.row_group(ri).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if not ok or lo is None:
+                continue
+            if isinstance(lo, bytes):
+                continue
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            cols[name] = [lo, hi]
+        if cols:
+            out[os.path.basename(p)] = cols
+    return out
+
+
+def _stats_admit(
+    stats: dict[str, dict[str, list]] | None, basename: str, prune: dict
+) -> bool:
+    """May the file contain rows matching every ``{col: (lo, hi)}`` bound?
+    Missing stats (old commits, unstatted columns) always admit — pruning
+    is an optimization, never a correctness filter."""
+    if not stats:
+        return True
+    cols = stats.get(basename)
+    if not cols:
+        return True
+    for col, (lo, hi) in prune.items():
+        s = cols.get(col)
+        if s is None:
+            continue
+        fmin, fmax = s
+        if hasattr(lo, "isoformat"):
+            lo = lo.isoformat()
+        if hasattr(hi, "isoformat"):
+            hi = hi.isoformat()
+        try:
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                return False
+        except TypeError:  # cross-type comparison — admit
+            continue
+    return True
+
+
 def _tree_newest_mtime(path: str) -> float:
     """Newest mtime of any entry under ``path`` (inclusive). Used to age
     uncommitted dirs for vacuum: the dir's own mtime freezes at creation
@@ -143,6 +227,10 @@ class Warehouse:
         if link_mode not in ("hardlink", "manifest"):
             raise ValueError(f"unknown link_mode {link_mode!r}")
         self.link_mode = link_mode
+        # per-file column min/max recorded in every commit entry
+        # (file_stats) → manifest-level data skipping via read(prune=...);
+        # see _collect_file_stats. Off = commits skip footer reads.
+        self.collect_stats = True
         os.makedirs(root, exist_ok=True)
         # driver-side schema cache (table_helper.go:30-62)
         self._meta_cache: dict[str, TableMeta] = {}
@@ -273,6 +361,7 @@ class Warehouse:
         )
         attempts = 1 if expected_commit is not None else 5
         committed = False
+        stats_cache: dict[str, dict] = {}  # footer reads once across retries
         for i in range(attempts):
             cur = (
                 expected_commit
@@ -325,6 +414,29 @@ class Warehouse:
                                 meta, fld.name, getattr(tail_meta, fld.name)
                             )
                     meta.columns = {**tail_meta.columns, **novel}
+            # per-file min/max stats for the committed manifest: carried
+            # forward from the tail by BASENAME (appends/partial rewrites
+            # read footers only for their NEW files), computed fresh for
+            # anything unseen. Keys absent from the manifest are dropped.
+            file_stats: dict[str, dict] = {}
+            if self.collect_stats and manifest is not None:
+                if files_delta is not None and cur > 0:
+                    file_stats = dict(tail.get("file_stats", {}))
+                vdir_cur = os.path.join(d, meta.version)
+                want = {os.path.basename(f): f for f in manifest}
+                missing = [
+                    os.path.normpath(os.path.join(vdir_cur, rel))
+                    for bn, rel in want.items()
+                    if bn not in file_stats and bn not in stats_cache
+                ]
+                if missing:
+                    stats_cache.update(_collect_file_stats(missing))
+                file_stats.update(
+                    {bn: stats_cache[bn] for bn in want if bn in stats_cache}
+                )
+                file_stats = {
+                    bn: s for bn, s in file_stats.items() if bn in want
+                }
             tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 _json.dump(
@@ -334,6 +446,7 @@ class Warehouse:
                         "op": op,
                         "meta": meta.to_json(),
                         "files": manifest,
+                        "file_stats": file_stats,
                     },
                     fh,
                 )
@@ -460,8 +573,18 @@ class Warehouse:
         namespace: str | None = None,
         version: str | None = None,
         _raw: bool = False,
+        prune: dict | None = None,
     ) -> DataFrame:
+        """``prune={col: (lo, hi)}`` drops manifest files whose committed
+        footer stats prove no row can match — Iceberg-style data skipping
+        at PLANNING time: pruned files are never listed, opened, or
+        scheduled (at 100 TB on an object store that is the difference
+        between O(matching files) and O(all files) GETs before Spark's
+        own row-group pruning even starts). Advisory only: files without
+        stats are kept, and the caller still applies the real filter —
+        pass ``None`` for an unbounded side."""
         snapshot_files: list[str] | None = None
+        prune_stats: dict | None = None
         if version is None:
             # manifest-driven read: the committed file LIST (log tail), not
             # the directory, is the table state — a concurrent appender's
@@ -480,6 +603,16 @@ class Warehouse:
                     os.path.normpath(os.path.join(vdir_cur, f))
                     for f in manifest
                 ]
+                if prune is not None:
+                    base = self._last_commit_id(name, namespace)
+                    if base:
+                        tail_path = os.path.join(
+                            self._table_dir(name, namespace),
+                            LOG_DIR,
+                            f"{base:012d}.json",
+                        )
+                        with open(tail_path) as fh:
+                            prune_stats = _json.load(fh).get("file_stats")
         else:
             # time travel: schema AND file manifest come from the commit-log
             # snapshot (columns may have evolved and appends may have added
@@ -499,6 +632,21 @@ class Warehouse:
                     f"snapshot {version!r} of {name} was garbage-collected "
                     f"(retain_versions={self.retain_versions})"
                 )
+            if prune is not None:
+                prune_stats = entry.get("file_stats")
+        if prune is not None and meta.write_mode == "mor":
+            # last-wins reconcile must see EVERY delta holding a PK;
+            # skipping a file could resurrect a superseded row
+            raise ValueError(
+                f"prune is undefined on merge-on-read table {name}; "
+                f"compact() first or read unpruned"
+            )
+        if prune is not None and snapshot_files is not None and prune_stats:
+            snapshot_files = [
+                p
+                for p in snapshot_files
+                if _stats_admit(prune_stats, os.path.basename(p), prune)
+            ]
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         # Explicit meta-driven schema: enforces first-seen column order and
         # null-fills columns absent from older files (schema evolution)

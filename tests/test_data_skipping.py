@@ -1,0 +1,166 @@
+"""Manifest-level data skipping: per-file column min/max recorded in
+every commit entry (``file_stats``), consumed by ``read(prune=...)`` —
+files whose stats prove no match are never opened or scheduled. The
+Iceberg planning-time pruning layer on the dependency-free warehouse;
+reference scope: none (jitsucom/bulker has no table format)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulker_spark.sinks.warehouse import Warehouse, _stats_admit
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"), retain_versions=3)
+
+
+def _clustered(spark, wh, n=10_000, files=8):
+    """A table whose files cover disjoint pk ranges (range-clustered),
+    so stats pruning has something to bite on."""
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 7).alias("grp"),
+            F.col("id").cast("double").alias("val"),
+        )
+        .repartitionByRange(files, "pk")
+        .sortWithinPartitions("pk")
+    )
+    wh.create_or_replace("t", df, pk=["pk"])
+    return df
+
+
+def test_commit_records_file_stats(spark, wh):
+    _clustered(spark, wh)
+    entry = wh._read_log("t")[-1]
+    stats = entry["file_stats"]
+    assert stats, "commit must carry file_stats"
+    assert set(entry["files"]) == {k for k in stats} | (
+        set(entry["files"]) - set(stats)
+    )
+    some = next(iter(stats.values()))
+    assert "pk" in some and some["pk"][0] <= some["pk"][1]
+
+
+def test_prune_reads_fewer_files_same_rows(spark, wh):
+    _clustered(spark, wh)
+    full = wh.read("t")
+    pruned = wh.read("t", prune={"pk": (100, 200)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(
+        r["pk"]
+        for r in pruned.filter(
+            (F.col("pk") >= 100) & (F.col("pk") <= 200)
+        ).collect()
+    )
+    assert got == list(range(100, 201))
+
+
+def test_prune_is_advisory_never_loses_matches(spark, wh):
+    _clustered(spark, wh)
+    # a one-sided bound (None = unbounded)
+    pruned = wh.read("t", prune={"pk": (9_900, None)})
+    got = {r["pk"] for r in pruned.filter(F.col("pk") >= 9_900).collect()}
+    assert got == set(range(9_900, 10_000))
+
+
+def test_stats_survive_append_and_partial_rewrite(spark, wh):
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.col("id").cast("double").alias("val"),
+        )
+    )
+    wh.create_or_replace("t", df, pk=["pk"], partition_by=["p"])
+    wh.append(
+        "t",
+        spark.range(1000, 2000).select(
+            F.col("id").alias("pk"),
+            F.lit("0").alias("p"),
+            F.col("id").cast("double").alias("val"),
+        ),
+    )
+    wh.replace_partition(
+        "t",
+        spark.range(5000, 5100).select(
+            F.col("id").alias("pk"),
+            F.lit("1").alias("p"),
+            F.col("id").cast("double").alias("val"),
+        ),
+        partition_column="p",
+    )
+    entry = wh._read_log("t")[-1]
+    stats = entry["file_stats"]
+    import os
+
+    covered = {os.path.basename(f) for f in entry["files"]} & set(stats)
+    assert covered == {os.path.basename(f) for f in entry["files"]}
+    # pruning still correct after the rewrite
+    pruned = wh.read("t", prune={"pk": (5000, 6000)})
+    got = {r["pk"] for r in pruned.filter(F.col("pk") >= 5000).collect()}
+    assert got == set(range(5000, 5100))
+    assert len(pruned.inputFiles()) < len(wh.read("t").inputFiles())
+
+
+def test_stats_in_manifest_link_mode(spark, tmp_path):
+    wh = Warehouse(
+        spark, str(tmp_path / "whm"), retain_versions=3,
+        link_mode="manifest",
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "pk long, p string, val double"
+    )
+    wh.create_or_replace("t", df, pk=["pk"], partition_by=["p"])
+    wh.replace_partition(
+        "t",
+        spark.createDataFrame([(9, "b", 9.0)], "pk long, p string, val double"),
+        partition_column="p",
+    )
+    # kept file is a ../v_x/ reference; its stats rode along by basename
+    import os
+
+    entry = wh._read_log("t")[-1]
+    refs = [f for f in entry["files"] if f.startswith("../")]
+    assert refs
+    assert all(os.path.basename(r) in entry["file_stats"] for r in refs)
+    pruned = wh.read("t", prune={"pk": (9, 9)})
+    assert {r["pk"] for r in pruned.collect()} == {9}
+
+
+def test_prune_rejected_on_mor(spark, wh):
+    df = spark.createDataFrame([(1, "x")], "pk long, v string")
+    wh.create_or_replace("t", df, pk=["pk"], merge_on_read=True)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        wh.read("t", prune={"pk": (0, 1)})
+
+
+def test_time_travel_prunes_from_its_own_entry(spark, wh):
+    _clustered(spark, wh)
+    c1 = wh._last_commit_id("t")
+    wh.append(
+        "t",
+        spark.range(50_000, 50_010).select(
+            F.col("pk") if False else F.col("id").alias("pk"),
+            (F.col("id") % 7).alias("grp"),
+            F.col("id").cast("double").alias("val"),
+        ),
+    )
+    old = wh.read("t", version=c1, prune={"pk": (0, 10)})
+    assert len(old.inputFiles()) < 8
+    assert old.filter(F.col("pk") <= 10).count() == 11
+
+
+def test_stats_admit_semantics():
+    stats = {"f1": {"pk": [100, 200]}}
+    assert _stats_admit(stats, "f1", {"pk": (150, 160)})
+    assert not _stats_admit(stats, "f1", {"pk": (201, 300)})
+    assert not _stats_admit(stats, "f1", {"pk": (0, 99)})
+    assert _stats_admit(stats, "f1", {"pk": (None, 100)})
+    assert _stats_admit(stats, "f1", {"pk": (200, None)})
+    assert _stats_admit(stats, "unknown_file", {"pk": (0, 1)})
+    assert _stats_admit(stats, "f1", {"unstatted_col": (0, 1)})
+    assert _stats_admit(None, "f1", {"pk": (0, 1)})

@@ -304,11 +304,21 @@ class BulkerApp:
         """Events-log range read (``router.go:484-571``): newest-first
         rows of a warehouse table bounded by a timestamp range, a
         ``beforeId`` cursor, and a limit — all filters ride the parquet
-        scan (footer min/max pruning at scale)."""
+        scan (footer min/max pruning at scale), and the ts/beforeId
+        bounds additionally prune the file MANIFEST from committed
+        footer stats, so out-of-range files are never even listed."""
         from pyspark.sql import functions as F
 
         eng = self.engine_for(destination_id)
-        df = eng.warehouse.read(table)
+        prune: dict[str, tuple] = {}
+        if ts_col and (start is not None or end is not None):
+            prune[ts_col] = (start, end)
+        if id_col and before_id is not None:
+            prune[id_col] = (None, before_id)
+        meta = eng.warehouse.get_meta(table)
+        if not prune or meta is None or meta.write_mode == "mor":
+            prune = None
+        df = eng.warehouse.read(table, prune=prune)
         order = []
         if ts_col:
             if start is not None:

@@ -83,6 +83,56 @@ class WhenConditions:
         joiner = " AND " if self.join_with == "and" else " OR "
         return joiner.join(parts), params
 
+    def prune_bounds(self) -> dict[str, tuple]:
+        """Column bounds ``{col: (lo, hi)}`` implied by this predicate,
+        for manifest-level data skipping (``Warehouse.read(prune=...)``).
+
+        Sound because a file may be skipped when ANY single AND-joined
+        conjunct alone proves no row can match — so each range/equality
+        clause contributes its bound regardless of its neighbours (which
+        still run as real filters). NULL rows never satisfy a range
+        clause, so null-blind parquet min/max stats stay sufficient.
+        OR-joined predicates and non-range clauses (!=, LIKE, IS NULL)
+        contribute nothing; ``<``/``>`` are widened to inclusive bounds.
+        Pruning is advisory — an empty dict just means "scan everything".
+        """
+        if self.join_with != "and":
+            return {}
+        def cat(v):
+            if isinstance(v, (int, float)):  # bool is an int subclass
+                return "num"
+            return "str" if isinstance(v, str) else "time"
+
+        bounds: dict[str, list] = {}
+        cats: dict[str, str] = {}
+        poisoned: set[str] = set()
+        for c in self.conditions:
+            if c.clause not in ("=", "<", "<=", ">", ">="):
+                continue
+            v = c.value
+            if c.field in poisoned or not (
+                isinstance(v, (int, float, str, bool))
+                or hasattr(v, "isoformat")
+            ):
+                continue
+            if cats.setdefault(c.field, cat(v)) != cat(v):
+                # mixed-type clauses on one column — give up on it
+                bounds.pop(c.field, None)
+                poisoned.add(c.field)
+                continue
+            lo = v if c.clause in ("=", ">", ">=") else None
+            hi = v if c.clause in ("=", "<", "<=") else None
+            cur = bounds.setdefault(c.field, [None, None])
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        return {
+            col: (lo, hi)
+            for col, (lo, hi) in bounds.items()
+            if lo is not None or hi is not None
+        }
+
 
 def partition_id_condition(partition_id: str) -> WhenConditions:
     """The replace_partition delete predicate (delete_condition.go:50-61)."""

@@ -2136,23 +2136,42 @@ class Warehouse:
         self._meta_cache.pop(f"{namespace or self.namespace}.{name}", None)
         shutil.rmtree(self._table_dir(name, namespace), ignore_errors=True)
 
-    def count(self, name: str, where: str | None = None, namespace: str | None = None) -> int:
-        df = self.read(name, namespace)
-        if where:
+    def _filtered_read(self, name, where, namespace) -> DataFrame:
+        """Shared count/select scan. A ``WhenConditions`` predicate (the
+        reference's delete/select surface) additionally prunes manifest
+        files by its implied column bounds — planning-time data skipping
+        with zero caller opt-in. String predicates just filter. MoR
+        tables never prune (read(prune=) is undefined there)."""
+        from ..operators.filters import WhenConditions
+
+        prune = None
+        if isinstance(where, WhenConditions):
+            bounds = where.prune_bounds()
+            meta = self.get_meta(name, namespace)
+            if bounds and meta is not None and meta.write_mode != "mor":
+                prune = bounds
+        df = self.read(name, namespace, prune=prune)
+        if isinstance(where, WhenConditions):
+            if not where.is_empty():
+                df = df.filter(where.to_column())
+        elif where:
             df = df.filter(where)
-        return df.count()
+        return df
+
+    def count(self, name: str, where=None, namespace: str | None = None) -> int:
+        """``where``: SQL string or ``WhenConditions`` (prunes files)."""
+        return self._filtered_read(name, where, namespace).count()
 
     def select(
         self,
         name: str,
-        where: str | None = None,
+        where=None,
         order_by: list[str] | None = None,
         limit: int | None = None,
         namespace: str | None = None,
     ) -> DataFrame:
-        df = self.read(name, namespace)
-        if where:
-            df = df.filter(where)
+        """``where``: SQL string or ``WhenConditions`` (prunes files)."""
+        df = self._filtered_read(name, where, namespace)
         if order_by:
             df = df.orderBy(*order_by)
         if limit is not None:

@@ -154,6 +154,76 @@ def test_time_travel_prunes_from_its_own_entry(spark, wh):
     assert old.filter(F.col("pk") <= 10).count() == 11
 
 
+def test_when_conditions_prune_bounds():
+    from bulker_spark.operators.filters import WhenConditions
+
+    wc = WhenConditions().add("a", ">=", 10).add("a", "<", 20).add("b", "=", 5)
+    assert wc.prune_bounds() == {"a": (10, 20), "b": (5, 5)}
+    # non-range clauses contribute nothing but don't block neighbours
+    wc = WhenConditions().add("a", ">", 1).add("a", "is not null").add("b", "like", "x%")
+    assert wc.prune_bounds() == {"a": (1, None)}
+    # OR disjunction: a file must be skippable under EVERY disjunct — punt
+    assert WhenConditions(join_with="or").add("a", "=", 1).add("b", "=", 2).prune_bounds() == {}
+    # mixed-type clauses on one column poison it permanently
+    wc = WhenConditions().add("a", ">=", 10).add("a", "<=", "zz").add("a", ">", 3)
+    assert wc.prune_bounds() == {}
+    # non-scalar values contribute nothing
+    assert WhenConditions().add("a", "=", [1, 2]).prune_bounds() == {}
+
+
+def test_select_with_conditions_prunes_files(spark, wh):
+    from bulker_spark.operators.filters import WhenConditions
+
+    _clustered(spark, wh)
+    wc = WhenConditions().add("pk", ">=", 100).add("pk", "<=", 200)
+    df = wh.select("t", where=wc)
+    assert len(df.inputFiles()) < len(wh.read("t").inputFiles())
+    assert sorted(r["pk"] for r in df.collect()) == list(range(100, 201))
+    assert wh.count("t", where=wc) == 101
+    # OR predicate: no pruning, still correct
+    wc_or = WhenConditions(join_with="or").add("pk", "=", 5).add("pk", "=", 9999)
+    df_or = wh.select("t", where=wc_or)
+    assert len(df_or.inputFiles()) == len(wh.read("t").inputFiles())
+    assert {r["pk"] for r in df_or.collect()} == {5, 9999}
+
+
+def test_count_conditions_on_mor_does_not_raise(spark, wh):
+    from bulker_spark.operators.filters import WhenConditions
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "pk long, v long")
+    wh.create_or_replace("t", df, pk=["pk"], merge_on_read=True)
+    wc = WhenConditions().add("pk", ">=", 2)
+    assert wh.count("t", where=wc) == 1  # silently unpruned
+
+
+def test_log_range_passes_prune(spark, tmp_path, monkeypatch):
+    from bulker_spark.app import BulkerApp, Destination
+
+    app = BulkerApp(
+        spark, str(tmp_path / "topics"),
+        [Destination("d1", str(tmp_path / "wh"), options={})],
+    )
+    eng = app.engine_for("d1")
+    eng.warehouse.create_or_replace(
+        "ev",
+        spark.range(100).select(
+            F.col("id").alias("eid"), F.col("id").cast("double").alias("v")
+        ).repartitionByRange(4, "eid"),
+        pk=["eid"],
+    )
+    seen = {}
+    orig = eng.warehouse.read
+
+    def spy(name, *a, **kw):
+        seen["prune"] = kw.get("prune")
+        return orig(name, *a, **kw)
+
+    monkeypatch.setattr(eng.warehouse, "read", spy)
+    rows = app.log_range("d1", "ev", id_col="eid", before_id=10, limit=5)
+    assert seen["prune"] == {"eid": (None, 10)}
+    assert [r["eid"] for r in rows] == [9, 8, 7, 6, 5]
+
+
 def test_stats_admit_semantics():
     stats = {"f1": {"pk": [100, 200]}}
     assert _stats_admit(stats, "f1", {"pk": (150, 160)})

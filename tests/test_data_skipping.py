@@ -224,6 +224,28 @@ def test_log_range_passes_prune(spark, tmp_path, monkeypatch):
     assert [r["eid"] for r in rows] == [9, 8, 7, 6, 5]
 
 
+def test_zorder_compact_then_prune_both_columns(spark, wh):
+    """compact(zorder_by=[x, y]) + manifest stats = multi-column file
+    skipping: a tight box on EITHER clustered column drops files."""
+    df = spark.range(40_000).selectExpr(
+        "id AS pk",
+        "CAST(pmod(hash(id), 10000) AS DOUBLE) AS x",
+        "CAST(pmod(hash(id + 77), 10000) AS DOUBLE) AS y",
+    )
+    wh.create_or_replace("t", df, pk=["pk"])
+    wh.compact("t", target_file_bytes=32 * 1024, zorder_by=["x", "y"])
+    entry = wh._read_log("t")[-1]
+    assert entry["file_stats"], "compact commit must carry file_stats"
+    nfull = len(wh.read("t").inputFiles())
+    assert nfull > 4
+    for col in ("x", "y"):
+        pruned = wh.read("t", prune={col: (0.0, 500.0)})
+        assert len(pruned.inputFiles()) < nfull, col
+        got = pruned.filter(F.col(col) <= 500.0).count()
+        want = wh.read("t").filter(F.col(col) <= 500.0).count()
+        assert got == want
+
+
 def test_stats_admit_semantics():
     stats = {"f1": {"pk": [100, 200]}}
     assert _stats_admit(stats, "f1", {"pk": (150, 160)})

@@ -67,13 +67,14 @@ def bucket_expr(cols: list[str], n: int):
 
 def _collect_file_stats(
     paths: list[str], max_cols: int = 16
-) -> dict[str, dict[str, list]]:
-    """Per-file column min/max from parquet footers, keyed by BASENAME
-    (part names carry the write job's UUID, so basenames are unique and
-    survive the plain↔reference manifest-entry respelling of partial
-    rewrites). Values are JSON-serializable (timestamps → ISO strings);
-    columns without usable stats are simply absent — readers treat a
-    missing stat as "may match".
+) -> dict[str, dict]:
+    """Per-file ``{"rows": n, "cols": {col: [min, max]}}`` from parquet
+    footers, keyed by BASENAME (part names carry the write job's UUID, so
+    basenames are unique and survive the plain↔reference manifest-entry
+    respelling of partial rewrites). Values are JSON-serializable
+    (timestamps → ISO strings); columns without usable stats are simply
+    absent — readers treat a missing stat as "may match". ``rows`` feeds
+    metadata-only counts (``Warehouse.count`` with no predicate).
 
     Driver-side footer reads: O(new files) per commit, never O(rows). In
     a cluster deployment this aggregation would ride the executor-side
@@ -83,7 +84,7 @@ def _collect_file_stats(
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover — pyarrow ships with pyspark
         return {}
-    out: dict[str, dict[str, list]] = {}
+    out: dict[str, dict] = {}
     for p in paths:
         try:
             md = pq.ParquetFile(p).metadata
@@ -114,20 +115,19 @@ def _collect_file_stats(
             if not isinstance(lo, (int, float, str, bool)):
                 continue
             cols[name] = [lo, hi]
-        if cols:
-            out[os.path.basename(p)] = cols
+        out[os.path.basename(p)] = {"rows": md.num_rows, "cols": cols}
     return out
 
 
 def _stats_admit(
-    stats: dict[str, dict[str, list]] | None, basename: str, prune: dict
+    stats: dict[str, dict] | None, basename: str, prune: dict
 ) -> bool:
     """May the file contain rows matching every ``{col: (lo, hi)}`` bound?
     Missing stats (old commits, unstatted columns) always admit — pruning
     is an optimization, never a correctness filter."""
     if not stats:
         return True
-    cols = stats.get(basename)
+    cols = stats.get(basename, {}).get("cols")
     if not cols:
         return True
     for col, (lo, hi) in prune.items():
@@ -2158,8 +2158,55 @@ class Warehouse:
             df = df.filter(where)
         return df
 
+    def _metadata_count(
+        self, name: str, namespace: str | None = None
+    ) -> int | None:
+        """O(1) cardinality from the commit log: every manifest file's
+        footer row count rides in its commit entry (``file_stats.rows``),
+        so when the tail entry covers the whole manifest, COUNT(*) is one
+        JSON read — no Spark job, no file opens, no tasks (Iceberg's
+        metadata-only count; at 100 TB this replaces a cluster-wide scan).
+        None = not answerable (MoR deltas hold superseding/tombstone rows;
+        pre-stats commits lack coverage) — caller falls back to a scan."""
+        meta = self.get_meta(name, namespace)
+        if meta is None or meta.write_mode == "mor":
+            return None
+        base = self._last_commit_id(name, namespace)
+        if not base:
+            return None
+        tail_path = os.path.join(
+            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
+        )
+        try:
+            with open(tail_path) as fh:
+                entry = _json.load(fh)
+        except OSError:
+            return None
+        manifest = entry.get("files")
+        stats = entry.get("file_stats") or {}
+        if manifest is None:
+            return None
+        total = 0
+        for f in manifest:
+            s = stats.get(os.path.basename(f))
+            if s is None or "rows" not in s:
+                return None
+            total += s["rows"]
+        return total
+
     def count(self, name: str, where=None, namespace: str | None = None) -> int:
-        """``where``: SQL string or ``WhenConditions`` (prunes files)."""
+        """``where``: SQL string or ``WhenConditions`` (prunes files).
+        An unfiltered count is answered from commit-log metadata alone
+        when possible (see ``_metadata_count``)."""
+        from ..operators.filters import WhenConditions
+
+        unfiltered = where is None or where == "" or (
+            isinstance(where, WhenConditions) and where.is_empty()
+        )
+        if unfiltered:
+            n = self._metadata_count(name, namespace)
+            if n is not None:
+                return n
         return self._filtered_read(name, where, namespace).count()
 
     def select(

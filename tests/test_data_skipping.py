@@ -41,7 +41,9 @@ def test_commit_records_file_stats(spark, wh):
         set(entry["files"]) - set(stats)
     )
     some = next(iter(stats.values()))
-    assert "pk" in some and some["pk"][0] <= some["pk"][1]
+    assert some["rows"] > 0
+    assert "pk" in some["cols"]
+    assert some["cols"]["pk"][0] <= some["cols"]["pk"][1]
 
 
 def test_prune_reads_fewer_files_same_rows(spark, wh):
@@ -246,8 +248,33 @@ def test_zorder_compact_then_prune_both_columns(spark, wh):
         assert got == want
 
 
+def test_metadata_only_count(spark, wh, monkeypatch):
+    _clustered(spark, wh, n=1234)
+    wh.append(
+        "t",
+        spark.range(5000, 5050).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % 7).alias("grp"),
+            F.col("id").cast("double").alias("val"),
+        ),
+    )
+    # the count comes from the commit log alone — no scan may happen
+    def boom(*a, **kw):
+        raise AssertionError("metadata count must not read files")
+
+    monkeypatch.setattr(wh, "read", boom)
+    assert wh.count("t") == 1284
+    monkeypatch.undo()
+    assert wh.read("t").count() == 1284
+    # MoR tables fall back to a real reconciling scan
+    df = spark.createDataFrame([(1, 10), (1, 11)], "pk long, v long")
+    wh.create_or_replace("m", df.limit(1), pk=["pk"], merge_on_read=True)
+    wh.merge("m", spark.createDataFrame([(1, 12)], "pk long, v long"), pk=["pk"])
+    assert wh.count("m") == 1
+
+
 def test_stats_admit_semantics():
-    stats = {"f1": {"pk": [100, 200]}}
+    stats = {"f1": {"rows": 5, "cols": {"pk": [100, 200]}}}
     assert _stats_admit(stats, "f1", {"pk": (150, 160)})
     assert not _stats_admit(stats, "f1", {"pk": (201, 300)})
     assert not _stats_admit(stats, "f1", {"pk": (0, 99)})

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "parts_hits",
     "doc_dedup_clusters",
     "emb_pq_ivf_adc",
+    "emb_pq_ivf_residual",
 ]
 
 

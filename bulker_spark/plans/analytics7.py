@@ -379,6 +379,209 @@ QUALIFY rank <= 3
 """
 
 
+_RES_CB_LO, _RES_CB_HI = _PQ_K, 2 * _PQ_K  # residual-codebook seed ids
+
+
+def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVFADC — the full FAISS IVFADC construction
+    (Jégou et al. 2011 §IV): PQ codes are computed on the RESIDUAL
+    ``v − centroid(cell(v))`` rather than the raw vector, which is what
+    makes a 16-cell coarse quantizer + 16-code-per-subspace PQ usable —
+    residual energy is a fraction of vector energy, so the same code
+    budget quantizes far finer. The query side pays for it: the distance
+    table is per (query, PROBED CELL) — the query's residual differs in
+    every probed cell — so the table is nprobe× larger than
+    ``emb_pq_ivf_adc``'s, still O(queries × nprobe × K × M), independent
+    of corpus size.
+
+    Scale shape: identical to ``emb_pq_ivf_adc`` — coarse centroids,
+    probe table, residual codebook, and distance tables all broadcast;
+    residual computation is a map-side ``zip_with`` over the scan; the
+    corpus never shuffles (cell-keyed candidate join), and only probed
+    (query, candidate) rows reach the top-k. Residual seeds are the
+    vectors with ids [16, 32) — ids < 16 are the coarse centroids, whose
+    residuals are identically zero."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cc = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cd = e.join(F.broadcast(cc)).select(
+        "vec_id", "cell", _pq_dist_milli("v", "cv").alias("dmilli")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dmilli", "cell")
+    ranked = cd.withColumn("__rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("__rn") == 1).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("__rn") <= _IVF_PROBE) & (F.col("vec_id") % _PQ_QMOD == 0)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    def sub_explode(df, keep):
+        return df.select(
+            *keep,
+            F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+            "rv",
+        ).select(
+            *keep, "m", F.expr(f"slice(rv, m * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv")
+        )
+
+    # residual of every vector w.r.t. its own cell, split into subspaces
+    rsubs = sub_explode(
+        e.join(assign, "vec_id")
+        .join(F.broadcast(cc), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+        ),
+        ["vec_id", "cell"],
+    )
+    rcb = rsubs.filter(
+        (F.col("vec_id") >= _RES_CB_LO) & (F.col("vec_id") < _RES_CB_HI)
+    ).select(F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv2"))
+    scored = (
+        rsubs.filter(F.col("vec_id") % _PQ_QMOD != 0)
+        .join(F.broadcast(rcb), "m")
+        .select(
+            "vec_id", "cell", "m", "cid", _pq_dist_milli("sv", "cv2").alias("dmilli")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("dmilli", "cid")
+    codes = (
+        scored.withColumn("__rn", F.row_number().over(w_code))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+    )
+
+    # query residual PER PROBED CELL → per-cell distance tables
+    qsubs = sub_explode(
+        e.join(probes, F.col("vec_id") == F.col("query_id"))
+        .join(F.broadcast(cc), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+        ),
+        ["query_id", "cell"],
+    )
+    dtable = qsubs.join(F.broadcast(rcb), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        F.col("cid").alias("code"),
+        _pq_dist_milli("sv", "cv2").alias("qd_milli"),
+    )
+    cand = (
+        assign.filter(F.col("vec_id") % _PQ_QMOD != 0)
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "cell", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_milli", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "adc_milli", "rank")
+    )
+
+
+EMB_PQ_IVF_RESIDUAL_SQL = f"""
+WITH fx AS (
+  SELECT vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(generate_series(1, {_PQ_M * _PQ_DIM})) AS i
+  FROM embeddings
+),
+ccx AS (SELECT vec_id AS cell, x AS cx, i FROM fx WHERE vec_id < {_PQ_K}),
+cd AS (
+  SELECT f.vec_id, c.cell,
+         CAST(ROUND(1000 * SUM((f.x - c.cx) * (f.x - c.cx))) AS BIGINT)
+           AS dmilli
+  FROM fx f JOIN ccx c ON f.i = c.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cell, dmilli,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY dmilli, cell
+         ) AS rn
+  FROM cd
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE rn <= {_IVF_PROBE} AND vec_id % {_PQ_QMOD} = 0
+),
+rx AS (
+  SELECT f.vec_id, a.cell, f.i, f.x - c.cx AS r
+  FROM fx f
+  JOIN assign a ON f.vec_id = a.vec_id
+  JOIN ccx c ON c.cell = a.cell AND c.i = f.i
+),
+rcbx AS (
+  SELECT vec_id AS cid, i, r AS c2
+  FROM rx WHERE vec_id >= {_RES_CB_LO} AND vec_id < {_RES_CB_HI}
+),
+scored AS (
+  SELECT r.vec_id, r.cell, (r.i - 1) // {_PQ_DIM} AS m, c.cid,
+         CAST(ROUND(1000 * SUM((r.r - c.c2) * (r.r - c.c2))) AS BIGINT)
+           AS dmilli
+  FROM rx r JOIN rcbx c ON r.i = c.i
+  WHERE r.vec_id % {_PQ_QMOD} <> 0
+  GROUP BY 1, 2, 3, 4
+),
+codes AS (
+  SELECT vec_id, cell, m, cid AS code
+  FROM (
+    SELECT vec_id, cell, m, cid, dmilli,
+           row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY dmilli, cid
+           ) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qrx AS (
+  SELECT p.query_id, p.cell, f.i, f.x - c.cx AS r
+  FROM fx f
+  JOIN probes p ON f.vec_id = p.query_id
+  JOIN ccx c ON c.cell = p.cell AND c.i = f.i
+),
+dtable AS (
+  SELECT q.query_id, q.cell, (q.i - 1) // {_PQ_DIM} AS m, c.cid AS code,
+         CAST(ROUND(1000 * SUM((q.r - c.c2) * (q.r - c.c2))) AS BIGINT)
+           AS qd_milli
+  FROM qrx q JOIN rcbx c ON q.i = c.i
+  GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id % {_PQ_QMOD} <> 0
+),
+adc AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+         CAST(SUM(d.qd_milli) AS BIGINT) AS adc_milli
+  FROM codes k
+  JOIN cand ON k.vec_id = cand.vec_id
+  JOIN dtable d ON d.query_id = cand.query_id AND d.cell = k.cell
+       AND k.m = d.m AND k.code = d.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_milli,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_milli, neighbor_id
+       ) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= 3
+"""
+
+
 # ==========================================================================
 # Benchmark-contamination scan (eval-vs-train 8-gram overlap)
 # ==========================================================================
@@ -758,4 +961,5 @@ EXTRA_QUERIES7: dict[str, tuple] = {
     "parts_hits": (parts_hits, PARTS_HITS_SQL),
     "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     "emb_pq_ivf_adc": (emb_pq_ivf_adc, EMB_PQ_IVF_ADC_SQL),
+    "emb_pq_ivf_residual": (emb_pq_ivf_residual, EMB_PQ_IVF_RESIDUAL_SQL),
 }

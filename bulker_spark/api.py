@@ -711,6 +711,21 @@ class Engine:
                     stream.consume(ev)
         return stream.complete()
 
+    def read_changes(
+        self,
+        table: str,
+        since_commit: int,
+        namespace: str | None = None,
+        to_commit: int | None = None,
+    ) -> DataFrame:
+        """Row-level change data feed after ``since_commit`` — see
+        :meth:`Warehouse.read_changes`. The CDC consumption loop:
+        checkpoint the head commit from ``warehouse.history()``, call this
+        per cycle, feed the result to a downstream merge/trainer."""
+        return self.warehouse.read_changes(
+            table, since_commit, namespace=namespace, to_commit=to_commit
+        )
+
     # query surface (Select/Count generalized; router.go:484-571's reads and
     # sql_adapter_base.go:228-297's Select/Count become full Spark SQL) -----
     def sql(self, query: str, namespace: str | None = None) -> DataFrame:

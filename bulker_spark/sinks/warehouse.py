@@ -55,6 +55,12 @@ COMMIT_SEQ_COLUMN = "__commit_seq"
 # merge-on-read tombstone marker: a delete appends a row with this flag;
 # reconcile drops any PK whose LATEST record carries it
 TOMBSTONE_COLUMN = "__deleted"
+# change-data-feed output columns (read_changes): Delta CDF's
+# _change_type / _commit_version surface
+CHANGE_TYPE_COLUMN = "__change_type"
+CHANGE_COMMIT_COLUMN = "__change_commit"
+# physical bookkeeping columns never exposed through the change feed
+_INTERNAL_COLUMNS = (BUCKET_COLUMN, COMMIT_SEQ_COLUMN, TOMBSTONE_COLUMN)
 
 
 def bucket_expr(cols: list[str], n: int):
@@ -66,14 +72,20 @@ def bucket_expr(cols: list[str], n: int):
 
 
 def _collect_file_stats(
-    paths: list[str], max_cols: int = 16
+    keyed_paths: dict[str, str], max_cols: int = 16
 ) -> dict[str, dict]:
     """Per-file ``{"rows": n, "cols": {col: [min, max]}}`` from parquet
-    footers, keyed by BASENAME (part names carry the write job's UUID, so
-    basenames are unique and survive the plain↔reference manifest-entry
-    respelling of partial rewrites). Values are JSON-serializable
-    (timestamps → ISO strings); columns without usable stats are simply
-    absent — readers treat a missing stat as "may match". ``rows`` feeds
+    footers. ``keyed_paths`` maps the file's stable identity — its
+    version-LOCAL relative path (partition dirs + part name) — to the
+    absolute path to read. Identity must include the partition dirs, not
+    just the basename: one write job reuses part numbers ACROSS partition
+    dirs (``__bucket=4/part-00004-<uuid>`` and ``__bucket=5/part-00004-
+    <uuid>`` coexist), so basenames collide within a single commit. The
+    version-local relpath survives hard-link carries and the plain↔
+    reference manifest-entry respelling of partial rewrites (both keep
+    partition dir + part name). Values are JSON-serializable (timestamps
+    → ISO strings); columns without usable stats are simply absent —
+    readers treat a missing stat as "may match". ``rows`` feeds
     metadata-only counts (``Warehouse.count`` with no predicate).
 
     Driver-side footer reads: O(new files) per commit, never O(rows). In
@@ -85,7 +97,7 @@ def _collect_file_stats(
     except ImportError:  # pragma: no cover — pyarrow ships with pyspark
         return {}
     out: dict[str, dict] = {}
-    for p in paths:
+    for key, p in keyed_paths.items():
         try:
             md = pq.ParquetFile(p).metadata
         except Exception:
@@ -115,19 +127,20 @@ def _collect_file_stats(
             if not isinstance(lo, (int, float, str, bool)):
                 continue
             cols[name] = [lo, hi]
-        out[os.path.basename(p)] = {"rows": md.num_rows, "cols": cols}
+        out[key] = {"rows": md.num_rows, "cols": cols}
     return out
 
 
 def _stats_admit(
-    stats: dict[str, dict] | None, basename: str, prune: dict
+    stats: dict[str, dict] | None, key: str, prune: dict
 ) -> bool:
     """May the file contain rows matching every ``{col: (lo, hi)}`` bound?
+    ``key`` is the file's version-local relpath (see _collect_file_stats).
     Missing stats (old commits, unstatted columns) always admit — pruning
     is an optimization, never a correctness filter."""
     if not stats:
         return True
-    cols = stats.get(basename, {}).get("cols")
+    cols = stats.get(key, {}).get("cols")
     if not cols:
         return True
     for col, (lo, hi) in prune.items():
@@ -415,27 +428,30 @@ class Warehouse:
                             )
                     meta.columns = {**tail_meta.columns, **novel}
             # per-file min/max stats for the committed manifest: carried
-            # forward from the tail by BASENAME (appends/partial rewrites
-            # read footers only for their NEW files), computed fresh for
-            # anything unseen. Keys absent from the manifest are dropped.
+            # forward from the tail by the file's version-LOCAL relpath
+            # (appends/partial rewrites read footers only for their NEW
+            # files), computed fresh for anything unseen. Keys absent from
+            # the manifest are dropped. Identity is the deref'd relpath,
+            # NOT the basename: one write job reuses part numbers across
+            # partition dirs, so basenames collide within a commit.
             file_stats: dict[str, dict] = {}
             if self.collect_stats and manifest is not None:
                 if files_delta is not None and cur > 0:
                     file_stats = dict(tail.get("file_stats", {}))
                 vdir_cur = os.path.join(d, meta.version)
-                want = {os.path.basename(f): f for f in manifest}
-                missing = [
-                    os.path.normpath(os.path.join(vdir_cur, rel))
-                    for bn, rel in want.items()
-                    if bn not in file_stats and bn not in stats_cache
-                ]
+                want = {self._deref(f): f for f in manifest}
+                missing = {
+                    k: os.path.normpath(os.path.join(vdir_cur, rel))
+                    for k, rel in want.items()
+                    if k not in file_stats and k not in stats_cache
+                }
                 if missing:
                     stats_cache.update(_collect_file_stats(missing))
                 file_stats.update(
-                    {bn: stats_cache[bn] for bn in want if bn in stats_cache}
+                    {k: stats_cache[k] for k in want if k in stats_cache}
                 )
                 file_stats = {
-                    bn: s for bn, s in file_stats.items() if bn in want
+                    k: s for k, s in file_stats.items() if k in want
                 }
             tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -642,10 +658,18 @@ class Warehouse:
                 f"compact() first or read unpruned"
             )
         if prune is not None and snapshot_files is not None and prune_stats:
+            # stats key = version-local relpath: strip table dir + the
+            # owning version dir from the resolved absolute path
+            table_dir = self._table_dir(name, namespace)
+
+            def _key(p: str) -> str:
+                rel = os.path.relpath(p, table_dir)
+                return rel.split(os.sep, 1)[1] if os.sep in rel else rel
+
             snapshot_files = [
                 p
                 for p in snapshot_files
-                if _stats_admit(prune_stats, os.path.basename(p), prune)
+                if _stats_admit(prune_stats, _key(p), prune)
             ]
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         # Explicit meta-driven schema: enforces first-seen column order and
@@ -667,31 +691,36 @@ class Warehouse:
         fields.append(T.StructField(UNMAPPED_DATA_COLUMN, json_spark_t, True))
         schema = T.StructType(fields)
         if snapshot_files is not None:
-            if not snapshot_files:
-                return self.spark.createDataFrame([], schema)
-            # explicit manifest read; basePath keeps partition-dir columns.
-            # Under link_mode="manifest" entries reference files across
-            # version dirs — group per dir so each group's basePath still
-            # roots its partition-column extraction (all groups share the
-            # explicit schema, so the union is a pure scan-set union).
-            table_dir = self._table_dir(name, namespace)
-            groups: dict[str, list[str]] = {}
-            for p in snapshot_files:
-                v = os.path.relpath(p, table_dir).split(os.sep)[0]
-                groups.setdefault(v, []).append(p)
-            parts = [
-                self.spark.read.schema(schema)
-                .option("basePath", os.path.join(table_dir, v))
-                .parquet(*ps)
-                for v, ps in sorted(groups.items())
-            ]
-            out = parts[0]
-            for extra in parts[1:]:
-                out = out.unionByName(extra)
+            out = self._read_file_set(
+                self._table_dir(name, namespace), snapshot_files, schema
+            )
         else:
             out = self.spark.read.schema(schema).parquet(vdir)
         if meta.write_mode == "mor" and not _raw:
             out = self._mor_reconcile(meta, out)
+        return out
+
+    def _read_file_set(self, table_dir: str, paths: list[str], schema) -> DataFrame:
+        """Explicit-manifest scan of an arbitrary file set; basePath keeps
+        partition-dir columns. Under link_mode="manifest" entries reference
+        files across version dirs — group per dir so each group's basePath
+        still roots its partition-column extraction (all groups share the
+        explicit schema, so the union is a pure scan-set union)."""
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            v = os.path.relpath(p, table_dir).split(os.sep)[0]
+            groups.setdefault(v, []).append(p)
+        parts = [
+            self.spark.read.schema(schema)
+            .option("basePath", os.path.join(table_dir, v))
+            .parquet(*ps)
+            for v, ps in sorted(groups.items())
+        ]
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
         return out
 
     @staticmethod
@@ -1230,6 +1259,253 @@ class Warehouse:
                     for f in added
                 ]
             )
+        )
+
+    # -- change data feed ---------------------------------------------------
+    @classmethod
+    def _entry_file_paths(cls, entry: dict, table_dir: str) -> dict[str, str]:
+        """Resolve a commit entry's manifest to {identity: absolute path}.
+        Identity = the file's version-LOCAL relpath (partition dirs + part
+        name, ``_deref``'d): partial rewrites hard-link (or manifest-
+        reference) untouched files into the new version under the SAME
+        relpath, so a set-difference between two commits yields exactly
+        the physically added/removed files — never the carried-forward
+        ones. Basenames alone would collide: one write job reuses part
+        numbers across partition dirs."""
+        vdir = os.path.join(table_dir, entry["meta"]["version"])
+        return {
+            cls._deref(f): os.path.normpath(os.path.join(vdir, f))
+            for f in entry.get("files") or []
+        }
+
+    @staticmethod
+    def _comparable(col, dtype):
+        """Equality-safe projection of a column for change detection:
+        maps and variants don't support eqNullSafe, so any type containing
+        one compares by its canonical JSON rendering."""
+        from pyspark.sql import types as T
+
+        def has_uncomparable(t) -> bool:
+            if isinstance(t, (T.MapType, T.VariantType)):
+                return True
+            if isinstance(t, T.StructType):
+                return any(has_uncomparable(f.dataType) for f in t.fields)
+            if isinstance(t, T.ArrayType):
+                return has_uncomparable(t.elementType)
+            return False
+
+        return F.to_json(col) if has_uncomparable(dtype) else col
+
+    def read_changes(
+        self,
+        name: str,
+        since_commit: int,
+        namespace: str | None = None,
+        to_commit: int | None = None,
+    ) -> DataFrame:
+        """Row-level change data feed (Delta CDF's ``table_changes``
+        surface, computed Iceberg-changelog style from retained snapshots —
+        no write-path amplification, works retroactively on every table):
+        all logical row changes AFTER ``since_commit`` (exclusive, the
+        consumer's checkpoint) up to ``to_commit`` (inclusive, default
+        head). Output = live columns + ``__change_type`` + ``__change_commit``.
+
+        Change types per commit op:
+
+        - ``append`` → ``insert`` rows, derived purely from the commit's
+          added files — manifest set-difference, zero joins (at 100 TB
+          appends dominate and the feed costs one scan of the new files).
+        - ``merge``/``delete`` (copy-on-write) → the removed and added
+          files are diffed by PK in ONE full-outer join →
+          ``insert`` / ``delete`` / ``update_preimage`` + ``update_postimage``;
+          rows merely copied by the rewrite (same values) are filtered out.
+          The join spans only the REWRITTEN slice, so bucketed/partitioned
+          layouts bound the feed cost exactly as they bound the merge
+          itself. A PK-less conditional delete falls back to a multiset
+          ``exceptAll`` diff.
+        - ``replace_partition`` → ``delete`` of every removed-file row +
+          ``insert`` of every added-file row (the operation's exact
+          semantics; join-free).
+        - ``merge_mor`` → the appended delta files ARE the feed:
+          tombstones → ``delete``, everything else → ``upsert``
+          (postimage-only; distinguishing insert vs update would need the
+          full-history reconcile MoR exists to avoid).
+        - ``compact``/``rebucket`` → no logical change, skipped.
+        - ``replace_table``/``restore``/``clone`` → feed reset: raises
+          ``ValueError`` — re-read the snapshot and restart the feed.
+
+        The feed horizon is bounded by version retention
+        (``retain_versions``): a GC'd commit raises ``FileNotFoundError``.
+        Invariant (pinned by tests): applying the feed to the
+        ``since_commit`` snapshot reproduces the ``to_commit`` snapshot.
+
+        Reference parity: the reference emits no change feed — this is the
+        downstream half of its CDC story (events in via Kafka; here,
+        changes OUT to incremental consumers)."""
+        log = self._read_log(name, namespace)
+        entries = [
+            e
+            for e in log
+            if e.get("commit", 0) >= since_commit
+            and (to_commit is None or e.get("commit", 0) <= to_commit)
+        ]
+        if not entries or entries[0].get("commit") != since_commit:
+            raise FileNotFoundError(f"unknown commit {since_commit} of {name}")
+        table_dir = self._table_dir(name, namespace)
+        raw_schema = self.read(name, namespace, _raw=True).schema
+        live_cols = [
+            f.name
+            for f in raw_schema.fields
+            if f.name not in _INTERNAL_COLUMNS
+        ]
+        pieces: list[DataFrame] = []
+        prev = entries[0]
+        for e in entries[1:]:
+            piece = self._commit_changes(
+                name, table_dir, prev, e, raw_schema, live_cols
+            )
+            if piece is not None:
+                pieces.append(piece)
+            prev = e
+        if not pieces:
+            from pyspark.sql import types as T
+
+            fields = [
+                f for f in raw_schema.fields if f.name in set(live_cols)
+            ] + [
+                T.StructField(CHANGE_TYPE_COLUMN, T.StringType(), False),
+                T.StructField(CHANGE_COMMIT_COLUMN, T.LongType(), False),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _commit_changes(
+        self,
+        name: str,
+        table_dir: str,
+        prev: dict,
+        entry: dict,
+        raw_schema,
+        live_cols: list[str],
+    ) -> DataFrame | None:
+        """Change rows contributed by ONE commit (see read_changes)."""
+        op = entry["op"]
+        commit = int(entry["commit"])
+        if op in ("compact", "rebucket"):
+            return None  # physical reorganization; logical state unchanged
+        if op not in ("append", "merge", "merge_mor", "delete",
+                      "replace_partition"):
+            raise ValueError(
+                f"table {name} was reset ({op}) at commit {commit}; the "
+                "change feed is undefined across it — re-read the current "
+                "snapshot and restart the feed from its commit"
+            )
+        prev_files = self._entry_file_paths(prev, table_dir)
+        cur_files = self._entry_file_paths(entry, table_dir)
+        added = sorted(
+            p for bn, p in cur_files.items() if bn not in prev_files
+        )
+        removed = sorted(
+            p for bn, p in prev_files.items() if bn not in cur_files
+        )
+        gone = [p for p in (*added, *removed) if not os.path.exists(p)]
+        if gone:
+            raise FileNotFoundError(
+                f"commit {commit} of {name} was garbage-collected "
+                f"(retain_versions={self.retain_versions}); the change feed "
+                "horizon is bounded by retention"
+            )
+
+        def tag(df: DataFrame, ctype) -> DataFrame:
+            ctype = F.lit(ctype) if isinstance(ctype, str) else ctype
+            return df.select(
+                *live_cols,
+                ctype.alias(CHANGE_TYPE_COLUMN),
+                F.lit(commit).cast("long").alias(CHANGE_COMMIT_COLUMN),
+            )
+
+        if op == "append":
+            return tag(
+                self._read_file_set(table_dir, added, raw_schema), "insert"
+            )
+        if op == "merge_mor":
+            delta = self._read_file_set(table_dir, added, raw_schema)
+            if TOMBSTONE_COLUMN in delta.columns:
+                ctype = F.when(
+                    F.col(TOMBSTONE_COLUMN), F.lit("delete")
+                ).otherwise(F.lit("upsert"))
+            else:
+                ctype = F.lit("upsert")
+            return tag(delta, ctype)
+        old = self._read_file_set(table_dir, removed, raw_schema)
+        new = self._read_file_set(table_dir, added, raw_schema)
+        if op == "replace_partition":
+            return tag(old, "delete").unionByName(tag(new, "insert"))
+        pk = [c for c in (entry["meta"].get("pk") or []) if c in live_cols]
+        if not pk:
+            dele = old.select(*live_cols).exceptAll(new.select(*live_cols))
+            ins = new.select(*live_cols).exceptAll(old.select(*live_cols))
+            return tag(dele, "delete").unionByName(tag(ins, "insert"))
+        data_cols = [c for c in live_cols if c not in pk]
+        dtypes = {f.name: f.dataType for f in raw_schema.fields}
+        o = old.select(
+            *pk,
+            *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+            F.lit(True).alias("__in_old"),
+        )
+        n = new.select(*pk, *data_cols, F.lit(True).alias("__in_new"))
+        j = o.join(n, on=pk, how="full_outer")
+        changed = F.lit(False)
+        for c in data_cols:
+            changed = changed | ~self._comparable(
+                F.col(f"__o_{c}"), dtypes[c]
+            ).eqNullSafe(self._comparable(F.col(c), dtypes[c]))
+        is_ins = F.col("__in_old").isNull()
+        is_del = F.col("__in_new").isNull()
+        is_upd = (~is_ins) & (~is_del) & changed
+        if data_cols:
+            old_struct = F.struct(
+                *[F.col(f"__o_{c}").alias(c) for c in data_cols]
+            )
+            new_struct = F.struct(*[F.col(c).alias(c) for c in data_cols])
+        else:  # pk-only table: wrap a placeholder so the structs type-check
+            old_struct = F.struct(F.lit(None).alias("__none"))
+            new_struct = old_struct
+        pre = F.when(
+            is_upd,
+            F.struct(
+                F.lit("update_preimage").alias("t"), old_struct.alias("v")
+            ),
+        )
+        post = F.when(
+            is_ins,
+            F.struct(F.lit("insert").alias("t"), new_struct.alias("v")),
+        ).when(
+            is_upd,
+            F.struct(
+                F.lit("update_postimage").alias("t"), new_struct.alias("v")
+            ),
+        )
+        dele = F.when(
+            is_del,
+            F.struct(F.lit("delete").alias("t"), old_struct.alias("v")),
+        )
+        # single pass: each joined key expands to 0-2 change rows (copied
+        # rows → 0), so the classification never re-executes the join
+        ch = F.explode(F.array_compact(F.array(pre, post, dele)))
+        out = j.select(*pk, ch.alias("__ch"))
+        return out.select(
+            *[
+                F.col(c)
+                if c in pk
+                else F.col("__ch").getField("v").getField(c).alias(c)
+                for c in live_cols
+            ],
+            F.col("__ch").getField("t").alias(CHANGE_TYPE_COLUMN),
+            F.lit(commit).cast("long").alias(CHANGE_COMMIT_COLUMN),
         )
 
     # -- table lifecycle (SURVEY §2.10) -------------------------------------
@@ -2188,7 +2464,7 @@ class Warehouse:
             return None
         total = 0
         for f in manifest:
-            s = stats.get(os.path.basename(f))
+            s = stats.get(self._deref(f))
             if s is None or "rows" not in s:
                 return None
             total += s["rows"]

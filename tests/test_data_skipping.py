@@ -99,8 +99,10 @@ def test_stats_survive_append_and_partial_rewrite(spark, wh):
     stats = entry["file_stats"]
     import os
 
-    covered = {os.path.basename(f) for f in entry["files"]} & set(stats)
-    assert covered == {os.path.basename(f) for f in entry["files"]}
+    # identity = version-local relpath (partition dir + part name):
+    # basenames collide across partition dirs of one write job
+    ids = {Warehouse._deref(f) for f in entry["files"]}
+    assert ids & set(stats) == ids
     # pruning still correct after the rewrite
     pruned = wh.read("t", prune={"pk": (5000, 6000)})
     got = {r["pk"] for r in pruned.filter(F.col("pk") >= 5000).collect()}
@@ -122,13 +124,12 @@ def test_stats_in_manifest_link_mode(spark, tmp_path):
         spark.createDataFrame([(9, "b", 9.0)], "pk long, p string, val double"),
         partition_column="p",
     )
-    # kept file is a ../v_x/ reference; its stats rode along by basename
-    import os
-
+    # kept file is a ../v_x/ reference; its stats rode along under the
+    # deref'd version-local relpath
     entry = wh._read_log("t")[-1]
     refs = [f for f in entry["files"] if f.startswith("../")]
     assert refs
-    assert all(os.path.basename(r) in entry["file_stats"] for r in refs)
+    assert all(Warehouse._deref(r) in entry["file_stats"] for r in refs)
     pruned = wh.read("t", prune={"pk": (9, 9)})
     assert {r["pk"] for r in pruned.collect()} == {9}
 
@@ -283,3 +284,35 @@ def test_stats_admit_semantics():
     assert _stats_admit(stats, "unknown_file", {"pk": (0, 1)})
     assert _stats_admit(stats, "f1", {"unstatted_col": (0, 1)})
     assert _stats_admit(None, "f1", {"pk": (0, 1)})
+
+
+def test_stats_identity_distinguishes_colliding_basenames(spark, wh):
+    """One write task writing several partition dirs reuses its part
+    number: ``p=0/part-00000-<uuid>`` … ``p=3/part-00000-<uuid>`` all share
+    a basename. Under basename-keyed stats those four files collapsed to
+    ONE stats entry (last computed wins), and pruning could drop a file
+    that matched — here p=0's file would be pruned by p=3's min/max,
+    silently losing every matching row. Relpath identity keeps them
+    distinct."""
+    import os
+
+    df = (
+        spark.range(1000)
+        .repartition(1)  # one task → guaranteed basename reuse across dirs
+        .select(
+            F.col("id").alias("pk"),
+            (F.col("id") / 250).cast("int").cast("string").alias("p"),
+            F.col("id").cast("double").alias("val"),
+        )
+    )
+    wh.create_or_replace("t", df, partition_by=["p"])
+    entry = wh._read_log("t")[-1]
+    bns = [os.path.basename(f) for f in entry["files"]]
+    assert len(set(bns)) < len(bns)  # the collision scenario is real
+    ids = {Warehouse._deref(f) for f in entry["files"]}
+    assert ids <= set(entry["file_stats"])  # every file individually statted
+    pruned = wh.read("t", prune={"pk": (0, 100)})
+    assert len(pruned.inputFiles()) == 1  # only p=0's file admitted
+    assert {r["pk"] for r in pruned.filter("pk <= 100").collect()} == set(
+        range(101)
+    )

@@ -26,6 +26,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warehouse", "-w", required=True, help="warehouse root dir")
     p.add_argument("--namespace", default="default")
     p.add_argument("--master", default="local[*]")
+    p.add_argument(
+        "--retain-versions", type=int, default=1,
+        help="committed versions kept per table (>1 enables time travel "
+        "and the `changes` feed across rewrites)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     load = sub.add_parser("load", help="NDJSON bulk load (POST /bulk)")
@@ -73,6 +78,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "--snapshot", default=None,
         help="commit id or version string (default: current)",
     )
+
+    ch = sub.add_parser(
+        "changes", help="row-level change feed since a commit (CDC egress)"
+    )
+    ch.add_argument("--table", "-t", required=True)
+    ch.add_argument("--since", type=int, required=True, help="checkpointed commit id")
+    ch.add_argument("--to", type=int, default=None)
+    ch.add_argument("--limit", type=int, default=100)
 
     vac = sub.add_parser("vacuum", help="reclaim orphaned version dirs")
     vac.add_argument("--table", "-t", required=True)
@@ -133,7 +146,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from bulker_spark import Engine
 
-    engine = Engine(spark, args.warehouse, namespace=args.namespace)
+    engine = Engine(
+        spark,
+        args.warehouse,
+        namespace=args.namespace,
+        retain_versions=args.retain_versions,
+    )
     try:
         if args.cmd == "load":
             lines = (
@@ -211,6 +229,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(
                 json.dumps({"cloned": args.target, "version": meta.version})
             )
+        elif args.cmd == "changes":
+            feed = engine.read_changes(args.table, args.since, to_commit=args.to)
+            for r in feed.limit(args.limit).collect():
+                print(json.dumps(r.asDict(recursive=True), default=str))
         elif args.cmd == "vacuum":
             removed = engine.warehouse.vacuum(
                 args.table, min_age_seconds=args.min_age_hours * 3600

@@ -70,6 +70,11 @@ class Destination:
     # — each refresh aggregates ONLY the files appended since its last
     # refreshed commit (operators/incremental.py)
     rollups: list[dict[str, Any]] | None = None
+    # committed versions retained per table: >1 enables time travel and
+    # the GET /changes/:dst change feed (its horizon is exactly this
+    # retention window); 1 = storage-minimal, feed unavailable past the
+    # newest commit
+    retain_versions: int = 1
 
 
 class TopicProducer:
@@ -180,7 +185,10 @@ class BulkerApp:
             eng = self._engines.get(destination_id)
             if eng is None:
                 eng = Engine(
-                    self.spark, dest.warehouse_path, namespace=dest.namespace
+                    self.spark,
+                    dest.warehouse_path,
+                    namespace=dest.namespace,
+                    retain_versions=dest.retain_versions,
                 )
                 self._engines[destination_id] = eng
         return eng
@@ -334,6 +342,29 @@ class BulkerApp:
             df = df.orderBy(*order)
         rows = df.limit(max(1, min(int(limit), 10000))).collect()
         return [r.asDict(recursive=True) for r in rows]
+
+    def changes(
+        self,
+        destination_id: str,
+        table: str,
+        since_commit: int,
+        to_commit: int | None = None,
+        limit: int = 1000,
+    ) -> dict[str, Any]:
+        """Change-data-feed read over a destination's warehouse table
+        (``Warehouse.read_changes``): the CDC egress endpoint — a consumer
+        checkpoints ``head`` and polls with ``since=<checkpoint>``. Rows
+        carry ``__change_type``/``__change_commit``; ``limit`` bounds the
+        HTTP response (it does NOT page — a consumer needing more should
+        narrow with ``to`` or consume via Spark directly)."""
+        eng = self.engine_for(destination_id)
+        head = eng.warehouse.history(table)[0]["commit"]
+        df = eng.read_changes(table, since_commit, to_commit=to_commit)
+        rows = df.limit(max(1, min(int(limit), 10000))).collect()
+        return {
+            "changes": [r.asDict(recursive=True) for r in rows],
+            "head": head,
+        }
 
     # -- the batch-consumer cron (cron.go:25-56) ----------------------------
     def topics_for(self, destination_id: str) -> list[str]:
@@ -753,6 +784,36 @@ def _make_handler(app: BulkerApp):
                         limit=int(q.get("limit", "100")),
                     )
                     self._json(200, {"events": rows})
+                elif len(parts) == 2 and parts[0] == "changes":
+                    table = q.get("tableName")
+                    since = q.get("since")
+                    if not table or since is None:
+                        self._json(
+                            400, {"error": "tableName and since are required"}
+                        )
+                        return
+                    try:
+                        since_i = int(since)
+                        to_i = int(q["to"]) if "to" in q else None
+                        limit_i = int(q.get("limit", "1000"))
+                    except ValueError:
+                        self._json(400, {"error": "non-integer cursor"})
+                        return
+                    try:
+                        self._json(
+                            200,
+                            app.changes(
+                                parts[1],
+                                table,
+                                since_i,
+                                to_commit=to_i,
+                                limit=limit_i,
+                            ),
+                        )
+                    except ValueError as ex:  # feed reset (replace/restore)
+                        self._json(409, {"error": str(ex)})
+                    except FileNotFoundError as ex:
+                        self._json(404, {"error": str(ex)})
                 else:
                     self._json(404, {"error": f"no route {url.path}"})
             except KeyError as ex:

@@ -142,3 +142,34 @@ def test_cli_clone(spark, tmp_warehouse, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["cloned"] == "pinned"
     assert e.warehouse.read("pinned").count() == 10
+
+
+def test_cli_changes(spark, tmp_warehouse, capsys):
+    from bulker_spark import Engine
+
+    e = Engine(spark, tmp_warehouse, retain_versions=5)
+    e.bulk_load(
+        "t", [{"id": i, "v": "a"} for i in range(3)],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    e.bulk_load(
+        "t", [{"id": 0, "v": "B"}, {"id": 9, "v": "n"}],
+        mode="batch", primary_key=["id"], deduplicate=True,
+    )
+    rc = main(
+        ["-w", tmp_warehouse, "--retain-versions", "5",
+         "changes", "-t", "t", "--since", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    got = sorted((r["id"], r["__change_type"]) for r in rows)
+    assert got == [
+        (0, "update_postimage"),
+        (0, "update_preimage"),
+        (9, "insert"),
+    ]

@@ -717,3 +717,63 @@ def test_non_ascii_auth_header_gets_401_not_crash(spark):
         server.shutdown()
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_changes_endpoint_cdc_loop(spark):
+    """GET /changes/:dst — the CDC egress loop: checkpoint head, load,
+    poll with since=<checkpoint>. Needs retain_versions > 1 (the feed
+    horizon is the retention window)."""
+    wh = tempfile.mkdtemp(prefix="router_whc_")
+    topics = tempfile.mkdtemp(prefix="router_topc_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [
+            Destination(
+                "cdc1",
+                wh,
+                options={"primary_key": ["id"], "deduplicate": True},
+                retain_versions=5,
+            )
+        ],
+    )
+    server = serve(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        lines = "\n".join(json.dumps({"id": i, "v": "a"}) for i in range(5))
+        _post(f"{base}/bulk/cdc1?tableName=t_cdc&mode=batch&pk=id", lines.encode())
+        head = _get(f"{base}/changes/cdc1?tableName=t_cdc&since=1")["head"]
+        assert head == 1
+        # cycle 2: one update, one insert
+        lines2 = "\n".join(
+            [json.dumps({"id": 0, "v": "B"}), json.dumps({"id": 9, "v": "n"})]
+        )
+        _post(f"{base}/bulk/cdc1?tableName=t_cdc&mode=batch&pk=id", lines2.encode())
+        out = _get(f"{base}/changes/cdc1?tableName=t_cdc&since={head}")
+        assert out["head"] == head + 1
+        got = sorted((c["id"], c["__change_type"]) for c in out["changes"])
+        assert got == [
+            (0, "update_postimage"),
+            (0, "update_preimage"),
+            (9, "insert"),
+        ]
+        # unknown commit → 404; non-integer cursor → 400
+        with pytest.raises(HTTPError) as e404:
+            _get(f"{base}/changes/cdc1?tableName=t_cdc&since=99")
+        assert e404.value.code == 404
+        with pytest.raises(HTTPError) as e400:
+            _get(f"{base}/changes/cdc1?tableName=t_cdc&since=abc")
+        assert e400.value.code == 400
+        # replace resets the feed → 409 tells the consumer to resnapshot
+        _post(
+            f"{base}/bulk/cdc1?tableName=t_cdc&mode=replace_table",
+            json.dumps({"id": 1, "v": "x"}).encode(),
+        )
+        with pytest.raises(HTTPError) as e409:
+            _get(f"{base}/changes/cdc1?tableName=t_cdc&since={head}")
+        assert e409.value.code == 409
+    finally:
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

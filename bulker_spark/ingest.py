@@ -43,6 +43,13 @@ from .schema import (
 from .types_lattice import DataType, from_spark_type, to_spark_type
 
 
+# which path the last ingest_json call took: "jvm" (fast header + fast
+# normalize), "jvm-header" (fast header, Python normalize), "python".
+# Observability for tests — a silent permanent fallback would otherwise
+# be invisible (correct results, 3× the cost).
+last_ingest_path = "python"
+
+
 def _parse_lines(lines: Iterator[str]) -> Iterator[dict[str, Any]]:
     for line in lines:
         line = line.strip()
@@ -202,6 +209,39 @@ def ingest_json(
             for s in source
         ]
         json_df = spark.createDataFrame([(x,) for x in lines], "value string")
+
+    # JVM fast path for flat hint-free batches (ingest_fast.py): header
+    # and normalize stay entirely inside Catalyst codegen — the Python
+    # passes below are the fallback for nested/hinted/adapted shapes
+    global last_ingest_path
+    last_ingest_path = "python"
+    fast = None
+    if (
+        case == "none"
+        and omit_nils
+        and (adapter is None or getattr(adapter, "case", None) == "none")
+    ):
+        from .ingest_fast import fast_infer_header, fast_normalize
+
+        fast = fast_infer_header(json_df, adapter=adapter)
+    if fast is not None:
+        unified, _new = unify_with_existing(existing_types, fast.header, policy)
+        df = fast_normalize(json_df, fast, unified, carry_cols=carry_cols)
+        if df is not None:
+            last_ingest_path = "jvm"
+            return df, unified
+        last_ingest_path = "jvm-header"
+        # targets outside the proven conversion table: reuse the
+        # JVM-inferred header, normalize in Python
+        df = normalize_json_df(
+            json_df,
+            unified,
+            omit_nils=omit_nils,
+            case=case,
+            adapter=adapter,
+            carry_cols=carry_cols,
+        )
+        return df, unified
 
     header = infer_header_distributed(
         json_df, omit_nils=omit_nils, case=case, adapter=adapter

@@ -726,6 +726,33 @@ class Engine:
             table, since_commit, namespace=namespace, to_commit=to_commit
         )
 
+    def stream_changes(
+        self,
+        table: str,
+        namespace: str | None = None,
+        starting_commit: int | str = "latest",
+        max_commits_per_trigger: int = 50,
+    ) -> DataFrame:
+        """The change feed as a Structured Streaming source (Delta CDF's
+        streaming ``readChangeFeed``): a readStream DataFrame of live
+        columns + ``__change_type`` + ``__change_commit``, offsets (=
+        table commits) checkpointed by the query for exactly-once
+        incremental consumption. See
+        :mod:`bulker_spark.sources.changes_source` for semantics and the
+        per-op partitioning strategy."""
+        from .sources.changes_source import register_changes_source
+
+        register_changes_source(self.spark)
+        return (
+            self.spark.readStream.format("bulker_changes")
+            .option("path", self.warehouse.root)
+            .option("table", table)
+            .option("namespace", namespace or self.warehouse.namespace)
+            .option("startingCommit", str(starting_commit))
+            .option("maxCommitsPerTrigger", str(max_commits_per_trigger))
+            .load()
+        )
+
     # query surface (Select/Count generalized; router.go:484-571's reads and
     # sql_adapter_base.go:228-297's Select/Count become full Spark SQL) -----
     def sql(self, query: str, namespace: str | None = None) -> DataFrame:

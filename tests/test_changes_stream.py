@@ -1,0 +1,292 @@
+"""Streaming change data feed (`bulker_changes` Python Data Source +
+Engine.stream_changes) — Delta CDF's streaming ``readChangeFeed`` surface.
+
+The batch feed's classification semantics are pinned in
+test_change_feed.py; here we pin the STREAMING contract: offsets are
+table commits checkpointed by the query (exactly-once resume),
+maxCommitsPerTrigger rate-limits micro-batches, planning stays
+metadata-only for appends, and feed-resetting commits fail the stream
+with a restart instruction.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from bulker_spark.api import Engine
+from bulker_spark.sinks.warehouse import (
+    CHANGE_COMMIT_COLUMN,
+    CHANGE_TYPE_COLUMN,
+    Warehouse,
+)
+from bulker_spark.sources.changes_source import register_changes_source
+
+
+@pytest.fixture()
+def wh_root():
+    d = tempfile.mkdtemp(prefix="whstream_")
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _wh(spark, root, **kw):
+    kw.setdefault("retain_versions", 10)
+    return Warehouse(spark, root, "default", **kw)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "pk long, val string, score double")
+
+
+def _run_feed(spark, root, table, ckpt, out, **opts):
+    register_changes_source(spark)
+    reader = (
+        spark.readStream.format("bulker_changes")
+        .option("path", root)
+        .option("table", table)
+        .option("namespace", "default")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _collect(spark, out):
+    df = spark.read.parquet(out)
+    return sorted(
+        (r["pk"], r[CHANGE_TYPE_COLUMN], r["val"], r[CHANGE_COMMIT_COLUMN])
+        for r in df.collect()
+    )
+
+
+def test_stream_appends_are_inserts(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(1, "a", 1.0)]), pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh.append("t", _df(spark, [(2, "b", 2.0), (3, "c", 3.0)]))
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    assert _collect(spark, out) == [
+        (2, "insert", "b", c0 + 1),
+        (3, "insert", "c", c0 + 1),
+    ]
+
+
+def test_stream_resumes_from_checkpoint_exactly_once(spark, wh_root):
+    """Offset-after-commit: a restarted query emits ONLY commits landed
+    since the last committed micro-batch — no replay, no gaps."""
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(1, "a", 1.0)]), pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh.append("t", _df(spark, [(2, "b", 2.0)]))
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    assert _collect(spark, out) == [(2, "insert", "b", c0 + 1)]
+
+    wh.append("t", _df(spark, [(3, "c", 3.0)]))
+    wh.merge("t", _df(spark, [(3, "C", 3.0)]), ["pk"])
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    assert _collect(spark, out) == [
+        (2, "insert", "b", c0 + 1),
+        (3, "insert", "c", c0 + 2),
+        (3, "update_postimage", "C", c0 + 3),
+        (3, "update_preimage", "c", c0 + 3),
+    ]
+
+
+def test_stream_starting_latest_skips_backlog(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(1, "a", 1.0)]), pk=["pk"])
+    wh.append("t", _df(spark, [(2, "old", 2.0)]))
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    # first run records latest as the base; no data yet
+    _run_feed(spark, wh_root, "t", ckpt, out)  # startingCommit default latest
+    assert not [
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    ] or _collect(spark, out) == []
+    head = wh.history("t")[0]["commit"]
+    wh.append("t", _df(spark, [(3, "new", 3.0)]))
+    _run_feed(spark, wh_root, "t", ckpt, out)
+    assert _collect(spark, out) == [(3, "insert", "new", head + 1)]
+
+
+def test_stream_rate_limit_splits_microbatches(spark, wh_root):
+    """maxCommitsPerTrigger bounds a micro-batch; availableNow drains the
+    backlog across several batches without loss or duplication."""
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(0, "v0", 0.0)]), pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    for i in range(1, 6):
+        wh.append("t", _df(spark, [(i, f"v{i}", float(i))]))
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(
+        spark, wh_root, "t", ckpt, out,
+        startingCommit=c0, maxCommitsPerTrigger=2,
+    )
+    got = _collect(spark, out)
+    assert got == [
+        (i, "insert", f"v{i}", c0 + i) for i in range(1, 6)
+    ]
+    offsets = os.listdir(os.path.join(ckpt, "offsets"))
+    assert len(offsets) > 1  # backlog actually split
+
+
+def test_stream_mor_and_replace_partition_classification(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace(
+        "t", _df(spark, [(1, "a", 1.0)]), pk=["pk"], merge_on_read=True
+    )
+    c0 = wh.history("t")[0]["commit"]
+    wh.merge("t", _df(spark, [(1, "A", 1.0), (2, "b", 2.0)]), ["pk"])
+    wh.delete_keys("t", [2])
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    got = _collect(spark, out)
+    assert (1, "upsert", "A", c0 + 1) in got
+    assert (2, "upsert", "b", c0 + 1) in got
+    assert any(t == "delete" and pk == 2 for pk, t, _v, _c in got)
+
+
+def test_stream_cow_diff_skips_copied_rows(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace(
+        "t", _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), pk=["pk"]
+    )
+    c0 = wh.history("t")[0]["commit"]
+    wh.merge("t", _df(spark, [(2, "B", 2.0), (9, "z", 9.0)]), ["pk"])
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    assert _collect(spark, out) == [
+        (2, "update_postimage", "B", c0 + 1),
+        (2, "update_preimage", "b", c0 + 1),
+        (9, "insert", "z", c0 + 1),
+    ]
+
+
+def test_stream_compact_is_silent(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(1, "a", 1.0)]), pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh.append("t", _df(spark, [(2, "b", 2.0)]))
+    wh.compact("t")
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    assert _collect(spark, out) == [(2, "insert", "b", c0 + 1)]
+
+
+def test_stream_reset_commit_fails_with_restart_instruction(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(1, "a", 1.0)]), pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh.create_or_replace("t", _df(spark, [(9, "z", 9.0)]), pk=["pk"])
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(Exception) as exc:
+        _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    assert "reset" in str(exc.value)
+
+
+def test_stream_bucketed_merge_plans_per_bucket_diffs(spark, wh_root):
+    """Scale property: a bucketed CoW merge's feed diffs per touched
+    bucket directory (parallel DiffParts), never one giant partition —
+    and it covers only the rewritten slice."""
+    from bulker_spark.sources.changes_source import (
+        DiffPart,
+        _plan_commit,
+        _read_log,
+    )
+
+    wh = _wh(spark, wh_root)
+    rows = [(i, f"v{i}", float(i)) for i in range(100)]
+    wh.create_or_replace(
+        "t", _df(spark, rows), pk=["pk"], bucket_by=(["pk"], 8)
+    )
+    c0 = wh.history("t")[0]["commit"]
+    wh.merge(
+        "t", _df(spark, [(7, "X", 7.0), (11, "Y", 11.0), (23, "Z", 23.0)]),
+        ["pk"],
+    )
+    tdir = os.path.join(wh_root, "default", "t")
+    log = _read_log(tdir)
+    prev = next(e for e in log if int(e["commit"]) == c0)
+    cur = next(e for e in log if int(e["commit"]) == c0 + 1)
+    parts = _plan_commit(prev, cur, tdir, "t", files_per_part=4)
+    assert all(isinstance(p, DiffPart) for p in parts)
+    assert len(parts) >= 2  # touched buckets diff independently
+    touched = {f for p in parts for _path, rel in (*p.old, *p.new) for f in [rel]}
+    assert len(touched) < len(prev["files"])  # strict slice of the table
+
+    # and the streamed result matches the batch feed's classification
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    got = _collect(spark, out)
+    assert (7, "update_preimage", "v7", c0 + 1) in got
+    assert (7, "update_postimage", "X", c0 + 1) in got
+    assert len(got) == 6  # 3 pks × pre+post, nothing else
+
+
+def test_stream_schema_evolution_null_fills_old_files(spark, wh_root):
+    wh = _wh(spark, wh_root)
+    wh.create_or_replace("t", _df(spark, [(1, "a", 1.0)]), pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh.append("t", _df(spark, [(2, "b", 2.0)]))
+    wider = spark.createDataFrame(
+        [(3, "c", 3.0, "new")],
+        "pk long, val string, score double, extra string",
+    )
+    wh.merge("t", wider, ["pk"])
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    df = spark.read.parquet(out)
+    assert "extra" in df.columns
+    rows = {r["pk"]: r for r in df.collect()}
+    assert rows[2]["extra"] is None  # pre-evolution commit null-filled
+    assert rows[3]["extra"] == "new"
+
+
+def test_engine_stream_changes_surface(spark, wh_root):
+    eng = Engine(spark, wh_root, retain_versions=10)
+    eng.bulk_load(
+        "t",
+        spark.createDataFrame([(1, "a")], "pk long, val string"),
+        mode="batch",
+        primary_key=["pk"],
+        deduplicate=True,
+    )
+    c0 = eng.warehouse.history("t")[0]["commit"]
+    eng.bulk_load(
+        "t",
+        spark.createDataFrame([(1, "A"), (2, "b")], "pk long, val string"),
+        mode="batch",
+        primary_key=["pk"],
+        deduplicate=True,
+    )
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    q = (
+        eng.stream_changes("t", starting_commit=c0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["pk"], r[CHANGE_TYPE_COLUMN])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (1, "update_preimage") in got
+    assert (1, "update_postimage") in got
+    assert (2, "insert") in got

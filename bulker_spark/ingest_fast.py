@@ -78,10 +78,12 @@ _TS_RLIKE = (
 )
 
 # per-row lattice ids (collect_set payload). 0 = absent/null (ignored),
-# 7 = nested object (forces fallback), 8 = array containing floats
-# (types as JSON but its JVM rendering respells floats — e.g. Jackson
-# writes 1e7 as 1.0E7 where Python keeps 10000000.0 — so normalize
-# falls back) — the rest map to DataType values.
+# 7 = nested object (forces fallback), 8 = array that may contain floats
+# (floats/decimals anywhere in its schema, or VARIANT/OBJECT elements
+# that can hide one: types as JSON but its JVM string rendering respells
+# floats — e.g. Jackson writes 1e7 as 1.0E7 where Python keeps
+# 10000000.0 — so normalize falls back) — the rest map to DataType
+# values.
 _ABSENT, _OBJECT, _FLOATY_ARRAY = 0, 7, 8
 
 # conversion table: target lattice type -> member ids the JVM normalize
@@ -149,8 +151,13 @@ def _lattice_id_expr(key_col, sv, sstr):
         .when(sv == "STRING", string_id)
         .when(
             sv.startswith("ARRAY"),
+            # a float ANYWHERE in the array subtree means the JVM string
+            # rendering may respell it; VARIANT (heterogeneous arrays,
+            # e.g. [false, 1e7]) and OBJECT elements can hide one, so
+            # they force the same fallback
             F.when(
-                sv.rlike("DECIMAL|DOUBLE|FLOAT"), F.lit(_FLOATY_ARRAY)
+                sv.rlike("DECIMAL|DOUBLE|FLOAT|VARIANT|OBJECT"),
+                F.lit(_FLOATY_ARRAY),
             ).otherwise(F.lit(int(DataType.JSON))),
         )
         .when(sv.startswith("OBJECT"), F.lit(_OBJECT))

@@ -341,6 +341,54 @@ def main() -> None:
     finally:
         shutil.rmtree(whb, ignore_errors=True)
 
+    # data-skipping tier: a narrow-range SQL lookup on a 1M-row
+    # range-clustered table, with and without manifest-stats pruning
+    # (Engine.sql auto_prune). The pruned plan schedules 1 of 64 files.
+    # Locally both numbers are dominated by fixed job cost (the page
+    # cache makes footer opens free and parquet row-group stats already
+    # skip non-matching rows inside each file), so this pair mostly
+    # GUARDS the two-phase planning overhead (~0.1 s driver work) rather
+    # than showcasing the win; the win is planning-time I/O that doesn't
+    # exist locally — object-store LIST + 63 footer GETs + 63 scheduled
+    # tasks per query, which at 100 TB file counts is the difference
+    # between O(matching files) and O(all files).
+    whp = tempfile.mkdtemp(prefix="bench_whp_")
+    try:
+        eng = Engine(spark, whp)
+        clustered = (
+            spark.range(1_000_000)
+            .select(
+                F.col("id").alias("pk"),
+                (F.col("id") % 97).alias("grp"),
+                (F.col("id") * 1.5).alias("score"),
+                F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+            )
+            .repartitionByRange(64, "pk")
+            .sortWithinPartitions("pk")
+        )
+        eng.warehouse.create_or_replace("bench_lookup", clustered, pk=["pk"])
+        q = (
+            "select grp, count(*) c, sum(score) s from bench_lookup "
+            "where pk between 500000 and 510000 group by grp"
+        )
+        for key, prune in (
+            ("sql_lookup_1m_pruned", True),
+            ("sql_lookup_1m_full", False),
+        ):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                eng.sql(q, auto_prune=prune).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            timings[key] = round(best, 3)
+    except Exception as exc:
+        errors["sql_lookup_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(whp, ignore_errors=True)
+
     # mode tiers: the reference's other two load modes (bulker.go:24-52) at
     # the same 100k scale — replace_table's atomic swap and
     # replace_partition's dynamic partition overwrite (second load of each
@@ -474,6 +522,7 @@ STDOUT_PRIORITY = [
     "emb_pq_ivf_adc",
     "doc_contamination", "doc_length_deciles", "parts_hits",
     "trickle_merge_1m_manifest",
+    "sql_lookup_1m_pruned", "sql_lookup_1m_full",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

@@ -260,6 +260,24 @@ class Engine:
             retain_versions=retain_versions,
             link_mode=link_mode,
         )
+        # (ns, table, commit) → full-read DataFrame. A DataFrame is an
+        # immutable plan over an explicit file manifest, so reuse across
+        # sql() calls is sound; the commit id in the key invalidates on
+        # every table write. Building the plan costs O(files) driver work
+        # (the file index), which repeated queries shouldn't re-pay.
+        self._view_cache: dict[tuple, DataFrame] = {}
+
+    def _snapshot_df(self, table: str, ns: str) -> DataFrame:
+        cur = self.warehouse._last_commit_id(table, ns)
+        key = (ns, table, cur)
+        df = self._view_cache.get(key)
+        if df is None:
+            df = self.warehouse.read(table, ns)
+            self._view_cache = {
+                k: v for k, v in self._view_cache.items() if k[:2] != (ns, table)
+            }
+            self._view_cache[key] = df
+        return df
 
     def create_stream(self, table: str, **options: Any) -> BulkerStream:
         return BulkerStream(self, table, StreamOptions(**options))
@@ -755,14 +773,29 @@ class Engine:
 
     # query surface (Select/Count generalized; router.go:484-571's reads and
     # sql_adapter_base.go:228-297's Select/Count become full Spark SQL) -----
-    def sql(self, query: str, namespace: str | None = None) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        namespace: str | None = None,
+        auto_prune: bool = True,
+    ) -> DataFrame:
         """Run Spark SQL over the warehouse's tables.
 
         Every table in the namespace is registered as a temp view (resolved
         through the commit pointer, so the query sees one consistent
         snapshot per view at registration time), then the query planned by
         Catalyst — predicate pushdown, broadcast selection, and AQE all
-        apply to the warehouse files exactly as to any parquet scan."""
+        apply to the warehouse files exactly as to any parquet scan.
+
+        ``auto_prune`` adds manifest-level data skipping on top: the
+        phase-1 plan's per-scan pushed-down filters (typed, post-optimizer
+        — Catalyst already split BETWEENs, folded INs, pushed through
+        joins) become per-table column bounds, and the query is re-planned
+        over ``read(prune=...)`` manifests that drop files whose committed
+        footer stats prove no match. Same rows, O(matching files) planning
+        — see :mod:`bulker_spark.plans.sql_prune`. Falls back to the
+        unpruned plan for tables where pruning is undefined (merge-on-read
+        before compaction) or on any harvesting failure."""
         import re
 
         ns = namespace or self.warehouse.namespace
@@ -775,6 +808,32 @@ class Engine:
             for t in tables
             if re.search(rf"\b{re.escape(t)}\b", query, re.IGNORECASE)
         ]
-        for t in wanted or tables:
-            self.warehouse.read(t, ns).createOrReplaceTempView(t)
-        return self.spark.sql(query)
+        registered = wanted or tables
+        for t in registered:
+            self._snapshot_df(t, ns).createOrReplaceTempView(t)
+        df = self.spark.sql(query)
+        if not auto_prune:
+            return df
+        from .plans.sql_prune import prune_specs
+
+        try:
+            specs = prune_specs(
+                df, {t: self.warehouse._table_dir(t, ns) for t in registered}
+            )
+        except Exception:
+            specs = {}
+        if not specs:
+            return df
+        pruned = []
+        for t, spec in specs.items():
+            try:
+                self.warehouse.read(t, ns, prune=spec).createOrReplaceTempView(t)
+                pruned.append(t)
+            except ValueError:  # MoR table: pruning undefined — keep full
+                continue
+        if not pruned:
+            return df
+        df = self.spark.sql(query)  # analysis is eager: plan binds NOW
+        for t in pruned:  # restore full views for later direct spark.sql use
+            self._snapshot_df(t, ns).createOrReplaceTempView(t)
+        return df

@@ -244,6 +244,17 @@ class Warehouse:
         # (file_stats) → manifest-level data skipping via read(prune=...);
         # see _collect_file_stats. Off = commits skip footer reads.
         self.collect_stats = True
+        # Spark's default parquet timestamp encoding (INT96, kept for
+        # legacy Impala/Hive compat) carries NO usable footer min/max —
+        # timestamp columns would be invisible to data skipping. Write
+        # the modern INT64 micros encoding instead (what Delta/Iceberg
+        # writers emit), which stats-prunes like any other column.
+        try:
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+        except Exception:  # pragma: no cover — conf may be read-only
+            pass
         os.makedirs(root, exist_ok=True)
         # driver-side schema cache (table_helper.go:30-62)
         self._meta_cache: dict[str, TableMeta] = {}
@@ -671,6 +682,27 @@ class Warehouse:
                 for p in snapshot_files
                 if _stats_admit(prune_stats, _key(p), prune)
             ]
+        if prune is not None and snapshot_files is not None:
+            # bucket pruning: a hash-bucketed file's stats span the whole
+            # key range, so min/max can't skip it — but a POINT bound
+            # (lo == hi) on every bucket column determines the one bucket
+            # dir that can hold the row. This is what makes SQL point
+            # lookups on the CDC-shaped bucketed tables O(bucket), the
+            # read-side twin of the bucket-scoped merge.
+            points = self._bucket_point(meta, prune)
+            if points is not None:
+                try:
+                    seg = f"{BUCKET_COLUMN}={self._bucket_of(meta, points)}"
+                except Exception:
+                    seg = None  # untypeable point — skip, never misprune
+                if seg is not None:
+                    snapshot_files = [
+                        p
+                        for p in snapshot_files
+                        # a file outside any bucket dir is kept
+                        if BUCKET_COLUMN + "=" not in p
+                        or seg in p.replace(os.sep, "/").split("/")
+                    ]
         vdir = os.path.join(self._table_dir(name, namespace), meta.version)
         # Explicit meta-driven schema: enforces first-seen column order and
         # null-fills columns absent from older files (schema evolution)
@@ -1577,6 +1609,42 @@ class Warehouse:
         self._commit_meta(meta, op="replace_table")
         self._gc_old_versions(name, version, namespace)
         return meta
+
+    def _bucket_point(self, meta: TableMeta, prune: dict) -> list | None:
+        """The exact bucket-column values a prune spec pins, or None when
+        any bucket column is unbounded/ranged (hash order is unrelated to
+        value order, so only a point determines a bucket)."""
+        if not meta.n_buckets or not meta.bucket_cols:
+            return None
+        points = []
+        for c in meta.bucket_cols:
+            b = prune.get(c)
+            if not b or b[0] is None or b[0] != b[1]:
+                return None
+            points.append(b[0])
+        return points
+
+    def _bucket_of(self, meta: TableMeta, values: list) -> int:
+        """Bucket id of one key, computed by the SAME JVM expression that
+        assigned it at write (``bucket_expr``: pmod(xxhash64, n)) on a
+        one-row local relation — Catalyst constant-folds it driver-side,
+        no tasks. Values are cast to the committed column types first:
+        xxhash64 hashes the physical representation, so a long and a
+        double of equal value bucket differently."""
+        from pyspark.sql import types as T
+
+        from ..types_lattice import to_spark_type
+
+        schema = T.StructType(
+            [
+                T.StructField(c, to_spark_type(meta.columns[c]), True)
+                for c in meta.bucket_cols
+            ]
+        )
+        row = self.spark.createDataFrame([tuple(values)], schema)
+        return row.select(
+            bucket_expr(meta.bucket_cols, meta.n_buckets).alias("b")
+        ).collect()[0]["b"]
 
     def _with_bucket(self, meta: TableMeta, df: DataFrame) -> DataFrame:
         """(Re)derive the table's ``__bucket`` column on a batch. Always

@@ -771,6 +771,25 @@ class Engine:
             .load()
         )
 
+    def replicate_to(
+        self,
+        dst: "Engine",
+        table: str,
+        checkpoint: str,
+        dst_table: str | None = None,
+        transform=None,
+        **start_kw,
+    ):
+        """Keep ``dst``'s copy of ``table`` converged via the streaming
+        change feed: consistent snapshot bootstrap, then merge+delete per
+        micro-batch, exactly-once across restarts (same ``checkpoint``).
+        See :class:`bulker_spark.streaming.replicate.TableReplica`."""
+        from .streaming.replicate import TableReplica
+
+        return TableReplica(
+            self, table, dst, dst_table=dst_table, transform=transform
+        ).start(checkpoint, **start_kw)
+
     # query surface (Select/Count generalized; router.go:484-571's reads and
     # sql_adapter_base.go:228-297's Select/Count become full Spark SQL) -----
     def sql(

@@ -2129,18 +2129,23 @@ class Warehouse:
         (anti-join) as a new version.
 
         ``keys``: scalars for a single-column PK, tuples in ``meta.pk``
-        order for composite."""
+        order for composite — or a DataFrame containing the PK columns
+        (the CDC-consumer shape: a change-feed batch's delete keys apply
+        distributed, never collected to the driver)."""
         meta, base, _files = self._snapshot(name, namespace)
         if meta is None:
             raise FileNotFoundError(name)
         if not meta.pk:
             raise ValueError(f"table {name} has no primary key")
-        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
-        if not rows:
-            return meta
-        key_df = self.spark.createDataFrame(
-            rows, self.read(name, namespace).select(*meta.pk).schema
-        )
+        if isinstance(keys, DataFrame):
+            key_df = keys.select(*meta.pk).dropDuplicates(list(meta.pk))
+        else:
+            rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+            if not rows:
+                return meta
+            key_df = self.spark.createDataFrame(
+                rows, self.read(name, namespace).select(*meta.pk).schema
+            )
         if meta.write_mode == "mor":
             if TOMBSTONE_COLUMN not in meta.columns:
                 meta.columns[TOMBSTONE_COLUMN] = DataType.BOOL
@@ -2149,8 +2154,11 @@ class Warehouse:
                 name, self._with_bucket(meta, tomb), meta.pk, meta,
                 None, namespace, base,
             )
+        # literal key lists are small by construction — force broadcast;
+        # a DataFrame key set may be arbitrarily large, let AQE choose
+        anti = key_df if isinstance(keys, DataFrame) else F.broadcast(key_df)
         kept = self.read(name, namespace).join(
-            F.broadcast(key_df), on=list(meta.pk), how="left_anti"
+            anti, on=list(meta.pk), how="left_anti"
         )
         kept = self._with_bucket(meta, kept)
         version = self._write_version(name, kept, meta.partition_by, namespace)

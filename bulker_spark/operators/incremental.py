@@ -7,12 +7,22 @@ rollup. For additive aggregates (count / sum — and avg as sum+count)
 partials combine exactly, so the refreshed rollup equals a full
 recompute — which is what the tests assert.
 
-Built on the warehouse commit log: `read_appended(since_commit)` hands
-back exactly the newly-added files (manifest set difference — zero
-re-read of consumed data). If the source was rewritten (merge / replace
-/ compact), increments are undefined and the rollup falls back to a
-full rebuild from the new snapshot — correctness first, incrementality
-when the log proves it safe.
+Built on the warehouse commit log, cheapest sufficient mechanism first:
+
+1. **appends only** → `read_appended(since_commit)` hands back exactly
+   the newly-added files (manifest set difference — zero re-read of
+   consumed data); the delta aggregates with sign +1.
+2. **rewritten (merge / delete / replace_partition)** → the change feed
+   (`read_changes`) as SIGNED deltas: insert / update_postimage +1,
+   delete / update_preimage −1 — classic incremental view maintenance;
+   for additive aggregates the signed partial is exact (an update
+   contributes post − pre), and the feed costs O(rewritten slice), not
+   O(table). Groups whose row count reaches 0 drop out, matching a full
+   recompute. Requires a COUNT metric (group liveness) and a
+   copy-on-write source (MoR upserts carry no preimage to subtract).
+3. **otherwise** (feed reset / GC'd horizon / MoR / no count) → full
+   rebuild from the new snapshot — correctness first, incrementality
+   when the log proves it safe.
 
 The reference has nothing like this (its aggregation surface is
 COUNT(*), ``sql_adapter_base.go:287-297``); this is the
@@ -85,6 +95,37 @@ class IncrementalRollup:
         ]
         return df.groupBy(*self.spec.group_by).agg(*aggs)
 
+    def _aggregate_signed(self, df: DataFrame) -> DataFrame:
+        """Signed partial over a change-feed batch (``__sign`` ±1):
+        counts become Σsign, sums Σ(value·sign) — the IVM delta."""
+        sign = F.col("__sign")
+        aggs = [F.sum(sign).alias(c) for c in self.spec.counts]
+        aggs += [
+            F.sum(F.col(src) * sign).alias(out)
+            for out, src in self.spec.sums.items()
+        ]
+        return df.groupBy(*self.spec.group_by).agg(*aggs)
+
+    def _signed_changes(self, since: int) -> DataFrame | None:
+        """The change feed as signed delta rows, or None when signed
+        maintenance is undefined for this source/spec (MoR upserts carry
+        no preimage; without a COUNT metric emptied groups can't be
+        detected)."""
+        from ..sinks.warehouse import CHANGE_TYPE_COLUMN
+
+        meta = self.wh.get_meta(self.spec.source)
+        if meta is None or meta.write_mode == "mor" or not self.spec.counts:
+            return None
+        feed = self.wh.read_changes(self.spec.source, since)
+        ctype = F.col(CHANGE_TYPE_COLUMN)
+        sign = (
+            F.when(ctype.isin("insert", "update_postimage"), F.lit(1))
+            .when(ctype.isin("delete", "update_preimage"), F.lit(-1))
+        )
+        return feed.withColumn("__sign", sign).filter(
+            F.col("__sign").isNotNull()
+        )
+
     def _combine(self, current: DataFrame, delta: DataFrame) -> DataFrame:
         """Additive merge: full outer on the group keys, coalesced sums.
         The delta side is one partial row per touched group — micro-batch
@@ -132,15 +173,30 @@ class IncrementalRollup:
         elif since == latest:
             return {"mode": "noop", "rows": 0}
         else:
+            delta = mode = None
             try:
-                delta_src = self.wh.read_appended(spec.source, since)
-                delta = self._aggregate(delta_src)
-                merged = self._combine(self.wh.read(spec.target), delta)
-                self.wh.create_or_replace(spec.target, merged, pk=spec.group_by)
+                delta = self._aggregate(
+                    self.wh.read_appended(spec.source, since)
+                )
                 mode = "incremental"
             except ValueError:
-                # source rewritten (merge/replace/compact): fall back to a
-                # consistent full rebuild from the new snapshot
+                # source rewritten: exact signed maintenance off the
+                # change feed — O(rewritten slice), not O(table)
+                try:
+                    signed = self._signed_changes(since)
+                    if signed is not None:
+                        delta = self._aggregate_signed(signed)
+                        mode = "incremental_cdf"
+                except (ValueError, FileNotFoundError):
+                    pass  # feed reset / GC'd horizon → rebuild
+            if delta is not None:
+                merged = self._combine(self.wh.read(spec.target), delta)
+                if mode == "incremental_cdf":
+                    # a group whose rows all left must vanish, as it
+                    # would from a full recompute
+                    merged = merged.filter(F.col(spec.counts[0]) != 0)
+                self.wh.create_or_replace(spec.target, merged, pk=spec.group_by)
+            else:
                 full = self._aggregate(self.wh.read(spec.source))
                 self.wh.create_or_replace(spec.target, full, pk=spec.group_by)
                 mode = "rebuild"

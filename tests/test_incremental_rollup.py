@@ -96,3 +96,69 @@ def test_new_group_appears_in_delta(spark, tmp_warehouse):
     got = {r["etype"]: r["n"] for r in wh.read("ev_rollup").collect()}
     assert got["brand_new"] == 1
     assert sum(got.values()) == 31
+
+
+def _pk_events(spark, start, n):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("etype"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+
+
+def test_merge_rewrite_maintains_via_change_feed(spark, tmp_warehouse):
+    """A merge (update + insert) no longer forces a rebuild: the change
+    feed's signed deltas maintain the rollup exactly — update contributes
+    post − pre, and the refresh equals a full recompute."""
+    wh = Warehouse(spark, tmp_warehouse, retain_versions=5)
+    wh.create_or_replace("ev", _pk_events(spark, 0, 60), pk=["event_id"])
+    ru = incremental_rollup(
+        wh, "ev", "ev_rollup", ["etype"], sums={"total": "value"}
+    )
+    ru.refresh()
+    upd = spark.createDataFrame(
+        [(3, "0", 999.0), (7777, "1", 5.5)],
+        "event_id long, etype string, value double",
+    )
+    wh.merge("ev", upd, ["event_id"])  # one update, one insert
+    wh.append("ev", _pk_events(spark, 8000, 10))  # and an append commit
+    assert ru.refresh()["mode"] == "incremental_cdf"
+    assert _got(wh) == _expected(wh)
+
+
+def test_delete_empties_group_via_change_feed(spark, tmp_warehouse):
+    """Deleting a group's last rows must remove its rollup row, exactly
+    as a full recompute would."""
+    wh = Warehouse(spark, tmp_warehouse, retain_versions=5)
+    rows = spark.createDataFrame(
+        [(1, "solo", 10.0), (2, "big", 1.0), (3, "big", 2.0)],
+        "event_id long, etype string, value double",
+    )
+    wh.create_or_replace("ev", rows, pk=["event_id"])
+    ru = incremental_rollup(
+        wh, "ev", "ev_rollup", ["etype"], sums={"total": "value"}
+    )
+    ru.refresh()
+    wh.delete_keys("ev", [1])
+    assert ru.refresh()["mode"] == "incremental_cdf"
+    assert _got(wh) == _expected(wh)
+    assert "solo" not in _got(wh)
+
+
+def test_mor_rewrite_still_rebuilds(spark, tmp_warehouse):
+    """MoR upserts carry no preimage — signed maintenance is undefined,
+    the refresh must take the rebuild path and stay correct."""
+    wh = Warehouse(spark, tmp_warehouse, retain_versions=5)
+    wh.create_or_replace(
+        "ev", _pk_events(spark, 0, 30), pk=["event_id"], merge_on_read=True
+    )
+    ru = incremental_rollup(
+        wh, "ev", "ev_rollup", ["etype"], sums={"total": "value"}
+    )
+    ru.refresh()
+    upd = spark.createDataFrame(
+        [(3, "0", 999.0)], "event_id long, etype string, value double"
+    )
+    wh.merge("ev", upd, ["event_id"])
+    assert ru.refresh()["mode"] == "rebuild"
+    assert _got(wh) == _expected(wh)

@@ -366,6 +366,33 @@ class BulkerApp:
             "head": head,
         }
 
+    def query(
+        self, destination_id: str, sql_text: str, limit: int = 1000
+    ) -> dict[str, Any]:
+        """Read-only Spark SQL over a destination's warehouse tables
+        (``Engine.sql`` — auto-pruned manifests, every table a temp view).
+        Only query statements are accepted: Spark SQL's DDL/DML surface
+        (``CREATE TABLE ... LOCATION``, ``INSERT OVERWRITE DIRECTORY``)
+        would otherwise be an arbitrary-filesystem-write primitive on an
+        HTTP endpoint, the same class of hole the ``/test`` probe closed
+        with allowed-roots."""
+        import re as _re
+
+        if not _re.match(
+            r"\s*(select|with|values|table|explain)\b", sql_text, _re.I
+        ) or ";" in sql_text:
+            raise ValueError(
+                "only single query statements (SELECT/WITH/VALUES/TABLE/"
+                "EXPLAIN) are accepted here"
+            )
+        eng = self.engine_for(destination_id)
+        df = eng.sql(sql_text)
+        rows = df.limit(max(1, min(int(limit), 10000))).collect()
+        return {
+            "columns": df.columns,
+            "rows": [r.asDict(recursive=True) for r in rows],
+        }
+
     # -- the batch-consumer cron (cron.go:25-56) ----------------------------
     def topics_for(self, destination_id: str) -> list[str]:
         out = []
@@ -887,6 +914,20 @@ def _make_handler(app: BulkerApp):
                         self._json(
                             422, {"success": False, "error": str(ex)}
                         )
+                elif len(parts) == 2 and parts[0] == "query":
+                    spec = json.loads(self._body() or b"{}")
+                    sql_text = spec.get("query")
+                    if not sql_text:
+                        self._json(400, {"error": "query is required"})
+                        return
+                    self._json(
+                        200,
+                        app.query(
+                            parts[1],
+                            sql_text,
+                            limit=int(spec.get("limit", 1000)),
+                        ),
+                    )
                 elif len(parts) == 3 and parts[0] == "profiles":
                     topic = app.post_profile(
                         parts[1], parts[2], q.get("profileId", "")

@@ -777,3 +777,50 @@ def test_changes_endpoint_cdc_loop(spark):
         server.shutdown()
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_query_endpoint_runs_sql(app_server, spark):
+    app, base = app_server
+    for i in range(5):
+        _post(
+            f"{base}/post/pg1?tableName=q_events",
+            json.dumps({"id": i, "kind": "a" if i % 2 else "b"}).encode(),
+        )
+    _post(f"{base}/cycle/pg1", b"")
+    out = _post(
+        f"{base}/query/pg1",
+        json.dumps(
+            {"query": "select kind, count(*) n from q_events group by kind"}
+        ).encode(),
+    )
+    got = {r["kind"]: r["n"] for r in out["rows"]}
+    assert got == {"a": 2, "b": 3}
+    assert out["columns"] == ["kind", "n"]
+
+
+def test_query_endpoint_rejects_non_queries(app_server):
+    _app, base = app_server
+    for bad in (
+        "drop table x",
+        "insert overwrite directory '/tmp/x' select 1",
+        "create table x location '/tmp/x' as select 1",
+        "select 1; select 2",
+    ):
+        with pytest.raises(HTTPError) as err:
+            _post(f"{base}/query/pg1", json.dumps({"query": bad}).encode())
+        assert err.value.code == 400
+
+
+def test_query_endpoint_limit(app_server):
+    app, base = app_server
+    for i in range(10):
+        _post(
+            f"{base}/post/pg1?tableName=q_lim",
+            json.dumps({"id": i}).encode(),
+        )
+    _post(f"{base}/cycle/pg1", b"")
+    out = _post(
+        f"{base}/query/pg1",
+        json.dumps({"query": "select id from q_lim", "limit": 4}).encode(),
+    )
+    assert len(out["rows"]) == 4

@@ -75,6 +75,13 @@ class Destination:
     # retention window); 1 = storage-minimal, feed unavailable past the
     # newest commit
     retain_versions: int = 1
+    # cross-destination table replication drained after each cycle: list
+    # of {source, to, target?} dicts — ``source`` table here follows into
+    # destination ``to`` (as ``target``, default same name) via the
+    # streaming change feed (streaming/replicate.py: snapshot bootstrap +
+    # exactly-once merge/delete apply). Requires retain_versions > 1 so
+    # the feed horizon covers the inter-cycle gap.
+    replicas: list[dict[str, Any]] | None = None
 
 
 class TopicProducer:
@@ -446,12 +453,50 @@ class BulkerApp:
             self.metrics["cycle_topics_drained"] += 1
         self.metrics["cycles"] += 1
         refreshed = self._refresh_rollups(eng, dest)
+        replicated = self._drain_replicas(eng, dest)
         out: dict[str, Any] = {
             "destination": destination_id,
             "topics": list(drained),
         }
         if refreshed:
             out["rollups"] = refreshed
+        if replicated:
+            out["replicas"] = replicated
+        return out
+
+    def _drain_replicas(self, eng: Engine, dest: Destination) -> list[dict]:
+        """Post-cycle cross-destination sync: each configured replica
+        drains the source table's change-feed backlog into its target
+        destination (streaming/replicate.py — snapshot bootstrap on first
+        drain, exactly-once via the app-owned checkpoint thereafter)."""
+        if not dest.replicas:
+            return []
+        from ..streaming.replicate import TableReplica
+
+        out = []
+        for spec in dest.replicas:
+            try:
+                source = spec["source"]
+                to = spec["to"]
+                target = spec.get("target", source)
+                ckpt = os.path.join(
+                    self.topics_root,
+                    "_replica_ckpt",
+                    f"{dest.destination_id}.{source}.{to}.{target}",
+                )
+                q = TableReplica(
+                    eng, source, self.engine_for(to), dst_table=target
+                ).start(ckpt, available_now=True)
+                q.awaitTermination()
+                out.append({"source": source, "to": to, "target": target})
+            except Exception as ex:  # a broken replica must not fail the cycle
+                out.append(
+                    {
+                        "source": spec.get("source"),
+                        "to": spec.get("to"),
+                        "error": f"{type(ex).__name__}: {ex}",
+                    }
+                )
         return out
 
     def _refresh_rollups(self, eng: Engine, dest: Destination) -> list[dict]:
@@ -578,6 +623,8 @@ class BulkerApp:
             options=spec.get("options", {}) or {},
             filters=spec.get("filters"),
             rollups=spec.get("rollups"),
+            replicas=spec.get("replicas"),
+            retain_versions=int(spec.get("retain_versions", 1)),
         )
         with self._lock:
             self.destinations[dest.destination_id] = dest

@@ -824,3 +824,47 @@ def test_query_endpoint_limit(app_server):
         json.dumps({"query": "select id from q_lim", "limit": 4}).encode(),
     )
     assert len(out["rows"]) == 4
+
+
+def test_cycle_drains_configured_replicas(spark):
+    """Config-driven cross-destination sync: a replica spec on d1 keeps
+    d2's copy converged after every cycle (bootstrap on the first drain,
+    change-feed follow afterwards)."""
+    wh1 = tempfile.mkdtemp(prefix="router_wh1_")
+    wh2 = tempfile.mkdtemp(prefix="router_wh2_")
+    topics = tempfile.mkdtemp(prefix="router_topics_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [
+            Destination(
+                "d1",
+                wh1,
+                options={"primary_key": ["id"], "deduplicate": True},
+                retain_versions=5,
+                replicas=[{"source": "ev", "to": "d2"}],
+            ),
+            Destination("d2", wh2),
+        ],
+    )
+    try:
+        for i in range(4):
+            app.post_event("d1", "ev", json.dumps({"id": i, "v": i}).encode())
+        out = app.run_batch_cycle("d1")
+        assert out["replicas"] == [{"source": "ev", "to": "d2", "target": "ev"}]
+        src_eng, dst_eng = app.engine_for("d1"), app.engine_for("d2")
+        assert dst_eng.warehouse.read("ev").count() == 4
+
+        # second cycle: update + new row flow through the change feed
+        app.post_event("d1", "ev", json.dumps({"id": 1, "v": 99}).encode())
+        app.post_event("d1", "ev", json.dumps({"id": 9, "v": 9}).encode())
+        app.run_batch_cycle("d1")
+        a = sorted(map(tuple, src_eng.warehouse.read("ev").select("id", "v").collect()))
+        b = sorted(map(tuple, dst_eng.warehouse.read("ev").select("id", "v").collect()))
+        assert a == b
+        got = {r["id"]: r["v"] for r in dst_eng.warehouse.read("ev").collect()}
+        assert got[1] == 99 and got[9] == 9
+    finally:
+        shutil.rmtree(wh1, ignore_errors=True)
+        shutil.rmtree(wh2, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

@@ -260,24 +260,52 @@ class Engine:
             retain_versions=retain_versions,
             link_mode=link_mode,
         )
-        # (ns, table, commit) → full-read DataFrame. A DataFrame is an
-        # immutable plan over an explicit file manifest, so reuse across
-        # sql() calls is sound; the commit id in the key invalidates on
-        # every table write. Building the plan costs O(files) driver work
-        # (the file index), which repeated queries shouldn't re-pay.
+        # (session-tag, ns, table, commit) → full-read DataFrame. A
+        # DataFrame is an immutable plan over an explicit file manifest,
+        # so reuse across sql() calls is sound; the commit id in the key
+        # invalidates on every table write. Building the plan costs
+        # O(files) driver work (the file index), which repeated queries
+        # shouldn't re-pay.
         self._view_cache: dict[tuple, DataFrame] = {}
+        # isolated session for phase-2 pruned re-planning (see sql()):
+        # pruned temp views registered there are invisible to every other
+        # consumer of the main session — no exposure window, no restore
+        import threading
 
-    def _snapshot_df(self, table: str, ns: str) -> DataFrame:
+        self._prune_session = None
+        self._prune_lock = threading.Lock()
+
+    def _cached_read(self, tag: str, table: str, ns: str, wh) -> DataFrame:
         cur = self.warehouse._last_commit_id(table, ns)
-        key = (ns, table, cur)
+        key = (tag, ns, table, cur)
         df = self._view_cache.get(key)
         if df is None:
-            df = self.warehouse.read(table, ns)
+            df = wh.read(table, ns)
             self._view_cache = {
-                k: v for k, v in self._view_cache.items() if k[:2] != (ns, table)
+                k: v
+                for k, v in self._view_cache.items()
+                if k[:3] != (tag, ns, table)
             }
             self._view_cache[key] = df
         return df
+
+    def _snapshot_df(self, table: str, ns: str) -> DataFrame:
+        return self._cached_read("main", table, ns, self.warehouse)
+
+    def _prune_sess(self):
+        """The phase-2 session, lazily created; a new session starts from
+        DEFAULT SQL conf, so every explicitly-set conf of the main
+        session (timezone, shuffle partitions, AQE, ...) is copied on
+        each use — conf drift between the two plans would change
+        semantics, not just speed."""
+        if self._prune_session is None:
+            self._prune_session = self.spark.newSession()
+        for row in self.spark.sql("SET").collect():
+            try:
+                self._prune_session.conf.set(row["key"], row["value"])
+            except Exception:
+                continue  # static/unsettable conf
+        return self._prune_session
 
     def create_stream(self, table: str, **options: Any) -> BulkerStream:
         return BulkerStream(self, table, StreamOptions(**options))
@@ -843,16 +871,34 @@ class Engine:
             specs = {}
         if not specs:
             return df
-        pruned = []
-        for t, spec in specs.items():
-            try:
-                self.warehouse.read(t, ns, prune=spec).createOrReplaceTempView(t)
-                pruned.append(t)
-            except ValueError:  # MoR table: pruning undefined — keep full
-                continue
-        if not pruned:
+        # phase 2 runs in the ISOLATED prune session: a pruned view is a
+        # predicate-specific artifact — registering it under the shared
+        # name, even briefly, would let any concurrent reader of the main
+        # session silently bind a filtered manifest. The lock covers only
+        # registration + analysis (execution happens on the returned
+        # DataFrame, outside); any phase-2 failure falls back to the
+        # correct unpruned phase-1 plan.
+        import copy
+
+        try:
+            with self._prune_lock:
+                sess = self._prune_sess()
+                wh = copy.copy(self.warehouse)
+                wh.spark = sess
+                pruned_any = False
+                for t in registered:
+                    pv = None
+                    if t in specs:
+                        try:
+                            pv = wh.read(t, ns, prune=specs[t])
+                            pruned_any = True
+                        except ValueError:  # MoR: pruning undefined
+                            pv = None
+                    if pv is None:
+                        pv = self._cached_read("pruned", t, ns, wh)
+                    pv.createOrReplaceTempView(t)
+                if not pruned_any:
+                    return df
+                return sess.sql(query)  # analysis is eager: binds NOW
+        except Exception:
             return df
-        df = self.spark.sql(query)  # analysis is eager: plan binds NOW
-        for t in pruned:  # restore full views for later direct spark.sql use
-            self._snapshot_df(t, ns).createOrReplaceTempView(t)
-        return df

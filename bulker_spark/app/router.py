@@ -128,6 +128,19 @@ class TopicProducer:
         self._buffers[topic] = []
 
 
+def _validate_destination(dest: Destination) -> None:
+    """Reject configs that can only fail at runtime. A replica follows
+    the source's change feed between cycles; with the default
+    retain_versions=1 every commit GCs the feed's horizon, so every
+    drain after the first would raise — fail at registration instead."""
+    if dest.replicas and dest.retain_versions <= 1:
+        raise ValueError(
+            f"destination {dest.destination_id} declares replicas but "
+            f"retain_versions={dest.retain_versions}; the change feed "
+            "needs retain_versions > 1 to cover the inter-cycle gap"
+        )
+
+
 class BulkerApp:
     """The application object behind the HTTP handlers (and usable
     directly as a library, mirroring the reference's app/router split)."""
@@ -149,6 +162,8 @@ class BulkerApp:
         os.makedirs(topics_root, exist_ok=True)
         if isinstance(destinations, list):
             destinations = {d.destination_id: d for d in destinations}
+        for d in destinations.values():
+            _validate_destination(d)
         self.destinations = destinations
         self.producer = TopicProducer(topics_root, producer_batch_size)
         # HTTP bearer-token auth, the reference's AUTH_TOKENS middleware
@@ -373,25 +388,62 @@ class BulkerApp:
             "head": head,
         }
 
+    def _assert_read_only(self, sql_text: str) -> None:
+        """Reject anything but a pure query. A keyword regex is not
+        enough: Spark's grammar admits CTE-prefixed DML (``WITH x AS
+        (...) INSERT OVERWRITE DIRECTORY ...`` parses with root
+        UnresolvedWith), and ``spark.sql`` executes commands EAGERLY — so
+        the gate walks the PARSED tree and denies any command/DML node
+        anywhere in it. Executed before the query ever reaches
+        ``spark.sql``."""
+        import re as _re
+
+        if not _re.match(
+            r"\s*(select|with|values|table)\b", sql_text, _re.I
+        ) or ";" in sql_text:
+            raise ValueError(
+                "only single query statements (SELECT/WITH/VALUES/TABLE) "
+                "are accepted here"
+            )
+        plan = (
+            self.spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parsePlan(sql_text)
+        )
+        deny_exact = {
+            "CreateTable", "ReplaceTable", "DropTable", "DropView",
+            "UpdateTable", "DeleteFromTable", "MergeIntoTable",
+            "InsertIntoDir", "RefreshTable", "SetCatalogAndNamespace",
+        }
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            name = node.getClass().getSimpleName()
+            if (
+                name.endswith("Command")
+                or name.endswith("Statement")
+                or name in deny_exact
+            ):
+                raise ValueError(
+                    f"statement node {name} is not allowed on the "
+                    "read-only query endpoint"
+                )
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+
     def query(
         self, destination_id: str, sql_text: str, limit: int = 1000
     ) -> dict[str, Any]:
         """Read-only Spark SQL over a destination's warehouse tables
         (``Engine.sql`` — auto-pruned manifests, every table a temp view).
-        Only query statements are accepted: Spark SQL's DDL/DML surface
-        (``CREATE TABLE ... LOCATION``, ``INSERT OVERWRITE DIRECTORY``)
-        would otherwise be an arbitrary-filesystem-write primitive on an
-        HTTP endpoint, the same class of hole the ``/test`` probe closed
-        with allowed-roots."""
-        import re as _re
-
-        if not _re.match(
-            r"\s*(select|with|values|table|explain)\b", sql_text, _re.I
-        ) or ";" in sql_text:
-            raise ValueError(
-                "only single query statements (SELECT/WITH/VALUES/TABLE/"
-                "EXPLAIN) are accepted here"
-            )
+        Only query statements are accepted (``_assert_read_only``):
+        Spark SQL's DDL/DML surface (``CREATE TABLE ... LOCATION``,
+        ``INSERT OVERWRITE DIRECTORY``) would otherwise be an
+        arbitrary-filesystem-write primitive on an HTTP endpoint, the
+        same class of hole the ``/test`` probe closed with
+        allowed-roots."""
+        self._assert_read_only(sql_text)
         eng = self.engine_for(destination_id)
         df = eng.sql(sql_text)
         rows = df.limit(max(1, min(int(limit), 10000))).collect()
@@ -626,6 +678,7 @@ class BulkerApp:
             replicas=spec.get("replicas"),
             retain_versions=int(spec.get("retain_versions", 1)),
         )
+        _validate_destination(dest)
         with self._lock:
             self.destinations[dest.destination_id] = dest
             self._engines.pop(dest.destination_id, None)

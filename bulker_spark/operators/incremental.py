@@ -106,7 +106,9 @@ class IncrementalRollup:
         ]
         return df.groupBy(*self.spec.group_by).agg(*aggs)
 
-    def _signed_changes(self, since: int) -> DataFrame | None:
+    def _signed_changes(
+        self, since: int, to_commit: int | None = None
+    ) -> DataFrame | None:
         """The change feed as signed delta rows, or None when signed
         maintenance is undefined for this source/spec (MoR upserts carry
         no preimage; without a COUNT metric emptied groups can't be
@@ -116,7 +118,9 @@ class IncrementalRollup:
         meta = self.wh.get_meta(self.spec.source)
         if meta is None or meta.write_mode == "mor" or not self.spec.counts:
             return None
-        feed = self.wh.read_changes(self.spec.source, since)
+        feed = self.wh.read_changes(
+            self.spec.source, since, to_commit=to_commit
+        )
         ctype = F.col(CHANGE_TYPE_COLUMN)
         sign = (
             F.when(ctype.isin("insert", "update_postimage"), F.lit(1))
@@ -166,24 +170,44 @@ class IncrementalRollup:
         latest = max(e["commit"] for e in history)
         since = self.last_commit()
 
+        def _snapshot_at_latest() -> DataFrame:
+            # pin the full read to `latest` (the commit this refresh
+            # checkpoints); the live pointer may already be past it. If
+            # minimal retention GC'd that snapshot mid-race, re-anchor
+            # latest to the new head and read that instead.
+            nonlocal latest
+            try:
+                return self.wh.read(spec.source, version=int(latest))
+            except FileNotFoundError:
+                latest = max(
+                    e["commit"] for e in self.wh.history(spec.source)
+                )
+                return self.wh.read(spec.source, version=int(latest))
+
         if since is None or not self.wh.exists(spec.target):
             mode = "initial"
-            full = self._aggregate(self.wh.read(spec.source))
+            full = self._aggregate(_snapshot_at_latest())
             self.wh.create_or_replace(spec.target, full, pk=spec.group_by)
         elif since == latest:
             return {"mode": "noop", "rows": 0}
         else:
             delta = mode = None
             try:
+                # bounded at `latest` (the commit this refresh will
+                # checkpoint): a commit racing in after the history()
+                # read must not be consumed now AND re-consumed next
+                # refresh (double-count)
                 delta = self._aggregate(
-                    self.wh.read_appended(spec.source, since)
+                    self.wh.read_appended(
+                        spec.source, since, to_commit=latest
+                    )
                 )
                 mode = "incremental"
             except ValueError:
                 # source rewritten: exact signed maintenance off the
                 # change feed — O(rewritten slice), not O(table)
                 try:
-                    signed = self._signed_changes(since)
+                    signed = self._signed_changes(since, latest)
                     if signed is not None:
                         delta = self._aggregate_signed(signed)
                         mode = "incremental_cdf"
@@ -197,7 +221,7 @@ class IncrementalRollup:
                     merged = merged.filter(F.col(spec.counts[0]) != 0)
                 self.wh.create_or_replace(spec.target, merged, pk=spec.group_by)
             else:
-                full = self._aggregate(self.wh.read(spec.source))
+                full = self._aggregate(_snapshot_at_latest())
                 self.wh.create_or_replace(spec.target, full, pk=spec.group_by)
                 mode = "rebuild"
 

@@ -1238,6 +1238,7 @@ class Warehouse:
         since_commit: int,
         namespace: str | None = None,
         ops: tuple = ("append",),
+        to_commit: int | None = None,
     ) -> DataFrame:
         """Incremental consumption: rows in files ADDED after commit
         ``since_commit`` (manifest set difference — no data diffing, no
@@ -1262,7 +1263,12 @@ class Warehouse:
             raise FileNotFoundError(
                 f"unknown commit {since_commit} of {name}"
             )
-        newer = [e for e in log if e.get("commit", 0) > since_commit]
+        newer = [
+            e
+            for e in log
+            if e.get("commit", 0) > since_commit
+            and (to_commit is None or e.get("commit", 0) <= to_commit)
+        ]
         non_append = [e["op"] for e in newer if e["op"] not in ops]
         if non_append:
             raise ValueError(
@@ -1270,8 +1276,12 @@ class Warehouse:
                 f"{since_commit}; incremental read undefined — re-read the "
                 "current snapshot"
             )
-        meta = self.get_meta(name, namespace)
-        vdir = os.path.join(self._table_dir(name, namespace), meta.version)
+        # version dir of the BOUNDED tail entry, not the live pointer — a
+        # commit landing after to_commit must not redirect this read
+        tail_entry = newer[-1] if newer else base[-1]
+        vdir = os.path.join(
+            self._table_dir(name, namespace), tail_entry["meta"]["version"]
+        )
         base_files = set(base[-1]["files"])
         latest_files = (
             set(newer[-1]["files"]) if newer else base_files

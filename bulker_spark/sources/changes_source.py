@@ -96,16 +96,29 @@ _RESET_MSG = (
 )
 
 
-def _read_log(table_dir: str) -> list[dict]:
+def _log_commits(table_dir: str) -> list[int]:
+    """Retained commit ids, ascending — from FILENAMES only (the log
+    names entries ``{commit:012d}.json``). This is what keeps
+    ``latestOffset`` O(1)-ish per trigger: learning the head id must not
+    re-parse every retained entry's manifest and file stats."""
     log_dir = os.path.join(table_dir, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"no commit log under {table_dir}")
-    out = []
-    for f in sorted(os.listdir(log_dir)):
-        if f.endswith(".json") and f[:-5].isdigit():
-            with open(os.path.join(log_dir, f)) as fh:
-                out.append(json.load(fh))
+    out = sorted(
+        int(f[:-5])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    if not out:
+        raise FileNotFoundError(f"empty commit log under {table_dir}")
     return out
+
+
+def _log_entry(table_dir: str, commit: int) -> dict:
+    with open(
+        os.path.join(table_dir, _LOG_DIR, f"{commit:012d}.json")
+    ) as fh:
+        return json.load(fh)
 
 
 def _deref(rel: str) -> str:
@@ -255,19 +268,23 @@ def _dir_values(rel: str) -> dict[str, str | None]:
     return out
 
 
-def _load_normalized(
-    files: list[tuple[str, str]], cols: list[tuple[str, int]]
-):
-    """Read a file set into ONE Arrow table with exactly the live columns
-    in order: dir-encoded values materialized, missing columns
-    null-filled (schema evolution), physical types widened by cast."""
-    import pyarrow as pa
+def _read_raw(files: list[tuple[str, str]]) -> list[tuple]:
+    """Each file read ONCE: [(arrow table, version-local relpath)]."""
     import pyarrow.parquet as pq
+
+    return [(pq.read_table(path), rel) for path, rel in files]
+
+
+def _normalize(raw: list[tuple], cols: list[tuple[str, int]]):
+    """Combine pre-read tables into ONE Arrow table with exactly the
+    live columns in order: dir-encoded values materialized, missing
+    columns null-filled (schema evolution), physical types widened by
+    cast."""
+    import pyarrow as pa
 
     target = _arrow_target(cols)
     tables = []
-    for path, rel in files:
-        t = pq.read_table(path)
+    for t, rel in raw:
         dirvals = _dir_values(rel)
         n = t.num_rows
         arrays = []
@@ -290,16 +307,17 @@ def _load_normalized(
 def _read_scan(part: ScanPart, cols: list[tuple[str, int]]) -> Iterator:
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    data = _load_normalized(part.files, cols)
+    raw = _read_raw(part.files)
+    data = _normalize(raw, cols)
     n = data.num_rows
     if part.ctype is not None:
         ctypes = pa.repeat(pa.scalar(part.ctype, pa.string()), n)
-    else:  # MoR delta: tombstones delete, the rest upsert
+    else:  # MoR delta: tombstones delete, the rest upsert — the flag
+        # comes from the SAME tables the normalize pass read (one file
+        # I/O per delta file, not two)
         flags: list[bool | None] = []
-        for path, _rel in part.files:
-            t = pq.read_table(path)
+        for t, _rel in raw:
             if _TOMBSTONE in t.column_names:
                 flags.extend(t.column(_TOMBSTONE).cast(pa.bool_()).to_pylist())
             else:
@@ -342,12 +360,14 @@ def _read_diff(part: DiffPart, cols: list[tuple[str, int]]) -> Iterator:
     import pyarrow as pa
 
     names = [n for n, _t in cols]
-    old = _load_normalized(part.old, cols)
-    new = _load_normalized(part.new, cols)
+    old = _normalize(_read_raw(part.old), cols)
+    new = _normalize(_read_raw(part.new), cols)
     data_cols = [n for n in names if n not in part.pk]
 
     def emit(table, mask_idx, ctype):
-        t = table.take(pa.array(mask_idx, pa.int64()))
+        if not isinstance(mask_idx, (pa.Array, pa.ChunkedArray)):
+            mask_idx = pa.array(mask_idx, pa.int64())
+        t = table.take(mask_idx)
         n = t.num_rows
         t = t.append_column(
             _CHANGE_TYPE, pa.repeat(pa.scalar(ctype, pa.string()), n)
@@ -376,26 +396,86 @@ def _read_diff(part: DiffPart, cols: list[tuple[str, int]]) -> Iterator:
         yield from emit(new, ins_idx, "insert")
         return
 
-    old_by_pk = {
-        k: i for i, k in enumerate(_canonical_keys(old, part.pk))
-    }
-    new_by_pk = {
-        k: i for i, k in enumerate(_canonical_keys(new, part.pk))
-    }
-    old_data = _canonical_keys(old, data_cols)
-    new_data = _canonical_keys(new, data_cols)
-    ins_idx = [i for k, i in new_by_pk.items() if k not in old_by_pk]
-    del_idx = [i for k, i in old_by_pk.items() if k not in new_by_pk]
-    upd_old, upd_new = [], []
-    for k, i in old_by_pk.items():
-        j = new_by_pk.get(k)
-        if j is not None and old_data[i] != new_data[j]:
-            upd_old.append(i)
-            upd_new.append(j)
-    yield from emit(new, sorted(ins_idx), "insert")
-    yield from emit(old, sorted(del_idx), "delete")
+    # vectorized path (Acero hash join on PK + columnar compare) for the
+    # overwhelmingly common keys; null or floating PKs get SQL-unfriendly
+    # equality semantics from the join, so they take the Python fallback
+    vectorizable = all(
+        not pa.types.is_floating(old.schema.field(k).type)
+        and old.column(k).null_count == 0
+        and new.column(k).null_count == 0
+        for k in part.pk
+    )
+    if vectorizable:
+        ins_idx, del_idx, upd_old, upd_new = _pk_diff_arrow(
+            old, new, list(part.pk), data_cols
+        )
+    else:
+        old_by_pk = {
+            k: i for i, k in enumerate(_canonical_keys(old, part.pk))
+        }
+        new_by_pk = {
+            k: i for i, k in enumerate(_canonical_keys(new, part.pk))
+        }
+        old_data = _canonical_keys(old, data_cols)
+        new_data = _canonical_keys(new, data_cols)
+        ins_idx = sorted(
+            i for k, i in new_by_pk.items() if k not in old_by_pk
+        )
+        del_idx = sorted(
+            i for k, i in old_by_pk.items() if k not in new_by_pk
+        )
+        upd_old, upd_new = [], []
+        for k, i in old_by_pk.items():
+            j = new_by_pk.get(k)
+            if j is not None and old_data[i] != new_data[j]:
+                upd_old.append(i)
+                upd_new.append(j)
+    yield from emit(new, ins_idx, "insert")
+    yield from emit(old, del_idx, "delete")
     yield from emit(old, upd_old, "update_preimage")
     yield from emit(new, upd_new, "update_postimage")
+
+
+def _pk_diff_arrow(old, new, pk: list[str], data_cols: list[str]):
+    """(insert, delete, update-pre, update-post) row indices via Arrow
+    compute — no per-row Python objects. Full-outer hash join of the two
+    sides' PK projections carries each side's row index; matched rows
+    compare data columns columnar with eqNullSafe semantics (null==null,
+    NaN==NaN, -0.0==0.0 — exactly the batch feed's ``_comparable``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keyed(t, tag):
+        return t.select(pk).append_column(
+            tag, pa.array(range(t.num_rows), pa.int64())
+        )
+
+    j = keyed(old, "__oi").join(
+        keyed(new, "__ni"), keys=pk, join_type="full outer"
+    )
+    oi, ni = j.column("__oi"), j.column("__ni")
+    ins_idx = ni.filter(pc.is_null(oi)).combine_chunks()
+    del_idx = oi.filter(pc.is_null(ni)).combine_chunks()
+    matched = pc.and_(pc.is_valid(oi), pc.is_valid(ni))
+    oi_m, ni_m = oi.filter(matched), ni.filter(matched)
+    changed = pa.array([False] * len(oi_m), pa.bool_())
+    for c in data_cols:
+        a, b = old.column(c).take(oi_m), new.column(c).take(ni_m)
+        eq = pc.fill_null(pc.equal(a, b), False)
+        eq = pc.or_(eq, pc.and_(pc.is_null(a), pc.is_null(b)))
+        if pa.types.is_floating(old.schema.field(c).type):
+            nan = pc.and_(
+                pc.fill_null(pc.is_nan(a), False),
+                pc.fill_null(pc.is_nan(b), False),
+            )
+            eq = pc.or_(eq, nan)
+        changed = pc.or_(changed, pc.invert(eq))
+    return (
+        ins_idx,
+        del_idx,
+        oi_m.filter(changed),
+        ni_m.filter(changed),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -421,10 +501,9 @@ class ChangesStreamReader(DataSourceStreamReader):
         self.files_per_part = max(
             1, int(options.get("filesperpartition", 4) or 4)
         )
-        log = _read_log(self.table_dir)
-        if not log:
-            raise FileNotFoundError(f"empty commit log for {table}")
-        meta = log[-1]["meta"]
+        meta = _log_entry(self.table_dir, _log_commits(self.table_dir)[-1])[
+            "meta"
+        ]
         if meta.get("json_storage") == "variant":
             raise NotImplementedError(
                 "bulker_changes does not stream variant-storage tables; "
@@ -438,13 +517,13 @@ class ChangesStreamReader(DataSourceStreamReader):
 
     # -- offsets ------------------------------------------------------------
     def initialOffset(self) -> dict:
-        log = _read_log(self.table_dir)
+        commits = _log_commits(self.table_dir)
         if self.starting == "latest":
-            return {"commit": int(log[-1]["commit"])}
+            return {"commit": commits[-1]}
         if self.starting == "earliest":
-            return {"commit": int(log[0]["commit"])}
+            return {"commit": commits[0]}
         start = int(self.starting)
-        if not any(int(e["commit"]) == start for e in log):
+        if start not in commits:
             raise FileNotFoundError(
                 f"startingCommit {start} is not in the retained log of "
                 f"{self.table} (retention bounds the feed horizon)"
@@ -456,12 +535,10 @@ class ChangesStreamReader(DataSourceStreamReader):
         ``maxCommitsPerTrigger`` caps how many commits past the last
         planned offset one micro-batch may cover — rate limiting happens
         HERE because whatever this returns is recorded as consumed."""
-        log = _read_log(self.table_dir)
-        head = int(log[-1]["commit"])
+        commits = _log_commits(self.table_dir)
+        head = commits[-1]
         if self.max_commits > 0 and self._last is not None:
-            newer = [
-                int(e["commit"]) for e in log if int(e["commit"]) > self._last
-            ]
+            newer = [c for c in commits if c > self._last]
             if len(newer) > self.max_commits:
                 head = newer[self.max_commits - 1]
         self._last = head
@@ -469,13 +546,13 @@ class ChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["commit"]), int(end["commit"])
-        log = _read_log(self.table_dir)
-        entries = [e for e in log if lo <= int(e["commit"]) <= hi]
-        if not entries or int(entries[0]["commit"]) != lo:
+        in_range = [c for c in _log_commits(self.table_dir) if lo <= c <= hi]
+        if not in_range or in_range[0] != lo:
             raise FileNotFoundError(
                 f"commit {lo} of {self.table} is no longer retained; the "
                 "change feed horizon is bounded by version retention"
             )
+        entries = [_log_entry(self.table_dir, c) for c in in_range]
         parts: list[InputPartition] = []
         prev = entries[0]
         for e in entries[1:]:
@@ -517,10 +594,10 @@ class BulkerChangesDataSource(DataSource):
                 "and .option('table', name)"
             )
         ns = self.options.get("namespace", "default")
-        log = _read_log(os.path.join(root, ns, table))
-        if not log:
-            raise FileNotFoundError(f"empty commit log for {table}")
-        cols = _live_columns(log[-1]["meta"])
+        tdir = os.path.join(root, ns, table)
+        cols = _live_columns(
+            _log_entry(tdir, _log_commits(tdir)[-1])["meta"]
+        )
         ddl = ", ".join(f"`{n}` {_SPARK_DDL[t]}" for n, t in cols)
         return (
             f"{ddl}, `{_CHANGE_TYPE}` string, `{_CHANGE_COMMIT}` bigint"

@@ -43,6 +43,8 @@ desynchronize deletes.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -72,19 +74,43 @@ class TableReplica:
         self.dst_ns = dst_namespace or dst.warehouse.namespace
 
     # -- bootstrap -----------------------------------------------------------
-    def _bootstrap(self) -> int | str:
+    def _bootstrap(self, checkpoint: str) -> int | str:
         """Ensure the destination table exists; return the feed's starting
-        commit ("latest" when the destination already exists and the
-        checkpoint governs resume)."""
+        commit. The pinned commit is persisted as a sidecar in the
+        checkpoint dir BEFORE the snapshot copy: the stream's own offset
+        log only exists after its first batch commits, so a crash between
+        the snapshot landing and that first commit would otherwise make a
+        restart see "destination exists" and silently start from
+        'latest', skipping every commit since the snapshot. With the
+        sidecar, restarts re-pin the same starting commit until the
+        checkpoint takes over (checkpointed offsets override
+        startingCommit entirely)."""
         meta = self.src.warehouse.get_meta(self.table, self.src_ns)
         if meta is None:
             raise FileNotFoundError(f"source table {self.table}")
-        if (
+        marker = os.path.join(checkpoint, "bulker_replica_bootstrap.json")
+        dst_exists = (
             self.dst.warehouse.get_meta(self.dst_table, self.dst_ns)
             is not None
-        ):
-            return "latest"
+        )
+        if dst_exists:
+            try:
+                with open(marker) as fh:
+                    return int(json.load(fh)["commit"])
+            except (OSError, ValueError, KeyError):
+                raise ValueError(
+                    f"destination table {self.dst_table} exists but this "
+                    "checkpoint has no bootstrap record — replication "
+                    "cannot tell where its feed should start. Reuse the "
+                    "original checkpoint, or drop the destination table "
+                    "to re-bootstrap."
+                ) from None
         head = self.src.warehouse.history(self.table, self.src_ns)[0]
+        os.makedirs(checkpoint, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"commit": int(head["commit"])}, fh)
+        os.replace(tmp, marker)
         snap = self.src.warehouse.read(
             self.table, self.src_ns, version=head["version"]
         )
@@ -167,7 +193,7 @@ class TableReplica:
         """Bootstrap if needed, then start the follow stream. Returns the
         StreamingQuery; ``availableNow`` drains the backlog and stops
         (the cron-cycle shape), ``processing_time`` keeps following."""
-        starting = self._bootstrap()
+        starting = self._bootstrap(checkpoint)
         feed = self.src.stream_changes(
             self.table,
             namespace=self.src_ns,

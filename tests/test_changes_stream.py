@@ -204,8 +204,8 @@ def test_stream_bucketed_merge_plans_per_bucket_diffs(spark, wh_root):
     and it covers only the rewritten slice."""
     from bulker_spark.sources.changes_source import (
         DiffPart,
+        _log_entry,
         _plan_commit,
-        _read_log,
     )
 
     wh = _wh(spark, wh_root)
@@ -219,9 +219,8 @@ def test_stream_bucketed_merge_plans_per_bucket_diffs(spark, wh_root):
         ["pk"],
     )
     tdir = os.path.join(wh_root, "default", "t")
-    log = _read_log(tdir)
-    prev = next(e for e in log if int(e["commit"]) == c0)
-    cur = next(e for e in log if int(e["commit"]) == c0 + 1)
+    prev = _log_entry(tdir, c0)
+    cur = _log_entry(tdir, c0 + 1)
     parts = _plan_commit(prev, cur, tdir, "t", files_per_part=4)
     assert all(isinstance(p, DiffPart) for p in parts)
     assert len(parts) >= 2  # touched buckets diff independently
@@ -290,3 +289,39 @@ def test_engine_stream_changes_surface(spark, wh_root):
     assert (1, "update_preimage") in got
     assert (1, "update_postimage") in got
     assert (2, "insert") in got
+
+
+def test_pk_diff_arrow_semantics_match_python_fallback():
+    """The vectorized diff and the Python fallback must classify
+    identically — including eqNullSafe corners: null==null, NaN==NaN,
+    -0.0==0.0 are all 'unchanged'."""
+    import pyarrow as pa
+
+    from bulker_spark.sources.changes_source import _pk_diff_arrow
+
+    old = pa.table(
+        {
+            "pk": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "v": pa.array(["a", "b", None, "d", "e", "f"], pa.string()),
+            "x": pa.array(
+                [1.0, float("nan"), 3.0, -0.0, 5.0, 6.0], pa.float64()
+            ),
+        }
+    )
+    new = pa.table(
+        {
+            # pk 1 unchanged; 2 NaN==NaN unchanged; 3 null==null unchanged;
+            # 4 -0.0 vs 0.0 unchanged; 5 CHANGED (null vs value);
+            # 6 deleted; 7 inserted
+            "pk": pa.array([1, 2, 3, 4, 5, 7], pa.int64()),
+            "v": pa.array(["a", "b", None, "d", None, "g"], pa.string()),
+            "x": pa.array(
+                [1.0, float("nan"), 3.0, 0.0, 5.0, 7.0], pa.float64()
+            ),
+        }
+    )
+    ins, dels, upd_o, upd_n = _pk_diff_arrow(old, new, ["pk"], ["v", "x"])
+    assert new.column("pk").take(ins).to_pylist() == [7]
+    assert old.column("pk").take(dels).to_pylist() == [6]
+    assert old.column("pk").take(upd_o).to_pylist() == [5]
+    assert new.column("pk").take(upd_n).to_pylist() == [5]

@@ -805,6 +805,13 @@ def test_query_endpoint_rejects_non_queries(app_server):
         "insert overwrite directory '/tmp/x' select 1",
         "create table x location '/tmp/x' as select 1",
         "select 1; select 2",
+        # CTE-prefixed DML parses with a WITH root — the tree walk, not
+        # the keyword regex, must catch it
+        "with x as (select 1) insert overwrite directory '/tmp/x' "
+        "using parquet select * from x",
+        "with x as (select 1) insert into t select * from x",
+        "explain select 1",
+        "set spark.sql.ansi.enabled=true",
     ):
         with pytest.raises(HTTPError) as err:
             _post(f"{base}/query/pg1", json.dumps({"query": bad}).encode())

@@ -74,7 +74,7 @@ def test_no_gap_between_snapshot_and_feed(spark, rig):
         "t", _df(spark, [(1, "a", 1.0)]), pk=["pk"]
     )
     rep = TableReplica(src, "t", dst)
-    start = rep._bootstrap()  # snapshot copied, commit pinned
+    start = rep._bootstrap(ckpt)  # snapshot copied, commit pinned
     src.warehouse.append("t", _df(spark, [(2, "b", 2.0)]))  # post-snapshot
     q = src.stream_changes("t", starting_commit=start)
     # run the follow exactly as start() wires it, minus the re-bootstrap
@@ -195,3 +195,33 @@ def test_delete_keys_dataframe_form(spark, rig):
     assert sorted(r["pk"] for r in src.warehouse.read("t").collect()) == [
         0, 1, 3, 5, 6, 7, 8, 9
     ]
+
+
+def test_crash_before_first_offset_commit_does_not_skip(spark, rig):
+    """If the process dies after the snapshot landed but before the
+    stream's first offset commit, a restart must resume from the PINNED
+    bootstrap commit (sidecar), not from 'latest'."""
+    src, dst, ckpt = rig
+    src.warehouse.create_or_replace(
+        "t", _df(spark, [(1, "a", 1.0)]), pk=["pk"]
+    )
+    rep = TableReplica(src, "t", dst)
+    rep._bootstrap(ckpt)  # snapshot copied; stream never started (crash)
+    src.warehouse.append("t", _df(spark, [(2, "b", 2.0)]))
+    _drain(rep, ckpt)  # restart
+    assert _rows(dst, "t") == _rows(src, "t")
+
+
+def test_existing_dst_with_foreign_checkpoint_refuses(spark, rig):
+    """A destination table without this checkpoint's bootstrap record is
+    ambiguous — replication must refuse loudly, never silently skip."""
+    import tempfile as _tf
+
+    src, dst, ckpt = rig
+    src.warehouse.create_or_replace(
+        "t", _df(spark, [(1, "a", 1.0)]), pk=["pk"]
+    )
+    rep = TableReplica(src, "t", dst)
+    _drain(rep, ckpt)
+    with pytest.raises(ValueError, match="bootstrap record"):
+        TableReplica(src, "t", dst).start(_tf.mkdtemp())

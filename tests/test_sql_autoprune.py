@@ -239,3 +239,41 @@ def test_bucket_prune_direct_read_api(spark, eng):
     pruned = eng.warehouse.read("bd", prune={"pk": (42, 42)})
     assert len(pruned.inputFiles()) < len(eng.warehouse.read("bd").inputFiles())
     assert [r["val"] for r in pruned.filter("pk = 42").collect()] == ["v42"]
+
+
+def test_concurrent_sql_never_sees_pruned_views(spark, eng):
+    """The phase-2 pruned views live in an isolated session: concurrent
+    queries on the shared session must ALWAYS see full tables, even
+    while pruned re-planning is in flight."""
+    import threading
+
+    _clustered(spark, eng)
+    # register the shared-session view before racing (the main-session
+    # registration itself is phase 1's documented side effect)
+    eng.sql("select 1 from t limit 1").collect()
+    errors = []
+
+    def pruned_loop():
+        try:
+            for _ in range(8):
+                got = eng.sql("select count(*) c from t where pk = 7777")
+                assert got.collect()[0]["c"] == 1
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    def full_loop():
+        try:
+            for _ in range(8):
+                n = spark.sql("select count(*) c from t").collect()[0]["c"]
+                assert n == 10_000, f"saw pruned view: {n}"
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=pruned_loop) for _ in range(2)] + [
+        threading.Thread(target=full_loop) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors

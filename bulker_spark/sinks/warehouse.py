@@ -103,18 +103,23 @@ def _collect_file_stats(
         except Exception:
             continue
         cols: dict[str, list] = {}
+        nulls: dict[str, int] = {}
         schema = md.schema
         for ci in range(min(md.num_columns, max_cols)):
             name = schema.column(ci).name
             if "." in schema.column(ci).path:  # nested leaf — top level only
                 continue
             lo = hi = None
+            nn = 0
             ok = True
             for ri in range(md.num_row_groups):
                 st = md.row_group(ri).column(ci).statistics
                 if st is None or not st.has_min_max:
                     ok = False
                     break
+                nn += int(st.null_count or 0) if st.has_null_count else 0
+                if not st.has_null_count:
+                    nn = -1  # unknown — recorded as such, never as 0
                 mn, mx = st.min, st.max
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
@@ -127,7 +132,16 @@ def _collect_file_stats(
             if not isinstance(lo, (int, float, str, bool)):
                 continue
             cols[name] = [lo, hi]
-        out[key] = {"rows": md.num_rows, "cols": cols}
+            if nn != 0:
+                nulls[name] = nn
+        # v2: "nulls" records per-column null counts for statted columns
+        # (absent = 0, -1 = writer didn't say); consumers that partition
+        # work by a column's value range (the change feed's sliced diff)
+        # require a PROVEN-null-free column and check v >= 2
+        entry: dict = {"rows": md.num_rows, "cols": cols, "v": 2}
+        if nulls:
+            entry["nulls"] = nulls
+        out[key] = entry
     return out
 
 
@@ -1562,6 +1576,7 @@ class Warehouse:
         namespace: str | None = None,
         bucket_by: tuple[list[str], int] | None = None,
         merge_on_read: bool = False,
+        cluster_by: list[str] | None = None,
     ) -> TableMeta:
         """ReplaceTable semantics: write new version, swap pointer, GC old
         (sql_adapter_base.go:708-740 rename-swap-drop dance).
@@ -1602,6 +1617,10 @@ class Warehouse:
             # n_buckets × shuffle.partitions small files, and every later
             # bucket-pruned read pays the task-per-file overhead
             df = df.repartition(n_buckets, F.col(BUCKET_COLUMN))
+        if cluster_by and bucket_by is None:
+            keys = [*partition_by, *cluster_by]
+            n = max(self.spark.sparkContext.defaultParallelism, 1)
+            df = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
         version = self._write_version(name, df, partition_by, namespace)
         meta = TableMeta(
             namespace=ns,
@@ -1615,6 +1634,7 @@ class Warehouse:
             bucket_cols=bucket_cols,
             n_buckets=n_buckets,
             write_mode="mor" if merge_on_read else "cow",
+            cluster_cols=list(cluster_by or []) if bucket_by is None else [],
         )
         self._commit_meta(meta, op="replace_table")
         self._gc_old_versions(name, version, namespace)
@@ -1655,6 +1675,20 @@ class Warehouse:
         return row.select(
             bucket_expr(meta.bucket_cols, meta.n_buckets).alias("b")
         ).collect()[0]["b"]
+
+    def _with_cluster(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """Re-apply the table's persisted range clustering on a full
+        rewrite (unbucketed tables only — bucket dirs already bound both
+        merges and reads). Keeps footer min/max stats prunable and the
+        change feed's sliced diff effective AFTER merges, at the cost of
+        one range shuffle the rewrite was paying in lost pruning
+        anyway."""
+        cols = [c for c in meta.cluster_cols if c in df.columns]
+        if not cols or meta.n_buckets:
+            return df
+        n = max(self.spark.sparkContext.defaultParallelism, 1)
+        keys = [*(meta.partition_by or []), *cols]
+        return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 
     def _with_bucket(self, meta: TableMeta, df: DataFrame) -> DataFrame:
         """(Re)derive the table's ``__bucket`` column on a batch. Always
@@ -1855,6 +1889,7 @@ class Warehouse:
             window_days=window_days,
             now=now,
         )
+        merged = self._with_cluster(meta, merged)
         version = self._write_version(name, merged, meta.partition_by, namespace)
         for col, t in self._schema_of(source).items():
             if col not in meta.columns:
@@ -2432,9 +2467,12 @@ class Warehouse:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        elif cluster_by:
-            keys = [c for c in (meta.partition_by or [])] + list(cluster_by)
+        elif cluster_by or meta.cluster_cols:
+            chosen = list(cluster_by or meta.cluster_cols)
+            keys = [c for c in (meta.partition_by or [])] + chosen
             df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+            if cluster_by:  # explicit choice persists for future rewrites
+                meta.cluster_cols = chosen
         elif meta.partition_by:
             df = df.repartition(n_out, *meta.partition_by)
         else:

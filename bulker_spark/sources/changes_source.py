@@ -24,9 +24,14 @@ the stream checkpoint:
   old/new files pair up per partition directory when the layout proves
   rows cannot move between directories (``__bucket`` dirs with bucket
   cols ⊆ PK — the bucket of a row is a pure function of its immutable
-  PK — or partition dirs on PK columns); otherwise the commit diffs as
-  one partition. Either way the diff spans only the REWRITTEN slice, so
-  bucketed layouts bound feed cost exactly as they bound the merge.
+  PK — or partition dirs on PK columns). Without usable dirs the diff
+  SLICES by disjoint pk[0] ranges derived from the committed per-file
+  min/max (sound: both sides filter to the range, a key lives in
+  exactly one slice; requires v2 stats proving the key null-free, and
+  falls back to one partition when files interleave past 2× overlap —
+  persisted ``cluster_cols`` keep rewrites sliceable). Either way the
+  diff spans only the REWRITTEN slice, so bucketed/clustered layouts
+  bound feed cost exactly as they bound the merge.
 - **schema** comes from the head commit's table meta (live columns +
   ``__change_type`` + ``__change_commit``); older files are null-filled /
   widened per column, the batch feed's schema-evolution behavior.
@@ -162,12 +167,16 @@ class ScanPart(InputPartition):
 class DiffPart(InputPartition):
     """PK diff of a rewritten slice: full-outer join old×new on PK →
     insert / delete / update_preimage+postimage. ``pk=[]`` → multiset
-    diff (PK-less conditional delete)."""
+    diff (PK-less conditional delete). ``pk_range=(col, lo, hi)``
+    restricts the diff to ``lo <= col < hi`` (None = unbounded side) —
+    the stats-sliced plan for un-groupable rewrites; both sides filter
+    identically, so a key lives in exactly one slice."""
 
     old: list[tuple[str, str]] = field(default_factory=list)
     new: list[tuple[str, str]] = field(default_factory=list)
     pk: list[str] = field(default_factory=list)
     commit: int = 0
+    pk_range: tuple | None = None
 
 
 def _plan_commit(
@@ -235,10 +244,86 @@ def _plan_commit(
     for rel, p in added:
         key = rel.rsplit("/", 1)[0] if ("/" in rel and groupable) else ""
         groups.setdefault(key, {"old": [], "new": []})["new"].append((p, rel))
+    if pk and list(groups) == [""]:
+        # no usable dir structure (un-groupable, or table simply has no
+        # bucket/PK dirs): ONE diff part would serialize the whole
+        # rewritten slice through a single task — try splitting it into
+        # disjoint PK ranges from the committed per-file min/max instead
+        g0 = groups[""]
+        sliced = _plan_sliced_diff(
+            prev, entry, g0["old"], g0["new"], pk, commit, files_per_part,
+        )
+        if sliced is not None:
+            return sliced
     return [
         DiffPart(old=g["old"], new=g["new"], pk=pk, commit=commit)
         for _k, g in sorted(groups.items())
     ]
+
+
+def _plan_sliced_diff(
+    prev: dict, entry: dict, old: list, new: list, pk: list[str],
+    commit: int, files_per_part: int,
+) -> list[DiffPart] | None:
+    """Split one whole-table diff into DiffParts over disjoint half-open
+    ranges of ``pk[0]``, derived from the committed file stats. Sound
+    because each row's key lives in exactly ONE range and every file
+    whose [min, max] overlaps that range is assigned to it — both sides
+    filter to the range, so the per-slice diff equals the global diff
+    restricted to the slice. Returns None (single-part fallback) when a
+    file lacks v2 stats, the key column may hold nulls/floats, or the
+    files interleave so much that slicing would re-read them (> 2×
+    overlap — hash-ordered rewrites look like this; range-clustered and
+    naturally time-ordered ones don't)."""
+    col = pk[0]
+    # only integer/string key columns slice: their stats values compare
+    # exactly as the Arrow column does (timestamp stats are ISO strings
+    # while the column is a timestamp; floats have NaN)
+    meta_cols = dict(entry["meta"]["columns"])
+    if int(meta_cols.get(col, -1)) not in (0, 2):
+        return None
+    sides = [("old", prev, old), ("new", entry, new)]
+    bounds: list[tuple[str, tuple[str, str], object, object]] = []
+    for side, e, files in sides:
+        stats = e.get("file_stats") or {}
+        for path, rel in files:
+            s = stats.get(rel)
+            if not s or s.get("v", 1) < 2:
+                return None
+            if (s.get("nulls") or {}).get(col, 0) != 0:
+                return None  # nulls (or unknown): a null row fits no range
+            b = s.get("cols", {}).get(col)
+            if (
+                not b
+                or isinstance(b[0], (bool, float))
+                or type(b[0]) is not type(b[1])
+            ):
+                return None
+            bounds.append((side, (path, rel), b[0], b[1]))
+    if len({type(b[2]) for b in bounds}) != 1:
+        return None  # schema-evolved key type across files
+    n_parts = (len(bounds) + files_per_part - 1) // files_per_part
+    if n_parts <= 1:
+        return None
+    mins = sorted(b[2] for b in bounds)
+    edges = sorted({mins[i * len(mins) // n_parts] for i in range(1, n_parts)})
+    ranges: list[tuple] = []
+    prev_edge = None
+    for e_ in [*edges, None]:
+        ranges.append((prev_edge, e_))
+        prev_edge = e_
+    parts = [DiffPart(pk=pk, commit=commit, pk_range=(col, lo, hi))
+             for lo, hi in ranges]
+    assigned = 0
+    for side, f, fmin, fmax in bounds:
+        for part in parts:
+            _c, lo, hi = part.pk_range
+            if (hi is None or fmin < hi) and (lo is None or fmax >= lo):
+                (part.old if side == "old" else part.new).append(f)
+                assigned += 1
+    if assigned > 2 * len(bounds):
+        return None  # interleaved layout: slicing would amplify reads
+    return [p for p in parts if p.old or p.new]
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +447,25 @@ def _read_diff(part: DiffPart, cols: list[tuple[str, int]]) -> Iterator:
     names = [n for n, _t in cols]
     old = _normalize(_read_raw(part.old), cols)
     new = _normalize(_read_raw(part.new), cols)
+    if part.pk_range is not None:
+        # sliced plan: keep only this slice's keys on BOTH sides (the
+        # planner proved the column null-free, so the filters partition
+        # rows exactly across slices)
+        import pyarrow.compute as pc
+
+        col, lo, hi = part.pk_range
+
+        def _slice(t):
+            c = t.column(col)
+            mask = None
+            if lo is not None:
+                mask = pc.greater_equal(c, lo)
+            if hi is not None:
+                m2 = pc.less(c, hi)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            return t.filter(mask) if mask is not None else t
+
+        old, new = _slice(old), _slice(new)
     data_cols = [n for n in names if n not in part.pk]
 
     def emit(table, mask_idx, ctype):

@@ -37,6 +37,12 @@ class TableMeta:
     write_mode: str = "cow"
     mor_seq: int = 0  # last stamped commit sequence
     mor_deltas: int = 0  # delta commits since last fold (compaction signal)
+    # persisted range-clustering choice (Delta liquid-clustering shape):
+    # set by create/compact(cluster_by=...); every full rewrite (merge /
+    # delete on an unbucketed table) re-applies repartitionByRange on
+    # these columns so footer min/max stats keep pruning and the change
+    # feed keeps slicing AFTER rewrites, not only until the first merge.
+    cluster_cols: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -53,6 +59,7 @@ class TableMeta:
             "write_mode": self.write_mode,
             "mor_seq": self.mor_seq,
             "mor_deltas": self.mor_deltas,
+            "cluster_cols": self.cluster_cols,
         }
 
     @classmethod
@@ -71,6 +78,7 @@ class TableMeta:
             write_mode=d.get("write_mode", "cow"),
             mor_seq=int(d.get("mor_seq") or 0),
             mor_deltas=int(d.get("mor_deltas") or 0),
+            cluster_cols=list(d.get("cluster_cols") or []),
         )
 
     def diff_new_columns(self, incoming: dict[str, DataType]) -> list[str]:

@@ -325,3 +325,110 @@ def test_pk_diff_arrow_semantics_match_python_fallback():
     assert old.column("pk").take(dels).to_pylist() == [6]
     assert old.column("pk").take(upd_o).to_pylist() == [5]
     assert new.column("pk").take(upd_n).to_pylist() == [5]
+
+
+def test_clustered_merge_slices_diff_by_pk_range(spark, wh_root):
+    """cluster_cols persists across merges (the rewrite re-applies
+    repartitionByRange), so the feed's un-groupable whole-table diff
+    splits into DISJOINT pk-range DiffParts from the committed file
+    stats — parallel tasks instead of one — and the streamed
+    classification still matches the batch feed exactly."""
+    from bulker_spark.sources.changes_source import (
+        DiffPart,
+        _log_entry,
+        _plan_commit,
+    )
+
+    wh = _wh(spark, wh_root)
+    df = (
+        spark.range(20_000)
+        .selectExpr("id as pk", "cast(id as string) as val",
+                    "cast(id as double) as score")
+        .repartitionByRange(8, "pk")
+        .sortWithinPartitions("pk")
+    )
+    wh.create_or_replace("t", df, pk=["pk"], cluster_by=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    upd = spark.createDataFrame(
+        [(7, "X", 7.0), (15_000, "Y", 1.0), (25_000, "new", 2.0)],
+        "pk long, val string, score double",
+    )
+    wh.merge("t", upd, ["pk"])
+    tdir = os.path.join(wh_root, "default", "t")
+    parts = _plan_commit(
+        _log_entry(tdir, c0), _log_entry(tdir, c0 + 1), tdir, "t", 4
+    )
+    assert all(isinstance(p, DiffPart) for p in parts)
+    assert len(parts) > 1, "clustered rewrite must slice"
+    ranges = [p.pk_range for p in parts]
+    assert all(r is not None for r in ranges)
+    # ranges are disjoint and ordered
+    his = [r[2] for r in ranges[:-1]]
+    los = [r[1] for r in ranges[1:]]
+    assert his == los
+
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    got = _collect(spark, out)
+    assert (7, "update_preimage", "7", c0 + 1) in got
+    assert (7, "update_postimage", "X", c0 + 1) in got
+    assert (15_000, "update_postimage", "Y", c0 + 1) in got
+    assert (25_000, "insert", "new", c0 + 1) in got
+    assert len(got) == 5  # 2 updates x pre+post, 1 insert — nothing else
+
+
+def test_interleaved_rewrite_falls_back_to_single_part(spark, wh_root):
+    """Hash-ordered files overlap every pk range: slicing would re-read
+    them — the planner must fall back to one DiffPart, never amplify."""
+    from bulker_spark.sources.changes_source import (
+        DiffPart,
+        _log_entry,
+        _plan_commit,
+    )
+
+    wh = _wh(spark, wh_root)
+    df = (
+        spark.range(20_000)
+        .selectExpr("id as pk", "cast(id as string) as val")
+        .repartition(8)  # hash layout: every file spans the pk domain
+    )
+    wh.create_or_replace("t", df, pk=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh.merge(
+        "t", spark.createDataFrame([(7, "X")], "pk long, val string"), ["pk"]
+    )
+    tdir = os.path.join(wh_root, "default", "t")
+    parts = _plan_commit(
+        _log_entry(tdir, c0), _log_entry(tdir, c0 + 1), tdir, "t", 4
+    )
+    assert len(parts) == 1 and isinstance(parts[0], DiffPart)
+    assert parts[0].pk_range is None
+
+
+def test_cluster_cols_persist_across_merges(spark, wh_root):
+    """After a merge, the rewritten files must still be range-clustered
+    (per-file pk ranges mostly disjoint) — the persisted cluster_cols
+    re-applied, not lost on the first rewrite."""
+    wh = _wh(spark, wh_root)
+    df = (
+        spark.range(20_000)
+        .selectExpr("id as pk", "cast(id as string) as val")
+        .repartitionByRange(8, "pk")
+    )
+    wh.create_or_replace("t", df, pk=["pk"], cluster_by=["pk"])
+    wh.merge(
+        "t", spark.createDataFrame([(7, "X")], "pk long, val string"), ["pk"]
+    )
+    assert wh.get_meta("t").cluster_cols == ["pk"]
+    entry = wh._read_log("t")[-1]
+    spans = [
+        tuple(s["cols"]["pk"])
+        for s in entry["file_stats"].values()
+        if "pk" in s.get("cols", {})
+    ]
+    assert len(spans) > 1
+    spans.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(spans, spans[1:]) if c <= b
+    )
+    assert overlaps <= 1  # range-partitioned: at most boundary touching

@@ -320,6 +320,23 @@ def main() -> None:
             primary_key=["pk"], deduplicate=True, merge_on_read=True,
         )
         timings["trickle_merge_1m_mor"] = round(time.time() - t0, 3)
+        # clustered trickle: same CDC shape on an UNBUCKETED table with
+        # persisted range clustering. At 1M rows the adaptive guard
+        # routes this through the plain full rewrite (too few rows
+        # skipped to pay the scoped rewrite's coordination), so this
+        # tier pins the guard + clustering overhead; the stats-scoped
+        # partial rewrite's win is measured at 10M in SCALING.md
+        # (scoped 2.6 s vs full 5.4 s, gap linear in table size)
+        eng.bulk_load(
+            "bench_clustered", events_1m, mode="batch",
+            primary_key=["pk"], deduplicate=True, cluster=True,
+        )
+        t0 = time.time()
+        eng.bulk_load(
+            "bench_clustered", trickle, mode="batch",
+            primary_key=["pk"], deduplicate=True, cluster=True,
+        )
+        timings["trickle_merge_1m_clustered"] = round(time.time() - t0, 3)
         # object-store binding: the same bucket-scoped trickle with
         # link_mode="manifest" — untouched buckets become manifest
         # references instead of hard links (zero link/copy syscalls, the
@@ -521,7 +538,7 @@ STDOUT_PRIORITY = [
     "doc_dedup_clusters", "emb_pq_codebooks", "emb_pq_adc_topk",
     "emb_pq_ivf_adc",
     "doc_contamination", "doc_length_deciles", "parts_hits",
-    "trickle_merge_1m_manifest",
+    "trickle_merge_1m_manifest", "trickle_merge_1m_clustered",
     "sql_lookup_1m_pruned", "sql_lookup_1m_full",
 ]
 

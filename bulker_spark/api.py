@@ -111,6 +111,13 @@ class StreamOptions:
     # buckets containing batch keys — per-merge cost scales with touched
     # buckets, not table size. 0 = unbucketed. Requires primary_key.
     bucket_by: int = 0
+    # range-clustered layout on the primary key (persisted cluster_cols,
+    # native warehouse only): rewrites re-apply repartitionByRange, so
+    # footer min/max stats stay prunable, merges scope to the files whose
+    # key range a batch touches (stats-scoped partial rewrite — the
+    # unbucketed analogue of bucket_by), and the change feed slices its
+    # diffs. Mutually exclusive with bucket_by. Requires primary_key.
+    cluster: bool = False
     # merge-on-read table type (Hudi MoR style, native warehouse only):
     # merges APPEND sequence-stamped delta files in O(batch) instead of
     # rewriting; reads reconcile per-PK last-wins; compact() folds. For
@@ -611,6 +618,11 @@ class Engine:
                     if opt.bucket_by and opt.primary_key
                     else None
                 ),
+                cluster_by=(
+                    list(opt.primary_key)
+                    if opt.cluster and opt.primary_key and not opt.bucket_by
+                    else None
+                ),
             )
         elif opt.mode == "scd2":
             # history-preserving upsert: close-on-change + versioned open
@@ -682,6 +694,11 @@ class Engine:
                         else None
                     ),
                     merge_on_read=opt.merge_on_read,
+                    cluster_by=(
+                        list(opt.primary_key)
+                        if opt.cluster and not opt.bucket_by
+                        else None
+                    ),
                 ),
             )
             if (

@@ -1676,7 +1676,9 @@ class Warehouse:
             bucket_expr(meta.bucket_cols, meta.n_buckets).alias("b")
         ).collect()[0]["b"]
 
-    def _with_cluster(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+    def _with_cluster(
+        self, meta: TableMeta, df: DataFrame, n: int | None = None
+    ) -> DataFrame:
         """Re-apply the table's persisted range clustering on a full
         rewrite (unbucketed tables only — bucket dirs already bound both
         merges and reads). Keeps footer min/max stats prunable and the
@@ -1686,7 +1688,9 @@ class Warehouse:
         cols = [c for c in meta.cluster_cols if c in df.columns]
         if not cols or meta.n_buckets:
             return df
-        n = max(self.spark.sparkContext.defaultParallelism, 1)
+        if n is None:
+            n = self.spark.sparkContext.defaultParallelism
+        n = max(int(n), 1)
         keys = [*(meta.partition_by or []), *cols]
         return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 
@@ -1835,11 +1839,12 @@ class Warehouse:
         partition_by: list[str] | None = None,
         bucket_by: tuple[list[str], int] | None = None,
         merge_on_read: bool = False,
+        cluster_by: list[str] | None = None,
     ) -> TableMeta:
         """Upsert: new version = merge_upsert(current, source); swap.
-        ``bucket_by`` / ``merge_on_read`` apply only when this merge
-        creates the table; an existing table's layout and write mode come
-        from its metadata."""
+        ``bucket_by`` / ``merge_on_read`` / ``cluster_by`` apply only when
+        this merge creates the table; an existing table's layout and
+        write mode come from its metadata."""
         from ..operators.merge import merge_upsert
 
         # OCC: meta and token from the same log-tail snapshot — a commit
@@ -1856,6 +1861,7 @@ class Warehouse:
                 namespace=namespace,
                 bucket_by=bucket_by,
                 merge_on_read=merge_on_read,
+                cluster_by=cluster_by,
             )
         source = self._with_bucket(meta, self._align_json_storage(meta, source))
         ts_col = timestamp_column or meta.timestamp_column
@@ -1880,6 +1886,12 @@ class Warehouse:
                 name, source, pk, meta, part_col, ts_col, window_days, now,
                 namespace, base, manifest,
             )
+        scoped = self._merge_stats_scoped(
+            name, source, pk, meta, ts_col, window_days, now, namespace,
+            base, manifest,
+        )
+        if scoped is not None:
+            return scoped
         target = self.read(name, namespace)
         merged = merge_upsert(
             target,
@@ -1972,6 +1984,147 @@ class Warehouse:
             name, namespace, meta, version, new_vdir, kept, live_slice,
             base, "merge",
         )
+
+    # keys collected to the driver for per-file scoping; beyond this the
+    # scope test degrades to the key hull (still conservative)
+    _SCOPE_MAX_KEYS = 10_000
+    # a scoped rewrite carries fixed coordination cost (slice read, key
+    # collect, persist, per-file links, footer stats) worth roughly a
+    # 1-2M-row full rewrite on this hardware — scope only when the stats
+    # prove at least this many rows are SKIPPED. At production table
+    # sizes any trickle batch clears it by orders of magnitude.
+    _SCOPE_MIN_SKIPPED_ROWS = 2_000_000
+
+    def _merge_stats_scoped(
+        self,
+        name: str,
+        source: DataFrame,
+        pk: list[str],
+        meta: TableMeta,
+        ts_col: str | None,
+        window_days: int | None,
+        now,
+        namespace: str | None,
+        base: int | None,
+        manifest: list[str] | None,
+    ) -> TableMeta | None:
+        """Stats-scoped merge (the Iceberg/Hudi merge file-skipping shape,
+        for unbucketed tables): a target row can match a source key only
+        if its file's committed ``[min, max]`` of ``pk[0]`` admits one of
+        the batch's key values — so read and rewrite ONLY those files,
+        hard-link the rest (``_link_subset_version``), exactly as the
+        bucketed path rewrites only touched buckets. On a range-clustered
+        table (persisted ``cluster_cols``) a trickle batch touches O(|keys|)
+        files regardless of table size. Returns None — caller falls back
+        to the whole-table merge — when there are no usable stats, the
+        scope covers most files anyway (> 70%: two plans for one rewrite
+        isn't worth it), or the batch is too wide to scope.
+
+        Null source keys never equi-match a target row, so they don't
+        widen the scope; they insert into the rewritten slice like any
+        new key. Files without stats on pk[0] are conservatively
+        rewritten."""
+        import bisect
+
+        from ..operators.merge import merge_upsert
+
+        if not base or manifest is None or not pk:
+            return None
+        col = pk[0]
+        log_path = os.path.join(
+            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
+        )
+        try:
+            with open(log_path) as fh:
+                stats = _json.load(fh).get("file_stats") or {}
+        except OSError:
+            return None
+        if not stats:
+            return None
+        keys = [
+            r[0]
+            for r in source.select(col)
+            .distinct()
+            .limit(self._SCOPE_MAX_KEYS + 1)
+            .collect()
+            if r[0] is not None and not isinstance(r[0], float)
+        ]
+        if not keys:
+            return None
+        hull_only = len(keys) > self._SCOPE_MAX_KEYS
+        keys.sort()
+        kmin, kmax = keys[0], keys[-1]
+
+        def touched(rel: str) -> bool:
+            s = stats.get(self._deref(rel), {}).get("cols", {}).get(col)
+            if not s:
+                return True  # unknown — must rewrite
+            fmin, fmax = s
+            try:
+                if fmax < kmin or fmin > kmax:
+                    return False
+                if hull_only:
+                    return True
+                i = bisect.bisect_left(keys, fmin)
+                return i < len(keys) and keys[i] <= fmax
+            except TypeError:  # cross-type stats — conservative
+                return True
+
+        hit = [rel for rel in manifest if touched(rel)]
+        if not hit or len(hit) > 0.7 * len(manifest):
+            return None
+        skipped_rows = sum(
+            int(stats.get(self._deref(rel), {}).get("rows") or 0)
+            for rel in manifest
+            if rel not in set(hit)
+        )
+        if skipped_rows < self._SCOPE_MIN_SKIPPED_ROWS:
+            return None  # full rewrite is cheaper than the coordination
+        if base and self._last_commit_id(name, namespace) != base:
+            raise ConcurrentWriteError(
+                f"commit {base} of {name} superseded before scoped merge "
+                f"began"
+            )
+        table_dir = self._table_dir(name, namespace)
+        vdir = os.path.join(table_dir, meta.version)
+        slice_df = self._read_file_set(
+            table_dir,
+            [os.path.normpath(os.path.join(vdir, f)) for f in hit],
+            self.read(name, namespace).schema,
+        )
+        if meta.write_mode == "mor":
+            return None  # MoR merges route earlier; belt and braces
+        merged = merge_upsert(
+            slice_df,
+            source,
+            pk,
+            timestamp_column=ts_col,
+            window_days=window_days,
+            now=now,
+        )
+        # keep the rewritten slice clustered so the NEXT merge scopes
+        # too; output file count bounded by the touched-file count. The
+        # slice is persisted first: repartitionByRange SAMPLES its input,
+        # which would otherwise recompute the whole merge join twice.
+        pinned = merged.persist()
+        try:
+            merged = self._with_cluster(meta, pinned, n=len(hit))
+            hit_ids = {self._deref(r) for r in hit}
+            version, new_vdir, kept = self._link_subset_version(
+                meta, manifest, lambda rel: rel in hit_ids, namespace
+            )
+            for c, t in self._schema_of(source).items():
+                if c not in meta.columns:
+                    meta.columns[c] = t
+            meta.pk = list(pk)
+            if ts_col:
+                meta.timestamp_column = ts_col
+            return self._land_partial_rewrite(
+                name, namespace, meta, version, new_vdir, kept, merged,
+                base, "merge",
+            )
+        finally:
+            pinned.unpersist()
 
     def _merge_bucketed(
         self,

@@ -117,9 +117,13 @@ def _collect_file_stats(
                 if st is None or not st.has_min_max:
                     ok = False
                     break
-                nn += int(st.null_count or 0) if st.has_null_count else 0
-                if not st.has_null_count:
-                    nn = -1  # unknown — recorded as such, never as 0
+                # -1 = unknown, and it is STICKY: one row group without a
+                # null count poisons the whole file (a later group's count
+                # must never launder it back to "proven null-free")
+                if nn >= 0 and st.has_null_count:
+                    nn += int(st.null_count or 0)
+                else:
+                    nn = -1
                 mn, mx = st.min, st.max
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
@@ -2041,19 +2045,28 @@ class Warehouse:
             return None
         if not stats:
             return None
-        keys = [
-            r[0]
-            for r in source.select(col)
-            .distinct()
-            .limit(self._SCOPE_MAX_KEYS + 1)
-            .collect()
-            if r[0] is not None and not isinstance(r[0], float)
-        ]
-        if not keys:
-            return None
-        hull_only = len(keys) > self._SCOPE_MAX_KEYS
-        keys.sort()
-        kmin, kmax = keys[0], keys[-1]
+        # ONE aggregation gives the TRUE key hull and cardinality —
+        # a limit()ed distinct sample would be an arbitrary subset whose
+        # hull can miss real keys, silently skipping files that hold
+        # matching target rows (duplicate-PK corruption)
+        agg = source.agg(
+            F.count_distinct(F.col(col)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        ).collect()[0]
+        if not agg["n"] or agg["lo"] is None:
+            return None  # no non-null keys to scope by
+        if isinstance(agg["lo"], float):
+            return None  # float keys: NaN ordering — don't scope
+        kmin, kmax = agg["lo"], agg["hi"]
+        hull_only = int(agg["n"]) > self._SCOPE_MAX_KEYS
+        keys: list = []
+        if not hull_only:
+            keys = sorted(
+                r[0]
+                for r in source.select(col).distinct().collect()
+                if r[0] is not None
+            )
 
         def touched(rel: str) -> bool:
             s = stats.get(self._deref(rel), {}).get("cols", {}).get(col)
@@ -2070,13 +2083,18 @@ class Warehouse:
             except TypeError:  # cross-type stats — conservative
                 return True
 
+        # hit == [] is the CHEAPEST case, not a bailout: an insert-only
+        # batch (all keys beyond every file's range — the monotonic-key
+        # CDC trickle) links the whole manifest and lands just the new
+        # rows, O(batch) instead of a full rewrite
         hit = [rel for rel in manifest if touched(rel)]
-        if not hit or len(hit) > 0.7 * len(manifest):
+        if len(hit) > 0.7 * len(manifest):
             return None
+        hit_ids = {self._deref(r) for r in hit}
         skipped_rows = sum(
             int(stats.get(self._deref(rel), {}).get("rows") or 0)
             for rel in manifest
-            if rel not in set(hit)
+            if rel not in hit_ids
         )
         if skipped_rows < self._SCOPE_MIN_SKIPPED_ROWS:
             return None  # full rewrite is cheaper than the coordination
@@ -2108,8 +2126,7 @@ class Warehouse:
         # which would otherwise recompute the whole merge join twice.
         pinned = merged.persist()
         try:
-            merged = self._with_cluster(meta, pinned, n=len(hit))
-            hit_ids = {self._deref(r) for r in hit}
+            merged = self._with_cluster(meta, pinned, n=max(len(hit), 1))
             version, new_vdir, kept = self._link_subset_version(
                 meta, manifest, lambda rel: rel in hit_ids, namespace
             )
@@ -2358,7 +2375,7 @@ class Warehouse:
         kept = self.read(name, namespace).join(
             anti, on=list(meta.pk), how="left_anti"
         )
-        kept = self._with_bucket(meta, kept)
+        kept = self._with_cluster(meta, self._with_bucket(meta, kept))
         version = self._write_version(name, kept, meta.partition_by, namespace)
         meta.version = version
         self._commit_meta(meta, op="delete", expected_commit=base)
@@ -2620,12 +2637,20 @@ class Warehouse:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
+            # z-order supersedes range clustering: a later merge's
+            # _with_cluster repartitionByRange would silently destroy
+            # the interleaved layout this compaction just built
+            meta.cluster_cols = []
         elif cluster_by or meta.cluster_cols:
-            chosen = list(cluster_by or meta.cluster_cols)
-            keys = [c for c in (meta.partition_by or [])] + chosen
-            df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
-            if cluster_by:  # explicit choice persists for future rewrites
-                meta.cluster_cols = chosen
+            if cluster_by is not None and not list(cluster_by):
+                meta.cluster_cols = []  # explicit [] clears persistence
+                df = df.repartition(n_out, *meta.partition_by) if meta.partition_by else df.repartition(n_out)
+            else:
+                chosen = list(cluster_by or meta.cluster_cols)
+                keys = [c for c in (meta.partition_by or [])] + chosen
+                df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+                if cluster_by:  # explicit choice persists for rewrites
+                    meta.cluster_cols = chosen
         elif meta.partition_by:
             df = df.repartition(n_out, *meta.partition_by)
         else:
@@ -2654,7 +2679,9 @@ class Warehouse:
             else conditions
         )
         cur = self.read(name, namespace)
-        kept = self._restamp_mor(meta, cur.filter(~col | col.isNull()))
+        kept = self._with_cluster(
+            meta, self._restamp_mor(meta, cur.filter(~col | col.isNull()))
+        )
         before = cur.count()
         version = self._write_version(name, kept, meta.partition_by, namespace)
         meta.version = version

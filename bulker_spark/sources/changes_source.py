@@ -182,6 +182,7 @@ class DiffPart(InputPartition):
 def _plan_commit(
     prev: dict, entry: dict, table_dir: str, table: str,
     files_per_part: int,
+    head_types: dict[str, int] | None = None,
 ) -> list[InputPartition]:
     """Partition plan for ONE commit's changes (driver-side; reads only
     the two manifests). Mirrors ``Warehouse._commit_changes`` op-by-op."""
@@ -252,6 +253,7 @@ def _plan_commit(
         g0 = groups[""]
         sliced = _plan_sliced_diff(
             prev, entry, g0["old"], g0["new"], pk, commit, files_per_part,
+            head_types=head_types,
         )
         if sliced is not None:
             return sliced
@@ -264,6 +266,7 @@ def _plan_commit(
 def _plan_sliced_diff(
     prev: dict, entry: dict, old: list, new: list, pk: list[str],
     commit: int, files_per_part: int,
+    head_types: dict[str, int] | None = None,
 ) -> list[DiffPart] | None:
     """Split one whole-table diff into DiffParts over disjoint half-open
     ranges of ``pk[0]``, derived from the committed file stats. Sound
@@ -276,11 +279,15 @@ def _plan_sliced_diff(
     overlap — hash-ordered rewrites look like this; range-clustered and
     naturally time-ordered ones don't)."""
     col = pk[0]
-    # only integer/string key columns slice: their stats values compare
-    # exactly as the Arrow column does (timestamp stats are ISO strings
-    # while the column is a timestamp; floats have NaN)
-    meta_cols = dict(entry["meta"]["columns"])
-    if int(meta_cols.get(col, -1)) not in (0, 2):
+    # only INT64(2)/STRING(4) key columns slice: their stats values
+    # compare exactly as the Arrow column does (timestamp stats are ISO
+    # strings while the column is a timestamp; floats have NaN). The
+    # gate must hold for the COMMIT-TIME type (the stats' domain) AND
+    # the head type (what _read_diff normalizes the column to — a key
+    # widened after this commit would compare int edges to strings)
+    commit_t = int(dict(entry["meta"]["columns"]).get(col, 0))
+    head = head_types.get(col) if head_types is not None else commit_t
+    if commit_t not in (2, 4) or head != commit_t:
         return None
     sides = [("old", prev, old), ("new", entry, new)]
     bounds: list[tuple[str, tuple[str, str], object, object]] = []
@@ -659,10 +666,12 @@ class ChangesStreamReader(DataSourceStreamReader):
         entries = [_log_entry(self.table_dir, c) for c in in_range]
         parts: list[InputPartition] = []
         prev = entries[0]
+        head_types = dict(self._cols)  # what _read_diff normalizes to
         for e in entries[1:]:
             parts.extend(
                 _plan_commit(
-                    prev, e, self.table_dir, self.table, self.files_per_part
+                    prev, e, self.table_dir, self.table,
+                    self.files_per_part, head_types=head_types,
                 )
             )
             prev = e

@@ -432,3 +432,50 @@ def test_cluster_cols_persist_across_merges(spark, wh_root):
         1 for (a, b), (c, d) in zip(spans, spans[1:]) if c <= b
     )
     assert overlaps <= 1  # range-partitioned: at most boundary touching
+
+
+def test_string_pk_clustered_merge_also_slices(spark, wh_root):
+    """STRING keys slice too (the gate admits INT64 and STRING — a
+    regression here silently serializes every string-keyed diff)."""
+    from bulker_spark.sources.changes_source import (
+        DiffPart,
+        _log_entry,
+        _plan_commit,
+    )
+
+    wh = _wh(spark, wh_root)
+    df = (
+        spark.range(20_000)
+        .selectExpr("format_string('k%08d', id) as pk", "id as v",
+                    "cast(id as double) as score")
+        .repartitionByRange(8, "pk")
+        .sortWithinPartitions("pk")
+    )
+    wh.create_or_replace("t", df, pk=["pk"], cluster_by=["pk"])
+    c0 = wh.history("t")[0]["commit"]
+    wh._SCOPE_MIN_SKIPPED_ROWS = 0
+    wh.merge(
+        "t",
+        spark.createDataFrame(
+            [("k00000007", 999, 0.0), ("k00015000", 1, 1.0)],
+            "pk string, v long, score double",
+        ),
+        ["pk"],
+    )
+    tdir = os.path.join(wh_root, "default", "t")
+    parts = _plan_commit(
+        _log_entry(tdir, c0), _log_entry(tdir, c0 + 1), tdir, "t", 1,
+        head_types={"pk": 4, "v": 2, "score": 3},
+    )
+    diff_parts = [p for p in parts if isinstance(p, DiffPart)]
+    assert diff_parts and all(p.pk_range is not None for p in diff_parts)
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp()
+    _run_feed(spark, wh_root, "t", ckpt, out, startingCommit=c0)
+    df2 = spark.read.parquet(out)
+    got = sorted(
+        (r["pk"], r[CHANGE_TYPE_COLUMN]) for r in df2.collect()
+    )
+    assert got == [
+        ("k00000007", "update_postimage"), ("k00000007", "update_preimage"),
+        ("k00015000", "update_postimage"), ("k00015000", "update_preimage"),
+    ]

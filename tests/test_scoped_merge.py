@@ -208,3 +208,37 @@ def test_small_table_skips_scoping_by_default(spark, tmp_path):
     assert not (_ids(prev) & _ids(cur))  # full rewrite: nothing carried
     got = {r["pk"]: r["val"] for r in wh2.read("t").filter("pk = 7").collect()}
     assert got == {7: "X"}
+
+
+def test_insert_only_batch_links_whole_manifest(spark, wh):
+    """Monotonic-key CDC trickle (every key beyond every file's max):
+    the scoped path must link the ENTIRE manifest and land only the new
+    rows — O(batch), never a full rewrite."""
+    _clustered(spark, wh)
+    c0 = wh.history("t")[0]["commit"]
+    ins = spark.createDataFrame(
+        [(1_000_000 + i, f"n{i}", float(i)) for i in range(3)],
+        "pk long, val string, score double",
+    )
+    wh.merge("t", ins, ["pk"])
+    log = wh._read_log("t")
+    prev = next(e for e in log if e["commit"] == c0)
+    cur = next(e for e in log if e["commit"] == c0 + 1)
+    assert _ids(prev) <= _ids(cur), "every old file must carry over"
+    assert wh.read("t").count() == 20_003
+
+
+def test_scoped_merge_true_hull_beyond_key_cap(spark, wh):
+    """More distinct keys than the driver collects: the scope must use
+    the TRUE aggregated hull (a sampled hull could skip files holding
+    real matches — duplicate-PK corruption)."""
+    wh._SCOPE_MAX_KEYS = 50  # force the hull path with a small batch
+    _clustered(spark, wh)
+    batch = (
+        spark.range(0, 20_000, 97)  # 207 distinct keys > cap
+        .selectExpr("id as pk", "'H' as val", "0.0 as score")
+    )
+    wh.merge("t", batch, ["pk"])
+    got = wh.read("t")
+    assert got.count() == 20_000  # every key updated in place, no dupes
+    assert got.filter("val = 'H'").count() == batch.count()

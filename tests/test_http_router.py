@@ -280,7 +280,7 @@ def test_batch_size_limits_streaming_trigger(spark):
         app.post_event("b1", "limited", json.dumps({"id": -1}))
         app.start_streaming("b1", processing_time="0 seconds")
         eng = app.engine_for("b1")
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         while time.time() < deadline:
             if eng.warehouse.exists("limited") and eng.warehouse.count("limited") == 1:
                 break
@@ -293,7 +293,7 @@ def test_batch_size_limits_streaming_trigger(spark):
         for i in range(10):
             app.post_event("b1", "limited", json.dumps({"id": i}))
         app.producer.flush_all()
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         while time.time() < deadline:
             if eng.warehouse.count("limited") == 11:
                 break

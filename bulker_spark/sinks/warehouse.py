@@ -2121,27 +2121,24 @@ class Warehouse:
             now=now,
         )
         # keep the rewritten slice clustered so the NEXT merge scopes
-        # too; output file count bounded by the touched-file count. The
-        # slice is persisted first: repartitionByRange SAMPLES its input,
-        # which would otherwise recompute the whole merge join twice.
-        pinned = merged.persist()
-        try:
-            merged = self._with_cluster(meta, pinned, n=max(len(hit), 1))
-            version, new_vdir, kept = self._link_subset_version(
-                meta, manifest, lambda rel: rel in hit_ids, namespace
-            )
-            for c, t in self._schema_of(source).items():
-                if c not in meta.columns:
-                    meta.columns[c] = t
-            meta.pk = list(pk)
-            if ts_col:
-                meta.timestamp_column = ts_col
-            return self._land_partial_rewrite(
-                name, namespace, meta, version, new_vdir, kept, merged,
-                base, "merge",
-            )
-        finally:
-            pinned.unpersist()
+        # too; output file count bounded by the touched-file count.
+        # (repartitionByRange's sampling pass recomputes the slice join
+        # once — measured CHEAPER than persisting it: the cache write of
+        # the materialized slice costs more than the recompute.)
+        merged = self._with_cluster(meta, merged, n=max(len(hit), 1))
+        version, new_vdir, kept = self._link_subset_version(
+            meta, manifest, lambda rel: rel in hit_ids, namespace
+        )
+        for c, t in self._schema_of(source).items():
+            if c not in meta.columns:
+                meta.columns[c] = t
+        meta.pk = list(pk)
+        if ts_col:
+            meta.timestamp_column = ts_col
+        return self._land_partial_rewrite(
+            name, namespace, meta, version, new_vdir, kept, merged,
+            base, "merge",
+        )
 
     def _merge_bucketed(
         self,

@@ -2420,8 +2420,18 @@ class Warehouse:
         )
         # bucket-prune BEFORE the MoR reconcile window: the window is
         # keyed on pk, so a post-window partition filter would not push
-        # down to the scan
-        df = self.read(name, namespace, _raw=True)
+        # down to the scan. CoW tables additionally prune the MANIFEST by
+        # the key hull (files whose committed pk[0] min/max exclude every
+        # key are never opened or scheduled — on a clustered table a
+        # point lookup reads O(1) files before any row-group pruning).
+        prune = None
+        k0 = [r[0] for r in rows]
+        if meta.write_mode != "mor" and not isinstance(k0[0], (bool, float)):
+            try:
+                prune = {meta.pk[0]: (min(k0), max(k0))}
+            except TypeError:  # mixed-type keys — skip manifest pruning
+                prune = None
+        df = self.read(name, namespace, _raw=True, prune=prune)
         if meta.n_buckets and set(meta.bucket_cols) <= set(meta.pk):
             buckets = sorted(
                 {

@@ -242,3 +242,13 @@ def test_scoped_merge_true_hull_beyond_key_cap(spark, wh):
     got = wh.read("t")
     assert got.count() == 20_000  # every key updated in place, no dupes
     assert got.filter("val = 'H'").count() == batch.count()
+
+
+def test_lookup_prunes_manifest_on_clustered_table(spark, wh):
+    """Point lookups on a clustered CoW table open O(1) files: the key
+    hull prunes the committed manifest before any scan is planned."""
+    _clustered(spark, wh)
+    hit = wh.lookup("t", [42, 43])
+    full = wh.read("t")
+    assert len(hit.inputFiles()) < len(full.inputFiles())
+    assert sorted(r["pk"] for r in hit.collect()) == [42, 43]

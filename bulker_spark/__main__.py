@@ -213,6 +213,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "populated": bs["populated"],
                     "skew_ratio": bs["skew_ratio"],
                 }
+            elif meta and (meta.cluster_cols or meta.pk):
+                out["clustering"] = engine.warehouse.cluster_stats(args.table)
             if meta and meta.write_mode == "mor":
                 out["mor"] = {
                     "pending_deltas": meta.mor_deltas,

@@ -2523,6 +2523,86 @@ class Warehouse:
         self._gc_old_versions(name, version, namespace)
         return meta
 
+    def cluster_stats(
+        self, name: str, column: str | None = None,
+        namespace: str | None = None,
+    ) -> dict:
+        """Layout-quality report for range pruning/scoping on ``column``
+        (default: the persisted cluster column, else ``pk[0]``), from the
+        committed per-file stats — zero data reads.
+
+        - ``overlap_ratio``: mean number of files whose [min, max] spans
+          a random point of the key domain (1.0 = perfectly disjoint;
+          the change feed's sliced diff gives up past ~2, and scoped
+          merges degrade proportionally).
+        - ``statted`` / ``null_free``: how many files carry usable v2
+          stats on the column (files without them are always read).
+
+        An overlap creeping up after many merges/deletes means the table
+        is a ``compact(cluster_by=[...])`` candidate — the write-side
+        twin of ``bucket_stats``'s skew ratio."""
+        meta, base, manifest = self._snapshot(name, namespace)
+        if meta is None:
+            raise FileNotFoundError(name)
+        col = column or (
+            meta.cluster_cols[0] if meta.cluster_cols
+            else (meta.pk[0] if meta.pk else None)
+        )
+        out: dict = {
+            "column": col,
+            "files": len(manifest or []),
+            "statted": 0,
+            "null_free": 0,
+            "overlap_ratio": None,
+            "cluster_cols": list(meta.cluster_cols),
+        }
+        if col is None or not base or not manifest:
+            return out
+        log_path = os.path.join(
+            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
+        )
+        try:
+            with open(log_path) as fh:
+                stats = _json.load(fh).get("file_stats") or {}
+        except OSError:
+            return out
+        spans = []
+        for rel in manifest:
+            s = stats.get(self._deref(rel))
+            if not s:
+                continue
+            b = s.get("cols", {}).get(col)
+            if not b:
+                continue
+            out["statted"] += 1
+            if s.get("v", 1) >= 2 and (s.get("nulls") or {}).get(col, 0) == 0:
+                out["null_free"] += 1
+            spans.append((b[0], b[1]))
+        if len(spans) < 2:
+            out["overlap_ratio"] = 1.0 if spans else None
+            return out
+        try:
+            # sweep: at each span start, count spans already open — the
+            # average open-count over starts approximates how many files
+            # a point/range probe must read
+            events = sorted(
+                [(lo, 0, hi) for lo, hi in spans],
+                key=lambda x: (x[0], x[2]),
+            )
+            import bisect
+
+            ends: list = []
+            total = 0
+            for lo, _z, hi in events:
+                i = bisect.bisect_left(ends, lo)
+                del ends[:i]
+                total += len(ends) + 1
+                bisect.insort(ends, hi)
+            out["overlap_ratio"] = round(total / len(spans), 2)
+        except TypeError:  # mixed-type stats
+            out["overlap_ratio"] = None
+        return out
+
     def table_stats(self, name: str, namespace: str | None = None) -> dict:
         """File-level stats for maintenance decisions: {n_files, bytes,
         avg_file_bytes} over the current version."""

@@ -252,3 +252,28 @@ def test_lookup_prunes_manifest_on_clustered_table(spark, wh):
     full = wh.read("t")
     assert len(hit.inputFiles()) < len(full.inputFiles())
     assert sorted(r["pk"] for r in hit.collect()) == [42, 43]
+
+
+def test_cluster_stats_reports_layout_quality(spark, wh):
+    """overlap_ratio ≈ 1 on a fresh clustered table, stays low after a
+    scoped trickle, and reads high on a hash layout — the signal that
+    drives compact(cluster_by=...) decisions."""
+    _clustered(spark, wh)
+    s0 = wh.cluster_stats("t")
+    assert s0["column"] == "pk" and s0["cluster_cols"] == ["pk"]
+    assert s0["statted"] == s0["files"] > 0
+    assert s0["overlap_ratio"] <= 1.5
+    wh.merge(
+        "t",
+        spark.createDataFrame([(7, "X", 7.0)], "pk long, val string, score double"),
+        ["pk"],
+    )
+    assert wh.cluster_stats("t")["overlap_ratio"] <= 2.0
+
+    hashy = (
+        spark.range(20_000)
+        .selectExpr("id as pk", "cast(id as string) as val")
+        .repartition(8)
+    )
+    wh.create_or_replace("h", hashy, pk=["pk"])
+    assert wh.cluster_stats("h")["overlap_ratio"] > 2.0

@@ -277,3 +277,35 @@ def test_cluster_stats_reports_layout_quality(spark, wh):
     )
     wh.create_or_replace("h", hashy, pk=["pk"])
     assert wh.cluster_stats("h")["overlap_ratio"] > 2.0
+
+
+def test_scoped_merge_under_manifest_link_mode(spark, tmp_path):
+    """The object-store binding: untouched files carry over as manifest
+    REFERENCES (../v_old/... entries), and a second trickle re-resolves
+    them correctly — the scope test keys on version-local identity."""
+    wh2 = Warehouse(
+        spark, str(tmp_path / "whm"), retain_versions=5,
+        link_mode="manifest",
+    )
+    wh2._SCOPE_MIN_SKIPPED_ROWS = 0
+    df = (
+        spark.range(20_000)
+        .selectExpr("id as pk", "cast(id as string) as val")
+        .repartitionByRange(8, "pk")
+        .sortWithinPartitions("pk")
+    )
+    wh2.create_or_replace("t", df, pk=["pk"], cluster_by=["pk"])
+    c0 = wh2.history("t")[0]["commit"]
+    wh2.merge(
+        "t", spark.createDataFrame([(7, "X")], "pk long, val string"), ["pk"]
+    )
+    cur = wh2._read_log("t")[-1]
+    refs = [f for f in cur["files"] if f.startswith("../")]
+    assert refs, "untouched files must be cross-version references"
+    # second trickle through the referenced manifest
+    wh2.merge(
+        "t", spark.createDataFrame([(9, "Y")], "pk long, val string"), ["pk"]
+    )
+    got = {r["pk"]: r["val"] for r in wh2.read("t").filter("pk in (7,9,11)").collect()}
+    assert got == {7: "X", 9: "Y", 11: "11"}
+    assert wh2.read("t").count() == 20_000

@@ -1999,6 +1999,21 @@ class Warehouse:
     # sizes any trickle batch clears it by orders of magnitude.
     _SCOPE_MIN_SKIPPED_ROWS = 2_000_000
 
+    def _tail_file_stats(
+        self, name: str, base: int | None, namespace: str | None
+    ) -> dict:
+        """file_stats of the log-tail entry (``{}`` when absent)."""
+        if not base:
+            return {}
+        log_path = os.path.join(
+            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
+        )
+        try:
+            with open(log_path) as fh:
+                return _json.load(fh).get("file_stats") or {}
+        except OSError:
+            return {}
+
     def _merge_stats_scoped(
         self,
         name: str,
@@ -2035,14 +2050,7 @@ class Warehouse:
         if not base or manifest is None or not pk:
             return None
         col = pk[0]
-        log_path = os.path.join(
-            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
-        )
-        try:
-            with open(log_path) as fh:
-                stats = _json.load(fh).get("file_stats") or {}
-        except OSError:
-            return None
+        stats = self._tail_file_stats(name, base, namespace)
         if not stats:
             return None
         # ONE aggregation gives the TRUE key hull and cardinality —
@@ -2426,11 +2434,15 @@ class Warehouse:
         # point lookup reads O(1) files before any row-group pruning).
         prune = None
         k0 = [r[0] for r in rows]
-        if meta.write_mode != "mor" and not isinstance(k0[0], (bool, float)):
-            try:
-                prune = {meta.pk[0]: (min(k0), max(k0))}
-            except TypeError:  # mixed-type keys — skip manifest pruning
-                prune = None
+        # hull-prune only uniformly int- or str-keyed lookups: datetime
+        # keys would string-compare a (possibly naive) isoformat against
+        # the stats' aware-UTC ISO strings, a NaN ANYWHERE poisons
+        # min/max without raising, and bool is an int subclass
+        if meta.write_mode != "mor" and (
+            all(type(k) is int for k in k0)
+            or all(type(k) is str for k in k0)
+        ):
+            prune = {meta.pk[0]: (min(k0), max(k0))}
         df = self.read(name, namespace, _raw=True, prune=prune)
         if meta.n_buckets and set(meta.bucket_cols) <= set(meta.pk):
             buckets = sorted(
@@ -2558,14 +2570,7 @@ class Warehouse:
         }
         if col is None or not base or not manifest:
             return out
-        log_path = os.path.join(
-            self._table_dir(name, namespace), LOG_DIR, f"{base:012d}.json"
-        )
-        try:
-            with open(log_path) as fh:
-                stats = _json.load(fh).get("file_stats") or {}
-        except OSError:
-            return out
+        stats = self._tail_file_stats(name, base, namespace)
         spans = []
         for rel in manifest:
             s = stats.get(self._deref(rel))

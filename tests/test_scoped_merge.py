@@ -309,3 +309,30 @@ def test_scoped_merge_under_manifest_link_mode(spark, tmp_path):
     got = {r["pk"]: r["val"] for r in wh2.read("t").filter("pk in (7,9,11)").collect()}
     assert got == {7: "X", 9: "Y", 11: "11"}
     assert wh2.read("t").count() == 20_000
+
+
+def test_lookup_hull_prune_guards_timestamp_and_nan_keys(spark, wh):
+    """Hull pruning is restricted to uniformly int/str keys: datetime
+    keys would compare naive isoformats against aware-UTC stats strings
+    and NaN poisons min/max silently — both must take the unpruned path
+    and still return exact rows."""
+    import datetime as dt
+    import math
+
+    ts0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [(ts0 + dt.timedelta(hours=i), f"v{i}") for i in range(50)],
+        "pk timestamp, val string",
+    ).repartitionByRange(4, "pk")
+    wh.create_or_replace("ts", df, pk=["pk"])
+    naive_key = dt.datetime(2024, 1, 1, 5)  # naive spelling of hour 5
+    got = wh.lookup("ts", [naive_key]).collect()
+    assert [r["val"] for r in got] == ["v5"]
+
+    dff = spark.createDataFrame(
+        [(1.0, "a"), (float("nan"), "n"), (1000.0, "z")],
+        "pk double, val string",
+    )
+    wh.create_or_replace("fl", dff, pk=["pk"])
+    got = wh.lookup("fl", [1.0, float("nan")]).collect()
+    assert sorted(r["val"] for r in got) == ["a", "n"]

@@ -115,3 +115,71 @@ def test_modes_observationally_equivalent(spark, ops):
         a = sorted(tuple(r) for r in whs[0].read("t", version=c).collect())
         b = sorted(tuple(r) for r in whs[1].read("t", version=c).collect())
         assert a == b, f"time travel diverged at commit {c}"
+
+
+scoped_op = st.one_of(
+    st.tuples(st.just("merge"), st.sampled_from(_PKS)),
+    st.tuples(st.just("merge_new"), st.integers(100, 105)),
+    st.tuples(st.just("delete"), st.sampled_from(_PKS)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None)
+@given(st.lists(scoped_op, min_size=1, max_size=5))
+def test_scoped_rewrites_equivalent_across_modes(spark, ops):
+    """Same property for the STATS-SCOPED rewrite path: clustered
+    unbucketed tables with the adaptive guard disabled, so merges take
+    the partial-rewrite (link/reference) machinery in both bindings and
+    every read surface must still agree."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.range(40)
+        .selectExpr("id as pk", "cast(id as string) as v")
+        .repartitionByRange(4, "pk")
+        .sortWithinPartitions("pk")
+    )
+    whs = []
+    for mode in ("hardlink", "manifest"):
+        wh = Warehouse(
+            spark,
+            tempfile.mkdtemp(prefix=f"eqs_{mode}_"),
+            retain_versions=3,
+            link_mode=mode,
+        )
+        wh._SCOPE_MIN_SKIPPED_ROWS = 0
+        wh.create_or_replace("t", base, pk=["pk"], cluster_by=["pk"])
+        whs.append(wh)
+
+    def _st(wh):
+        return (
+            sorted(tuple(r) for r in wh.read("t").select("pk", "v").collect()),
+            len(wh.history("t")),
+        )
+
+    for i, (kind, pk) in enumerate(ops):
+        for wh in whs:
+            if kind in ("merge", "merge_new"):
+                wh.merge(
+                    "t",
+                    spark.createDataFrame([(pk, f"m{i}")], "pk long, v string"),
+                    ["pk"],
+                )
+            elif kind == "delete":
+                wh.delete_keys("t", [pk])
+            elif kind == "compact":
+                wh.compact("t")
+        assert _st(whs[0]) == _st(whs[1]), f"diverged after step {i} ({kind})"
+
+    avail1 = {e["commit"] for e in whs[1].history("t") if e["available"]}
+    for entry in whs[0].history("t"):
+        if not entry["available"] or entry["commit"] not in avail1:
+            continue
+        c = entry["commit"]
+        a = sorted(tuple(r) for r in whs[0].read("t", version=c).collect())
+        b = sorted(tuple(r) for r in whs[1].read("t", version=c).collect())
+        assert a == b, f"time travel diverged at commit {c}"

@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "doc_dedup_clusters",
     "emb_pq_ivf_adc",
     "emb_pq_ivf_residual",
+    "doc_containment_pairs",
+    "doc_oov_rate",
+    "parts_supplier_hhi",
 ]
 
 

@@ -1313,6 +1313,7 @@ from bulker_spark.plans.analytics4 import EXTRA_QUERIES4  # noqa: E402
 from bulker_spark.plans.analytics5 import EXTRA_QUERIES5  # noqa: E402
 from bulker_spark.plans.analytics6 import EXTRA_QUERIES6  # noqa: E402
 from bulker_spark.plans.analytics7 import EXTRA_QUERIES7  # noqa: E402
+from bulker_spark.plans.analytics8 import EXTRA_QUERIES8  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(EXTRA_QUERIES2)
@@ -1321,3 +1322,4 @@ QUERIES.update(EXTRA_QUERIES4)
 QUERIES.update(EXTRA_QUERIES5)
 QUERIES.update(EXTRA_QUERIES6)
 QUERIES.update(EXTRA_QUERIES7)
+QUERIES.update(EXTRA_QUERIES8)

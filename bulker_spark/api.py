@@ -282,12 +282,17 @@ class Engine:
         self._prune_session = None
         self._prune_lock = threading.Lock()
 
-    def _cached_read(self, tag: str, table: str, ns: str, wh) -> DataFrame:
-        cur = self.warehouse._last_commit_id(table, ns)
+    def _cached_read(
+        self, tag: str, table: str, ns: str, wh, at: int | None = None
+    ) -> DataFrame:
+        """``at`` pins the read to a specific commit (time-travel path)
+        instead of the live snapshot — raises FileNotFoundError if that
+        snapshot was vacuumed; callers treat that as "fall back"."""
+        cur = at if at is not None else self.warehouse._last_commit_id(table, ns)
         key = (tag, ns, table, cur)
         df = self._view_cache.get(key)
         if df is None:
-            df = wh.read(table, ns)
+            df = wh.read(table, ns, version=at if at else None)
             self._view_cache = {
                 k: v
                 for k, v in self._view_cache.items()
@@ -873,7 +878,14 @@ class Engine:
             if re.search(rf"\b{re.escape(t)}\b", query, re.IGNORECASE)
         ]
         registered = wanted or tables
+        # remember the commit each phase-1 view binds, so phase 2 can
+        # re-read the SAME snapshot: rebinding at the live commit would
+        # let a write landing between the phases silently swap the data
+        # under the returned plan (docstring promise: one consistent
+        # snapshot per view at registration time)
+        commits: dict[str, int] = {}
         for t in registered:
+            commits[t] = self.warehouse._last_commit_id(t, ns)
             self._snapshot_df(t, ns).createOrReplaceTempView(t)
         df = self.spark.sql(query)
         if not auto_prune:
@@ -904,15 +916,19 @@ class Engine:
                 wh.spark = sess
                 pruned_any = False
                 for t in registered:
+                    # pin to the phase-1 commit; a vacuumed snapshot
+                    # raises FileNotFoundError → outer except returns
+                    # the (correct, unpruned) phase-1 plan
+                    at = commits.get(t) or None
                     pv = None
                     if t in specs:
                         try:
-                            pv = wh.read(t, ns, prune=specs[t])
+                            pv = wh.read(t, ns, version=at, prune=specs[t])
                             pruned_any = True
                         except ValueError:  # MoR: pruning undefined
                             pv = None
                     if pv is None:
-                        pv = self._cached_read("pruned", t, ns, wh)
+                        pv = self._cached_read("pruned", t, ns, wh, at=at)
                     pv.createOrReplaceTempView(t)
                 if not pruned_any:
                     return df

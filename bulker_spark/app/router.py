@@ -40,6 +40,40 @@ from ..streaming.topics import make_topic_id, parse_topic_id
 MAX_BODY_BYTES = 20 * 1024 * 1024  # reference caps request bodies (gin default)
 
 
+def _utc_or_none(value, spark):
+    """Aware-UTC datetime from a query-string timestamp, or ``None``.
+
+    Mirrors what ``F.lit(value).cast("timestamp")`` resolves the string
+    to: an explicit offset is honored, a naive spelling is localized in
+    the SESSION timezone (``spark.sql.session.timeZone``) — so the prune
+    bound and the real filter agree on the instant. ``None`` on any
+    parse/zone failure tells the caller to skip pruning (advisory only).
+    """
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        d = value
+    else:
+        s = str(value).strip()
+        if " " in s:
+            s = s.replace(" ", "T", 1)
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        try:
+            d = _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return None
+    if d.tzinfo is None:
+        try:
+            from zoneinfo import ZoneInfo
+
+            tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+            d = d.replace(tzinfo=ZoneInfo(tz))
+        except Exception:
+            return None
+    return d.astimezone(_dt.timezone.utc)
+
+
 class ForbiddenPathError(PermissionError):
     """A runtime-supplied warehouse path violated allowed_warehouse_roots.
     Distinct from a filesystem PermissionError (EACCES on a read-only
@@ -342,7 +376,21 @@ class BulkerApp:
         eng = self.engine_for(destination_id)
         prune: dict[str, tuple] = {}
         if ts_col and (start is not None or end is not None):
-            prune[ts_col] = (start, end)
+            # normalize the raw query-string bounds to aware-UTC before
+            # they reach the manifest prune: the committed stats are
+            # aware-UTC ISO strings, and a raw '2024-01-02 23:59:59'
+            # (space separator, no offset) would compare lexicographically
+            # wrong against them ('T' > ' '), silently pruning in-range
+            # files. Naive inputs resolve in the SESSION timezone — the
+            # same instant the real filter's cast uses below. If either
+            # bound fails to normalize, skip the ts prune entirely (the
+            # filter still applies; pruning is advisory).
+            lo = _utc_or_none(start, eng.spark) if start is not None else None
+            hi = _utc_or_none(end, eng.spark) if end is not None else None
+            if (start is None or lo is not None) and (
+                end is None or hi is not None
+            ):
+                prune[ts_col] = (lo, hi)
         if id_col and before_id is not None:
             prune[id_col] = (None, before_id)
         meta = eng.warehouse.get_meta(table)
@@ -381,7 +429,14 @@ class BulkerApp:
         narrow with ``to`` or consume via Spark directly)."""
         eng = self.engine_for(destination_id)
         head = eng.warehouse.history(table)[0]["commit"]
-        df = eng.read_changes(table, since_commit, to_commit=to_commit)
+        # pin the read to the head we RETURN: a commit landing between
+        # the history() read and the changes read would otherwise ship
+        # rows beyond the returned checkpoint, and a consumer polling
+        # since=head would re-receive them (duplicate delivery on an
+        # endpoint documented as checkpointable)
+        df = eng.read_changes(
+            table, since_commit, to_commit=to_commit if to_commit is not None else head
+        )
         rows = df.limit(max(1, min(int(limit), 10000))).collect()
         return {
             "changes": [r.asDict(recursive=True) for r in rows],

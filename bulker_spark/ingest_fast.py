@@ -85,6 +85,11 @@ _TS_RLIKE = (
 # 10000000.0 — so normalize falls back) — the rest map to DataType
 # values.
 _ABSENT, _OBJECT, _FLOATY_ARRAY = 0, 7, 8
+# 9 = ambiguous numeric literal (DECIMAL(19,0)): could be either a
+# >Long.MAX integer id (9300000000000000000 — typing it FLOAT64 would
+# silently round low-order digits) or a 19-digit ``x.0`` float — only
+# the raw text disambiguates, so the batch takes the Python path
+_AMBIG_NUM = 9
 
 # conversion table: target lattice type -> member ids the JVM normalize
 # can convert with EXACT convert_value() semantics (incl. rescue)
@@ -123,13 +128,25 @@ def _is_json_float(sv):
     ≤ 19 (a longer integral part would have parsed the INT spelling as
     DECIMAL too, but 2.0-style floats in real data are small). The one
     ambiguity — a >19-digit float spelled with ``.0`` — classifies as
-    INT like Python's ``int(x)`` would overflow anyway; documented."""
+    INT like Python's ``int(x)`` would overflow anyway; documented.
+
+    DECIMAL(19,0) is NOT classified here: integer literals in
+    (2^63, 10^19) — uint64-style ids — also parse as DECIMAL(19,0), and
+    only the raw text tells them apart from a 19-digit ``x.0`` float.
+    See :func:`_is_ambiguous_num`, which routes them to the Python path
+    instead of silently rounding an id through a double."""
     scale = F.regexp_extract(sv, r"^DECIMAL\(\d+,(\d+)\)$", 1)
     prec = F.regexp_extract(sv, r"^DECIMAL\((\d+),", 1)
     return sv.isin("DOUBLE", "FLOAT") | (
         sv.startswith("DECIMAL")
-        & ((scale != "0") | (prec.cast("int") <= 19))
+        & ((scale != "0") | (prec.cast("int") <= 18))
     )
+
+
+def _is_ambiguous_num(sv):
+    """DECIMAL(19,0): either a >Long.MAX integer or a ``.0``-spelled
+    19-digit float — undecidable from the variant schema alone."""
+    return sv == "DECIMAL(19,0)"
 
 
 def _lattice_id_expr(key_col, sv, sstr):
@@ -142,9 +159,11 @@ def _lattice_id_expr(key_col, sv, sstr):
         | (F.length(sstr).between(19, 35) & sstr.rlike(_TS_RLIKE)),
         F.lit(int(DataType.TIMESTAMP)),
     ).otherwise(F.lit(int(DataType.STRING)))
-    number_id = F.when(
-        _is_json_float(sv), F.lit(int(DataType.FLOAT64))
-    ).otherwise(F.lit(int(DataType.INT64)))
+    number_id = (
+        F.when(_is_ambiguous_num(sv), F.lit(_AMBIG_NUM))
+        .when(_is_json_float(sv), F.lit(int(DataType.FLOAT64)))
+        .otherwise(F.lit(int(DataType.INT64)))
+    )
     return (
         F.when(sv.isNull() | (sv == "VOID"), F.lit(_ABSENT))
         .when(sv == "BOOLEAN", F.lit(int(DataType.BOOL)))
@@ -244,6 +263,8 @@ def fast_infer_header(json_df: DataFrame, adapter=None) -> FastBatch | None:
         ids = members[k]
         if _OBJECT in ids:
             return None  # nested object → flatten semantics → Python path
+        if _AMBIG_NUM in ids:
+            return None  # DECIMAL(19,0): int-vs-float undecidable → Python
         if not ids:
             continue  # all values null: omit_nils drops the column
         header.observe(

@@ -98,6 +98,8 @@ class WhenConditions:
         """
         if self.join_with != "and":
             return {}
+        import datetime as _dt
+
         def cat(v):
             if isinstance(v, (int, float)):  # bool is an int subclass
                 return "num"
@@ -110,6 +112,14 @@ class WhenConditions:
             if c.clause not in ("=", "<", "<=", ">", ">="):
                 continue
             v = c.value
+            if isinstance(v, _dt.datetime):
+                # the committed stats are aware-UTC ISO strings; a naive
+                # datetime's instant depends on the session timezone, so
+                # emitting it could misprune whole offsets of data — the
+                # real Spark filter still applies the clause
+                if v.tzinfo is None:
+                    continue
+                v = v.astimezone(_dt.timezone.utc)
             if c.field in poisoned or not (
                 isinstance(v, (int, float, str, bool))
                 or hasattr(v, "isoformat")

@@ -31,8 +31,10 @@ day.
 from __future__ import annotations
 
 import dataclasses
+import datetime as _dt
 import json as _json
 import os
+import re as _re
 import shutil
 import uuid
 from typing import Callable
@@ -149,13 +151,52 @@ def _collect_file_stats(
     return out
 
 
+# stats' timestamp rendering: aware-UTC isoformat — always carries an
+# explicit offset ('+00:00') or 'Z'; dates render bare 'YYYY-MM-DD'
+_ISO_TS_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?(\.\d+)?"
+    r"(Z|[+-]\d{2}:?\d{2})$"
+)
+_ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _parse_utc(v) -> "_dt.datetime | None":
+    """Aware-UTC datetime from a datetime or ISO-ish string; ``None``
+    when the value is naive or unparseable — a naive value's instant
+    depends on the session timezone, which this layer cannot see, so it
+    must never participate in a prune comparison."""
+    if isinstance(v, _dt.datetime):
+        return v.astimezone(_dt.timezone.utc) if v.tzinfo else None
+    if isinstance(v, str):
+        s = v.strip()
+        if " " in s:
+            s = s.replace(" ", "T", 1)
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        try:
+            d = _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return None
+        return d.astimezone(_dt.timezone.utc) if d.tzinfo else None
+    return None
+
+
 def _stats_admit(
     stats: dict[str, dict] | None, key: str, prune: dict
 ) -> bool:
     """May the file contain rows matching every ``{col: (lo, hi)}`` bound?
     ``key`` is the file's version-local relpath (see _collect_file_stats).
     Missing stats (old commits, unstatted columns) always admit — pruning
-    is an optimization, never a correctness filter."""
+    is an optimization, never a correctness filter.
+
+    Timestamp-statted columns (aware-UTC ISO strings per
+    ``_collect_file_stats``) compare in aware-UTC *datetime* space, never
+    lexicographically: a caller bound spelled ``'2024-01-02 23:59:59'``
+    would otherwise mis-compare against ``'2024-01-02T12:00:00+00:00'``
+    ('T' > ' ', and the offset suffix skews boundary compares). A bound
+    that is naive or unparseable leaves that side unbounded — its instant
+    is session-timezone-dependent and pruning on it could silently drop
+    matching files (the real filter still applies it)."""
     if not stats:
         return True
     cols = stats.get(key, {}).get("cols")
@@ -166,10 +207,31 @@ def _stats_admit(
         if s is None:
             continue
         fmin, fmax = s
-        if hasattr(lo, "isoformat"):
-            lo = lo.isoformat()
-        if hasattr(hi, "isoformat"):
-            hi = hi.isoformat()
+        if isinstance(fmin, str) and _ISO_TS_RE.match(fmin):
+            fmin_d, fmax_d = _parse_utc(fmin), _parse_utc(fmax)
+            if fmin_d is None or fmax_d is None:  # stat itself naive?!
+                continue
+            lo_d = _parse_utc(lo) if lo is not None else None
+            hi_d = _parse_utc(hi) if hi is not None else None
+            if (hi_d is not None and fmin_d > hi_d) or (
+                lo_d is not None and fmax_d < lo_d
+            ):
+                return False
+            continue
+        if isinstance(fmin, str) and _ISO_DATE_RE.match(fmin):
+            # date-statted column: pure dates (and date-spelled strings)
+            # compare exactly as ISO strings; datetime bounds would need
+            # a timezone to resolve to a date — admit instead
+            lo_s = _coerce_date_bound(lo)
+            hi_s = _coerce_date_bound(hi)
+            if (hi is not None and hi_s is not None and fmin > hi_s) or (
+                lo is not None and lo_s is not None and fmax < lo_s
+            ):
+                return False
+            continue
+        if hasattr(lo, "isoformat") or hasattr(hi, "isoformat"):
+            # datetime/date bound against non-temporal stats — admit
+            continue
         try:
             if (hi is not None and fmin > hi) or (
                 lo is not None and fmax < lo
@@ -178,6 +240,18 @@ def _stats_admit(
         except TypeError:  # cross-type comparison — admit
             continue
     return True
+
+
+def _coerce_date_bound(v) -> "str | None":
+    """ISO date string for comparing against date-typed file stats;
+    ``None`` for anything whose date depends on a timezone."""
+    if isinstance(v, _dt.datetime):  # datetime IS a date subclass — first
+        return None
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str) and _ISO_DATE_RE.match(v.strip()):
+        return v.strip()
+    return None
 
 
 def _tree_newest_mtime(path: str) -> float:

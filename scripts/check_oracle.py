@@ -52,9 +52,11 @@ def main(sf_dir: str, only: list[str]):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failed = []
+    attempted = 0
     for name, (fn, sql) in QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -96,7 +98,10 @@ def main(sf_dir: str, only: list[str]):
             failed.append(name)
         else:
             print(f"ok   {name}: rows={len(s_rows)} cols={len(s_cols)} {dt_s:.1f}s")
-    print(f"\n{len(QUERIES) - len(failed)}/{len(QUERIES)} passed")
+    # count ATTEMPTED queries, not the whole catalog: a filtered run must
+    # not report skipped queries as passed
+    print(f"\n{attempted - len(failed)}/{attempted} passed"
+          + (f" ({len(QUERIES) - attempted} skipped)" if attempted != len(QUERIES) else ""))
     return 1 if failed else 0
 
 

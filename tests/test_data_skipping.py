@@ -316,3 +316,119 @@ def test_stats_identity_distinguishes_colliding_basenames(spark, wh):
     assert {r["pk"] for r in pruned.filter("pk <= 100").collect()} == set(
         range(101)
     )
+
+
+def test_stats_admit_timestamp_bounds_compare_as_instants():
+    """Timestamp stats are aware-UTC ISO strings; bounds arrive in every
+    spelling a caller produces. Lexicographic comparison is wrong in two
+    ways — 'T' > ' ' and the '+00:00' suffix — both of which made
+    IN-RANGE files compare as out-of-range and get silently pruned."""
+    import datetime as dt
+
+    stats = {
+        "f1": {
+            "rows": 5,
+            "cols": {
+                "ts": [
+                    "2024-01-02T12:00:00+00:00",
+                    "2024-01-02T18:00:00+00:00",
+                ]
+            },
+        }
+    }
+    # space-separated end-of-day bound: the file IS in range (old code
+    # pruned it because '2024-01-02T12..' > '2024-01-02 23:59:59')
+    assert _stats_admit(stats, "f1", {"ts": (None, "2024-01-02 23:59:59+00:00")})
+    # aware datetime bounds — in-range and out-of-range
+    utc = dt.timezone.utc
+    assert _stats_admit(
+        stats, "f1", {"ts": (dt.datetime(2024, 1, 2, 13, tzinfo=utc), None)}
+    )
+    assert not _stats_admit(
+        stats, "f1", {"ts": (None, dt.datetime(2024, 1, 2, 10, tzinfo=utc))}
+    )
+    assert not _stats_admit(
+        stats, "f1", {"ts": (dt.datetime(2024, 1, 2, 19, tzinfo=utc), None)}
+    )
+    # non-UTC offset resolves to the same instant, not its spelling:
+    # 13:00+01:00 == 12:00Z == fmin → must admit
+    assert _stats_admit(stats, "f1", {"ts": (None, "2024-01-02 13:00:00+01:00")})
+    assert _stats_admit(
+        stats,
+        "f1",
+        {
+            "ts": (
+                None,
+                dt.datetime(
+                    2024, 1, 2, 13, tzinfo=dt.timezone(dt.timedelta(hours=1))
+                ),
+            )
+        },
+    )
+    # naive bounds (datetime or string) are session-tz-dependent: never
+    # prune on them — admit regardless of apparent range
+    assert _stats_admit(stats, "f1", {"ts": (None, "2024-01-02 10:00:00")})
+    assert _stats_admit(stats, "f1", {"ts": (dt.datetime(2024, 1, 2, 19), None)})
+    # 'Z' suffix parses
+    assert not _stats_admit(stats, "f1", {"ts": (None, "2024-01-02T10:00:00Z")})
+    # garbage bound: unbounded side, admit
+    assert _stats_admit(stats, "f1", {"ts": (None, "not a timestamp")})
+
+
+def test_stats_admit_date_bounds():
+    import datetime as dt
+
+    stats = {"f": {"rows": 1, "cols": {"d": ["2024-01-02", "2024-01-05"]}}}
+    assert _stats_admit(stats, "f", {"d": (dt.date(2024, 1, 3), None)})
+    assert not _stats_admit(stats, "f", {"d": (dt.date(2024, 1, 6), None)})
+    assert not _stats_admit(stats, "f", {"d": (None, "2024-01-01")})
+    assert _stats_admit(stats, "f", {"d": (None, "2024-01-02")})
+    # a datetime's calendar date depends on its timezone — admit
+    assert _stats_admit(stats, "f", {"d": (dt.datetime(2024, 1, 6), None)})
+
+
+def test_prune_bounds_timestamp_normalization():
+    """Naive datetimes must not reach the manifest prune (their instant
+    is session-tz-dependent); aware ones are normalized to UTC."""
+    import datetime as dt
+
+    from bulker_spark.operators.filters import WhenConditions
+
+    naive = dt.datetime(2024, 1, 2, 23, 59, 59)
+    assert WhenConditions().add("ts", "<=", naive).prune_bounds() == {}
+    # a naive clause alongside a numeric clause drops only itself
+    wc = WhenConditions().add("ts", "<=", naive).add("pk", ">=", 10)
+    assert wc.prune_bounds() == {"pk": (10, None)}
+    cet = dt.timezone(dt.timedelta(hours=1))
+    aware = dt.datetime(2024, 1, 2, 13, 0, 0, tzinfo=cet)
+    got = WhenConditions().add("ts", "<=", aware).prune_bounds()
+    (lo, hi) = got["ts"]
+    assert lo is None and hi.utcoffset() == dt.timedelta(0)
+    assert hi.hour == 12  # 13:00+01:00 → 12:00Z
+
+
+def test_log_range_timestamp_strings_do_not_misprune(spark, tmp_path):
+    """End-to-end ADVICE-high regression: a raw query-string bound like
+    '2024-01-02 23:59:59' must not prune the day's files away."""
+    from bulker_spark.app import BulkerApp, Destination
+
+    app = BulkerApp(
+        spark, str(tmp_path / "topics"),
+        [Destination("d1", str(tmp_path / "wh"), options={})],
+    )
+    eng = app.engine_for("d1")
+    df = spark.range(48).selectExpr(
+        "id AS eid",
+        "timestamp'2024-01-02 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts",
+    ).repartitionByRange(4, "eid")
+    eng.warehouse.create_or_replace("ev", df, pk=["eid"])
+    rows = app.log_range(
+        "d1", "ev", ts_col="ts",
+        start="2024-01-02 06:00:00", end="2024-01-02 23:59:59", limit=100,
+    )
+    assert len(rows) == 18  # hours 06..23 of day one
+    assert max(r["eid"] for r in rows) == 23
+    # unparseable bound: prune skipped, filter semantics unchanged
+    rows2 = app.log_range("d1", "ev", ts_col="ts", start="2024-01-02 06:00:00",
+                          limit=100)
+    assert len(rows2) == 42

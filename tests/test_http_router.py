@@ -875,3 +875,54 @@ def test_cycle_drains_configured_replicas(spark):
         shutil.rmtree(wh1, ignore_errors=True)
         shutil.rmtree(wh2, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_changes_head_pinned_against_racing_commit(spark, tmp_path):
+    """ADVICE r03: a commit landing between the head read and the feed
+    read must not ship rows beyond the returned checkpoint — a consumer
+    polling since=head would re-receive them (duplicate delivery)."""
+    app = BulkerApp(
+        spark,
+        str(tmp_path / "topics"),
+        [
+            Destination(
+                "r1",
+                str(tmp_path / "wh"),
+                options={"primary_key": ["id"], "deduplicate": True},
+                retain_versions=5,
+            )
+        ],
+    )
+    eng = app.engine_for("r1")
+    import pandas as pd  # noqa: F401  (ensure arrow deps warm)
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.bulk_load("t", df1, mode="batch", primary_key=["id"], deduplicate=True)
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    eng.bulk_load("t", df2, mode="batch", primary_key=["id"], deduplicate=True)
+
+    real = eng.read_changes
+    fired = {}
+
+    def racing(table, since, **kw):
+        if not fired:
+            fired["yes"] = True
+            eng.bulk_load(
+                "t",
+                spark.createDataFrame([(99, "intruder")], "id long, v string"),
+                mode="batch", primary_key=["id"], deduplicate=True,
+            )
+        return real(table, since, **kw)
+
+    eng.read_changes = racing
+    try:
+        out = app.changes("r1", "t", since_commit=1)
+    finally:
+        eng.read_changes = real
+    assert fired
+    ids = {c["id"] for c in out["changes"]}
+    assert 99 not in ids, "row beyond the returned checkpoint leaked"
+    assert all(c["__change_commit"] <= out["head"] for c in out["changes"])
+    # the intruder arrives on the NEXT poll from the returned checkpoint
+    nxt = app.changes("r1", "t", since_commit=out["head"])
+    assert {c["id"] for c in nxt["changes"]} == {99}

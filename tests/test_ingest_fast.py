@@ -248,3 +248,35 @@ def test_engine_load_uses_fast_path_and_matches(spark, tmp_warehouse):
         shutil.rmtree(other, ignore_errors=True)
     assert fast_rows == py_rows
     assert len(fast_rows) == 50  # dedup last-wins applied on the fast path
+
+
+def test_falls_back_on_uint64_style_big_int(spark):
+    """DECIMAL(19,0) ambiguity (ADVICE r03): 9300000000000000000 is a
+    legal JSON integer above Long.MAX; the variant parser types it
+    DECIMAL(19,0) — exactly what a 19-digit ``x.0`` float also produces.
+    The old fast path classified it FLOAT64 and stored a rounded double,
+    SILENTLY losing low-order digits. It must decline to the Python path,
+    which either preserves the digits or fails LOUDLY (the documented
+    Arrow-boundary overflow error) — never a quiet rounding."""
+    big = 9_300_000_000_000_000_001
+    try:
+        df, header = ingest_json(spark, _jdf(spark, [{"a": 1, "big": big}]))
+        assert ingest_mod.last_ingest_path == "python"
+        [row] = df.collect()
+        got = row["big"]
+        if isinstance(got, str):  # rescued as text somewhere
+            assert str(big) in got or json.loads(got) == big
+        else:
+            assert int(got) == big, "low-order digits must survive"
+    except Exception as e:  # loud overflow beats silent rounding
+        assert "big" in str(e) or "int64" in str(e) or "uint64" in str(e)
+
+
+def test_small_dot_zero_floats_still_take_fast_path(spark):
+    """The disambiguation must not widen: 2.0-style floats (DECIMAL(1,0))
+    keep the JVM path and keep typing FLOAT64."""
+    df, header = ingest_json(
+        spark, _jdf(spark, [{"a": 2.0, "b": 1}, {"a": 3.5, "b": 2}])
+    )
+    assert ingest_mod.last_ingest_path == "jvm"
+    assert sorted(r["a"] for r in df.collect()) == [2.0, 3.5]

@@ -277,3 +277,37 @@ def test_concurrent_sql_never_sees_pruned_views(spark, eng):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_sql_phase2_pinned_to_phase1_snapshot(spark, eng, monkeypatch):
+    """A write landing between phase-1 registration and phase-2 rebind
+    must NOT leak into the returned plan: both phases read one snapshot
+    (ADVICE r03). The race is simulated by appending from inside
+    prune_specs — exactly the window the old code rebound live in."""
+    import bulker_spark.api as api_mod
+    from bulker_spark.plans.sql_prune import prune_specs as real_specs
+
+    _clustered(spark, eng)
+    bomb = spark.createDataFrame([(150, 0, 0.0, "intruder", None)],
+                                 eng.warehouse.read("t").schema[:5])
+
+    fired = {}
+
+    def racing_specs(df, dirs):
+        specs = real_specs(df, dirs)
+        if not fired:
+            fired["yes"] = True
+            eng.warehouse.append("t", bomb)
+        return specs
+
+    monkeypatch.setattr(api_mod, "prune_specs", None, raising=False)
+    import bulker_spark.plans.sql_prune as sp_mod
+
+    monkeypatch.setattr(sp_mod, "prune_specs", racing_specs)
+    out = eng.sql("select * from t where pk between 100 and 200")
+    got = sorted(r["pk"] for r in out.collect())
+    assert got == list(range(100, 201)), "intruder row leaked into phase 2"
+    assert fired, "race did not fire — test is vacuous"
+    # and the NEXT query (fresh registration) does see the append
+    out2 = eng.sql("select * from t where pk between 100 and 200")
+    assert sorted(r["pk"] for r in out2.collect()).count(150) == 2

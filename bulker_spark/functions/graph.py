@@ -4,17 +4,39 @@ The last stage of a near-dup pipeline: LSH/Jaccard emits *pairs*; keeping
 one document per duplicate *group* requires the transitive closure —
 (a,b),(b,c) is one cluster {a,b,c} even though (a,c) never scored.
 
-Spark-first: iterative min-label propagation on DataFrames — each round
-every node adopts the smallest label among itself and its neighbors;
-converged when no label changes. Rounds = graph diameter (near-dup
-clusters are shallow — a handful of rounds). Each round is one shuffle on
-the edge key; labels/edges are persisted so the lineage doesn't re-execute,
-and the loop early-stops on a cheap count. This is the standard
-large-graph CC formulation (the same shape GraphX/GraphFrames use under
-the hood) without needing either package.
+Two execution strategies, dispatched on the EDGE count (the same
+size-aware logic as a broadcast-join threshold):
+
+- **small graphs** (≤ ``driver_threshold`` edges): collect the edge list
+  and run union-find with path compression on the driver — exact,
+  convergence-free, and O(m α(m)). The edge list of a near-dup pipeline
+  is banded collisions only, typically orders of magnitude smaller than
+  the corpus; a 1M-edge list is ~16 MB on the driver, far below any
+  broadcast it would otherwise feed. The distributed loop's per-round
+  scheduling overhead (broadcast builds + checkpoint + convergence
+  count) dwarfs the actual work at this size.
+
+- **large graphs**: iterative min-label propagation on DataFrames with
+  pointer doubling — each round every node adopts the smallest label
+  among itself and its neighbors (one hop), then shortcuts through its
+  label's label (doubling the distance already-propagated labels cover).
+  Propagation alone needs diameter rounds — a chain-shaped component
+  (doc A~B~…~Z via sliding boilerplate overlap) of diameter D would
+  silently get split labels under any fixed unroll < D; the shortcut
+  step makes convergence O(log D), so the log₂(N)-based cap is honestly
+  sufficient rather than a hope. Converged when a round changes NO
+  label (a cheap count on the just-checkpointed frame); if the cap is
+  ever hit anyway the function warns LOUDLY instead of returning split
+  clusters as if they were whole. This is the standard large-graph CC
+  formulation (Kiveris et al., "Connected Components in MapReduce and
+  Beyond" — the min-label + shortcut shape) without needing
+  GraphX/GraphFrames.
 """
 
 from __future__ import annotations
+
+import math
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,42 +46,125 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int | None = None,
+    broadcast_labels: bool = False,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """→ DataFrame[node, component] where component = min node id reachable.
 
     Nodes are everything appearing in either edge endpoint; isolated nodes
     (no edges) are the caller's concern — union them in with
     ``component = node`` if needed.
+
+    ``driver_threshold``: edge count at or below which the driver-side
+    union-find runs instead of the distributed loop (0 forces the
+    distributed path — used by its tests). Both strategies return the
+    identical exact answer; only the execution shape differs.
+
+    ``max_iterations=None`` (default) derives the distributed cap from
+    the node count: ``log2(N) + 3`` rounds, which pointer doubling
+    provably needs at most (label reach doubles per round). Hitting the
+    cap without convergence emits a ``RuntimeWarning`` — the result may
+    have split components and the caller should rerun with a higher cap.
+
+    ``broadcast_labels=True`` hints the label frame into broadcast
+    joins — right when the edge list is a small collision set next to a
+    huge corpus (LSH near-dup pairs); leave off when components span a
+    large fraction of nodes and the label frame rivals the edges.
     """
     # undirected: keep both directions once
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
+    m = e.count()  # materializes the persist either path reuses
+    if m <= driver_threshold:
+        out = _driver_union_find(edges.sparkSession, e)
+        e.unpersist()
+        return out
+    return _distributed_cc(e, max_iterations, broadcast_labels)
+
+
+def _driver_union_find(spark, e: DataFrame) -> DataFrame:
+    """Union-find with path compression over a collected edge list;
+    component label = min node id in the set (identical to what the
+    distributed min-label loop converges to)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    pairs = [(r["u"], r["v"]) for r in e.collect()]
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id becomes the root, so the root
+            # IS the component label — no second pass to relabel
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = {u for u, _ in pairs} | {v for _, v in pairs}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    from pyspark.sql import types as T
+
+    node_t = e.schema["u"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t, True),
+            T.StructField("component", node_t, True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _distributed_cc(
+    e: DataFrame, max_iterations: int | None, broadcast_labels: bool
+) -> DataFrame:
     labels = (
         e.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .persist()
     )
+    if max_iterations is None:
+        n = labels.count()  # small frame (edge endpoints), persisted
+        max_iterations = max(3, math.ceil(math.log2(max(n, 2))) + 3)
+    hint = F.broadcast if broadcast_labels else (lambda df: df)
+    converged = False
     for _ in range(max_iterations):
-        # each node's candidate label: min over neighbors' labels and own
+        # 1) propagate: min over neighbors' labels and own; carry the
+        # previous label through so convergence needs no extra join
         neighbor_min = (
-            e.join(labels, e.v == labels.node)
+            e.join(hint(labels), e.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("n_comp"))
         )
-        updated = labels.join(neighbor_min, on="node", how="left").select(
+        hop = labels.join(hint(neighbor_min), on="node", how="left").select(
             "node",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce("n_comp", "component")
             ).alias("component"),
-            (F.coalesce("n_comp", "component") < F.col("component")).alias(
-                "_changed"
-            ),
+        )
+        # 2) shortcut (pointer doubling): adopt the label OF the label —
+        # labels are node ids, so they resolve against the same frame;
+        # this is what turns diameter-D chains from D rounds into log D
+        lab_of = hop.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_c = F.least(F.col("component"), F.coalesce("c_comp", "component"))
+        updated = hop.join(
+            hint(lab_of), hop.component == F.col("c_node"), "left"
+        ).select(
+            "node",
+            new_c.alias("component"),
+            (new_c < F.col("_old")).alias("_changed"),
         )
         # localCheckpoint truncates the lineage — without it each round's
         # plan nests the previous round's and the tree grows exponentially
@@ -71,6 +176,15 @@ def connected_components(
         labels.unpersist()
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds — components may be SPLIT; rerun with a higher "
+            "max_iterations",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     e.unpersist()
     return labels

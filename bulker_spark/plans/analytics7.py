@@ -596,32 +596,37 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap leaked into the training set). Same shingling as the dedup
     tier (``doc_dup_ngram_coverage``).
 
-    Scale shape: the train side reduces to a distinct shingle set (one
-    shuffle, map-side combine); the eval side is a fixed small fraction
-    of the corpus, so its shingles broadcast against the train set and
-    the per-doc rollup shuffles only eval keys."""
+    Scale shape: shingles are generated AND hashed in-row (transform
+    over sequence → xxhash64, zero shuffle, the full text never leaves
+    its scan task), so everything downstream — the train-side distinct,
+    the eval⋈train membership join — shuffles fixed 8-byte ints instead
+    of raw 8-char strings, the same shape as ``doc_ngram_novelty``
+    (previously this was the slowest analytic precisely because it
+    shuffled raw shingle strings through distinct() and the join). The
+    train side reduces to a distinct hash set (one shuffle, map-side
+    combine); the eval side is a fixed small fraction of the corpus, so
+    the per-doc rollup shuffles only eval keys. Membership is preserved
+    under the hash (64-bit collisions are negligible at any realistic
+    corpus, and the oracle hashes identically on its side)."""
     d = _t(spark, sf_dir, "documents")
-    pos = d.select(
+    sh = d.select(
         "doc_id",
         F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("text") - F.lit(7), F.lit(1))
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 1)),"
+                " i -> xxhash64(substring(text, i, 8)))"
             )
-        ).alias("i"),
-        "text",
-    )
-    sh = pos.select(
-        "doc_id", F.expr("substring(text, i, 8)").alias("sh")
+        ).alias("h"),
     ).distinct()
     eval_sh = sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
     train_sh = (
         sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0)
-        .select("sh")
+        .select("h")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     return (
-        eval_sh.join(train_sh, "sh", "left")
+        eval_sh.join(train_sh, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -643,7 +648,10 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_CONTAMINATION_SQL = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, sh
+  -- hash(shingle) membership, mirroring the Spark side's xxhash64: the
+  -- hash values themselves never reach the output, only membership
+  -- counts, so the engines' different 64-bit hash functions agree
+  SELECT DISTINCT doc_id, hash(sh) AS h
   FROM (
     SELECT d.doc_id, substr(d.text, g.i::INT, 8) AS sh
     FROM documents d,
@@ -652,15 +660,15 @@ WITH sh AS (
   )
 ),
 train AS (
-  SELECT DISTINCT sh FROM sh WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0
+  SELECT DISTINCT h FROM sh WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0
 )
 SELECT e.doc_id,
        COUNT(*) AS n_shingles,
-       CAST(SUM(CASE WHEN t.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       CAST(SUM(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
          AS n_contaminated,
-       ROUND(SUM(CASE WHEN t.sh IS NULL THEN 0 ELSE 1 END)::DOUBLE
+       ROUND(SUM(CASE WHEN t.h IS NULL THEN 0 ELSE 1 END)::DOUBLE
              / COUNT(*), 4) AS contamination_rate
-FROM sh e LEFT JOIN train t ON e.sh = t.sh
+FROM sh e LEFT JOIN train t ON e.h = t.h
 WHERE e.doc_id % {_CONTAM_EVAL_MOD} = 0
 GROUP BY 1
 ORDER BY doc_id
@@ -847,58 +855,38 @@ ORDER BY part_id
 # Near-dup cluster formation: connected components over LSH pairs
 # ==========================================================================
 
-_CC_ROUNDS = 3
-
-
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final step of fuzzy dedup: group LSH candidate pairs into
     CLUSTERS (connected components) and elect one canonical doc per
     cluster — pairs alone under-delete (a~b, b~c leaves a,c both kept).
-    Min-doc-id label propagation, 3 unrolled rounds (banded near-dup
-    components are shallow — they are near-cliques by construction;
-    3 rounds closes diameter ≤ 8). Integer min: deterministic on any
-    engine or partitioning.
+    Convergence-checked min-doc-id label propagation with pointer
+    doubling (``functions.graph.connected_components``): iterates until
+    a round changes NO label, capped at log₂(N)+3 rounds (which the
+    doubling provably needs at most) with a loud RuntimeWarning if ever
+    hit. A fixed unroll was the one place a correct-at-sf0.1 answer
+    could go quietly wrong at 100× — a chain-shaped boilerplate family
+    (A~B~…~Z via sliding shingle overlap) with diameter beyond the
+    unroll silently got SPLIT labels, i.e. under-deletion in exactly the
+    scenario dedup exists for (reference dedup is exact by construction,
+    ``abstract_transactional.go:439-496``). Integer min: deterministic
+    on any engine or partitioning.
 
     Scale shape: the pair list is tiny next to the corpus (only banded
-    collisions); each round is one shuffle-join on the neighbor key + a
-    map-side-combined MIN — the same Pregel-on-DataFrames layout as
-    parts_pagerank, and the standard large-scale CC algorithm
-    (Kiveris et al., "Connected Components in MapReduce")."""
+    collisions), so the label frame is broadcast
+    (``broadcast_labels=True``) — each round is map-side joins + one
+    min-combine shuffle; at a scale where the collision set itself
+    outgrows broadcast, drop the flag and the same plan runs as the
+    classic shuffle-join CC (Kiveris et al., "Connected Components in
+    MapReduce")."""
+    from bulker_spark.functions.graph import connected_components
     from bulker_spark.plans.queries import (  # noqa: PLC0415 — registry
         doc_minhash_lsh_pairs,  # imports this module at its bottom
     )
 
     pairs = doc_minhash_lsh_pairs(spark, sf_dir)
-    half = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = (
-        half.unionByName(
-            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
-        .persist()
-    )
-    lbl = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("c")
-    )
-    # broadcast the label frame: it holds only docs that PARTICIPATE in a
-    # near-dup pair (banded collisions — a small fraction of the corpus by
-    # construction), so each round is one map-side join + one min-combine
-    # shuffle instead of three shuffles; at a scale where the collision
-    # set itself outgrows broadcast, drop the hint and the same plan runs
-    # as the classic shuffle-join CC
-    for _ in range(_CC_ROUNDS):
-        nbr = edges.join(F.broadcast(lbl), edges.v == lbl.id).select(
-            F.col("u").alias("id"), "c"
-        )
-        # persist each round: every broadcast exchange materializes its
-        # full upstream chain independently, so unpinned rounds recompute
-        # quadratically (measured 3.2s → 0.7s at sf0.1)
-        lbl = (
-            lbl.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("c").alias("c"))
-            .persist()
-        )
+    lbl = connected_components(
+        pairs, src="doc_a", dst="doc_b", broadcast_labels=True
+    ).select(F.col("node").alias("id"), F.col("component").alias("c"))
     sizes = lbl.groupBy("c").agg(F.count("*").alias("cluster_size"))
     return (
         lbl.join(F.broadcast(sizes), "c")
@@ -912,40 +900,33 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_round_sql(prev: str, cur: str) -> str:
-    return f"""
-{cur} AS (
-  SELECT x.id, MIN(x.c) AS c
-  FROM (
-    SELECT id, c FROM {prev}
-    UNION ALL
-    SELECT e.u AS id, {prev}.c FROM edges e JOIN {prev} ON e.v = {prev}.id
-  ) x
-  GROUP BY 1
-)"""
-
-
 def _doc_dedup_clusters_sql() -> str:
+    # exact transitive closure (recursive CTE), NOT a fixed round count:
+    # the Spark side iterates to convergence, so the oracle must be
+    # diameter-independent too or a deep component would "fail" the
+    # oracle precisely when Spark gets it right
     from bulker_spark.plans._common import DOC_LSH_PAIRS_DUCK
 
-    rounds = ",".join(
-        _cc_round_sql(f"l{i}", f"l{i + 1}") for i in range(_CC_ROUNDS)
-    )
-    last = f"l{_CC_ROUNDS}"
     return f"""
-WITH pairs AS ({DOC_LSH_PAIRS_DUCK}),
+WITH RECURSIVE pairs AS ({DOC_LSH_PAIRS_DUCK}),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b AS u, doc_a AS v FROM pairs
 ),
-l0 AS (SELECT DISTINCT u AS id, u AS c FROM edges),
-{rounds}
-SELECT {last}.id AS doc_id, {last}.c AS cluster_id,
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS c FROM reach GROUP BY u
+)
+SELECT comp.id AS doc_id, comp.c AS cluster_id,
        CAST(s.n AS BIGINT) AS cluster_size,
-       ({last}.id = {last}.c) AS is_canonical
-FROM {last}
-JOIN (SELECT c, COUNT(*) AS n FROM {last} GROUP BY 1) s ON {last}.c = s.c
+       (comp.id = comp.c) AS is_canonical
+FROM comp
+JOIN (SELECT c, COUNT(*) AS n FROM comp GROUP BY 1) s ON comp.c = s.c
 ORDER BY doc_id
 """
 

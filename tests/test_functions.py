@@ -331,3 +331,57 @@ def test_connected_components_chain_converges(spark):
     comps = {r["component"] for r in cc.collect()}
     assert comps == {0}  # one component, labeled by its min node
     assert cc.count() == n + 1
+
+
+def test_connected_components_log_rounds_pointer_doubling(spark):
+    """A diameter-30 chain must converge inside the auto cap
+    (log2(31)+3 = 8 rounds) — only pointer doubling makes that true;
+    plain one-hop propagation would need 30 rounds and previously either
+    silently split the component or blew past any log-shaped budget."""
+    import warnings as w
+
+    from bulker_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)  # any warning = fail
+        # driver_threshold=0 forces the DISTRIBUTED loop — the small-graph
+        # union-find path would trivially pass without exercising doubling
+        cc = connected_components(edges, driver_threshold=0)
+        comps = {r["component"] for r in cc.collect()}
+    assert comps == {0}
+
+
+def test_connected_components_warns_loudly_when_capped(spark):
+    """Hitting the iteration cap without convergence must WARN, never
+    return split components as if they were whole."""
+    import pytest as _pytest
+
+    from bulker_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(
+            edges, max_iterations=1, driver_threshold=0
+        ).collect()
+
+
+def test_connected_components_driver_vs_distributed_identical(spark):
+    """The size-aware dispatch must be invisible: driver union-find and
+    the distributed doubling loop return the same exact labeling."""
+    import random
+
+    from bulker_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    small = {(r["node"], r["component"])
+             for r in connected_components(df).collect()}
+    big = {(r["node"], r["component"])
+           for r in connected_components(df, driver_threshold=0).collect()}
+    assert small == big

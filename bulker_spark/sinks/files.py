@@ -72,21 +72,17 @@ class FileStorageSink:
         elif self.fmt == "csv":
             w.option("header", True).csv(path)
         elif self.fmt == "avro":
-            # avro's codec vocabulary differs: gzip is spelled deflate
-            w = df.write.mode(mode)
-            if self.compression:
-                codec = "deflate" if self.compression == "gzip" else self.compression
-                w = w.option("compression", codec)
-            try:
-                w.format("avro").save(path)
-            except Exception as exc:  # datasource is an external module
-                if "Failed to find data source" not in str(exc):
-                    raise
-                raise NotImplementedError(
-                    "avro output needs the spark-avro package "
-                    "(org.apache.spark:spark-avro_<scala-version>) on the "
-                    "cluster classpath; it is not bundled with pip pyspark"
-                ) from exc
+            # the built-in OCF writer (sinks/avro_ocf.py): distributed
+            # mapInArrow encode, one container file per partition — no
+            # external spark-avro module needed. avro's codec vocabulary
+            # differs from Spark's: gzip is spelled deflate.
+            from bulker_spark.sinks.avro_ocf import write_avro
+
+            codec = (
+                "deflate" if self.compression == "gzip"
+                else (self.compression or "null")
+            )
+            write_avro(df, path, codec=codec, mode=mode)
         else:
             w.parquet(path)
 
@@ -167,7 +163,20 @@ class FileStorageSink:
         if self.fmt == "csv":
             return spark.read.option("header", True).option("inferSchema", True).csv(path)
         if self.fmt == "avro":
-            return spark.read.format("avro").load(path)
+            from bulker_spark.sinks.avro_ocf import read_avro
+
+            if self._partitioned(table):
+                # decode each partition dir and union (schema is shared)
+                parts = sorted(
+                    os.path.join(path, e) for e in os.listdir(path)
+                    if e.startswith("partition=")
+                )
+                dfs = [read_avro(spark, p) for p in parts]
+                out = dfs[0]
+                for d in dfs[1:]:
+                    out = out.unionByName(d)
+                return out
+            return read_avro(spark, path)
         return spark.read.parquet(path)
 
     def _partitioned(self, table: str) -> bool:

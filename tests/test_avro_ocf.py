@@ -1,0 +1,268 @@
+"""Avro OCF writer/reader tests (reference: ``bulkerlib/types/avro.go``,
+``avro_test.go`` shape — schema from typed rows, nullable unions, logical
+timestamp; the BigQuery loader consumes these files,
+``implementations/sql/bigquery.go:75-90``).
+
+The decisive check is `test_jvm_avro_reads_our_files`: the bundled JVM
+``org.apache.avro`` library (on every Spark classpath) reads a file this
+writer produced — an INDEPENDENT implementation agreeing byte-level on
+the container format, codec, and binary encoding."""
+
+import datetime as dt
+import decimal
+import glob
+import os
+
+import pytest
+
+from bulker_spark.sinks.avro_ocf import (
+    decode_long,
+    encode_long,
+    read_avro,
+    read_ocf_rows,
+    spark_to_avro_schema,
+    write_avro,
+)
+from bulker_spark.sinks.files import FileStorageSink
+
+
+def test_zigzag_varint_known_vectors():
+    # spec examples: 0→00, -1→01, 1→02, -2→03, 2→04; 64→80 01
+    for n, expect in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                      (-2, b"\x03"), (2, b"\x04"), (64, b"\x80\x01"),
+                      (-(2**63), b"\xff" * 9 + b"\x01"),
+                      (2**63 - 1, b"\xfe" + b"\xff" * 8 + b"\x01")]:
+        out = bytearray()
+        encode_long(n, out)
+        assert bytes(out) == expect, n
+        back, pos = decode_long(bytes(out), 0)
+        assert back == n and pos == len(out)
+
+
+@pytest.fixture()
+def typed_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("amount", T.DecimalType(12, 2), True),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), True), True),
+        T.StructField("geo", T.StructType([
+            T.StructField("city", T.StringType(), True),
+            T.StructField("seen", T.TimestampType(), True),
+        ]), True),
+    ])
+    rows = [
+        (1, "a", 1.5, True,
+         dt.datetime(2024, 1, 2, 3, 4, 5, 123456), dt.date(2024, 1, 2),
+         decimal.Decimal("12.34"), b"\x00\x01", ["x", None, "y"],
+         {"k": 7, "n": None}, ("SF", dt.datetime(2024, 2, 1))),
+        (2, None, None, None, None, None, None, None, None, None, None),
+        (3, "c", -0.25, False,
+         dt.datetime(1969, 12, 31, 23, 59, 59), dt.date(1969, 12, 31),
+         decimal.Decimal("-0.01"), b"", [], {}, (None, None)),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_roundtrip_all_types(spark, typed_df, tmp_warehouse):
+    path = os.path.join(tmp_warehouse, "t")
+    n = write_avro(typed_df, path, codec="deflate")
+    assert n == 3
+    back = read_avro(spark, path)
+    assert back.schema == typed_df.schema
+    a = sorted(typed_df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
+
+
+def test_roundtrip_null_codec(spark, typed_df, tmp_warehouse):
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(typed_df, path, codec="null")
+    assert read_avro(spark, path).count() == 3
+
+
+def test_unknown_codec_raises(spark, typed_df, tmp_warehouse):
+    with pytest.raises(NotImplementedError, match="snappy"):
+        write_avro(typed_df, os.path.join(tmp_warehouse, "t"),
+                   codec="snappy")
+
+
+def test_block_flush_large_file(spark, tmp_warehouse):
+    """More rows than one block (4096) in one partition — multi-block
+    container, each block independently deflated and sync-framed."""
+    df = spark.range(10000).coalesce(1).selectExpr(
+        "id", "repeat('x', 50) AS pad"
+    )
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(df, path, codec="deflate")
+    files = glob.glob(os.path.join(path, "*.avro"))
+    assert len(files) == 1
+    rows = list(read_ocf_rows(files[0]))
+    assert len(rows) == 10000
+    assert {r["id"] for r in rows} == set(range(10000))
+
+
+def test_one_file_per_partition(spark, tmp_warehouse):
+    df = spark.range(100).repartition(4)
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(df, path)
+    assert len(glob.glob(os.path.join(path, "*.avro"))) == 4
+    assert read_avro(spark, path).count() == 100
+
+
+def test_sink_roundtrip_and_append(spark, tmp_warehouse):
+    sample = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    sink = FileStorageSink(tmp_warehouse, fmt="avro", compression="gzip")
+    p = sink.replace_table(sample, "t")
+    assert glob.glob(os.path.join(p, "*.avro"))
+    assert sink.read(spark, "t").count() == 3
+    sink.append_batch(sample, "t")
+    assert sink.read(spark, "t").count() == 6
+    # replace clears prior batches
+    sink.replace_table(sample.limit(1), "t")
+    assert sink.read(spark, "t").count() == 1
+
+
+def test_sink_replace_partition(spark, tmp_warehouse):
+    sample = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    sink = FileStorageSink(tmp_warehouse, fmt="avro", compression=None)
+    sink.replace_partition(sample, "t", "p1")
+    sink.replace_partition(sample.limit(1), "t", "p2")
+    assert sink.read(spark, "t").count() == 4
+    sink.replace_partition(sample.limit(2), "t", "p1")
+    assert sink.read(spark, "t").count() == 3
+
+
+def test_jvm_avro_reads_our_files(spark, typed_df, tmp_warehouse):
+    """Cross-validate with the INDEPENDENT Java Avro implementation
+    bundled on Spark's classpath: DataFileReader + GenericDatumReader
+    must parse our container, codec and row encoding and agree on
+    values."""
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(typed_df.coalesce(1), path, codec="deflate")
+    f = glob.glob(os.path.join(path, "*.avro"))[0]
+    jvm = spark._jvm
+    jfile = jvm.java.io.File(f)
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jfile, jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        got = {}
+        while reader.hasNext():
+            rec = reader.next()
+            rid = rec.get("id")
+            name = rec.get("name")
+            got[rid] = None if name is None else str(name)
+        assert got == {1: "a", 2: None, 3: "c"}
+        # schema the JVM parsed matches what we wrote
+        jschema = reader.getSchema()
+        assert jschema.getField("ts") is not None
+        ts_branches = jschema.getField("ts").schema().getTypes()
+        logical = [b.getLogicalType().getName()
+                   for b in ts_branches if str(b.getType()) != "NULL"]
+        assert logical == ["timestamp-micros"]
+    finally:
+        reader.close()
+
+
+def test_jvm_avro_agrees_on_timestamp_value(spark, tmp_warehouse):
+    """The logical timestamp survives an independent decode: JVM reads
+    the exact epoch-micros we encoded."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 3, 4, 5, 123456))], "id long, ts timestamp"
+    )
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(df.coalesce(1), path, codec="null")
+    f = glob.glob(os.path.join(path, "*.avro"))[0]
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        rec = reader.next()
+        expect = int(dt.datetime(2024, 1, 2, 3, 4, 5, 123456, dt.timezone.utc)
+                     .timestamp() * 1_000_000)
+        assert rec.get("ts") == expect
+    finally:
+        reader.close()
+
+
+def test_schema_mapping_shapes(typed_df):
+    avro = spark_to_avro_schema(typed_df.schema)
+    by_name = {f["name"]: f for f in avro["fields"]}
+    assert by_name["id"]["type"] == "long"  # non-nullable: no union
+    assert by_name["name"]["type"] == ["null", "string"]
+    assert by_name["ts"]["type"][1]["logicalType"] == "timestamp-micros"
+    assert by_name["day"]["type"][1]["logicalType"] == "date"
+    dec = by_name["amount"]["type"][1]
+    assert (dec["logicalType"], dec["precision"], dec["scale"]) == ("decimal", 12, 2)
+    assert by_name["tags"]["type"][1]["items"] == ["null", "string"]
+    assert by_name["geo"]["type"][1]["type"] == "record"
+
+
+def test_timestamp_ntz_roundtrip(spark, tmp_warehouse):
+    """TimestampNTZ maps to avro local-timestamp-micros: the wall clock
+    survives the roundtrip and the schema restores as NTZ, not TZ."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+    ])
+    wall = dt.datetime(2024, 6, 1, 12, 30, 0, 250000)
+    df = spark.createDataFrame([(1, wall)], schema)
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(df, path, codec="null")
+    avro = spark_to_avro_schema(df.schema)
+    assert avro["fields"][1]["type"][1]["logicalType"] == "local-timestamp-micros"
+    back = read_avro(spark, path)
+    assert back.schema == schema
+    assert back.collect()[0]["ts"] == wall
+    # wire value is the wall clock read as UTC — session-tz independent
+    f = glob.glob(os.path.join(path, "*.avro"))[0]
+    (row,) = read_ocf_rows(f)
+    expect = int(wall.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert row["ts"] == expect
+
+
+def test_read_foreign_timestamp_millis(spark, tmp_warehouse):
+    """Files from other writers may use timestamp-millis; the decoder
+    normalizes to micros so restored values are identical."""
+    import json
+
+    from bulker_spark.sinks.avro_ocf import OCFWriter
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        ],
+    }
+    path = os.path.join(tmp_warehouse, "t")
+    os.makedirs(path)
+    f = os.path.join(path, "part-0.avro")
+    with open(f, "wb") as fh:
+        w = OCFWriter(fh, schema, codec="null")
+        out = w._buf
+        encode_long(7, out)
+        encode_long(1704164645123, out)  # 2024-01-02T03:04:05.123Z
+        w._count = 1
+        w.close()
+    json.dumps(schema)  # sanity: serializable
+    back = read_avro(spark, path).collect()
+    assert back[0]["id"] == 7
+    assert back[0]["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)

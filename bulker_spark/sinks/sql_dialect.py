@@ -303,10 +303,17 @@ class SqlDialect:
         and brand-new keys alike — which is why the INSERT needs no
         change predicate of its own). JDBC-warehouse twin of
         ``operators/scd2.py:scd2_apply``; ``effective_literal`` is a SQL
-        timestamp literal. ClickHouse is unsupported (no UPDATE ... FROM;
-        SCD2 there is modeled with ReplacingMergeTree + version columns,
-        the same engine-level stance as the reference's dedup,
-        clickhouse.go:1202-1243)."""
+        timestamp literal.
+
+        ClickHouse has no practical UPDATE, so its pair is INSERT-only
+        over a ``ReplacingMergeTree(__scd_version)`` table (see
+        ``scd2_create_table``): closing a version re-inserts the same
+        sorting key ``(pk, __valid_from)`` with ``__valid_to`` filled and
+        a bumped ``__scd_version`` — the engine collapses to the highest
+        version at merge time, the same engine-level stance as the
+        reference's dedup (``clickhouse.go:1202-1243``). Reads that need
+        the collapsed state (including these statements' own probes) must
+        say ``FINAL``."""
         q = self.qualified(table, namespace)
         s = self.ident(staging)
         vf, vt, cur = (
@@ -318,6 +325,13 @@ class SqlDialect:
         def distinct(lhs: str, rhs: str) -> str:
             if self.name == "mysql":
                 return f"NOT ({lhs} <=> {rhs})"
+            if self.name == "clickhouse":
+                # no IS DISTINCT FROM: null-pair mismatch OR value
+                # mismatch (NULL != NULL is NULL → falls out of WHERE,
+                # correctly "not changed")
+                return (
+                    f"(({lhs} IS NULL) != ({rhs} IS NULL) OR {lhs} != {rhs})"
+                )
             return f"{lhs} IS DISTINCT FROM {rhs}"
 
         on = " AND ".join(
@@ -341,9 +355,8 @@ class SqlDialect:
                 f"WHERE t.{cur} AND ({changed})"
             )
         elif self.name == "clickhouse":
-            raise NotImplementedError(
-                "SCD2 on ClickHouse: use ReplacingMergeTree with a version "
-                "column instead of UPDATE mutations"
+            return self._scd2_clickhouse(
+                q, columns, pk, changed, effective_literal, s
             )
         else:  # postgres / redshift / duckdb: UPDATE ... FROM
             close = (
@@ -362,6 +375,98 @@ class SqlDialect:
             f"WHERE t.{first_pk} IS NULL"
         )
         return [close, insert]
+
+    def _scd2_clickhouse(
+        self,
+        q: str,
+        columns: list[str],
+        pk: list[str],
+        changed: str,
+        effective_literal: str,
+        s: str,
+    ) -> list[str]:
+        """INSERT-only SCD2 pair for ReplacingMergeTree (see
+        ``scd2_apply_statements`` docstring). Probes wrap the table in a
+        ``(SELECT ... FROM t FINAL)`` subquery — alias-position grammar
+        for bare ``FINAL`` varies across CH versions; the subquery form
+        is unambiguous everywhere."""
+        vf, vt, cur, ver = (
+            self.ident("__valid_from"),
+            self.ident("__valid_to"),
+            self.ident("__is_current"),
+            self.ident("__scd_version"),
+        )
+        cols = ", ".join(self.ident(c) for c in columns)
+        t_cols = ", ".join(f"t.{self.ident(c)}" for c in columns)
+        s_cols = ", ".join(f"s.{self.ident(c)}" for c in columns)
+        on = " AND ".join(
+            f"t.{self.ident(c)} = s.{self.ident(c)}" for c in pk
+        )
+        pk_cols = ", ".join(self.ident(c) for c in pk)
+        first_pk = self.ident(pk[0])
+        # close = supersede: same sorting key (pk, __valid_from), higher
+        # version, __valid_to/__is_current flipped; old attribute values
+        # carried from t so history is untouched
+        close = (
+            f"INSERT INTO {q} ({cols}, {vf}, {vt}, {cur}, {ver}) "
+            f"SELECT {t_cols}, t.{vf}, {effective_literal}, false, "
+            f"t.{ver} + 1 "
+            f"FROM (SELECT * FROM {q} FINAL) AS t "
+            f"INNER JOIN {s} AS s ON {on} "
+            f"WHERE t.{cur} AND ({changed})"
+        )
+        # open: keys with no current row after the close collapsed —
+        # just-closed keys and brand-new keys alike
+        insert = (
+            f"INSERT INTO {q} ({cols}, {vf}, {vt}, {cur}, {ver}) "
+            f"SELECT {s_cols}, {effective_literal}, NULL, true, 1 "
+            f"FROM {s} AS s LEFT JOIN "
+            f"(SELECT {pk_cols} FROM {q} FINAL WHERE {cur}) AS t ON {on} "
+            f"WHERE t.{first_pk} IS NULL"
+        )
+        return [close, insert]
+
+    def scd2_create_table(
+        self,
+        table: str,
+        columns: dict[str, DataType],
+        pk: list[str],
+        namespace: str | None = None,
+    ) -> str:
+        """DDL for an SCD2 dimension: payload columns + the tracking
+        columns. ClickHouse gets the engine clause the INSERT-only apply
+        strategy requires — ``ReplacingMergeTree(__scd_version)`` sorted
+        by ``(pk, __valid_from)`` so a superseding insert collapses onto
+        the version it closes; every other dialect is a plain table with
+        nullable ``__valid_to``."""
+        if self.name != "clickhouse":
+            all_cols = dict(columns)
+            all_cols["__valid_from"] = DataType.TIMESTAMP
+            all_cols["__valid_to"] = DataType.TIMESTAMP
+            all_cols["__is_current"] = DataType.BOOL
+            return self.create_table(table, all_cols, pk=None,
+                                     namespace=namespace)
+        vf, vt, cur, ver = (
+            self.ident("__valid_from"),
+            self.ident("__valid_to"),
+            self.ident("__is_current"),
+            self.ident("__scd_version"),
+        )
+        cols = [f"{self.ident(c)} {self.sql_type(t)}"
+                for c, t in columns.items()]
+        cols += [
+            f"{vf} DateTime64(6)",
+            f"{vt} Nullable(DateTime64(6))",
+            f"{cur} UInt8",
+            f"{ver} UInt64",
+        ]
+        order = ", ".join([*(self.ident(c) for c in pk), vf])
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.qualified(table, namespace)} "
+            f"({', '.join(cols)}) "
+            f"ENGINE = ReplacingMergeTree({ver}) "
+            f"ORDER BY ({order})"
+        )
 
 
 def placeholders_as(columns: list[str], d: SqlDialect) -> str:

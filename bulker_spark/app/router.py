@@ -225,6 +225,10 @@ class BulkerApp:
         }
         self._lock = threading.Lock()
         self._cycle_locks: dict[str, threading.Lock] = {}
+        # failover-reprocessing jobs (admin/router_reprocessing_handler.go)
+        self._reproc_jobs: dict[str, dict[str, Any]] = {}
+        self._reproc_cancel: set[str] = set()
+        self._reproc_seq = 0
 
     def _record_load(self, table: str, res) -> None:
         with self._lock:
@@ -843,6 +847,182 @@ class BulkerApp:
             }
         return out
 
+    # -- failover reprocessing jobs -----------------------------------------
+    # The reference runs backup replay as managed jobs behind
+    # /api/admin/reprocessing/jobs (admin/router_reprocessing_handler.go:
+    # 139-179, admin/router.go:36-43); the k8s worker-pod orchestration is
+    # out of scope (SURVEY §0) — here a job is a thread driving the
+    # distributed replay (sources/reprocess.py:replay_backups_to_topics)
+    # and then the normal batch cycle, so replayed events flow through the
+    # full ingest path: topics → dedup/merge → warehouse, retries and
+    # dead-letter included.
+    def start_reprocessing(
+        self, spec: dict[str, Any], wait: bool = False
+    ) -> dict[str, Any]:
+        """Start a reprocessing job. ``spec``: ``destination_id`` +
+        ``path`` (backup glob) required; optional ``date_from``/
+        ``date_to`` (ISO dates, prune whole files by their path date
+        before any read), ``mode``, ``dry_run`` (list files and count
+        lines, produce nothing — ReprocessingStartRequest.DryRun), and
+        ``drain: false`` to stop after producing to topics."""
+        import datetime as _dt
+
+        from ..sources.reprocess import (
+            date_from_path,
+            read_backup_lines,
+            table_from_path,
+        )
+
+        dst = spec.get("destination_id") or spec.get("destinationId")
+        path = spec.get("path") or spec.get("local_path")
+        if not dst or not path:
+            raise ValueError("destination_id and path are required")
+        if dst not in self.destinations:
+            raise KeyError(f"destination not found: {dst}")
+        # same arbitrary-path gate as /test: a reprocess path is a read
+        # primitive over the host filesystem
+        self.check_warehouse_path(path)
+
+        def parse_date(key: str) -> _dt.date | None:
+            v = spec.get(key)
+            return _dt.date.fromisoformat(v) if v else None
+
+        date_from, date_to = parse_date("date_from"), parse_date("date_to")
+        mode = spec.get("mode", "batch")
+        with self._lock:
+            self._reproc_seq += 1
+            job_id = f"reproc-{self._reproc_seq}"
+            job: dict[str, Any] = {
+                "id": job_id,
+                "status": "PENDING",
+                "config": {
+                    "destination_id": dst,
+                    "path": path,
+                    "date_from": spec.get("date_from"),
+                    "date_to": spec.get("date_to"),
+                    "mode": mode,
+                    "dry_run": bool(spec.get("dry_run")),
+                },
+                "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                "started_at": None,
+                "completed_at": None,
+                "total_files": 0,
+                "processed_files": 0,
+                "success_count": 0,
+                "error_count": 0,
+                "last_error": None,
+                "topics": {},
+                "drained": None,
+            }
+            self._reproc_jobs[job_id] = job
+
+        def run() -> None:
+            from pyspark.sql import functions as F
+
+            from ..sources.reprocess import replay_backups_to_topics
+
+            job["status"] = "RUNNING"
+            job["started_at"] = _dt.datetime.now(
+                _dt.timezone.utc
+            ).isoformat()
+            try:
+                if job["config"]["dry_run"]:
+                    # distributed count per table; nothing is produced
+                    lines = read_backup_lines(self.spark, path)
+                    per_file = {
+                        r["_file"]: r["n"]
+                        for r in lines.groupBy("_file")
+                        .agg(F.count("*").alias("n"))
+                        .collect()
+                    }
+                    kept = {
+                        f: n for f, n in per_file.items()
+                        if _date_in_range(
+                            date_from_path(f), date_from, date_to
+                        )
+                    }
+                    job["total_files"] = len(kept)
+                    job["processed_files"] = len(kept)
+                    job["success_count"] = sum(kept.values())
+                    tables: dict[str, int] = {}
+                    for f, n in kept.items():
+                        t = table_from_path(f)
+                        tables[t] = tables.get(t, 0) + n
+                    job["topics"] = {t: None for t in tables}
+                    job["dry_run_lines"] = tables
+                else:
+                    def on_table(table, files, topic):
+                        job["processed_files"] += len(files)
+                        job["topics"][table] = topic
+
+                    topics = replay_backups_to_topics(
+                        self.spark,
+                        path,
+                        self.topics_root,
+                        dst,
+                        mode=mode,
+                        date_from=date_from,
+                        date_to=date_to,
+                        on_table=on_table,
+                        should_continue=lambda: job_id
+                        not in self._reproc_cancel,
+                    )
+                    if spec.get("drain", True) and job_id not in self._reproc_cancel:
+                        rows_before = self.metrics["loaded_rows"]
+                        cycle = self.run_batch_cycle(dst)
+                        job["drained"] = cycle
+                        job["success_count"] = (
+                            self.metrics["loaded_rows"] - rows_before
+                        )
+                    job["topics"] = topics
+                    job["total_files"] = job["processed_files"]
+                job["status"] = (
+                    "CANCELLED"
+                    if job_id in self._reproc_cancel
+                    else "COMPLETED"
+                )
+            except Exception as ex:  # job errors land in the record
+                job["status"] = "FAILED"
+                job["error_count"] += 1
+                job["last_error"] = f"{type(ex).__name__}: {ex}"
+            finally:
+                job["completed_at"] = _dt.datetime.now(
+                    _dt.timezone.utc
+                ).isoformat()
+                self._reproc_cancel.discard(job_id)
+
+        if wait:
+            run()
+        else:
+            threading.Thread(
+                target=run, name=job_id, daemon=True
+            ).start()
+        return job
+
+    def list_reprocessing(self) -> list[dict[str, Any]]:
+        with self._lock:
+            jobs = list(self._reproc_jobs.values())
+        return sorted(jobs, key=lambda j: j["created_at"], reverse=True)
+
+    def get_reprocessing(self, job_id: str) -> dict[str, Any] | None:
+        return self._reproc_jobs.get(job_id)
+
+    def cancel_reprocessing(self, job_id: str) -> dict[str, Any]:
+        job = self._reproc_jobs.get(job_id)
+        if job is None:
+            raise KeyError(f"no reprocessing job {job_id}")
+        if job["status"] in ("PENDING", "RUNNING"):
+            self._reproc_cancel.add(job_id)
+        return job
+
+
+def _date_in_range(d, date_from, date_to) -> bool:
+    if d is None:
+        return True
+    if date_from and d < date_from:
+        return False
+    return not (date_to and d > date_to)
+
 
 # -- stdlib HTTP front ------------------------------------------------------
 
@@ -921,6 +1101,14 @@ def _make_handler(app: BulkerApp):
                     self._json(200, {"events": rows})
                 elif len(parts) == 2 and parts[0] == "lag":
                     self._json(200, app.topic_lag(parts[1]))
+                elif parts == ["reprocessing", "jobs"]:
+                    self._json(200, {"jobs": app.list_reprocessing()})
+                elif len(parts) == 3 and parts[:2] == ["reprocessing", "jobs"]:
+                    job = app.get_reprocessing(parts[2])
+                    if job is None:
+                        self._json(404, {"error": f"no job {parts[2]}"})
+                    else:
+                        self._json(200, job)
                 elif len(parts) == 2 and parts[0] == "connections-metrics":
                     self._json(200, app.connections_metrics(parts[1]))
                 elif len(parts) == 2 and parts[0] == "schema":
@@ -1058,6 +1246,18 @@ def _make_handler(app: BulkerApp):
                     )
                 elif len(parts) == 2 and parts[0] == "cycle":
                     self._json(200, app.run_batch_cycle(parts[1]))
+                elif parts == ["reprocessing", "jobs"]:
+                    spec = json.loads(self._body() or b"{}")
+                    job = app.start_reprocessing(
+                        spec, wait=bool(spec.get("wait"))
+                    )
+                    self._json(200, job)
+                elif (
+                    len(parts) == 4
+                    and parts[:2] == ["reprocessing", "jobs"]
+                    and parts[3] == "cancel"
+                ):
+                    self._json(200, app.cancel_reprocessing(parts[2]))
                 elif parts == ["test"]:
                     spec = json.loads(self._body() or b"{}")
                     try:

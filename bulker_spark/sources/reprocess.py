@@ -108,6 +108,8 @@ def replay_backups_to_topics(
     date_from: _dt.date | None = None,
     date_to: _dt.date | None = None,
     router: Callable[[str], str] = table_from_path,
+    on_table: Callable[[str, list[str], str], None] | None = None,
+    should_continue: Callable[[], bool] | None = None,
 ) -> dict[str, str]:
     """The reference's reprocessing-worker shape: replay backups INTO
     TOPICS, not straight into tables (``reprocessing-worker/main.go:
@@ -118,11 +120,21 @@ def replay_backups_to_topics(
     ``bulker_topic`` batch writer (executor-side segment files, driver
     rename = all-or-nothing publish) — the replay never funnels through
     the driver. Returns {table: topic_id}; drain with the app's batch
-    cycle."""
+    cycle.
+
+    ``on_table`` fires after each table's produce (progress reporting for
+    the reprocessing-job endpoint); ``should_continue`` is polled before
+    each table — returning False stops cleanly at a table boundary (the
+    reference's job cancel granularity is likewise per-file, not
+    mid-write, ``admin/failover_reprocessor.go``)."""
     import os
 
+    from ..sources.topic_source import ensure_active_session
     from ..streaming.topics import make_topic_id
 
+    # may run on a background job thread whose JVM twin has no active
+    # session — without this the bulker_topic write path can't resolve
+    ensure_active_session(spark)
     lines = read_backup_lines(spark, path_glob)
     files = [r["_file"] for r in lines.select("_file").distinct().collect()]
 
@@ -143,6 +155,8 @@ def replay_backups_to_topics(
 
     out: dict[str, str] = {}
     for table, table_files in sorted(by_table.items()):
+        if should_continue is not None and not should_continue():
+            break
         topic = make_topic_id(destination_id, mode, table)
         (
             lines.filter(F.col("_file").isin(table_files))
@@ -152,4 +166,6 @@ def replay_backups_to_topics(
             .save(os.path.join(topics_root, topic))
         )
         out[table] = topic
+        if on_table is not None:
+            on_table(table, table_files, topic)
     return out

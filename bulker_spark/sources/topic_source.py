@@ -332,3 +332,25 @@ class NdjsonTopicDataSource(DataSource):
 def register_topic_source(spark) -> None:
     """Register the ``bulker_topic`` format on this session (idempotent)."""
     spark.dataSource.register(NdjsonTopicDataSource)
+
+
+def ensure_active_session(spark) -> None:
+    """Pin ``spark`` as the JVM-side active session for the CURRENT
+    thread. The JVM's active session is thread-local; a fresh Python
+    thread (HTTP handler, background job) maps to a JVM thread with no
+    active session, and the batch ``DataFrameWriter.save`` path resolves
+    registered *Python* data sources through the active session — so a
+    ``.write.format("bulker_topic")`` from such a thread fails with
+    DATA_SOURCE_NOT_FOUND even though the session object is the right
+    one. No-op when pinning isn't available (Spark Connect)."""
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        try:  # pre-4.x class location
+            spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+        except Exception:
+            pass  # Connect: no JVM handle; resolution is server-side

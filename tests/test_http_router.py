@@ -926,3 +926,118 @@ def test_changes_head_pinned_against_racing_commit(spark, tmp_path):
     # the intruder arrives on the NEXT poll from the returned checkpoint
     nxt = app.changes("r1", "t", since_commit=out["head"])
     assert {c["id"] for c in nxt["changes"]} == {99}
+
+
+# -- failover reprocessing endpoint (admin/router_reprocessing_handler.go) --
+
+
+def _write_backup(root, table, day, name, events):
+    import gzip
+    import os
+
+    d = os.path.join(root, table, day.strftime("%Y/%m/%d"))
+    os.makedirs(d, exist_ok=True)
+    with gzip.open(os.path.join(d, name), "wt") as fh:
+        for ev in events:
+            fh.write(json.dumps(ev) + "\n")
+
+
+@pytest.fixture()
+def backup_root(tmp_path):
+    import datetime as dt
+
+    root = str(tmp_path / "backups")
+    _write_backup(root, "events_rp", dt.date(2024, 1, 3), "part-0.ndjson.gz",
+                  [{"id": i, "type": "page"} for i in range(10)])
+    _write_backup(root, "events_rp", dt.date(2024, 1, 5), "part-0.ndjson.gz",
+                  [{"id": i, "type": "click"} for i in range(10, 15)])
+    _write_backup(root, "users_rp", dt.date(2024, 1, 3), "part-0.ndjson.gz",
+                  [{"id": i, "name": f"u{i}"} for i in range(3)])
+    return root
+
+
+def test_reprocessing_job_end_to_end(app_server, backup_root):
+    """POST a job → gz backups replay through topics → batch cycle drains
+    into warehouse tables; job record carries progress + counts."""
+    app, base = app_server
+    job = _post(
+        f"{base}/reprocessing/jobs",
+        json.dumps({
+            "destination_id": "pg1",
+            "path": f"{backup_root}/*/*/*/*/*.ndjson.gz",
+            "wait": True,
+        }).encode(),
+    )
+    assert job["status"] == "COMPLETED", job["last_error"]
+    assert job["processed_files"] == 3
+    assert set(job["topics"]) == {"events_rp", "users_rp"}
+    assert job["success_count"] == 15 + 3
+    eng = app.engine_for("pg1")
+    assert eng.warehouse.read("events_rp").count() == 15
+    assert eng.warehouse.read("users_rp").count() == 3
+    # job listing + detail endpoints
+    jobs = _get(f"{base}/reprocessing/jobs")["jobs"]
+    assert [j["id"] for j in jobs] == [job["id"]]
+    detail = _get(f"{base}/reprocessing/jobs/{job['id']}")
+    assert detail["status"] == "COMPLETED"
+
+
+def test_reprocessing_date_filter_prunes_files(app_server, backup_root):
+    app, base = app_server
+    job = _post(
+        f"{base}/reprocessing/jobs",
+        json.dumps({
+            "destination_id": "pg1",
+            "path": f"{backup_root}/*/*/*/*/*.ndjson.gz",
+            "date_from": "2024-01-04",
+            "wait": True,
+        }).encode(),
+    )
+    assert job["status"] == "COMPLETED", job["last_error"]
+    # only the 2024-01-05 events file is in range
+    assert job["processed_files"] == 1
+    assert set(job["topics"]) == {"events_rp"}
+    assert app.engine_for("pg1").warehouse.read("events_rp").count() == 5
+
+
+def test_reprocessing_dry_run_counts_without_loading(app_server, backup_root):
+    app, base = app_server
+    job = _post(
+        f"{base}/reprocessing/jobs",
+        json.dumps({
+            "destination_id": "pg1",
+            "path": f"{backup_root}/*/*/*/*/*.ndjson.gz",
+            "dry_run": True,
+            "wait": True,
+        }).encode(),
+    )
+    assert job["status"] == "COMPLETED", job["last_error"]
+    assert job["total_files"] == 3
+    assert job["success_count"] == 18  # line count, nothing produced
+    assert job["dry_run_lines"] == {"events_rp": 15, "users_rp": 3}
+    assert not app.engine_for("pg1").warehouse.exists("events_rp")
+
+
+def test_reprocessing_job_errors(app_server, backup_root):
+    app, base = app_server
+    # unknown destination → 404
+    with pytest.raises(HTTPError) as exc:
+        _post(
+            f"{base}/reprocessing/jobs",
+            json.dumps({"destination_id": "nope", "path": backup_root}).encode(),
+        )
+    assert exc.value.code == 404
+    # missing path → 400
+    with pytest.raises(HTTPError) as exc:
+        _post(
+            f"{base}/reprocessing/jobs",
+            json.dumps({"destination_id": "pg1"}).encode(),
+        )
+    assert exc.value.code == 400
+    # unknown job id → 404 on detail and cancel
+    with pytest.raises(HTTPError) as exc:
+        _get(f"{base}/reprocessing/jobs/reproc-999")
+    assert exc.value.code == 404
+    with pytest.raises(HTTPError) as exc:
+        _post(f"{base}/reprocessing/jobs/reproc-999/cancel", b"")
+    assert exc.value.code == 404

@@ -2127,6 +2127,16 @@ class Warehouse:
         stats = self._tail_file_stats(name, base, namespace)
         if not stats:
             return None
+        # free decline BEFORE any Spark job: skipped_rows is bounded by
+        # the table's total rows, so a table smaller than the engage
+        # threshold can never pass the final check — measuring first
+        # would spend two source jobs (~0.3 s) to learn nothing, which
+        # showed up as a 30% trickle-merge regression at the 1M tier
+        total_rows = sum(
+            int(s.get("rows") or 0) for s in stats.values()
+        )
+        if total_rows < self._SCOPE_MIN_SKIPPED_ROWS:
+            return None
         # ONE aggregation gives the TRUE key hull and cardinality —
         # a limit()ed distinct sample would be an arbitrary subset whose
         # hull can miss real keys, silently skipping files that hold
@@ -2141,6 +2151,26 @@ class Warehouse:
         if isinstance(agg["lo"], float):
             return None  # float keys: NaN ordering — don't scope
         kmin, kmax = agg["lo"], agg["hi"]
+        # second free decline, before the keys collect: a file whose
+        # range CONTAINS kmin (or kmax) is touched no matter which other
+        # keys exist — on an unclustered table every file spans the whole
+        # key range, so this alone proves hit > threshold and saves the
+        # second source job
+        def _contains(rel: str, k) -> bool:
+            s = stats.get(self._deref(rel), {}).get("cols", {}).get(col)
+            if not s:
+                return True
+            try:
+                return s[0] <= k <= s[1]
+            except TypeError:
+                return True
+
+        definite = sum(
+            1 for rel in manifest
+            if _contains(rel, kmin) or _contains(rel, kmax)
+        )
+        if definite > 0.7 * len(manifest):
+            return None
         hull_only = int(agg["n"]) > self._SCOPE_MAX_KEYS
         keys: list = []
         if not hull_only:

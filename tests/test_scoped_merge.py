@@ -336,3 +336,68 @@ def test_lookup_hull_prune_guards_timestamp_and_nan_keys(spark, wh):
     wh.create_or_replace("fl", dff, pk=["pk"])
     got = wh.lookup("fl", [1.0, float("nan")]).collect()
     assert sorted(r["val"] for r in got) == ["a", "n"]
+
+
+class _PoisonSource:
+    """Fails the test on ANY attribute access — proves the guard declined
+    from committed stats alone, without spending a Spark job on the
+    source (the decline-cost regression: ~0.3 s of source jobs per
+    trickle merge at the 1M tier, learned nothing)."""
+
+    def __getattr__(self, name):
+        raise AssertionError(
+            f"source.{name} touched — guard must decline stats-only"
+        )
+
+
+def test_guard_declines_free_below_row_threshold(spark, tmp_path):
+    """A table smaller than _SCOPE_MIN_SKIPPED_ROWS can never pass the
+    final skipped-rows check, so the guard must return None before ANY
+    source job runs."""
+    w = Warehouse(spark, str(tmp_path / "whg"), retain_versions=5)
+    df = spark.range(1_000).selectExpr("id as pk", "cast(id as string) as val")
+    w.create_or_replace("t", df, pk=["pk"], cluster_by=["pk"])
+    base = w._last_commit_id("t")
+    entry = next(e for e in w._read_log("t") if e["commit"] == base)
+    out = w._merge_stats_scoped(
+        "t", _PoisonSource(), ["pk"], w.get_meta("t"),
+        None, None, None, None, base, entry["files"],
+    )
+    assert out is None
+
+
+def test_guard_skips_keys_collect_on_unclustered_table(spark, tmp_path):
+    """On an unclustered table every file's [min, max] spans the whole
+    key range — any file containing the batch's kmin is touched no matter
+    which other keys exist, so after the single hull agg the guard must
+    decline WITHOUT the second (distinct-keys) source job."""
+    w = Warehouse(spark, str(tmp_path / "whu"), retain_versions=5)
+    w._SCOPE_MIN_SKIPPED_ROWS = 0  # reach past the row-count pre-check
+    # hash-shuffled layout: each of the 8 files spans ~the full pk range
+    df = (
+        spark.range(20_000)
+        .selectExpr("id as pk", "cast(id as string) as val")
+        .repartition(8, "pk")
+    )
+    w.create_or_replace("t", df, pk=["pk"])
+    base = w._last_commit_id("t")
+    entry = next(e for e in w._read_log("t") if e["commit"] == base)
+
+    calls = []
+    real = spark.createDataFrame([(7,), (15_000,)], "pk long")
+
+    class CountingSource:
+        def agg(self, *a, **k):
+            calls.append("agg")
+            return real.agg(*a, **k)
+
+        def select(self, *a, **k):
+            calls.append("select")
+            return real.select(*a, **k)
+
+    out = w._merge_stats_scoped(
+        "t", CountingSource(), ["pk"], w.get_meta("t"),
+        None, None, None, None, base, entry["files"],
+    )
+    assert out is None
+    assert calls == ["agg"], calls  # hull agg only, no keys collect

@@ -56,10 +56,11 @@ def connected_components(
     (no edges) are the caller's concern — union them in with
     ``component = node`` if needed.
 
-    ``driver_threshold``: edge count at or below which the driver-side
-    union-find runs instead of the distributed loop (0 forces the
-    distributed path — used by its tests). Both strategies return the
-    identical exact answer; only the execution shape differs.
+    ``driver_threshold``: RAW edge count (as given, before symmetrize/
+    dedup) at or below which the driver-side union-find runs instead of
+    the distributed loop (0 forces the distributed path — used by its
+    tests). Both strategies return the identical exact answer; only the
+    execution shape differs.
 
     ``max_iterations=None`` (default) derives the distributed cap from
     the node count: ``log2(N) + 3`` rounds, which pointer doubling
@@ -72,18 +73,30 @@ def connected_components(
     huge corpus (LSH near-dup pairs); leave off when components span a
     large fraction of nodes and the label frame rivals the edges.
     """
-    # undirected: keep both directions once
-    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # persist the RAW pairs before anything fans out: the symmetrize
+    # union reads this frame twice, and without the pin each branch
+    # re-executes the caller's (often expensive — LSH banding) lineage;
+    # the count also decides the execution strategy
+    pairs = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist()
+    m = pairs.count()
+    if m <= driver_threshold:
+        # union-find is direction- and duplicate-agnostic: collect the
+        # raw pairs directly, no symmetrize/distinct shuffle at all
+        out = _driver_union_find(edges.sparkSession, pairs)
+        pairs.unpersist()
+        return out
+    half = pairs
     e = (
-        half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .distinct()
         .persist()
     )
-    m = e.count()  # materializes the persist either path reuses
-    if m <= driver_threshold:
-        out = _driver_union_find(edges.sparkSession, e)
-        e.unpersist()
-        return out
+    e.count()  # materialize before releasing the raw-pair pin
+    pairs.unpersist()
     return _distributed_cc(e, max_iterations, broadcast_labels)
 
 

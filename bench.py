@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "doc_containment_pairs",
     "doc_oov_rate",
     "parts_supplier_hhi",
+    "emb_covariance",
+    "emb_pca_recon_error",
 ]
 
 

@@ -1314,6 +1314,7 @@ from bulker_spark.plans.analytics5 import EXTRA_QUERIES5  # noqa: E402
 from bulker_spark.plans.analytics6 import EXTRA_QUERIES6  # noqa: E402
 from bulker_spark.plans.analytics7 import EXTRA_QUERIES7  # noqa: E402
 from bulker_spark.plans.analytics8 import EXTRA_QUERIES8  # noqa: E402
+from bulker_spark.plans.analytics9 import EXTRA_QUERIES9  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(EXTRA_QUERIES2)
@@ -1323,3 +1324,4 @@ QUERIES.update(EXTRA_QUERIES5)
 QUERIES.update(EXTRA_QUERIES6)
 QUERIES.update(EXTRA_QUERIES7)
 QUERIES.update(EXTRA_QUERIES8)
+QUERIES.update(EXTRA_QUERIES9)

@@ -886,7 +886,13 @@ class Engine:
         commits: dict[str, int] = {}
         for t in registered:
             commits[t] = self.warehouse._last_commit_id(t, ns)
-            self._snapshot_df(t, ns).createOrReplaceTempView(t)
+            # bind phase 1 AT the recorded commit — a separate live read
+            # here could bind c+1 after commits[t] recorded c (a writer
+            # landing between the two calls), and phase 2 would then pin
+            # an OLDER snapshot than the plan it must mirror
+            self._cached_read(
+                "main", t, ns, self.warehouse, at=commits[t]
+            ).createOrReplaceTempView(t)
         df = self.spark.sql(query)
         if not auto_prune:
             return df

@@ -916,15 +916,22 @@ class BulkerApp:
             }
             self._reproc_jobs[job_id] = job
 
+        def jset(**kv) -> None:
+            # every mutation goes through the app lock: HTTP handlers
+            # snapshot the same dict under this lock, so they never see
+            # torn state or a dict resized mid-serialization
+            with self._lock:
+                job.update(kv)
+
         def run() -> None:
             from pyspark.sql import functions as F
 
             from ..sources.reprocess import replay_backups_to_topics
 
-            job["status"] = "RUNNING"
-            job["started_at"] = _dt.datetime.now(
-                _dt.timezone.utc
-            ).isoformat()
+            jset(
+                status="RUNNING",
+                started_at=_dt.datetime.now(_dt.timezone.utc).isoformat(),
+            )
             try:
                 if job["config"]["dry_run"]:
                     # distributed count per table; nothing is produced
@@ -941,19 +948,25 @@ class BulkerApp:
                             date_from_path(f), date_from, date_to
                         )
                     }
-                    job["total_files"] = len(kept)
-                    job["processed_files"] = len(kept)
-                    job["success_count"] = sum(kept.values())
                     tables: dict[str, int] = {}
                     for f, n in kept.items():
                         t = table_from_path(f)
                         tables[t] = tables.get(t, 0) + n
-                    job["topics"] = {t: None for t in tables}
-                    job["dry_run_lines"] = tables
+                    jset(
+                        total_files=len(kept),
+                        processed_files=len(kept),
+                        success_count=sum(kept.values()),
+                        topics={t: None for t in tables},
+                        dry_run_lines=tables,
+                    )
                 else:
+                    replayed: list[str] = []
+
                     def on_table(table, files, topic):
-                        job["processed_files"] += len(files)
-                        job["topics"][table] = topic
+                        replayed.extend(files)
+                        with self._lock:
+                            job["processed_files"] += len(files)
+                            job["topics"][table] = topic
 
                     topics = replay_backups_to_topics(
                         self.spark,
@@ -967,28 +980,44 @@ class BulkerApp:
                         should_continue=lambda: job_id
                         not in self._reproc_cancel,
                     )
-                    if spec.get("drain", True) and job_id not in self._reproc_cancel:
-                        rows_before = self.metrics["loaded_rows"]
-                        cycle = self.run_batch_cycle(dst)
-                        job["drained"] = cycle
-                        job["success_count"] = (
-                            self.metrics["loaded_rows"] - rows_before
+                    # success_count = lines THIS job replayed (the
+                    # reference's SuccessCount = processed-line counter);
+                    # a global loaded-rows metric delta would attribute
+                    # unrelated concurrent loads and pre-pending topics
+                    # of the same destination to this job
+                    n_lines = 0
+                    if replayed:
+                        n_lines = (
+                            read_backup_lines(self.spark, path)
+                            .filter(F.col("_file").isin(replayed))
+                            .count()
                         )
-                    job["topics"] = topics
-                    job["total_files"] = job["processed_files"]
-                job["status"] = (
-                    "CANCELLED"
-                    if job_id in self._reproc_cancel
-                    else "COMPLETED"
+                    if spec.get("drain", True) and job_id not in self._reproc_cancel:
+                        jset(drained=self.run_batch_cycle(dst))
+                    jset(
+                        topics=topics,
+                        success_count=n_lines,
+                        total_files=job["processed_files"],
+                    )
+                jset(
+                    status=(
+                        "CANCELLED"
+                        if job_id in self._reproc_cancel
+                        else "COMPLETED"
+                    )
                 )
             except Exception as ex:  # job errors land in the record
-                job["status"] = "FAILED"
-                job["error_count"] += 1
-                job["last_error"] = f"{type(ex).__name__}: {ex}"
+                jset(
+                    status="FAILED",
+                    error_count=job["error_count"] + 1,
+                    last_error=f"{type(ex).__name__}: {ex}",
+                )
             finally:
-                job["completed_at"] = _dt.datetime.now(
-                    _dt.timezone.utc
-                ).isoformat()
+                jset(
+                    completed_at=_dt.datetime.now(
+                        _dt.timezone.utc
+                    ).isoformat()
+                )
                 self._reproc_cancel.discard(job_id)
 
         if wait:
@@ -997,15 +1026,27 @@ class BulkerApp:
             threading.Thread(
                 target=run, name=job_id, daemon=True
             ).start()
-        return job
+        return self._job_snapshot(job)
+
+    def _job_snapshot(self, job: dict[str, Any]) -> dict[str, Any]:
+        """Deep copy under the same lock the worker mutates with — the
+        caller (JSON serialization, tests) never holds a live reference
+        to a dict another thread is resizing."""
+        import copy
+
+        with self._lock:
+            return copy.deepcopy(job)
 
     def list_reprocessing(self) -> list[dict[str, Any]]:
         with self._lock:
-            jobs = list(self._reproc_jobs.values())
+            import copy
+
+            jobs = [copy.deepcopy(j) for j in self._reproc_jobs.values()]
         return sorted(jobs, key=lambda j: j["created_at"], reverse=True)
 
     def get_reprocessing(self, job_id: str) -> dict[str, Any] | None:
-        return self._reproc_jobs.get(job_id)
+        job = self._reproc_jobs.get(job_id)
+        return None if job is None else self._job_snapshot(job)
 
     def cancel_reprocessing(self, job_id: str) -> dict[str, Any]:
         job = self._reproc_jobs.get(job_id)
@@ -1013,7 +1054,7 @@ class BulkerApp:
             raise KeyError(f"no reprocessing job {job_id}")
         if job["status"] in ("PENDING", "RUNNING"):
             self._reproc_cancel.add(job_id)
-        return job
+        return self._job_snapshot(job)
 
 
 def _date_in_range(d, date_from, date_to) -> bool:

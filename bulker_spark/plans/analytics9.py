@@ -67,9 +67,14 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.rint(
+            # floor(x·10⁶ + 0.5): one half-rounding rule every engine
+            # reproduces exactly (numpy rint is half-to-even, DuckDB
+            # ROUND half-away, Spark ROUND HALF_UP — they disagree on
+            # exact .5 micro values, which float32 embeddings DO hit)
+            q = np.floor(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 * 1_000_000
+                + 0.5
             ).astype(np.int64)
             gram += q.T @ q
             sums += q.sum(axis=0)
@@ -103,6 +108,11 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast(dec) * F.col("p")
             - F.col("si") * F.col("sj")
         ).cast(dec).alias("cov_num"),
+        # the first moments ride along (exact micro-unit sums): the mean
+        # vector downstream stages need comes from the SAME quantization
+        # as the cross-products, with no second corpus pass
+        F.col("si").cast(dec).alias("si"),
+        F.col("sj").cast(dec).alias("sj"),
         F.col("n").cast("long").alias("n"),
     )
 
@@ -111,7 +121,11 @@ EMB_COVARIANCE_SQL = f"""
 WITH q AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS d,
-         CAST(ROUND(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS v
+         -- floor(x + 0.5): same half rule as the Spark side (plain
+         -- ROUND is half-away here, half-to-even in numpy — they split
+         -- on exact .5 micro values)
+         CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT)
+           AS v
   FROM embeddings
 ),
 moments AS (
@@ -125,6 +139,8 @@ moments AS (
 )
 SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
        CAST(CAST(n AS HUGEINT) * p - si * sj AS DECIMAL(38,0)) AS cov_num,
+       CAST(si AS DECIMAL(38,0)) AS si,
+       CAST(sj AS DECIMAL(38,0)) AS sj,
        CAST(n AS BIGINT) AS n
 FROM moments
 ORDER BY i, j
@@ -157,27 +173,20 @@ def emb_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = emb_covariance(spark, sf_dir).collect()
     n = stats[0]["n"]
     cov = np.zeros((_DIM, _DIM), dtype=np.float64)
-    mean_num = {}
+    mean = np.zeros(_DIM)
     for r in stats:
         v = float(r["cov_num"]) / (n * (n - 1)) / 1e12
         cov[r["i"], r["j"]] = v
         cov[r["j"], r["i"]] = v
-        mean_num[(r["i"], r["j"])] = None
+        if r["i"] == r["j"]:
+            # the diagonal rows already carry Σqᵢ (si) from the SAME
+            # quantization as the cross-products — no second corpus
+            # pass, no second (possibly different) rounding rule
+            mean[r["i"]] = int(r["si"]) / n / 1e6
     evals, evecs = np.linalg.eigh(cov)
     basis = evecs[:, -_PCA_K:]  # top-K subspace, ascending eigh order
 
-    # centered projection needs the mean too — recover it exactly from
-    # the same quantized statistics (Σqᵢ / n / 10⁶) in one tiny pass
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sums = emb.select(
-        F.posexplode("embedding").alias("d", "x")
-    ).groupBy("d").agg(
-        F.sum(F.round(F.col("x").cast("double") * 1_000_000).cast("long"))
-        .alias("s")
-    ).collect()
-    mean = np.zeros(_DIM)
-    for r in sums:
-        mean[r["d"]] = r["s"] / n / 1e6
 
     def project(batches):
         import pandas as pd

@@ -213,10 +213,13 @@ def _wire_col(col, dt):
     if tn == "timestamp":
         return F.unix_micros(col)
     if tn == "timestamp_ntz":
-        # wall-clock micros, session-timezone-independent: cast picks up
-        # the session zone, to_utc_timestamp cancels it back out
+        # wall-clock micros, session-timezone-independent. cast renders
+        # the wall clock W as the instant W − offset(Z); from_utc_
+        # timestamp ADDS offset(Z) back, so unix_micros sees W-as-UTC.
+        # (to_utc_timestamp here would SUBTRACT the offset again —
+        # a W − 2·offset double shift in any non-UTC session.)
         return F.unix_micros(
-            F.to_utc_timestamp(col.cast("timestamp"), F.current_timezone())
+            F.from_utc_timestamp(col.cast("timestamp"), F.current_timezone())
         )
     if tn == "date":
         return F.datediff(col, F.lit("1970-01-01"))
@@ -255,9 +258,10 @@ def _unwire_col(col, dt):
     if tn == "timestamp":
         return F.timestamp_micros(col)
     if tn == "timestamp_ntz":
-        # inverse of the to_wire shift: render the UTC wall clock in the
-        # session zone, then drop the zone
-        return F.from_utc_timestamp(
+        # inverse of the to_wire shift: the wire long is W-as-UTC;
+        # to_utc_timestamp subtracts offset(Z) so the session-zone cast
+        # back to NTZ reads the original wall clock W
+        return F.to_utc_timestamp(
             F.timestamp_micros(col), F.current_timezone()
         ).cast("timestamp_ntz")
     if tn == "date":
@@ -630,24 +634,39 @@ def read_ocf_header(fh) -> tuple[dict, str, bytes, int]:
     head = fh.read(4)
     if head != MAGIC:
         raise ValueError("not an avro object container file")
-    # metadata map: read enough bytes incrementally (header is small)
+    # metadata map: parse from a buffer that GROWS on underrun — a
+    # many-column schema's JSON can legally exceed any fixed size
     buf = fh.read(1 << 16)
-    pos = 0
-    meta = {}
     while True:
-        n, pos = decode_long(buf, pos)
-        if n == 0:
+        try:
+            pos = 0
+            meta = {}
+            while True:
+                n, pos = decode_long(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _, pos = decode_long(buf, pos)
+                for _ in range(n):
+                    klen, pos = decode_long(buf, pos)
+                    if pos + klen > len(buf):
+                        raise IndexError
+                    k = buf[pos:pos + klen].decode()
+                    pos += klen
+                    vlen, pos = decode_long(buf, pos)
+                    if pos + vlen > len(buf):
+                        raise IndexError
+                    meta[k] = buf[pos:pos + vlen]
+                    pos += vlen
+            if pos + 16 > len(buf):
+                raise IndexError
             break
-        if n < 0:
-            n = -n
-            _, pos = decode_long(buf, pos)
-        for _ in range(n):
-            klen, pos = decode_long(buf, pos)
-            k = buf[pos:pos + klen].decode()
-            pos += klen
-            vlen, pos = decode_long(buf, pos)
-            meta[k] = buf[pos:pos + vlen]
-            pos += vlen
+        except IndexError:
+            more = fh.read(len(buf))
+            if not more:
+                raise ValueError("truncated avro header") from None
+            buf += more
     sync = buf[pos:pos + 16]
     pos += 16
     schema = json.loads(meta["avro.schema"])
@@ -734,7 +753,15 @@ def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -
         yield pa.RecordBatch.from_pylist([{"rows": n}])
 
     res = wire.mapInArrow(task, "rows long").collect()
-    return sum(r["rows"] for r in res)
+    total = sum(r["rows"] for r in res)
+    if not any(f.endswith(".avro") for f in os.listdir(path)):
+        # zero rows → no task wrote a file; land a header-only container
+        # so the table (and its schema) stays readable, matching the
+        # other formats' empty-write behavior
+        empty = os.path.join(path, f"part-{run_id}-empty.avro")
+        with open(empty, "wb") as fh:
+            OCFWriter(fh, avro_schema, codec).close()
+    return total
 
 
 def read_avro(spark, path: str):

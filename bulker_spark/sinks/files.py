@@ -166,11 +166,18 @@ class FileStorageSink:
             from bulker_spark.sinks.avro_ocf import read_avro
 
             if self._partitioned(table):
-                # decode each partition dir and union (schema is shared)
-                parts = sorted(
-                    os.path.join(path, e) for e in os.listdir(path)
-                    if e.startswith("partition=")
-                )
+                # decode each partition dir and union (schema is shared);
+                # a partition dir with no container files (emptied or
+                # mid-write) must not fail the whole table
+                parts = []
+                for e in sorted(os.listdir(path)):
+                    p = os.path.join(path, e)
+                    if e.startswith("partition=") and any(
+                        f.endswith(".avro") for f in os.listdir(p)
+                    ):
+                        parts.append(p)
+                if not parts:
+                    raise FileNotFoundError(f"no .avro files under {path}")
                 dfs = [read_avro(spark, p) for p in parts]
                 out = dfs[0]
                 for d in dfs[1:]:

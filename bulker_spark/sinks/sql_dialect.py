@@ -416,12 +416,31 @@ class SqlDialect:
             f"WHERE t.{cur} AND ({changed})"
         )
         # open: keys with no current row after the close collapsed —
-        # just-closed keys and brand-new keys alike
+        # just-closed keys and brand-new keys alike. The version CONTINUES
+        # past any row already sitting at this exact (pk, __valid_from)
+        # sorting key: when a key closes and re-opens at the SAME
+        # effective timestamp (two applies within one literal's
+        # granularity), a constant version 1 would lose to the close
+        # row's bumped version and FINAL would collapse the new current
+        # row away, leaving the key with NO current version. Seeding with
+        # max+1 makes the re-open supersede instead; the zero-duration
+        # closed version collapses away, which is the one divergence from
+        # the UPDATE-based dialects (they keep the zero-length history
+        # row) — inherent to ReplacingMergeTree's key-collapse semantics
+        # and documented here.
+        on_v = " AND ".join(
+            f"v.{self.ident(c)} = s.{self.ident(c)}" for c in pk
+        )
         insert = (
             f"INSERT INTO {q} ({cols}, {vf}, {vt}, {cur}, {ver}) "
-            f"SELECT {s_cols}, {effective_literal}, NULL, true, 1 "
-            f"FROM {s} AS s LEFT JOIN "
-            f"(SELECT {pk_cols} FROM {q} FINAL WHERE {cur}) AS t ON {on} "
+            f"SELECT {s_cols}, {effective_literal}, NULL, true, "
+            f"coalesce(v.mv, 0) + 1 "
+            f"FROM {s} AS s "
+            f"LEFT JOIN (SELECT {pk_cols} FROM {q} FINAL WHERE {cur}) AS t "
+            f"ON {on} "
+            f"LEFT JOIN (SELECT {pk_cols}, max({ver}) AS mv FROM {q} "
+            f"WHERE {vf} = {effective_literal} GROUP BY {pk_cols}) AS v "
+            f"ON {on_v} "
             f"WHERE t.{first_pk} IS NULL"
         )
         return [close, insert]

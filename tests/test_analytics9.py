@@ -30,15 +30,17 @@ def test_covariance_matches_direct_numpy(spark, corpus):
     quantized computation done whole on one machine — partitioning and
     summation order must be invisible."""
     rows = emb_covariance(spark, SF).collect()
-    q = np.rint(corpus * 1_000_000).astype(object)  # exact int arithmetic
+    q = np.floor(corpus * 1_000_000 + 0.5).astype(object)  # exact ints, same half rule
     n = q.shape[0]
     got = {(r["i"], r["j"]): int(r["cov_num"]) for r in rows}
     assert all(r["n"] == n for r in rows)
     assert len(got) == _DIM * (_DIM + 1) // 2
+    si_got = {(r["i"], r["j"]): int(r["si"]) for r in rows}
     for i, j in [(0, 0), (0, 1), (7, 33), (63, 63), (12, 12)]:
         p = int(sum(q[:, i] * q[:, j]))
         si, sj = int(q[:, i].sum()), int(q[:, j].sum())
         assert got[(i, j)] == n * p - si * sj, (i, j)
+        assert si_got[(i, j)] == si, (i, j)
 
 
 def test_covariance_diagonal_nonnegative(spark):
@@ -84,7 +86,7 @@ def test_recon_error_matches_driver_numpy(spark, corpus):
     the same quantized-covariance → eigh → project pipeline."""
     rows = {r["vec_id"]: r["recon_err_bp"]
             for r in emb_pca_recon_error(spark, SF).collect()}
-    q = np.rint(corpus * 1_000_000)
+    q = np.floor(corpus * 1_000_000 + 0.5)
     n = q.shape[0]
     p = q.T @ q
     s = q.sum(axis=0)

@@ -237,6 +237,33 @@ def test_timestamp_ntz_roundtrip(spark, tmp_warehouse):
     assert row["ts"] == expect
 
 
+def test_timestamp_ntz_non_utc_session(spark, tmp_warehouse):
+    """The NTZ wall clock must survive in ANY session timezone — the
+    wire shift and its inverse must cancel, not double (a +9 session
+    would otherwise write walls 18h off and break external consumers)."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ])
+        wall = dt.datetime(2024, 6, 1, 12, 30, 0)
+        df = spark.createDataFrame([(1, wall)], schema)
+        path = os.path.join(tmp_warehouse, "t")
+        write_avro(df, path, codec="null")
+        f = glob.glob(os.path.join(path, "*.avro"))[0]
+        (row,) = read_ocf_rows(f)
+        expect = int(
+            wall.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        assert row["ts"] == expect  # wire = wall-as-UTC, tz-independent
+        assert read_avro(spark, path).collect()[0]["ts"] == wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_read_foreign_timestamp_millis(spark, tmp_warehouse):
     """Files from other writers may use timestamp-millis; the decoder
     normalizes to micros so restored values are identical."""
@@ -266,3 +293,21 @@ def test_read_foreign_timestamp_millis(spark, tmp_warehouse):
     back = read_avro(spark, path).collect()
     assert back[0]["id"] == 7
     assert back[0]["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+
+
+def test_empty_write_stays_readable(spark, tmp_warehouse):
+    """Zero-row write lands a header-only container: the table and its
+    schema survive (matching the other formats' empty-write behavior),
+    and an emptied partition dir can't fail the whole table read."""
+    empty = spark.createDataFrame([], "id long, name string")
+    sink = FileStorageSink(tmp_warehouse, fmt="avro", compression=None)
+    sink.replace_table(empty, "t")
+    back = sink.read(spark, "t")
+    assert back.count() == 0
+    assert back.columns == ["id", "name"]
+    # partitioned: one populated + one empty partition → only the
+    # populated one contributes rows, no FileNotFoundError
+    data = spark.createDataFrame([(1, "a")], "id long, name string")
+    sink.replace_partition(data, "t2", "A")
+    sink.replace_partition(empty, "t2", "B")
+    assert sink.read(spark, "t2").count() == 1

@@ -235,3 +235,22 @@ def test_scd2_clickhouse_semantics_via_final_emulation():
     assert con.execute("SELECT count(*) FROM final_dim").fetchone()[0] == 4
     # raw table holds the superseded v1 row too (engine collapses lazily)
     assert con.execute('SELECT count(*) FROM "dim"').fetchone()[0] == 5
+
+    # close + re-open at the SAME effective timestamp (two applies within
+    # one literal's granularity): the re-open must supersede the close
+    # row at the shared (pk, __valid_from) sorting key — a constant
+    # version 1 would collapse the new current row away and leave the key
+    # with no current version at all
+    con.execute("UPDATE \"stg\" SET city = 'chicago' WHERE id = 1")
+    run("TIMESTAMP '2024-02-01'")  # boston opened at this same instant
+    cur = con.execute(
+        "SELECT city FROM final_dim WHERE id = 1 AND \"__is_current\""
+    ).fetchall()
+    assert cur == [("chicago",)]
+    # the zero-duration boston version collapsed away (ReplacingMergeTree
+    # key semantics — the documented divergence from UPDATE dialects)
+    hist = con.execute(
+        'SELECT city, "__is_current" FROM final_dim WHERE id = 1 '
+        'ORDER BY "__valid_from", "__scd_version"'
+    ).fetchall()
+    assert hist == [("nyc", False), ("chicago", True)]

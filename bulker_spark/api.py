@@ -288,11 +288,12 @@ class Engine:
         """``at`` pins the read to a specific commit (time-travel path)
         instead of the live snapshot — raises FileNotFoundError if that
         snapshot was vacuumed; callers treat that as "fall back"."""
+        at = at or None  # commit 0 = "no commits yet": nothing to pin
         cur = at if at is not None else self.warehouse._last_commit_id(table, ns)
         key = (tag, ns, table, cur)
         df = self._view_cache.get(key)
         if df is None:
-            df = wh.read(table, ns, version=at if at else None)
+            df = wh.read(table, ns, version=at)
             self._view_cache = {
                 k: v
                 for k, v in self._view_cache.items()
@@ -885,14 +886,25 @@ class Engine:
         # snapshot per view at registration time)
         commits: dict[str, int] = {}
         for t in registered:
-            commits[t] = self.warehouse._last_commit_id(t, ns)
             # bind phase 1 AT the recorded commit — a separate live read
             # here could bind c+1 after commits[t] recorded c (a writer
             # landing between the two calls), and phase 2 would then pin
-            # an OLDER snapshot than the plan it must mirror
-            self._cached_read(
-                "main", t, ns, self.warehouse, at=commits[t]
-            ).createOrReplaceTempView(t)
+            # an OLDER snapshot than the plan it must mirror. If the
+            # pinned snapshot vanishes mid-registration (concurrent
+            # replace + vacuum), re-resolve once at the new live commit
+            # rather than failing the query the live path always served.
+            # A pre-first-commit table (commit 0) has nothing to pin and
+            # binds live, the pre-existing behavior.
+            for _attempt in (0, 1):
+                commits[t] = self.warehouse._last_commit_id(t, ns)
+                try:
+                    self._cached_read(
+                        "main", t, ns, self.warehouse, at=commits[t]
+                    ).createOrReplaceTempView(t)
+                    break
+                except FileNotFoundError:
+                    if _attempt:
+                        raise
         df = self.spark.sql(query)
         if not auto_prune:
             return df

@@ -934,20 +934,28 @@ class BulkerApp:
             )
             try:
                 if job["config"]["dry_run"]:
-                    # distributed count per table; nothing is produced
-                    lines = read_backup_lines(self.spark, path)
-                    per_file = {
-                        r["_file"]: r["n"]
-                        for r in lines.groupBy("_file")
-                        .agg(F.count("*").alias("n"))
-                        .collect()
-                    }
-                    kept = {
-                        f: n for f, n in per_file.items()
+                    # metadata-only listing → date prune → distributed
+                    # count over ONLY the kept files; excluded files are
+                    # never opened
+                    from ..sources.reprocess import list_backup_files
+
+                    kept_files = [
+                        f for f in list_backup_files(self.spark, path)
                         if _date_in_range(
                             date_from_path(f), date_from, date_to
                         )
-                    }
+                    ]
+                    kept = {}
+                    if kept_files:
+                        kept = {
+                            r["_file"]: r["n"]
+                            for r in read_backup_lines(
+                                self.spark, kept_files
+                            )
+                            .groupBy("_file")
+                            .agg(F.count("*").alias("n"))
+                            .collect()
+                        }
                     tables: dict[str, int] = {}
                     for f, n in kept.items():
                         t = table_from_path(f)
@@ -984,14 +992,14 @@ class BulkerApp:
                     # reference's SuccessCount = processed-line counter);
                     # a global loaded-rows metric delta would attribute
                     # unrelated concurrent loads and pre-pending topics
-                    # of the same destination to this job
+                    # of the same destination to this job. Counted over
+                    # the REPLAYED FILE LIST — never a rescan of the
+                    # whole glob (date-excluded files stay unopened).
                     n_lines = 0
                     if replayed:
-                        n_lines = (
-                            read_backup_lines(self.spark, path)
-                            .filter(F.col("_file").isin(replayed))
-                            .count()
-                        )
+                        n_lines = read_backup_lines(
+                            self.spark, replayed
+                        ).count()
                     if spec.get("drain", True) and job_id not in self._reproc_cancel:
                         jset(drained=self.run_batch_cycle(dst))
                     jset(
@@ -1038,10 +1046,9 @@ class BulkerApp:
             return copy.deepcopy(job)
 
     def list_reprocessing(self) -> list[dict[str, Any]]:
-        with self._lock:
-            import copy
-
-            jobs = [copy.deepcopy(j) for j in self._reproc_jobs.values()]
+        jobs = [
+            self._job_snapshot(j) for j in list(self._reproc_jobs.values())
+        ]
         return sorted(jobs, key=lambda j: j["created_at"], reverse=True)
 
     def get_reprocessing(self, job_id: str) -> dict[str, Any] | None:

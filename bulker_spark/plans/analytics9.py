@@ -46,24 +46,24 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no engine-specific float/rounding enters the result.
 
     Scale shape: the cross-product accumulation runs as an Arrow
-    ``mapInPandas`` partial aggregate — each task computes its int64
-    Gram matrix Qᵀ·Q (D² = 4096 cells) and per-dim sums over its rows,
-    emitting ONE D²-row frame per partition; the only shuffle is the
-    final D²-key sum. Rows never leave their scan task, wide state is
-    O(D²) per task regardless of corpus size — the textbook
-    partial-aggregation layout for distributed second moments. int64 is
-    safe per task (|q| ≤ ~2·10⁶ ⇒ qᵢqⱼ ≤ ~4·10¹², ×10⁸ rows/task before
-    overflow); the cross-task sum and the n·P − S·S combination run in
-    DECIMAL(38,0), exact at any corpus size."""
+    ``mapInPandas`` partial aggregate — each task computes an int64
+    Gram matrix Qᵀ·Q (D² = 4096 cells) and per-dim sums PER ARROW BATCH,
+    emitting one D²-row frame per batch; the only shuffle is the final
+    D²-key sum. Rows never leave their scan task and wide state is O(D²)
+    regardless of corpus size — the textbook partial-aggregation layout
+    for distributed second moments. The int64 bound is per BATCH, not
+    per task, deliberately: |q| ≤ ~2·10⁶ ⇒ qᵢqⱼ ≤ ~4·10¹², so a ~10⁴-row
+    Arrow batch peaks near 4·10¹⁶ — 200× inside int64 — while
+    accumulating across a whole multi-million-row task would silently
+    wrap. The cross-batch/cross-task sums and the n·P − S·S combination
+    run in DECIMAL(38,0), exact at any corpus size."""
     emb = _t(spark, sf_dir, "embeddings").select("embedding")
 
     def partials(batches):
         import numpy as np
         import pandas as pd
 
-        gram = np.zeros((_DIM, _DIM), dtype=np.int64)
-        sums = np.zeros(_DIM, dtype=np.int64)
-        n = 0
+        i, j = np.triu_indices(_DIM)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -76,20 +76,16 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 1_000_000
                 + 0.5
             ).astype(np.int64)
-            gram += q.T @ q
-            sums += q.sum(axis=0)
-            n += q.shape[0]
-        if n == 0:
-            return
-        i, j = np.triu_indices(_DIM)
-        yield pd.DataFrame({
-            "i": i.astype("int32"),
-            "j": j.astype("int32"),
-            "p": gram[i, j],
-            "si": sums[i],
-            "sj": sums[j],
-            "n": np.int64(n),
-        })
+            gram = q.T @ q  # per-batch: bounded far inside int64
+            sums = q.sum(axis=0)
+            yield pd.DataFrame({
+                "i": i.astype("int32"),
+                "j": j.astype("int32"),
+                "p": gram[i, j],
+                "si": sums[i],
+                "sj": sums[j],
+                "n": np.int64(q.shape[0]),
+            })
 
     part = emb.mapInPandas(
         partials, "i int, j int, p long, si long, sj long, n long"
@@ -170,7 +166,14 @@ def emb_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast via closure — no shuffle at any corpus size."""
     import numpy as np
 
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     stats = emb_covariance(spark, sf_dir).collect()
+    if not stats or stats[0]["n"] < 2:
+        # empty corpus (no statistics) or a single vector (covariance
+        # undefined, n−1 = 0): an empty typed result, not a traceback
+        return emb.select(
+            "vec_id", F.lit(0).cast("long").alias("recon_err_bp")
+        ).limit(0)
     n = stats[0]["n"]
     cov = np.zeros((_DIM, _DIM), dtype=np.float64)
     mean = np.zeros(_DIM)
@@ -185,8 +188,6 @@ def emb_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean[r["i"]] = int(r["si"]) / n / 1e6
     evals, evecs = np.linalg.eigh(cov)
     basis = evecs[:, -_PCA_K:]  # top-K subspace, ascending eigh order
-
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def project(batches):
         import pandas as pd

@@ -182,6 +182,44 @@ def _spark_type(t):
 # JVM-side wire conversion (no datetimes ever cross to Python)
 # ==========================================================================
 
+def _ntz_to_micros(col):
+    """NTZ wall clock → micros-since-epoch-wall, via FIELD extraction —
+    no zone is ever involved, so the value is session-timezone
+    independent and DST-proof. Every cast-through-timestamp scheme
+    (including ``timestamp_diff``, which implicit-casts NTZ operands
+    through the session zone) corrupts wall clocks inside a
+    spring-forward gap, where the offsets on the two sides of the
+    round-trip disagree."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.unix_date(col.cast("date")).cast("long") * 86_400_000_000
+        + F.hour(col).cast("long") * 3_600_000_000
+        + F.minute(col).cast("long") * 60_000_000
+        + F.round(F.date_part(F.lit("SECOND"), col) * 1_000_000).cast(
+            "long"
+        )
+    )
+
+
+def _micros_to_ntz(col):
+    """Inverse of :func:`_ntz_to_micros`: rebuild the NTZ value from its
+    date/time FIELDS (``make_timestamp_ntz``) — zone-free, DST-proof."""
+    from pyspark.sql import functions as F
+
+    days = F.floor(col / 86_400_000_000)
+    rem = col - days * F.lit(86_400_000_000)
+    d = F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int"))
+    return F.make_timestamp_ntz(
+        F.year(d),
+        F.month(d),
+        F.dayofmonth(d),
+        F.floor(rem / 3_600_000_000).cast("int"),
+        F.floor(rem % 3_600_000_000 / 60_000_000).cast("int"),
+        (rem % 60_000_000).cast("decimal(16,0)") / 1_000_000,
+    )
+
+
 def to_wire(df):
     """Timestamps → epoch-micros longs, dates → epoch-day ints,
     recursively — all in Catalyst expressions, so the Python encoder
@@ -213,14 +251,7 @@ def _wire_col(col, dt):
     if tn == "timestamp":
         return F.unix_micros(col)
     if tn == "timestamp_ntz":
-        # wall-clock micros, session-timezone-independent. cast renders
-        # the wall clock W as the instant W − offset(Z); from_utc_
-        # timestamp ADDS offset(Z) back, so unix_micros sees W-as-UTC.
-        # (to_utc_timestamp here would SUBTRACT the offset again —
-        # a W − 2·offset double shift in any non-UTC session.)
-        return F.unix_micros(
-            F.from_utc_timestamp(col.cast("timestamp"), F.current_timezone())
-        )
+        return _ntz_to_micros(col)
     if tn == "date":
         return F.datediff(col, F.lit("1970-01-01"))
     if tn == "array" and _needs_wire(dt.elementType):
@@ -258,12 +289,7 @@ def _unwire_col(col, dt):
     if tn == "timestamp":
         return F.timestamp_micros(col)
     if tn == "timestamp_ntz":
-        # inverse of the to_wire shift: the wire long is W-as-UTC;
-        # to_utc_timestamp subtracts offset(Z) so the session-zone cast
-        # back to NTZ reads the original wall clock W
-        return F.to_utc_timestamp(
-            F.timestamp_micros(col), F.current_timezone()
-        ).cast("timestamp_ntz")
+        return _micros_to_ntz(col)
     if tn == "date":
         return F.date_add(F.lit("1970-01-01").cast("date"), col)
     if tn == "array" and _needs_wire(dt.elementType):

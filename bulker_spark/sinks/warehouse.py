@@ -653,7 +653,24 @@ class Warehouse:
         self, name: str, snapshot: int | str, namespace: str | None = None
     ) -> dict:
         """Resolve a snapshot reference: an int commit id, or a version
-        string (→ that version's latest commit)."""
+        string (→ that version's latest commit).
+
+        Int ids resolve O(1) by opening ``{id:012d}.json`` directly (the
+        filename IS the commit id) — a pinned read must not pay a full
+        log parse per registration on long-lived streaming tables."""
+        if isinstance(snapshot, int):
+            p = os.path.join(
+                self._table_dir(name, namespace),
+                LOG_DIR,
+                f"{snapshot:012d}.json",
+            )
+            try:
+                with open(p) as fh:
+                    return _json.load(fh)
+            except OSError:
+                raise FileNotFoundError(
+                    f"unknown snapshot {snapshot!r} of {name}"
+                ) from None
         log = self._read_log(name, namespace)
         if isinstance(snapshot, int):
             matches = [e for e in log if e.get("commit") == snapshot]

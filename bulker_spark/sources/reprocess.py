@@ -45,14 +45,43 @@ def date_from_path(path: str) -> _dt.date | None:
     return _dt.date(y, mo, d)
 
 
-def read_backup_lines(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_backup_lines(spark: SparkSession, path_glob) -> DataFrame:
     """All backup lines with their source file — one ``value`` string column
-    plus ``_file`` (gzip handled natively by the text source)."""
+    plus ``_file`` (gzip handled natively by the text source). Accepts a
+    glob string or an explicit file list (the listing-pruned form: Spark
+    then never even stats the excluded files)."""
+    src = path_glob if isinstance(path_glob, str) else list(path_glob)
     return (
-        spark.read.text(path_glob)
+        spark.read.text(src)
         .withColumn("_file", F.input_file_name())
         .filter(F.length(F.trim("value")) > 0)
     )
+
+
+def list_backup_files(spark: SparkSession, path_glob: str) -> list[str]:
+    """File listing for a backup glob — METADATA ONLY, via Hadoop
+    ``globStatus``: at object-store scale the listing must not read (or
+    even open) a single data byte; the previous shape (distinct
+    ``input_file_name()`` over ``spark.read.text``) decompressed the
+    entire corpus just to learn the file names. Falls back to the
+    read-based listing where the JVM filesystem isn't reachable
+    (Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path_glob)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(jpath)
+        if statuses is None:
+            return []
+        return sorted(
+            str(s.getPath().toString()) for s in statuses if s.isFile()
+        )
+    except Exception:
+        lines = read_backup_lines(spark, path_glob)
+        return sorted(
+            r["_file"]
+            for r in lines.select("_file").distinct().collect()
+        )
 
 
 def replay_backups(
@@ -68,11 +97,10 @@ def replay_backups(
     one ingest stream per destination table.
 
     Returns ``{table: StreamResult}``. Date bounds prune whole files by
-    their path date before any data is read (partition-pruning analogue:
-    the filter is on ``input_file_name``, applied to the file listing).
+    their path date before any data is read (partition-pruning analogue,
+    applied to the metadata-only ``globStatus`` listing).
     """
-    lines = read_backup_lines(engine.spark, path_glob)
-    files = [r["_file"] for r in lines.select("_file").distinct().collect()]
+    files = list_backup_files(engine.spark, path_glob)
 
     def in_range(f: str) -> bool:
         d = date_from_path(f)
@@ -92,8 +120,11 @@ def replay_backups(
     results = {}
     for table, table_files in sorted(by_table.items()):
         stream = engine.create_stream(table, mode=mode, **stream_options)
+        # read THIS table's file list directly — Spark's listing then
+        # contains only these files, instead of scanning the whole glob
+        # and filtering rows by input_file_name (which prunes nothing)
         stream.consume_dataframe_json(
-            lines.filter(F.col("_file").isin(table_files)).select("value")
+            read_backup_lines(engine.spark, table_files).select("value")
         )
         results[table] = stream.complete()
     return results
@@ -135,8 +166,7 @@ def replay_backups_to_topics(
     # may run on a background job thread whose JVM twin has no active
     # session — without this the bulker_topic write path can't resolve
     ensure_active_session(spark)
-    lines = read_backup_lines(spark, path_glob)
-    files = [r["_file"] for r in lines.select("_file").distinct().collect()]
+    files = list_backup_files(spark, path_glob)
 
     def in_range(f: str) -> bool:
         d = date_from_path(f)
@@ -159,7 +189,10 @@ def replay_backups_to_topics(
             break
         topic = make_topic_id(destination_id, mode, table)
         (
-            lines.filter(F.col("_file").isin(table_files))
+            # per-table file-list read: the scan's listing contains only
+            # this table's files — T tables cost one corpus pass total,
+            # not T full-glob scans filtered per row
+            read_backup_lines(spark, table_files)
             .select("value")
             .write.format("bulker_topic")
             .mode("append")

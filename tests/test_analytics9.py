@@ -30,7 +30,7 @@ def test_covariance_matches_direct_numpy(spark, corpus):
     quantized computation done whole on one machine — partitioning and
     summation order must be invisible."""
     rows = emb_covariance(spark, SF).collect()
-    q = np.floor(corpus * 1_000_000 + 0.5).astype(object)  # exact ints, same half rule
+    q = np.floor(corpus * 1_000_000 + 0.5).astype(np.int64).astype(object)  # exact ints, same half rule
     n = q.shape[0]
     got = {(r["i"], r["j"]): int(r["cov_num"]) for r in rows}
     assert all(r["n"] == n for r in rows)

@@ -264,6 +264,34 @@ def test_timestamp_ntz_non_utc_session(spark, tmp_warehouse):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def test_timestamp_ntz_dst_gap(spark, tmp_warehouse):
+    """A wall clock inside the session zone's spring-forward gap (a
+    nonexistent LOCAL time, but a perfectly valid NTZ value) must
+    survive unchanged — the wire conversion is field-based, so no zone
+    resolution ever touches it."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ])
+        wall = dt.datetime(2024, 3, 10, 2, 30, 7, 123456)  # in the gap
+        df = spark.createDataFrame([(1, wall)], schema)
+        path = os.path.join(tmp_warehouse, "t")
+        write_avro(df, path, codec="null")
+        f = glob.glob(os.path.join(path, "*.avro"))[0]
+        (row,) = read_ocf_rows(f)
+        expect = int(
+            wall.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        assert row["ts"] == expect
+        assert read_avro(spark, path).collect()[0]["ts"] == wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_read_foreign_timestamp_millis(spark, tmp_warehouse):
     """Files from other writers may use timestamp-millis; the decoder
     normalizes to micros so restored values are identical."""

@@ -64,28 +64,37 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         i, j = np.triu_indices(_DIM)
+        # own chunk bound — Arrow batch size is a user-tunable config
+        # (maxRecordsPerBatch, 0 = unlimited) this code cannot trust;
+        # 65536 rows × 4e12 peak cell product = 2.6e17, 35× inside int64
+        _CHUNK = 65_536
         for pdf in batches:
-            if not len(pdf):
-                continue
-            # floor(x·10⁶ + 0.5): one half-rounding rule every engine
-            # reproduces exactly (numpy rint is half-to-even, DuckDB
-            # ROUND half-away, Spark ROUND HALF_UP — they disagree on
-            # exact .5 micro values, which float32 embeddings DO hit)
-            q = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                * 1_000_000
-                + 0.5
-            ).astype(np.int64)
-            gram = q.T @ q  # per-batch: bounded far inside int64
-            sums = q.sum(axis=0)
-            yield pd.DataFrame({
-                "i": i.astype("int32"),
-                "j": j.astype("int32"),
-                "p": gram[i, j],
-                "si": sums[i],
-                "sj": sums[j],
-                "n": np.int64(q.shape[0]),
-            })
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo:lo + _CHUNK]
+                if not len(chunk):
+                    continue
+                # floor(x·10⁶ + 0.5): one half-rounding rule every
+                # engine reproduces exactly (numpy rint is half-to-even,
+                # DuckDB ROUND half-away, Spark ROUND HALF_UP — they
+                # disagree on exact .5 micro values, which float32
+                # embeddings DO hit)
+                q = np.floor(
+                    np.stack(chunk["embedding"].to_numpy()).astype(
+                        np.float64
+                    )
+                    * 1_000_000
+                    + 0.5
+                ).astype(np.int64)
+                gram = q.T @ q  # per-chunk: bounded far inside int64
+                sums = q.sum(axis=0)
+                yield pd.DataFrame({
+                    "i": i.astype("int32"),
+                    "j": j.astype("int32"),
+                    "p": gram[i, j],
+                    "si": sums[i],
+                    "sj": sums[j],
+                    "n": np.int64(q.shape[0]),
+                })
 
     part = emb.mapInPandas(
         partials, "i int, j int, p long, si long, sj long, n long"

@@ -204,12 +204,23 @@ def _ntz_to_micros(col):
 
 def _micros_to_ntz(col):
     """Inverse of :func:`_ntz_to_micros`: rebuild the NTZ value from its
-    date/time FIELDS (``make_timestamp_ntz``) — zone-free, DST-proof."""
+    date/time FIELDS (``make_timestamp_ntz``) — zone-free, DST-proof.
+
+    The day split is EXACT integer arithmetic: ``pmod`` on longs, then a
+    decimal division of the (exact multiple) remainder-free part.
+    ``floor(col / 86_400_000_000)`` would divide in DOUBLE, whose 53-bit
+    mantissa misrounds end-of-day values past year 2255 — the classic
+    9999-12-31 23:59:59.999999 sentinel decoded to hour −1 and killed
+    the read under ANSI mode."""
     from pyspark.sql import functions as F
 
-    days = F.floor(col / 86_400_000_000)
-    rem = col - days * F.lit(86_400_000_000)
+    day_us = F.lit(86_400_000_000)
+    rem = F.pmod(col, day_us)  # exact: long % long
+    days = (
+        (col - rem).cast("decimal(38,0)") / day_us.cast("decimal(38,0)")
+    ).cast("long")  # exact: numerator is an exact multiple
     d = F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int"))
+    # rem < 8.64e10 — every further op is exact in any representation
     return F.make_timestamp_ntz(
         F.year(d),
         F.month(d),

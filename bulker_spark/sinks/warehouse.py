@@ -672,12 +672,9 @@ class Warehouse:
                     f"unknown snapshot {snapshot!r} of {name}"
                 ) from None
         log = self._read_log(name, namespace)
-        if isinstance(snapshot, int):
-            matches = [e for e in log if e.get("commit") == snapshot]
-        else:
-            matches = [
-                e for e in log if e["meta"].get("version") == snapshot
-            ]
+        matches = [
+            e for e in log if e["meta"].get("version") == snapshot
+        ]
         if not matches:
             raise FileNotFoundError(
                 f"unknown snapshot {snapshot!r} of {name}"

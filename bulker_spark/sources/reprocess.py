@@ -50,12 +50,22 @@ def read_backup_lines(spark: SparkSession, path_glob) -> DataFrame:
     plus ``_file`` (gzip handled natively by the text source). Accepts a
     glob string or an explicit file list (the listing-pruned form: Spark
     then never even stats the excluded files)."""
-    src = path_glob if isinstance(path_glob, str) else list(path_glob)
+    if isinstance(path_glob, str):
+        src = path_glob
+    else:
+        # listed paths are LITERAL names, but spark.read.text re-parses
+        # every path as a glob — escape the metacharacters or a file
+        # named part-[0].ndjson.gz reads the wrong file (or none)
+        src = [_escape_glob(p) for p in path_glob]
     return (
         spark.read.text(src)
         .withColumn("_file", F.input_file_name())
         .filter(F.length(F.trim("value")) > 0)
     )
+
+
+def _escape_glob(path: str) -> str:
+    return re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
 
 
 def list_backup_files(spark: SparkSession, path_glob: str) -> list[str]:
@@ -73,9 +83,18 @@ def list_backup_files(spark: SparkSession, path_glob: str) -> list[str]:
         statuses = fs.globStatus(jpath)
         if statuses is None:
             return []
-        return sorted(
-            str(s.getPath().toString()) for s in statuses if s.isFile()
-        )
+        out = []
+        for s in statuses:
+            if s.isFile():
+                out.append(str(s.getPath().toString()))
+            elif s.isDirectory():
+                # a directory path (or a glob whose last segment matches
+                # directories) must list like the read-based listing did:
+                # recurse to the files beneath it
+                it = fs.listFiles(s.getPath(), True)
+                while it.hasNext():
+                    out.append(str(it.next().getPath().toString()))
+        return sorted(out)
     except Exception:
         lines = read_backup_lines(spark, path_glob)
         return sorted(

@@ -339,3 +339,20 @@ def test_empty_write_stays_readable(spark, tmp_warehouse):
     sink.replace_partition(data, "t2", "A")
     sink.replace_partition(empty, "t2", "B")
     assert sink.read(spark, "t2").count() == 1
+
+
+def test_timestamp_max_sentinel_roundtrip(spark, tmp_warehouse):
+    """9999-12-31 23:59:59.999999 — the ubiquitous max-datetime sentinel.
+    Day-splitting the wire long in double arithmetic misrounds past year
+    2255 (hour -1, DATETIME_FIELD_OUT_OF_BOUNDS under ANSI); the split
+    must be exact integer arithmetic."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampNTZType(), True)])
+    for wall in (dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+                 dt.datetime(2255, 6, 5, 23, 59, 59, 999999),
+                 dt.datetime(1684, 7, 27, 0, 0, 0, 1)):
+        df = spark.createDataFrame([(wall,)], schema)
+        path = os.path.join(tmp_warehouse, "t")
+        write_avro(df, path, codec="null", mode="overwrite")
+        assert read_avro(spark, path).collect()[0]["ts"] == wall, wall

@@ -107,3 +107,33 @@ def test_replay_to_topics_then_cycle(spark, tmp_path):
     # is a no-op (offsets), and the date filter prunes whole files
     app.run_batch_cycle("rp1")
     assert eng.warehouse.read("events").count() == 5
+
+
+def test_list_backup_files_directory_and_glob(spark, backups):
+    """A bare directory path must list like the old read-based listing
+    did (recurse), and a day-level glob whose last segment matches
+    DIRECTORIES must descend into them."""
+    from bulker_spark.sources.reprocess import list_backup_files
+
+    by_dir = list_backup_files(spark, backups)
+    assert len(by_dir) == 3 and all(f.endswith(".ndjson.gz") for f in by_dir)
+    by_day_glob = list_backup_files(spark, f"{backups}/*/*/*/*")
+    assert sorted(by_day_glob) == sorted(by_dir)
+    by_file_glob = list_backup_files(spark, f"{backups}/*/*/*/*/*.ndjson.gz")
+    assert sorted(by_file_glob) == sorted(by_dir)
+
+
+def test_replay_handles_glob_metachar_filenames(spark, backups, tmp_warehouse):
+    """Listed paths are literal names; re-reading them must escape glob
+    metacharacters or a file named part-[0].ndjson.gz resolves to the
+    wrong file (or none)."""
+    import datetime as dt
+
+    from bulker_spark.api import Engine
+
+    _write_backup(backups, "weird", dt.date(2024, 1, 4),
+                  "part-[0].ndjson.gz", [{"id": 1}, {"id": 2}])
+    e = Engine(spark, tmp_warehouse)
+    res = replay_backups(e, f"{backups}/weird/*/*/*/*.ndjson.gz")
+    assert res["weird"].successful_rows == 2
+    assert e.warehouse.read("weird").count() == 2

@@ -384,11 +384,20 @@ def test_concurrent_posts_all_land(app_server, spark):
         th.start()
     for th in threads:
         th.join()
-    assert not errs
+    # known load-sensitive under a concurrent full suite (passes solo,
+    # 4/4 measured round 4) — keep the failure DIAGNOSABLE: which step
+    # broke, with the first error verbatim
+    assert not errs, f"{len(errs)} worker(s) errored; first: {errs[0]!r}"
     _post(f"{base}/cycle/pg1", b"")
     df = app.engine_for("pg1").warehouse.read("t_conc")
     ids = sorted(r["id"] for r in df.collect())
-    assert len(ids) == 200 and len(set(ids)) == 200
+    missing = sorted(
+        set(t * 1000 + i for t in range(20) for i in range(10)) - set(ids)
+    )
+    assert len(ids) == 200 and len(set(ids)) == 200, (
+        f"landed {len(ids)} rows ({len(set(ids))} distinct); "
+        f"missing={missing[:10]}"
+    )
 
 
 def test_concurrent_cycles_serialized(app_server, spark):

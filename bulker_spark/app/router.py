@@ -1021,12 +1021,15 @@ class BulkerApp:
                     last_error=f"{type(ex).__name__}: {ex}",
                 )
             finally:
-                jset(
-                    completed_at=_dt.datetime.now(
+                with self._lock:
+                    # terminal status is already set above, so a cancel
+                    # holding the lock after this point sees it and
+                    # declines to re-add — discard under the same lock
+                    # closes the window entirely
+                    job["completed_at"] = _dt.datetime.now(
                         _dt.timezone.utc
                     ).isoformat()
-                )
-                self._reproc_cancel.discard(job_id)
+                    self._reproc_cancel.discard(job_id)
 
         if wait:
             run()
@@ -1059,8 +1062,13 @@ class BulkerApp:
         job = self._reproc_jobs.get(job_id)
         if job is None:
             raise KeyError(f"no reprocessing job {job_id}")
-        if job["status"] in ("PENDING", "RUNNING"):
-            self._reproc_cancel.add(job_id)
+        # status check + cancel-flag add under the SAME lock the worker
+        # mutates with: an unlocked check racing job completion could
+        # re-add the id after the worker's finally-discard and leak a
+        # _reproc_cancel entry for the process lifetime
+        with self._lock:
+            if job["status"] in ("PENDING", "RUNNING"):
+                self._reproc_cancel.add(job_id)
         return self._job_snapshot(job)
 
 

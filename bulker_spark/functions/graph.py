@@ -8,13 +8,16 @@ Two execution strategies, dispatched on the EDGE count (the same
 size-aware logic as a broadcast-join threshold):
 
 - **small graphs** (≤ ``driver_threshold`` edges): collect the edge list
-  and run union-find with path compression on the driver — exact,
+  (via Arrow, two int64 columns — ~16 bytes/edge on the wire) and run
+  union-find with path compression on the driver — exact,
   convergence-free, and O(m α(m)). The edge list of a near-dup pipeline
   is banded collisions only, typically orders of magnitude smaller than
-  the corpus; a 1M-edge list is ~16 MB on the driver, far below any
-  broadcast it would otherwise feed. The distributed loop's per-round
-  scheduling overhead (broadcast builds + checkpoint + convergence
-  count) dwarfs the actual work at this size.
+  the corpus. NOTE the driver-side cost is the MATERIALIZED Python
+  state, not the wire size: the parent dict plus per-edge tuples run
+  ~150-300 bytes/edge, so the 250k default keeps the resident footprint
+  in the tens of MB. The distributed loop's per-round scheduling
+  overhead (broadcast builds + checkpoint + convergence count) dwarfs
+  the actual work at this size.
 
 - **large graphs**: iterative min-label propagation on DataFrames with
   pointer doubling — each round every node adopts the smallest label
@@ -48,7 +51,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int | None = None,
     broadcast_labels: bool = False,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """→ DataFrame[node, component] where component = min node id reachable.
 
@@ -114,7 +117,12 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    pairs = [(r["u"], r["v"]) for r in e.collect()]
+    # Arrow transfer: two int64 numpy columns, not a list of Row
+    # objects — an order of magnitude less driver allocation than
+    # .collect() at the threshold boundary
+    pdf = e.toPandas()
+    pairs = list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+    del pdf
     for u, v in pairs:
         ru, rv = find(u), find(v)
         if ru != rv:

@@ -767,18 +767,26 @@ def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -
 
     def task(batches):
         import pyarrow as pa
+        from pyspark import TaskContext
 
         enc = compile_encoder(enc_schema)
-        fname = None
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        # Final name is deterministic per PARTITION (not per attempt):
+        # a retried or speculative task re-publishes the SAME path, so
+        # the directory never accumulates two copies of one partition's
+        # rows — the exactly-once publish the committer gives the
+        # Spark-writer formats. The staging file is attempt-unique so
+        # two live attempts never interleave writes into one fd.
+        fname = os.path.join(path, f"part-{run_id}-{pid:05d}.avro")
+        tmp = f"{fname}.{attempt}.tmp"
         writer = None
         fh = None
         n = 0
         for batch in batches:
             if writer is None:
-                fname = os.path.join(
-                    path, f"part-{run_id}-{_uuid.uuid4().hex[:12]}.avro"
-                )
-                fh = open(fname + ".tmp", "wb")
+                fh = open(tmp, "wb")
                 writer = OCFWriter(fh, avro_schema, codec)
             for row in batch.to_pylist():
                 writer.write_row(enc, row)
@@ -786,7 +794,7 @@ def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -
         if writer is not None:
             writer.close()
             fh.close()
-            os.rename(fname + ".tmp", fname)  # task-atomic publish
+            os.replace(tmp, fname)  # atomic; a retry overwrites, never adds
         yield pa.RecordBatch.from_pylist([{"rows": n}])
 
     res = wire.mapInArrow(task, "rows long").collect()
@@ -820,6 +828,21 @@ def read_avro(spark, path: str):
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as fh:
         avro_schema, _, _, _ = read_ocf_header(fh)
+    # Every file must carry the canonical schema: the per-file decoders
+    # use their own header, so an appended file with an EVOLVED schema
+    # would otherwise be silently projected through files[0]'s columns
+    # (new columns dropped, missing columns null). Header-only reads —
+    # O(files) tiny reads, no block data touched. Codecs MAY differ.
+    canonical = json.dumps(avro_schema, sort_keys=True)
+    for p in files[1:]:
+        with open(p, "rb") as fh:
+            other, _, _, _ = read_ocf_header(fh)
+        if json.dumps(other, sort_keys=True) != canonical:
+            raise ValueError(
+                f"avro schema mismatch under {path}: {p} differs from "
+                f"{files[0]}; directory reads require every file to be "
+                "written with the same schema (append-with-same-schema)"
+            )
     wire_schema = avro_to_spark_schema(avro_schema)
     spark_schema = _restore_schema(avro_schema)
     names = [f.name for f in wire_schema.fields]

@@ -704,7 +704,7 @@ class Warehouse:
         self,
         name: str,
         namespace: str | None = None,
-        version: str | None = None,
+        version: int | str | None = None,
         _raw: bool = False,
         prune: dict | None = None,
     ) -> DataFrame:

@@ -118,6 +118,39 @@ def test_one_file_per_partition(spark, tmp_warehouse):
     assert read_avro(spark, path).count() == 100
 
 
+def test_part_names_deterministic_by_partition(spark, tmp_warehouse):
+    """The publish name is a function of the partition id (plus the
+    per-call run id), NOT the task attempt: a retried/speculative task
+    republishes the same path instead of adding a duplicate file."""
+    df = spark.range(100).repartition(4)
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(df, path)
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(path, "*.avro")))
+    # one file per partition, suffixed by the zero-padded partition id
+    suffixes = sorted(n.rsplit("-", 1)[1] for n in names)
+    assert suffixes == ["00000.avro", "00001.avro", "00002.avro",
+                        "00003.avro"]
+    # no stray staging files survive the publish
+    assert not glob.glob(os.path.join(path, "*.tmp"))
+
+
+def test_read_rejects_mixed_schemas(spark, tmp_warehouse):
+    """A directory holding files of two different schemas must fail
+    loudly — never silently project the second file through the first
+    file's columns."""
+    import pytest
+
+    path = os.path.join(tmp_warehouse, "t")
+    write_avro(spark.range(5).selectExpr("id", "id * 2 AS a"), path)
+    write_avro(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS b"),
+        path, mode="append",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        read_avro(spark, path)
+
+
 def test_sink_roundtrip_and_append(spark, tmp_warehouse):
     sample = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id long, name string"

@@ -31,7 +31,7 @@ import uuid
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, quote, urlparse
 
 from ..api import Engine, StreamOptions, StreamResult
 from ..streaming.ingest_stream import IngestStream
@@ -187,6 +187,7 @@ class BulkerApp:
         producer_batch_size: int = 1,
         auth_tokens: list[str] | None = None,
         allowed_warehouse_roots: list[str] | None = None,
+        streams: list[dict[str, Any]] | None = None,
     ):
         from ..sources.topic_source import register_topic_source
 
@@ -222,7 +223,16 @@ class BulkerApp:
             "loaded_batches": 0,
             "loaded_rows": 0,
             "malformed_rows": 0,
+            # ingest-front counters (IngestedMessagesReceived,
+            # router_pixel_handler.go:50-55)
+            "ingest_received": 0,
+            "ingest_errors": 0,
         }
+        # ingest-front streams (ingest/router.go getStream): pixel and
+        # classic endpoints route by write key or Host domain, not by the
+        # /post/:dst path. Each entry: {"write_key": str, "destination":
+        # str, "table": "events", "domains": [...], "s2s": bool}
+        self.streams: list[dict[str, Any]] = list(streams or [])
         self._lock = threading.Lock()
         self._cycle_locks: dict[str, threading.Lock] = {}
         # failover-reprocessing jobs (admin/router_reprocessing_handler.go)
@@ -282,6 +292,204 @@ class BulkerApp:
         self.producer.produce(topic, text.strip().replace("\n", " "))
         self.metrics["events_produced"] += 1
         return topic
+
+    # -- ingest front: pixel + classic shells -------------------------------
+    # (ingest/router_pixel_handler.go, ingest/router_classic_handler.go —
+    # the web-facing event shapes in front of the same topic pipeline)
+
+    INGEST_DEAD_LETTER_TOPIC = "ingest.dead-letter"
+
+    def _resolve_stream(
+        self, write_key: str, host: str = "", *, s2s: bool = False
+    ) -> dict[str, Any] | None:
+        """ingest/router.go getStream: write-key exact match first, then
+        Host-domain match. ``s2s`` endpoints only accept streams marked
+        server-to-server (a browser key on /s2s is rejected,
+        router_classic_handler.go:130-135)."""
+        host = (host or "").split(":")[0].lower()
+        for stream in self.streams:
+            if write_key and stream.get("write_key") == write_key:
+                if s2s and not stream.get("s2s", False):
+                    continue
+                return stream
+        if write_key:
+            return None
+        for stream in self.streams:
+            domains = [d.lower() for d in (stream.get("domains") or [])]
+            if host and host in domains:
+                return stream
+        return None
+
+    def _produce_ingest(
+        self, stream: dict[str, Any], event: dict, table: str | None = None
+    ) -> str:
+        dst_id = stream["destination"]
+        if dst_id not in self.destinations:
+            raise KeyError(f"destination not found: {dst_id}")
+        table = table or stream.get("table", "events")
+        mode = self.destinations[dst_id].options.get("mode", "batch")
+        topic = make_topic_id(dst_id, mode, table)
+        self.producer.produce(topic, json.dumps(event, default=str))
+        self.metrics["events_produced"] += 1
+        return topic
+
+    def _ingest_dead_letter(self, body: str, error: str) -> None:
+        """Failed ingest events land in a global dead-letter topic with
+        the error attached (router_pixel_handler.go:56,
+        router_classic_handler.go:190), never silently dropped."""
+        self.producer.produce(
+            self.INGEST_DEAD_LETTER_TOPIC,
+            json.dumps({"body": body, "error": error}, default=str),
+        )
+        self.metrics["ingest_errors"] += 1
+
+    def ingest_pixel(
+        self,
+        tp: str,
+        query: dict[str, list[str]],
+        headers: dict[str, str] | None = None,
+        client_ip: str = "",
+        host: str = "",
+    ) -> dict[str, Any]:
+        """GET /api/px/:tp (router_pixel_handler.go:36-131). Always
+        pixel-safe: errors are recorded (dead letter + counter) and the
+        caller still serves the GIF — a tracking pixel must never break
+        the page embedding it."""
+        from . import ingest_shapes as shapes
+
+        headers = headers or {}
+        self.metrics["ingest_received"] += 1
+        result: dict[str, Any] = {
+            "ok": False,
+            "gif": shapes.EMPTY_GIF,
+            "redirect": "",
+            "set_cookie": None,
+        }
+        try:
+            message = shapes.parse_pixel_event(query)
+        except ValueError as ex:
+            self._ingest_dead_letter(json.dumps(query), str(ex))
+            result["error"] = str(ex)
+            return result
+        message_id = shapes.sanitize_message_id(
+            str(message.get("messageId") or "")
+        )
+        result["message_id"] = message_id
+        if shapes.is_truish((query.get(shapes.PROCESS_HEADERS_FIELD) or [""])[0]):
+            cookies = _parse_cookies(headers.get("Cookie", ""))
+            result["set_cookie"] = shapes.process_headers_data(
+                message,
+                cookies=cookies,
+                host=host or headers.get("Host", ""),
+                referer=headers.get("Referer", ""),
+                tp=tp,
+                cookie_domain=(
+                    query.get(shapes.COOKIE_DOMAIN_FIELD) or [""]
+                )[0],
+            )
+        write_key = shapes.write_key_from(query, headers)
+        stream = self._resolve_stream(
+            write_key, host or headers.get("Host", "")
+        )
+        if stream is None:
+            self._ingest_dead_letter(
+                json.dumps(message, default=str), "stream not found"
+            )
+            result["error"] = "stream not found"
+            return result
+        try:
+            shapes.patch_event(
+                message,
+                tp=tp,
+                message_id=message_id,
+                ingest_type="browser",
+                headers=headers,
+                client_ip=client_ip,
+            )
+            topic = self._produce_ingest(
+                stream, message, (query.get("tableName") or [None])[0]
+            )
+        except (ValueError, KeyError) as ex:
+            self._ingest_dead_letter(json.dumps(message, default=str), str(ex))
+            result["error"] = str(ex)
+            return result
+        result.update(ok=True, topic=topic, destination=stream["destination"])
+        # the 302 branch: validated destination_url wins over the GIF
+        result["redirect"] = shapes.extract_redirect_url(
+            (query.get(shapes.REDIRECT_URL_FIELD) or [""])[0],
+            message,
+            host or headers.get("Host", ""),
+        )
+        return result
+
+    def ingest_classic(
+        self,
+        body: bytes | str,
+        query: dict[str, list[str]],
+        headers: dict[str, str] | None = None,
+        client_ip: str = "",
+        s2s: bool = False,
+    ) -> dict[str, Any]:
+        """POST /api/v1/event[s] and /api/v1/s2s/event[s]
+        (router_classic_handler.go:79-205): legacy flat events, single
+        object or array, token-addressed. Browser endpoints stay 200 on
+        most errors (don't break pages); s2s surfaces real statuses."""
+        from . import ingest_shapes as shapes
+
+        headers = headers or {}
+        self.metrics["ingest_received"] += 1
+        text = body.decode("utf-8") if isinstance(body, bytes) else body
+        token = shapes.classic_token_from(query, headers)
+        stream = self._resolve_stream(
+            token, headers.get("Host", ""), s2s=s2s
+        )
+        if stream is None:
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 401 if s2s else 200,
+                "error": "stream not found",
+            }
+        try:
+            parsed = json.loads(text)
+        except ValueError as ex:
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 400 if s2s else 200,
+                "error": f"error parsing message: {ex}",
+            }
+        messages = parsed if isinstance(parsed, list) else [parsed]
+        ip_policy = (query.get(shapes.IP_POLICY_PARAMETER) or [""])[0]
+        ingest_type = "s2s" if (s2s or stream.get("s2s")) else "browser"
+        results = []
+        for message in messages:
+            if not isinstance(message, dict):
+                self._ingest_dead_letter(
+                    json.dumps(message, default=str),
+                    "event must be a JSON object",
+                )
+                continue
+            message_id = shapes.sanitize_message_id(
+                str(message.get("eventn_ctx_event_id") or "")
+            )
+            shapes.patch_classic_event(
+                message,
+                message_id=message_id,
+                api_key=token,
+                ingest_type=ingest_type,
+                headers=headers,
+                client_ip=client_ip,
+                ip_policy=ip_policy,
+            )
+            try:
+                topic = self._produce_ingest(stream, message)
+                results.append({"message_id": message_id, "topic": topic})
+            except KeyError as ex:
+                self._ingest_dead_letter(
+                    json.dumps(message, default=str), str(ex)
+                )
+        return {"ok": True, "status": 200, "events": results}
 
     def bulk(
         self,
@@ -1072,6 +1280,20 @@ class BulkerApp:
         return self._job_snapshot(job)
 
 
+def _parse_cookies(header: str) -> dict[str, str]:
+    """Cookie header → dict (the pixel identity cookies,
+    router_pixel_handler.go:199-261)."""
+    from http.cookies import SimpleCookie
+    from urllib.parse import unquote
+
+    jar = SimpleCookie()
+    try:
+        jar.load(header)
+    except Exception:
+        return {}
+    return {k: unquote(m.value) for k, m in jar.items()}
+
+
 def _date_in_range(d, date_from, date_to) -> bool:
     if d is None:
         return True
@@ -1122,10 +1344,120 @@ def _make_handler(app: BulkerApp):
                 self._json(401, {"error": "unauthorized"})
             return ok
 
+        def _no_cache(self) -> None:
+            # router_pixel_handler.go:74-77 — a pixel response must never
+            # be cached or the event fires once per browser, not per view
+            self.send_header(
+                "Cache-Control", "no-cache, no-store, must-revalidate"
+            )
+            self.send_header("Pragma", "no-cache")
+            self.send_header("Expires", "0")
+
+        def _pixel(self, tp: str, url) -> None:
+            query = parse_qs(url.query, keep_blank_values=True)
+            headers = dict(self.headers.items())
+            res = app.ingest_pixel(
+                tp,
+                query,
+                headers,
+                client_ip=self.client_address[0],
+                host=self.headers.get("Host", ""),
+            )
+            if res.get("redirect"):
+                self.send_response(302)
+                self.send_header("Location", res["redirect"])
+                self._no_cache()
+                self.end_headers()
+                return
+            body = res["gif"]
+            self.send_response(200)
+            self.send_header("Content-Type", "image/gif")
+            self.send_header("Content-Length", str(len(body)))
+            self._no_cache()
+            sc = res.get("set_cookie")
+            if sc:
+                # router_pixel_handler.go:210-219 — plant the anonymousId
+                # cookie on the registrable domain, effectively-forever
+                self.send_header(
+                    "Set-Cookie",
+                    f"{sc['name']}={quote(sc['value'])}; Path=/; "
+                    f"Domain={sc['domain']}; Max-Age=946080000; "
+                    "SameSite=None; Secure",
+                )
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _lib_js(self, head: bool) -> None:
+            from . import ingest_shapes as shapes
+
+            # router_classic_handler.go:57-77 — ETag/304/HEAD semantics
+            if self.headers.get("If-None-Match") == shapes.LIB_JS_ETAG:
+                self.send_response(304)
+                self.send_header("ETag", shapes.LIB_JS_ETAG)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("ETag", shapes.LIB_JS_ETAG)
+            self.send_header("Content-Type", "application/javascript")
+            self.send_header("Content-Length", str(len(shapes.LIB_JS)))
+            self.end_headers()
+            if not head:
+                self.wfile.write(shapes.LIB_JS)
+
+        def _classic(self, url, s2s: bool) -> None:
+            ct = self.headers.get("Content-Type", "")
+            base_ct = ct.split(";")[0].strip()
+            if not (
+                base_ct.endswith("application/json")
+                or base_ct.endswith("text/plain")
+            ):
+                # router_classic_handler.go:99-102
+                self._json(
+                    400,
+                    {
+                        "error": f"invalid content type: {ct}. "
+                        "Expected: application/json"
+                    },
+                )
+                return
+            query = parse_qs(url.query, keep_blank_values=True)
+            headers = dict(self.headers.items())
+            res = app.ingest_classic(
+                self._body(),
+                query,
+                headers,
+                client_ip=self.client_address[0],
+                s2s=s2s,
+            )
+            status = res.pop("status", 200)
+            if res.get("ok"):
+                self._json(200, {"ok": True})
+            else:
+                self._json(status, {"ok": False, "error": res.get("error")})
+
+        def do_HEAD(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            if parts == ["s", "lib.js"]:
+                self._lib_js(head=True)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
         def do_GET(self) -> None:  # noqa: N802
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            # public web endpoints: write-key/domain addressed, never
+            # bearer-gated (the reference's ingest service registers
+            # these outside the Authorize middleware, ingest/router.go:
+            # 175,179)
+            if len(parts) == 3 and parts[:2] == ["api", "px"]:
+                self._pixel(parts[2], url)
+                return
+            if parts == ["s", "lib.js"]:
+                self._lib_js(head=False)
+                return
             if parts not in (["ready"], ["health"]) and not self._authorized():
                 return
             try:
@@ -1251,6 +1583,16 @@ def _make_handler(app: BulkerApp):
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            # classic event endpoints: token-addressed, outside the
+            # bearer gate (ingest/router.go:180-185)
+            if parts in (
+                ["api", "v1", "event"],
+                ["api", "v1", "events"],
+                ["api", "v1", "s2s", "event"],
+                ["api", "v1", "s2s", "events"],
+            ) or (len(parts) == 1 and parts[0].startswith("api.")):
+                self._classic(url, s2s=len(parts) == 4)
+                return
             if not self._authorized():
                 return
             try:

@@ -1,0 +1,593 @@
+"""Ingest-service web shells: tracking pixel (/api/px/:tp), classic
+events (/api/v1/[s2s/]event[s]), the loader script, and the pure shaping
+functions behind them.
+
+Reference behaviors: ``ingest/router_pixel_handler.go``,
+``ingest/router_classic_handler.go``, ``ingest/router.go:291-410``,
+``jitsubase/types/json.go:57-92``.
+"""
+
+import base64
+import datetime as dt
+import json
+import shutil
+import tempfile
+import urllib.request
+from urllib.error import HTTPError
+
+import pytest
+
+from bulker_spark.app import BulkerApp, Destination, serve
+from bulker_spark.app import ingest_shapes as shapes
+
+NOW = dt.datetime(2026, 1, 2, 3, 4, 5, 678000, tzinfo=dt.timezone.utc)
+
+
+# ==========================================================================
+# pure shaping functions
+# ==========================================================================
+
+class TestParsePixelEvent:
+    def test_data_field_and_params_merge(self):
+        data = base64.b64encode(json.dumps({"a": 1}).encode()).decode()
+        ev = shapes.parse_pixel_event(
+            {"data": [data], "b": ["2"], "c.d": ["3"]}
+        )
+        assert ev == {"a": 1, "b": "2", "c": {"d": "3"}}
+
+    def test_control_params_never_copied(self):
+        ev = shapes.parse_pixel_event(
+            {
+                "data": [],
+                "cookie_domain": ["x.com"],
+                "process_headers": ["true"],
+                "destination_url": ["https://e.com"],
+                "keep": ["v"],
+            }
+        )
+        assert ev == {"keep": "v"}
+
+    def test_repeated_param_becomes_list(self):
+        ev = shapes.parse_pixel_event({"tag": ["a", "b"]})
+        assert ev == {"tag": ["a", "b"]}
+
+    def test_bad_base64_raises(self):
+        with pytest.raises(ValueError, match="decoding"):
+            shapes.parse_pixel_event({"data": ["%%%not-b64%%%"]})
+
+    def test_bad_json_raises(self):
+        raw = base64.b64encode(b"{oops").decode()
+        with pytest.raises(ValueError, match="unmarshalling"):
+            shapes.parse_pixel_event({"data": [raw]})
+
+
+class TestRedirectValidation:
+    HOST = "t.example.com"
+
+    def test_valid_https_redirect(self):
+        assert (
+            shapes.extract_redirect_url(
+                "https://other.com/landing", {}, self.HOST
+            )
+            == "https://other.com/landing"
+        )
+
+    @pytest.mark.parametrize(
+        "url",
+        [
+            "http://other.com/x",            # not https
+            "https://other.com:8443/x",      # explicit port
+            "https://t.example.com/x",       # same host
+            "https://93.184.216.34/x",       # IP literal
+        ],
+    )
+    def test_rejected_redirects_fall_back_to_gif(self, url):
+        assert shapes.extract_redirect_url(url, {}, self.HOST) == ""
+
+    def test_message_field_fallback(self):
+        msg = {"destination_url": "https://from-msg.com/x"}
+        assert (
+            shapes.extract_redirect_url("", msg, self.HOST)
+            == "https://from-msg.com/x"
+        )
+
+
+class TestPatchEvent:
+    def test_short_alias_and_stamps(self):
+        ev = shapes.patch_event(
+            {}, tp="p", message_id="m1", headers={}, now=NOW
+        )
+        assert ev["type"] == "page"
+        assert ev["receivedAt"] == "2026-01-02T03:04:05.678Z"
+        assert ev["timestamp"] == ev["receivedAt"]
+        assert ev["messageId"] == "m1"
+
+    def test_event_type_from_body_when_e(self):
+        ev = shapes.patch_event(
+            {"type": "identify"}, tp="e", message_id="m", now=NOW
+        )
+        assert ev["type"] == "identify"
+
+    def test_e_without_type_rejected(self):
+        with pytest.raises(ValueError, match="type property"):
+            shapes.patch_event({}, tp="e", message_id="m")
+
+    def test_unknown_type_rejected(self):
+        with pytest.raises(ValueError, match="Unknown event type"):
+            shapes.patch_event({}, tp="bogus", message_id="m")
+
+    def test_track_requires_event_name(self):
+        with pytest.raises(ValueError, match="'event' property"):
+            shapes.patch_event({}, tp="t", message_id="m")
+        ev = shapes.patch_event(
+            {"event": "clicked"}, tp="t", message_id="m", now=NOW
+        )
+        assert ev["event"] == "clicked"
+
+    def test_track_name_max_128(self):
+        with pytest.raises(ValueError, match="128"):
+            shapes.patch_event(
+                {"event": "x" * 129}, tp="t", message_id="m"
+            )
+
+    def test_browser_context_enrichment(self):
+        headers = {
+            "X-Real-Ip": "10.1.2.3",
+            "User-Agent": "UA/1.0",
+            "Accept-Language": "de-DE, en;q=0.5",
+        }
+        ev = shapes.patch_event(
+            {}, tp="p", message_id="m", headers=headers, now=NOW
+        )
+        assert ev["requestIp"] == "10.1.2.3"
+        assert ev["context"]["ip"] == "10.1.2.3"
+        assert ev["context"]["userAgent"] == "UA/1.0"
+        assert ev["context"]["locale"] == "de-DE"
+
+    def test_ip_policy_strip_and_remove(self):
+        headers = {"X-Real-Ip": "10.1.2.3", "X-IP-Policy": "stripLastOctet"}
+        ev = shapes.patch_event(
+            {}, tp="p", message_id="m", headers=headers, now=NOW
+        )
+        assert ev["requestIp"] == "10.1.2.0"
+        headers = {"X-Real-Ip": "10.1.2.3", "X-IP-Policy": "remove"}
+        ev = shapes.patch_event(
+            {}, tp="p", message_id="m", headers=headers, now=NOW
+        )
+        assert "requestIp" not in ev
+
+    def test_s2s_context_untouched_and_unfiltered(self):
+        ev = shapes.patch_event(
+            {"JITSU_TABLE_NAME": "t", "context": {"ip": "9.9.9.9"}},
+            tp="p",
+            message_id="m",
+            ingest_type="s2s",
+            headers={"X-Real-Ip": "10.0.0.1", "User-Agent": "UA"},
+            now=NOW,
+        )
+        # server callers are trusted: their context.ip stays, reserved
+        # keys are not stripped (router.go:346-360 browser-only block)
+        assert ev["context"]["ip"] == "9.9.9.9"
+        assert "userAgent" not in ev["context"]
+        assert ev["JITSU_TABLE_NAME"] == "t"
+
+    def test_analytic_context_merged_under_event(self):
+        ev = shapes.patch_event(
+            {"context": {"a": 1}},
+            tp="p",
+            message_id="m",
+            ingest_type="s2s",
+            analytic_context={"a": 0, "b": 2},
+            now=NOW,
+        )
+        assert ev["context"] == {"a": 1, "b": 2}
+
+
+class TestFilterEvent:
+    def test_reserved_keys_stripped_recursively(self):
+        ev = {
+            "JITSU_TABLE_NAME": "x",
+            "SALESFORCE_PAYLOAD": {},
+            "__sql_type_a": "text",
+            "keep": {"__sql_type_b": "int", "v": [{"__sql_type_c": 1}]},
+        }
+        shapes.filter_event(ev)
+        assert ev == {"keep": {"v": [{}]}}
+
+
+class TestClassicShaping:
+    def test_patch_classic_browser(self):
+        headers = {
+            "X-Forwarded-For": "1.2.3.4, 10.0.0.1",
+            "User-Agent": "UA",
+            "Accept-Language": "fr, en",
+        }
+        ev = shapes.patch_classic_event(
+            {"__sql_type_x": "t", "v": 1},
+            message_id="mid",
+            api_key="k1",
+            headers=headers,
+            now=NOW,
+        )
+        assert ev["source_ip"] == "1.2.3.4"  # first hop only
+        assert ev["user_agent"] == "UA"
+        assert ev["user_language"] == "fr"
+        assert ev["_timestamp"] == "2026-01-02T03:04:05.678Z"
+        assert ev["api_key"] == "k1"
+        assert ev["utc_time"] == ev["_timestamp"]
+        assert ev["eventn_ctx_event_id"] == "mid"
+        assert "__sql_type_x" not in ev
+
+    def test_ip_policy_strict_strips_octet(self):
+        ev = shapes.patch_classic_event(
+            {},
+            message_id="m",
+            api_key="k",
+            headers={"X-Real-Ip": "5.6.7.8"},
+            ip_policy="strict",
+            now=NOW,
+        )
+        assert ev["source_ip"] == "5.6.7.0"
+
+    def test_token_extraction_order(self):
+        assert shapes.classic_token_from({"token": ["q"]}, {}) == "q"
+        assert (
+            shapes.classic_token_from({}, {"X-Auth-Token": "h"}) == "h"
+        )
+        assert shapes.classic_token_from({"p_ab12": ["rand"]}, {}) == "rand"
+        assert shapes.classic_token_from({}, {}) == ""
+
+    def test_write_key_sources(self):
+        wk = base64.b64encode(b"mykey:").decode()
+        assert (
+            shapes.write_key_from({}, {"Authorization": f"Basic {wk}"})
+            == "mykey"
+        )
+        assert shapes.write_key_from({}, {"X-Write-Key": "xk"}) == "xk"
+        assert shapes.write_key_from({"writekey": ["qk"]}, {}) == "qk"
+
+
+class TestProcessHeaders:
+    def test_new_anonymous_id_plants_cookie(self):
+        ev = {}
+        sc = shapes.process_headers_data(
+            ev, cookies={}, host="app.shop.co.uk", referer="", tp="p"
+        )
+        assert sc is not None
+        assert sc["name"] == shapes.ANONYMOUS_ID_COOKIE
+        assert sc["domain"] == "shop.co.uk"  # registrable domain
+        assert ev["anonymousId"] == sc["value"]
+
+    def test_existing_cookie_reused_no_set(self):
+        ev = {}
+        sc = shapes.process_headers_data(
+            ev,
+            cookies={shapes.ANONYMOUS_ID_COOKIE: "anon-1"},
+            host="x.com",
+        )
+        assert sc is None
+        assert ev["anonymousId"] == "anon-1"
+
+    def test_identity_and_traits_merge(self):
+        ev = {"context": {"traits": {"plan": "pro"}}}
+        shapes.process_headers_data(
+            ev,
+            cookies={
+                shapes.USER_ID_COOKIE: "u1",
+                shapes.GROUP_ID_COOKIE: "g1",
+                shapes.GROUP_TRAITS_COOKIE: '{"org": "acme"}',
+                shapes.USER_TRAITS_COOKIE: '{"plan": "free", "vip": true}',
+            },
+            host="x.com",
+        )
+        assert ev["userId"] == "u1"
+        assert ev["context"]["groupId"] == "g1"
+        # explicit event traits win over cookie traits
+        assert ev["context"]["traits"] == {
+            "org": "acme",
+            "plan": "pro",
+            "vip": True,
+        }
+
+    def test_referer_page_and_properties_for_page_type(self):
+        ev = {}
+        shapes.process_headers_data(
+            ev,
+            cookies={shapes.ANONYMOUS_ID_COOKIE: "a"},
+            host="x.com",
+            referer="https://site.com/path?q=1",
+            tp="p",
+        )
+        page = ev["context"]["page"]
+        assert page["url"] == "https://site.com/path?q=1"
+        assert page["path"] == "/path"
+        assert page["search"] == "q=1"
+        assert page["host"] == "site.com"
+        assert ev["properties"]["url"] == "https://site.com/path?q=1"
+
+
+def test_extract_top_level_and_domain():
+    assert shapes.extract_top_level_and_domain("abc.efg.com") == (
+        "efg.com",
+        "abc",
+    )
+    assert shapes.extract_top_level_and_domain("a.b.shop.co.uk") == (
+        "shop.co.uk",
+        "b",
+    )
+    assert shapes.extract_top_level_and_domain("example.com") == (
+        "example.com",
+        "",
+    )
+
+
+def test_sanitize_message_id():
+    assert shapes.sanitize_message_id("a b/c") == "a_b_c"
+    assert len(shapes.sanitize_message_id("x" * 100)) == 64
+    assert len(shapes.sanitize_message_id("")) == 32  # fresh uuid hex
+
+
+# ==========================================================================
+# HTTP surface
+# ==========================================================================
+
+@pytest.fixture()
+def ingest_server(spark):
+    wh = tempfile.mkdtemp(prefix="ingest_wh_")
+    topics = tempfile.mkdtemp(prefix="ingest_topics_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("d1", wh)],
+        streams=[
+            {"write_key": "wk-browser", "destination": "d1", "table": "events"},
+            {
+                "write_key": "wk-server",
+                "destination": "d1",
+                "table": "events",
+                "s2s": True,
+            },
+            {
+                "write_key": "",
+                "destination": "d1",
+                "table": "events",
+                "domains": ["tracked.example.com"],
+            },
+        ],
+    )
+    server = serve(app)
+    host, port = server.server_address
+    yield app, f"http://{host}:{port}"
+    server.shutdown()
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(topics, ignore_errors=True)
+
+
+def _raw(url, method="GET", body=None, headers=None):
+    req = urllib.request.Request(
+        url, data=body, method=method, headers=headers or {}
+    )
+    return urllib.request.urlopen(req)
+
+
+def test_pixel_returns_gif_and_produces(ingest_server, spark):
+    app, base = ingest_server
+    data = base64.b64encode(
+        json.dumps({"properties": {"x": 1}}).encode()
+    ).decode()
+    with _raw(f"{base}/api/px/p?writekey=wk-browser&data={data}") as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/gif"
+        assert "no-cache" in resp.headers["Cache-Control"]
+        body = resp.read()
+    assert body == shapes.EMPTY_GIF
+    assert app.metrics["events_produced"] == 1
+    # the produced event went through patch_event: type + stamps present
+    cycle = app.run_batch_cycle("d1")
+    assert cycle["topics"] == ["in.id.d1.m.batch.t.events"]
+    df = app.engine_for("d1").warehouse.read("events")
+    row = df.collect()[0].asDict()
+    assert row["type"] == "page"
+    assert row["properties_x"] == 1
+    assert row["receivedAt"] is not None
+
+
+def test_pixel_error_is_pixel_safe_and_dead_lettered(ingest_server):
+    app, base = ingest_server
+    # no write key, unknown host → stream not found; still a 200 GIF
+    with _raw(f"{base}/api/px/p") as resp:
+        assert resp.status == 200
+        assert resp.read() == shapes.EMPTY_GIF
+    assert app.metrics["ingest_errors"] == 1
+
+
+def test_pixel_redirect(ingest_server):
+    app, base = ingest_server
+    import urllib.parse
+
+    dest = urllib.parse.quote("https://landing.example.org/x", safe="")
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+    try:
+        opener.open(
+            f"{base}/api/px/p?writekey=wk-browser&destination_url={dest}"
+        )
+        raise AssertionError("expected 302")
+    except HTTPError as ex:
+        assert ex.code == 302
+        assert ex.headers["Location"] == "https://landing.example.org/x"
+
+
+def test_pixel_process_headers_sets_cookie(ingest_server):
+    app, base = ingest_server
+    with _raw(
+        f"{base}/api/px/p?writekey=wk-browser&process_headers=true",
+        headers={"Host": "app.customer.com"},
+    ) as resp:
+        cookie = resp.headers["Set-Cookie"]
+    assert cookie.startswith(shapes.ANONYMOUS_ID_COOKIE + "=")
+    assert "Domain=customer.com" in cookie
+
+
+def test_pixel_domain_routing(ingest_server):
+    app, base = ingest_server
+    with _raw(
+        f"{base}/api/px/t?event=clicked",
+        headers={"Host": "tracked.example.com"},
+    ) as resp:
+        assert resp.status == 200
+    assert app.metrics["events_produced"] == 1
+
+
+def test_classic_event_roundtrip(ingest_server, spark):
+    app, base = ingest_server
+    body = json.dumps({"event_type": "pageview", "v": 7}).encode()
+    with _raw(
+        f"{base}/api/v1/event?token=wk-browser",
+        method="POST",
+        body=body,
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        assert json.loads(resp.read()) == {"ok": True}
+    app.run_batch_cycle("d1")
+    row = (
+        app.engine_for("d1").warehouse.read("events").collect()[0].asDict()
+    )
+    assert row["v"] == 7
+    assert row["api_key"] == "wk-browser"
+    assert row["_timestamp"] is not None
+    assert row["eventn_ctx_event_id"] is not None
+
+
+def test_classic_array_body(ingest_server):
+    app, base = ingest_server
+    body = json.dumps([{"a": 1}, {"a": 2}, {"a": 3}]).encode()
+    with _raw(
+        f"{base}/api/v1/events?token=wk-browser",
+        method="POST",
+        body=body,
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        assert json.loads(resp.read())["ok"] is True
+    assert app.metrics["events_produced"] == 3
+
+
+def test_classic_content_type_rejected(ingest_server):
+    app, base = ingest_server
+    try:
+        _raw(
+            f"{base}/api/v1/event?token=wk-browser",
+            method="POST",
+            body=b"a=1",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        raise AssertionError("expected 400")
+    except HTTPError as ex:
+        assert ex.code == 400
+
+
+def test_s2s_requires_server_key(ingest_server):
+    app, base = ingest_server
+    # browser key on the s2s endpoint → 401 (router_classic_handler:130-135)
+    try:
+        _raw(
+            f"{base}/api/v1/s2s/event?token=wk-browser",
+            method="POST",
+            body=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        raise AssertionError("expected 401")
+    except HTTPError as ex:
+        assert ex.code == 401
+    with _raw(
+        f"{base}/api/v1/s2s/event?token=wk-server",
+        method="POST",
+        body=json.dumps({"x": 1}).encode(),
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        assert json.loads(resp.read())["ok"] is True
+
+
+def test_s2s_browser_error_statuses_differ(ingest_server):
+    app, base = ingest_server
+    # bad token on the BROWSER endpoint answers 200 (never break a page)
+    with _raw(
+        f"{base}/api/v1/event?token=nope",
+        method="POST",
+        body=b"{}",
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read())["ok"] is False
+
+
+def test_randomized_api_url(ingest_server):
+    app, base = ingest_server
+    with _raw(
+        f"{base}/api.xyz42?p_ab=wk-browser",
+        method="POST",
+        body=json.dumps({"a": 1}).encode(),
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        assert json.loads(resp.read())["ok"] is True
+    assert app.metrics["events_produced"] == 1
+
+
+def test_lib_js_etag_and_head(ingest_server):
+    app, base = ingest_server
+    with _raw(f"{base}/s/lib.js") as resp:
+        assert resp.status == 200
+        etag = resp.headers["ETag"]
+        body = resp.read()
+        assert b"bulker_spark classic loader" in body
+    try:
+        _raw(f"{base}/s/lib.js", headers={"If-None-Match": etag})
+        raise AssertionError("expected 304")
+    except HTTPError as ex:
+        assert ex.code == 304
+    with _raw(f"{base}/s/lib.js", method="HEAD") as resp:
+        assert resp.status == 200
+        assert resp.headers["ETag"] == etag
+        assert resp.read() == b""
+
+
+def test_pixel_bypasses_bearer_auth(spark):
+    """Pixel/classic endpoints are write-key addressed and must work
+    even when the admin API is token-gated (ingest/router.go registers
+    them outside the Authorize middleware)."""
+    wh = tempfile.mkdtemp(prefix="ingest_wh_")
+    topics = tempfile.mkdtemp(prefix="ingest_topics_")
+    app = BulkerApp(
+        spark,
+        topics,
+        [Destination("d1", wh)],
+        auth_tokens=["secret"],
+        streams=[{"write_key": "wk", "destination": "d1"}],
+    )
+    server = serve(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with _raw(f"{base}/api/px/p?writekey=wk") as resp:
+            assert resp.status == 200
+        with _raw(
+            f"{base}/api/v1/event?token=wk",
+            method="POST",
+            body=b"{}",
+            headers={"Content-Type": "application/json"},
+        ) as resp:
+            assert json.loads(resp.read())["ok"] is True
+        # but the admin API stays gated
+        try:
+            _raw(f"{base}/metrics")
+            raise AssertionError("expected 401")
+        except HTTPError as ex:
+            assert ex.code == 401
+    finally:
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)

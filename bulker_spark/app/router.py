@@ -188,6 +188,7 @@ class BulkerApp:
         auth_tokens: list[str] | None = None,
         allowed_warehouse_roots: list[str] | None = None,
         streams: list[dict[str, Any]] | None = None,
+        failover: dict[str, Any] | None = None,
     ):
         from ..sources.topic_source import register_topic_source
 
@@ -239,6 +240,37 @@ class BulkerApp:
         self._reproc_jobs: dict[str, dict[str, Any]] = {}
         self._reproc_cancel: set[str] = set()
         self._reproc_seq = 0
+        # durable job store (the reference keeps these in a
+        # reprocessing_jobs table, admin/reprocessing_db_schema.go:14-25;
+        # here a tmp+rename JSON snapshot under the topics root) — loaded
+        # at startup so job history survives restarts
+        self._reproc_store = os.path.join(
+            topics_root, ".reprocessing_jobs.json"
+        )
+        self._load_reproc_jobs()
+        # failover: produce failures land in a rotating local log instead
+        # of being dropped (kafkabase/failover_logger.go), and the batch
+        # cycle replays that backlog automatically once the topic store is
+        # healthy again (admin/failover_reprocessor.go's recovery replay,
+        # in-process). Health transitions per destination are tracked for
+        # the /health/destinations surface. ``failover`` keys: ``path``,
+        # ``threshold``, ``max_size``, ``rotation_period``, ``compress``.
+        from .failover import DestinationHealth, FailoverLogger
+
+        failover = failover or {}
+        self.health = DestinationHealth(failover.get("threshold", 3))
+        self.failover_logger: FailoverLogger | None = None
+        if failover.get("enabled", failover.get("path") is not None):
+            self.failover_logger = FailoverLogger(
+                failover.get(
+                    "path", os.path.join(topics_root, "_failover")
+                ),
+                max_size=failover.get("max_size", 64 * 1024 * 1024),
+                rotation_period=failover.get("rotation_period"),
+                compress=failover.get("compress", True),
+            )
+        self.metrics["failover_logged"] = 0
+        self.metrics["failover_replayed"] = 0
 
     def _record_load(self, table: str, res) -> None:
         with self._lock:
@@ -289,9 +321,90 @@ class BulkerApp:
             "mode", "batch"
         )
         topic = make_topic_id(destination_id, mode, table)
-        self.producer.produce(topic, text.strip().replace("\n", " "))
+        self._produce_safe(topic, text.strip().replace("\n", " "))
         self.metrics["events_produced"] += 1
         return topic
+
+    def _produce_safe(self, topic: str, line: str) -> None:
+        """Produce with failover: when the topic store write fails AND a
+        failover logger is configured, the payload is preserved in the
+        rotating local log (kafkabase/failover_logger.go:276-303) and
+        the ingest request still succeeds — accepted-means-durable. With
+        no logger the error propagates (fail fast, nothing silently
+        dropped)."""
+        try:
+            self.producer.produce(topic, line)
+        except Exception as ex:
+            if self.failover_logger is None or not self.failover_logger.should_log(ex):
+                raise
+            self.failover_logger.log_payload(
+                json.dumps({"topic": topic, "line": line})
+            )
+            with self._lock:
+                self.metrics["failover_logged"] += 1
+
+    def replay_failover(self) -> int:
+        """Replay the failover backlog into the topic store — the
+        recovery half of the failover loop (admin/failover_reprocessor.go
+        replays rotated failover files through the normal pipeline).
+        Rotates the live file first so everything logged so far is
+        eligible; each replayed file is archived under ``replayed/``.
+        Stops at the first re-failure (the store is still down) leaving
+        the remaining backlog intact. Returns lines re-produced."""
+        if self.failover_logger is None:
+            return 0
+        import gzip as _gzip
+
+        self.failover_logger.rotate()
+        replayed = 0
+        for path in self.failover_logger.pending_files():
+            opener = _gzip.open if path.endswith(".gz") else open
+            try:
+                with opener(path, "rt", encoding="utf-8") as fh:
+                    lines = [ln for ln in fh if ln.strip()]
+            except OSError:
+                continue
+            try:
+                for ln in lines:
+                    env = json.loads(ln)
+                    self.producer.produce(env["topic"], env["line"])
+                    replayed += 1
+            except Exception:
+                # still down: keep this file (partially re-produced
+                # lines will dedup by pk on merge like any other replay)
+                break
+            archive = os.path.join(
+                self.failover_logger.base_path, "replayed"
+            )
+            os.makedirs(archive, exist_ok=True)
+            os.replace(
+                path, os.path.join(archive, os.path.basename(path))
+            )
+        if replayed:
+            self.producer.flush_all()  # buffered producers: publish now
+            with self._lock:
+                self.metrics["failover_replayed"] += replayed
+                # visible in the jobs list like any managed replay
+                self._reproc_seq += 1
+                job_id = f"reproc-{self._reproc_seq}"
+                now = _iso_now()
+                self._reproc_jobs[job_id] = {
+                    "id": job_id,
+                    "status": "COMPLETED",
+                    "config": {"trigger": "auto-failover"},
+                    "created_at": now,
+                    "started_at": now,
+                    "completed_at": now,
+                    "total_files": 0,
+                    "processed_files": 0,
+                    "success_count": replayed,
+                    "error_count": 0,
+                    "last_error": None,
+                    "topics": {},
+                    "drained": None,
+                }
+            self._persist_reproc_jobs()
+        return replayed
 
     # -- ingest front: pixel + classic shells -------------------------------
     # (ingest/router_pixel_handler.go, ingest/router_classic_handler.go —
@@ -329,7 +442,7 @@ class BulkerApp:
         table = table or stream.get("table", "events")
         mode = self.destinations[dst_id].options.get("mode", "batch")
         topic = make_topic_id(dst_id, mode, table)
-        self.producer.produce(topic, json.dumps(event, default=str))
+        self._produce_safe(topic, json.dumps(event, default=str))
         self.metrics["events_produced"] += 1
         return topic
 
@@ -748,10 +861,27 @@ class BulkerApp:
                 destination_id, threading.Lock()
             )
         with gate:
-            return self._run_batch_cycle_locked(destination_id)
+            try:
+                out = self._run_batch_cycle_locked(destination_id)
+            except Exception as ex:
+                # consecutive-failure tracking: enough of these in a row
+                # flips the destination DOWN (failover.DestinationHealth —
+                # the in-process stand-in for the reference's k8s-level
+                # failover detection)
+                self.health.record_failure(
+                    destination_id, f"{type(ex).__name__}: {ex}"
+                )
+                raise
+            if self.health.record_success(destination_id):
+                out["recovered"] = True
+            return out
 
     def _run_batch_cycle_locked(self, destination_id: str) -> dict[str, Any]:
         self.producer.flush_all()
+        # the failover backlog re-enters FIRST: reaching this point means
+        # the topic store accepted the flush, so anything preserved during
+        # an outage replays ahead of this drain and lands this cycle
+        failover_replayed = self.replay_failover()
         eng = self.engine_for(destination_id)
         dest = self.destinations[destination_id]
         drained: dict[str, int] = {}
@@ -777,6 +907,8 @@ class BulkerApp:
             "destination": destination_id,
             "topics": list(drained),
         }
+        if failover_replayed:
+            out["failover_replayed"] = failover_replayed
         if refreshed:
             out["rollups"] = refreshed
         if replicated:
@@ -1123,6 +1255,7 @@ class BulkerApp:
                 "drained": None,
             }
             self._reproc_jobs[job_id] = job
+        self._persist_reproc_jobs()
 
         def jset(**kv) -> None:
             # every mutation goes through the app lock: HTTP handlers
@@ -1238,6 +1371,7 @@ class BulkerApp:
                         _dt.timezone.utc
                     ).isoformat()
                     self._reproc_cancel.discard(job_id)
+                self._persist_reproc_jobs()
 
         if wait:
             run()
@@ -1255,6 +1389,51 @@ class BulkerApp:
 
         with self._lock:
             return copy.deepcopy(job)
+
+    def _load_reproc_jobs(self) -> None:
+        """Reload persisted jobs at startup. A job that was PENDING or
+        RUNNING when the previous process died cannot resume (its worker
+        thread is gone) — it is surfaced as FAILED with an explicit
+        interruption error, the same visibility a k8s-status enrichment
+        gives the reference (failover_reprocessor.go:291-371: a vanished
+        job pod reads as failed, never as silently still-running)."""
+        import datetime as _dt
+
+        if not os.path.exists(self._reproc_store):
+            return
+        try:
+            with open(self._reproc_store, encoding="utf-8") as fh:
+                jobs = json.load(fh)
+        except (ValueError, OSError):
+            return  # corrupt store: start fresh, never crash startup
+        for job in jobs:
+            if job.get("status") in ("PENDING", "RUNNING"):
+                job["status"] = "FAILED"
+                job["last_error"] = "interrupted by restart"
+                job["completed_at"] = _dt.datetime.now(
+                    _dt.timezone.utc
+                ).isoformat()
+            self._reproc_jobs[job["id"]] = job
+            # seq continues past restored ids so new ids never collide
+            try:
+                self._reproc_seq = max(
+                    self._reproc_seq, int(job["id"].rsplit("-", 1)[1])
+                )
+            except (IndexError, ValueError):
+                pass
+
+    def _persist_reproc_jobs(self) -> None:
+        """Atomic snapshot of every job record (tmp + rename): called on
+        create and on every terminal transition, so a restart sees each
+        job either not-yet-started or with its final counters."""
+        import copy
+
+        with self._lock:
+            jobs = copy.deepcopy(list(self._reproc_jobs.values()))
+        tmp = self._reproc_store + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(jobs, fh, default=str)
+        os.replace(tmp, self._reproc_store)
 
     def list_reprocessing(self) -> list[dict[str, Any]]:
         jobs = [
@@ -1278,6 +1457,12 @@ class BulkerApp:
             if job["status"] in ("PENDING", "RUNNING"):
                 self._reproc_cancel.add(job_id)
         return self._job_snapshot(job)
+
+
+def _iso_now() -> str:
+    import datetime as _dt
+
+    return _dt.datetime.now(_dt.timezone.utc).isoformat()
 
 
 def _parse_cookies(header: str) -> dict[str, str]:
@@ -1489,6 +1674,14 @@ def _make_handler(app: BulkerApp):
                     self._json(200, {"events": rows})
                 elif len(parts) == 2 and parts[0] == "lag":
                     self._json(200, app.topic_lag(parts[1]))
+                elif parts == ["health", "destinations"]:
+                    self._json(
+                        200,
+                        {
+                            d: app.health.status(d)
+                            for d in app.destinations
+                        },
+                    )
                 elif parts == ["reprocessing", "jobs"]:
                     self._json(200, {"jobs": app.list_reprocessing()})
                 elif len(parts) == 3 and parts[:2] == ["reprocessing", "jobs"]:
@@ -1644,6 +1837,8 @@ def _make_handler(app: BulkerApp):
                     )
                 elif len(parts) == 2 and parts[0] == "cycle":
                     self._json(200, app.run_batch_cycle(parts[1]))
+                elif parts == ["failover", "replay"]:
+                    self._json(200, {"replayed": app.replay_failover()})
                 elif parts == ["reprocessing", "jobs"]:
                     spec = json.loads(self._body() or b"{}")
                     job = app.start_reprocessing(

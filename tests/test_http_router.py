@@ -1050,3 +1050,49 @@ def test_reprocessing_job_errors(app_server, backup_root):
     with pytest.raises(HTTPError) as exc:
         _post(f"{base}/reprocessing/jobs/reproc-999/cancel", b"")
     assert exc.value.code == 404
+
+
+def test_reprocessing_jobs_persist_across_restart(app_server, backup_root, spark):
+    """Job records survive a process restart (reprocessing_db_schema.go:
+    14-25 keeps them in a jobs table; here a snapshot file under the
+    topics root). A job that was mid-flight when the process died is
+    surfaced as FAILED/interrupted, never as silently still-running."""
+    app, base = app_server
+    job = _post(
+        f"{base}/reprocessing/jobs",
+        json.dumps({
+            "destination_id": "pg1",
+            "path": f"{backup_root}/*/*/*/*/*.ndjson.gz",
+            "wait": True,
+        }).encode(),
+    )
+    assert job["status"] == "COMPLETED"
+    # simulate a crash mid-job: hand-mark a RUNNING record and persist
+    with app._lock:
+        app._reproc_jobs["reproc-99"] = {
+            "id": "reproc-99", "status": "RUNNING",
+            "created_at": "2026-01-01T00:00:00+00:00",
+            "config": {}, "processed_files": 1,
+        }
+    app._persist_reproc_jobs()
+
+    # "restart": a fresh app over the same topics root
+    from bulker_spark.app import BulkerApp, Destination
+    app2 = BulkerApp(
+        spark, app.topics_root,
+        [Destination("pg1", app.destinations["pg1"].warehouse_path)],
+    )
+    jobs = {j["id"]: j for j in app2.list_reprocessing()}
+    assert jobs[job["id"]]["status"] == "COMPLETED"
+    assert jobs[job["id"]]["success_count"] == job["success_count"]
+    interrupted = jobs["reproc-99"]
+    assert interrupted["status"] == "FAILED"
+    assert interrupted["last_error"] == "interrupted by restart"
+    assert interrupted["completed_at"] is not None
+    # new ids continue past the restored sequence — no collisions
+    job2 = app2.start_reprocessing({
+        "destination_id": "pg1",
+        "path": f"{backup_root}/*/*/*/*/*.ndjson.gz",
+        "dry_run": True,
+    }, wait=True)
+    assert int(job2["id"].rsplit("-", 1)[1]) > 99

@@ -28,8 +28,10 @@ Spark-first split of labor:
   per-file decode → ``createDataFrame`` on the wire schema → JVM-side
   cast back (``timestamp_micros`` / ``date_add``).
 
-Codec: ``null`` and ``deflate`` (raw zlib, the Avro spelling of gzip's
-algorithm; ``snappy`` needs python-snappy and raises cleanly).
+Codec: ``null``, ``deflate`` (raw zlib, the Avro spelling of gzip's
+algorithm) and ``snappy`` (pure-Python raw-format snappy +
+4-byte big-endian CRC32 of the uncompressed block per the Avro spec —
+see ``snappy_pp.py``; a C snappy library is used when importable).
 """
 
 from __future__ import annotations
@@ -616,10 +618,10 @@ class OCFWriter:
     O(file)."""
 
     def __init__(self, fh, avro_schema: dict, codec: str = "deflate"):
-        if codec not in ("null", "deflate"):
+        if codec not in ("null", "deflate", "snappy"):
             raise NotImplementedError(
-                f"avro codec {codec!r} needs an external library; "
-                "use 'null' or 'deflate'"
+                f"avro codec {codec!r} is not supported; "
+                "use 'null', 'deflate' or 'snappy'"
             )
         self.fh = fh
         self.codec = codec
@@ -652,6 +654,14 @@ class OCFWriter:
         if self.codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = c.compress(payload) + c.flush()
+        elif self.codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte big-endian CRC32
+            # of the UNCOMPRESSED data after the compressed body
+            from . import snappy_pp
+
+            payload = snappy_pp.compress(payload) + struct.pack(
+                ">I", zlib.crc32(payload) & 0xFFFFFFFF
+            )
         head = bytearray()
         encode_long(self._count, head)
         encode_long(len(payload), head)
@@ -731,6 +741,13 @@ def read_ocf_rows(path: str):
         pos += 16
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            from . import snappy_pp
+
+            body, crc = block[:-4], block[-4:]
+            block = snappy_pp.decompress(body)
+            if struct.pack(">I", zlib.crc32(block) & 0xFFFFFFFF) != crc:
+                raise ValueError(f"snappy block CRC mismatch in {path}")
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec!r}")
         bpos = 0
@@ -750,12 +767,12 @@ def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -
     import shutil as _sh
     import uuid as _uuid
 
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         # validate on the DRIVER — inside the task it would surface as
         # an opaque executor PythonException
         raise NotImplementedError(
-            f"avro codec {codec!r} needs an external library; "
-            "use 'null' or 'deflate'"
+            f"avro codec {codec!r} is not supported; "
+            "use 'null', 'deflate' or 'snappy'"
         )
     if mode == "overwrite" and os.path.exists(path):
         _sh.rmtree(path)

@@ -90,9 +90,9 @@ def test_roundtrip_null_codec(spark, typed_df, tmp_warehouse):
 
 
 def test_unknown_codec_raises(spark, typed_df, tmp_warehouse):
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="zstandard"):
         write_avro(typed_df, os.path.join(tmp_warehouse, "t"),
-                   codec="snappy")
+                   codec="zstandard")
 
 
 def test_block_flush_large_file(spark, tmp_warehouse):

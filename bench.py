@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "parts_supplier_hhi",
     "emb_covariance",
     "emb_pca_recon_error",
+    "doc_dsir_weights",
 ]
 
 
@@ -545,7 +546,7 @@ STDOUT_PRIORITY = [
     "doc_contamination", "doc_length_deciles", "parts_hits",
     "trickle_merge_1m_manifest", "trickle_merge_1m_clustered",
     "sql_lookup_1m_pruned", "sql_lookup_1m_full",
-    "emb_covariance", "emb_pca_recon_error",
+    "emb_covariance", "emb_pca_recon_error", "doc_dsir_weights",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

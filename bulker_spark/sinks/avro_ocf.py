@@ -360,12 +360,36 @@ def _encode_bytes(v: bytes, out: bytearray) -> None:
     out += v
 
 
-def compile_encoder(schema):
+def compile_encoder(schema, avro_schema: dict | None = None):
     """Row-dict encoder for a WIRE StructType (post-``to_wire``): a tree
     of per-field closures, built once per task, no per-row type dispatch
-    beyond the null check Avro unions require anyway."""
+    beyond the null check Avro unions require anyway.
+
+    ``avro_schema`` (optional) drives FOREIGN-type encoding: where the
+    declared Avro field is an ``enum`` (Spark-side string → symbol
+    index) or a non-decimal ``fixed`` (Spark-side binary, length
+    enforced), the wire bytes follow the Avro declaration instead of the
+    Spark-native string/bytes encoding — round-tripping files whose
+    schema Spark cannot natively express."""
+    afields = (
+        {f["name"]: f["type"] for f in avro_schema["fields"]}
+        if avro_schema
+        else {}
+    )
+
+    def field_nullable(f):
+        # wire nullability follows the DECLARED schema when one is
+        # given: a non-union Avro field must NOT be prefixed with a
+        # union branch byte even if the Spark frame says nullable
+        at = afields.get(f.name)
+        return _denull(at)[1] if at is not None else f.nullable
+
     field_encs = [
-        (f.name, _value_encoder(f.dataType), f.nullable)
+        (
+            f.name,
+            _value_encoder(f.dataType, afields.get(f.name)),
+            field_nullable(f),
+        )
         for f in schema.fields
     ]
 
@@ -377,13 +401,58 @@ def compile_encoder(schema):
                     out.append(0x00)  # union branch 0 = null
                     continue
                 out.append(0x02)  # union branch 1, zigzag(1)
+            elif v is None:
+                raise ValueError(
+                    f"null value in non-nullable avro field {name!r}"
+                )
             enc(v, out)
 
     return enc_row
 
 
-def _value_encoder(dt):
+def _value_encoder(dt, avro_type=None):
     tn = dt.typeName()
+    if avro_type is not None:
+        at, _ = _denull(avro_type)
+        if isinstance(at, dict):
+            kind = at.get("type")
+            if kind == "enum":
+                # Avro enum = zigzag varint INDEX into the symbol list
+                symbols = {s: i for i, s in enumerate(at["symbols"])}
+                name = at.get("name", "enum")
+
+                def enc_enum(v, out):
+                    try:
+                        encode_long(symbols[v], out)
+                    except KeyError:
+                        raise ValueError(
+                            f"{v!r} is not a symbol of avro enum "
+                            f"{name} {sorted(symbols)}"
+                        ) from None
+                return enc_enum
+            if kind == "fixed" and at.get("logicalType") != "decimal":
+                size = at["size"]
+                name = at.get("name", "fixed")
+
+                def enc_fixed(v, out):
+                    b = bytes(v)
+                    if len(b) != size:
+                        raise ValueError(
+                            f"avro fixed {name} needs exactly {size} "
+                            f"bytes, got {len(b)}"
+                        )
+                    out += b
+                return enc_fixed
+            if kind == "record" and tn == "struct":
+                sub = compile_encoder(dt, at)
+
+                def enc_rec(v, out):
+                    sub(v if isinstance(v, dict) else v.asDict(), out)
+                return enc_rec
+            if kind == "array" and tn == "array":
+                return _array_encoder(dt, at["items"])
+            if kind == "map" and tn == "map":
+                return _map_encoder(dt, at["values"])
     if tn in ("byte", "short", "integer", "long"):
         return encode_long
     if tn == "double":
@@ -425,43 +494,9 @@ def _value_encoder(dt):
             )
         return enc_dec
     if tn == "array":
-        inner = _value_encoder(dt.elementType)
-        nullable = dt.containsNull
-
-        def enc_arr(v, out):
-            if v:
-                encode_long(len(v), out)
-                for item in v:
-                    if nullable:
-                        if item is None:
-                            out.append(0x00)
-                            continue
-                        out.append(0x02)
-                    inner(item, out)
-            out.append(0x00)  # block terminator
-        return enc_arr
+        return _array_encoder(dt)
     if tn == "map":
-        inner = _value_encoder(dt.valueType)
-        nullable = dt.valueContainsNull
-
-        def enc_map(v, out):
-            # Arrow's to_pylist renders MapType as [(k, v), ...]; plain
-            # dicts appear when rows come from Python directly
-            items = v.items() if isinstance(v, dict) else v
-            if v:
-                encode_long(len(v), out)
-                for k, item in items:
-                    b = k.encode("utf-8")
-                    encode_long(len(b), out)
-                    out += b
-                    if nullable:
-                        if item is None:
-                            out.append(0x00)
-                            continue
-                        out.append(0x02)
-                    inner(item, out)
-            out.append(0x00)
-        return enc_map
+        return _map_encoder(dt)
     if tn == "struct":
         sub = compile_encoder(dt)
 
@@ -469,6 +504,54 @@ def _value_encoder(dt):
             sub(v if isinstance(v, dict) else v.asDict(), out)
         return enc_struct
     raise ValueError(f"no avro encoder for spark type {tn}")
+
+
+def _array_encoder(dt, items_avro=None):
+    inner = _value_encoder(dt.elementType, items_avro)
+    nullable = (
+        _denull(items_avro)[1] if items_avro is not None else dt.containsNull
+    )
+
+    def enc_arr(v, out):
+        if v:
+            encode_long(len(v), out)
+            for item in v:
+                if nullable:
+                    if item is None:
+                        out.append(0x00)
+                        continue
+                    out.append(0x02)
+                inner(item, out)
+        out.append(0x00)  # block terminator
+    return enc_arr
+
+
+def _map_encoder(dt, values_avro=None):
+    inner = _value_encoder(dt.valueType, values_avro)
+    nullable = (
+        _denull(values_avro)[1]
+        if values_avro is not None
+        else dt.valueContainsNull
+    )
+
+    def enc_map(v, out):
+        # Arrow's to_pylist renders MapType as [(k, v), ...]; plain
+        # dicts appear when rows come from Python directly
+        items = v.items() if isinstance(v, dict) else v
+        if v:
+            encode_long(len(v), out)
+            for k, item in items:
+                b = k.encode("utf-8")
+                encode_long(len(b), out)
+                out += b
+                if nullable:
+                    if item is None:
+                        out.append(0x00)
+                        continue
+                    out.append(0x02)
+                inner(item, out)
+        out.append(0x00)
+    return enc_map
 
 
 # ==========================================================================
@@ -760,10 +843,24 @@ def read_ocf_rows(path: str):
 # Spark entry points
 # ==========================================================================
 
-def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -> int:
+def write_avro(
+    df,
+    path: str,
+    *,
+    codec: str = "deflate",
+    mode: str = "append",
+    avro_schema: dict | None = None,
+) -> int:
     """Distributed OCF write: one file per partition under ``path``.
     Returns total rows written. ``mode='overwrite'`` clears the
-    directory first (prefix-delete, the file-sink replace semantic)."""
+    directory first (prefix-delete, the file-sink replace semantic).
+
+    ``avro_schema`` overrides the schema derived from the frame — pass
+    the header schema of a foreign file to round-trip Avro types Spark
+    cannot express natively: ``enum`` fields encode from string columns
+    (symbol → index) and non-decimal ``fixed`` fields from binary
+    columns (size enforced). Field names/order and union nullability
+    must match the frame; values outside the declaration raise."""
     import shutil as _sh
     import uuid as _uuid
 
@@ -777,7 +874,16 @@ def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -
     if mode == "overwrite" and os.path.exists(path):
         _sh.rmtree(path)
     os.makedirs(path, exist_ok=True)
-    avro_schema = spark_to_avro_schema(df.schema)
+    declared = avro_schema  # None = derive from the frame
+    if declared is not None:
+        frame_cols = [f.name for f in df.schema.fields]
+        decl_cols = [f["name"] for f in declared.get("fields", [])]
+        if frame_cols != decl_cols:
+            raise ValueError(
+                f"avro_schema fields {decl_cols} do not match the "
+                f"frame's columns {frame_cols}"
+            )
+    avro_schema = declared or spark_to_avro_schema(df.schema)
     wire = to_wire(df)
     enc_schema = wire.schema
     run_id = _uuid.uuid4().hex[:8]
@@ -786,7 +892,7 @@ def write_avro(df, path: str, *, codec: str = "deflate", mode: str = "append") -
         import pyarrow as pa
         from pyspark import TaskContext
 
-        enc = compile_encoder(enc_schema)
+        enc = compile_encoder(enc_schema, declared)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0

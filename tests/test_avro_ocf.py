@@ -389,3 +389,89 @@ def test_timestamp_max_sentinel_roundtrip(spark, tmp_warehouse):
         path = os.path.join(tmp_warehouse, "t")
         write_avro(df, path, codec="null", mode="overwrite")
         assert read_avro(spark, path).collect()[0]["ts"] == wall, wall
+
+
+def test_foreign_enum_fixed_roundtrip(spark, tmp_warehouse):
+    """Foreign Avro enum/fixed: a JVM-written file reads into Spark
+    (enum -> string, fixed -> binary), and writing it back with the
+    foreign header schema re-encodes REAL enum indexes / fixed bytes —
+    verified by the independent Java reader parsing our output."""
+    jvm = spark._jvm
+    schema_json = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"id","type":"long"},'
+        '{"name":"color","type":{"type":"enum","name":"Color",'
+        '"symbols":["RED","GREEN","BLUE"]}},'
+        '{"name":"tag","type":{"type":"fixed","name":"Tag","size":4}}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    src = os.path.join(tmp_warehouse, "jvm_enum.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(src))
+    colors = ["RED", "GREEN", "BLUE"]
+    fixed_schema = schema.getField("tag").schema()
+    for i in range(9):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("color", jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+            schema.getField("color").schema(), colors[i % 3]))
+        rec.put("tag", jvm.org.apache.avro.generic.GenericData.Fixed(
+            fixed_schema, bytes([i, i, i, i])))
+        writer.append(rec)
+    writer.close()
+
+    # our reader: enum -> string, fixed -> binary
+    from bulker_spark.sinks.avro_ocf import read_ocf_header
+    rows = list(read_ocf_rows(src))
+    assert rows[4] == {"id": 4, "color": "GREEN", "tag": bytes([4] * 4)}
+    with open(src, "rb") as fh:
+        foreign_schema, _, _, _ = read_ocf_header(fh)
+
+    # write back under the FOREIGN schema
+    df = spark.createDataFrame(
+        [(r["id"], r["color"], r["tag"]) for r in rows],
+        "id long, color string, tag binary",
+    ).coalesce(1)
+    out = os.path.join(tmp_warehouse, "ours_enum")
+    write_avro(df, out, codec="null", avro_schema=foreign_schema)
+
+    # the independent Java reader sees true enum/fixed values
+    f = glob.glob(os.path.join(out, "*.avro"))[0]
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        assert str(reader.getSchema().getField("color").schema().getType()) \
+            == "ENUM"
+        got = {}
+        while reader.hasNext():
+            rec = reader.next()
+            got[rec.get("id")] = str(rec.get("color"))
+        assert got == {i: colors[i % 3] for i in range(9)}
+    finally:
+        reader.close()
+    # and our own reader round-trips it too
+    back = {r["id"]: (r["color"], r["tag"]) for r in read_ocf_rows(f)}
+    assert back[7] == ("GREEN", bytes([7] * 4))
+
+
+def test_enum_fixed_write_validation(spark, tmp_warehouse):
+    import pytest
+
+    foreign = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "color",
+             "type": {"type": "enum", "name": "C", "symbols": ["A", "B"]}},
+        ],
+    }
+    df = spark.createDataFrame([("Z",)], "color string").coalesce(1)
+    with pytest.raises(Exception, match="not a symbol"):
+        write_avro(df, os.path.join(tmp_warehouse, "bad"),
+                   codec="null", avro_schema=foreign)
+    # mismatched field list fails on the driver
+    df2 = spark.createDataFrame([("A", 1)], "color string, extra long")
+    with pytest.raises(ValueError, match="do not match"):
+        write_avro(df2, os.path.join(tmp_warehouse, "bad2"),
+                    avro_schema=foreign)

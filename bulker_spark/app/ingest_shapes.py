@@ -125,6 +125,21 @@ def is_truish(value: Any) -> bool:
     return str(value).strip().lower() in _TRUISH
 
 
+def header_get(headers: dict[str, str], name: str, default: str = "") -> str:
+    """Case-insensitive header lookup over a plain dict. HTTP headers
+    are case-insensitive on the wire (HTTP/2 proxies lowercase them,
+    nginx title-cases differently than Python), but the app layer
+    receives plain dicts — every read must go through this."""
+    value = headers.get(name)
+    if value is not None:
+        return value
+    lname = name.lower()
+    for key, value in headers.items():
+        if key.lower() == lname:
+            return value
+    return default
+
+
 def sanitize_message_id(message_id: str | None) -> str:
     """router_pixel_handler.go:85-90 / router_classic_handler.go:165-170:
     unsupported chars → ``_``, capped at 64; empty → fresh uuid."""
@@ -181,6 +196,10 @@ def parse_pixel_event(query: dict[str, list[str]]) -> dict:
             COOKIE_DOMAIN_FIELD,
             PROCESS_HEADERS_FIELD,
             REDIRECT_URL_FIELD,
+            # our routing extension (not in the reference's param set):
+            # consumed by ingest_pixel for table addressing, so it is a
+            # control param too — never event payload
+            "tableName",
         ):
             continue
         set_path(event, key, values[0] if len(values) == 1 else list(values))
@@ -301,6 +320,11 @@ def process_headers_data(
             page.setdefault("host", r.netloc)
             if page:
                 ctx["page"] = page
+            # page events also surface the referer under top-level
+            # properties — sourced from CONTEXT's properties exactly
+            # like the reference (router_pixel_handler.go:287-299 reads
+            # ctx.Get("properties") and overwrites event["properties"]);
+            # an event-level properties object is intentionally replaced
             if tp in ("page", "p"):
                 properties = ctx.get("properties")
                 if not isinstance(properties, dict):
@@ -360,8 +384,8 @@ def client_ip_from(headers: dict[str, str], fallback: str = "") -> str:
     """ingest/router.go:322 — X-Real-Ip, else X-Forwarded-For, else the
     socket peer; first hop only, trimmed."""
     raw = (
-        headers.get("X-Real-Ip")
-        or headers.get("X-Forwarded-For")
+        header_get(headers, "X-Real-Ip")
+        or header_get(headers, "X-Forwarded-For")
         or fallback
         or ""
     )
@@ -413,7 +437,7 @@ def patch_event(
             event.setdefault("event", event_name)
 
     ip = client_ip_from(headers, client_ip)
-    policy = ip_policy or headers.get("X-IP-Policy", "")
+    policy = ip_policy or header_get(headers, "X-IP-Policy")
     if policy == "stripLastOctet":
         ip = ip_strip_last_octet(ip)
     elif policy == "remove":
@@ -435,10 +459,10 @@ def patch_event(
         # and headers win, and reserved properties are stripped
         if ip:
             ctx["ip"] = ip
-        ctx.setdefault("userAgent", headers.get("User-Agent"))
+        ctx.setdefault("userAgent", header_get(headers, "User-Agent") or None)
         ctx.setdefault(
             "locale",
-            (headers.get("Accept-Language") or "").split(",")[0].strip(),
+            header_get(headers, "Accept-Language").split(",")[0].strip(),
         )
         filter_event(event)
     now_iso = _now_iso(now)
@@ -466,15 +490,18 @@ def patch_classic_event(
     stamped server-side."""
     headers = headers or {}
     ip = client_ip_from(headers, client_ip)
+    # the classic handler treats strict and comply IDENTICALLY — both
+    # strip the last octet (router_classic_handler.go:209-213; only the
+    # COOKIE policy distinguishes strict)
     if ip_policy in ("strict", "comply"):
         ip = ip_strip_last_octet(ip)
     if ingest_type == "browser":
         if ip:
             event["source_ip"] = ip
-        event.setdefault("user_agent", headers.get("User-Agent"))
+        event.setdefault("user_agent", header_get(headers, "User-Agent") or None)
         event.setdefault(
             "user_language",
-            (headers.get("Accept-Language") or "").split(",")[0].strip(),
+            header_get(headers, "Accept-Language").split(",")[0].strip(),
         )
         filter_event(event)
     now_iso = _now_iso(now)
@@ -493,9 +520,8 @@ def classic_token_from(
     (the randomized-URL scheme)."""
     token = (
         (query.get("token") or [""])[0]
-        or headers.get("X-Auth-Token", "")
-        or headers.get("Api_key", "")
-        or headers.get("api_key", "")
+        or header_get(headers, "X-Auth-Token")
+        or header_get(headers, "Api_key")
     )
     if token:
         return token
@@ -511,7 +537,7 @@ def write_key_from(
     """ingest/router.go:369-388 (getDataLocator) — Authorization Basic
     base64 (trailing ``:`` trimmed), then X-Write-Key, then
     ``?writekey=``."""
-    auth = headers.get("Authorization", "")
+    auth = header_get(headers, "Authorization")
     if auth:
         wk = auth.removeprefix("Basic ").strip()
         try:
@@ -519,6 +545,6 @@ def write_key_from(
             return decoded.decode("utf-8")
         except Exception:
             return ""
-    return headers.get("X-Write-Key", "") or (
+    return header_get(headers, "X-Write-Key") or (
         (query.get("writekey") or [""])[0]
     )

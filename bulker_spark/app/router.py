@@ -139,7 +139,17 @@ class TopicProducer:
             buf.append(line)
             self.produced += 1
             if len(buf) >= self.batch_size:
-                self._flush_locked(topic)
+                try:
+                    self._flush_locked(topic)
+                except Exception:
+                    # the failed flush left EVERY buffered line in place;
+                    # withdraw only this call's line so the caller's
+                    # failure handling (failover log) owns exactly one
+                    # copy — older buffered lines stay for the next
+                    # flush attempt, never double-delivered
+                    buf.pop()
+                    self.produced -= 1
+                    raise
 
     def flush_all(self) -> None:
         with self._lock:
@@ -271,6 +281,10 @@ class BulkerApp:
             )
         self.metrics["failover_logged"] = 0
         self.metrics["failover_replayed"] = 0
+        # serializes replay_failover: concurrent cycles of DIFFERENT
+        # destinations share one failover log — without this two threads
+        # would replay the same files twice and race on the archive move
+        self._failover_lock = threading.Lock()
 
     def _record_load(self, table: str, res) -> None:
         with self._lock:
@@ -355,31 +369,33 @@ class BulkerApp:
             return 0
         import gzip as _gzip
 
-        self.failover_logger.rotate()
-        replayed = 0
-        for path in self.failover_logger.pending_files():
-            opener = _gzip.open if path.endswith(".gz") else open
-            try:
-                with opener(path, "rt", encoding="utf-8") as fh:
-                    lines = [ln for ln in fh if ln.strip()]
-            except OSError:
-                continue
-            try:
-                for ln in lines:
-                    env = json.loads(ln)
-                    self.producer.produce(env["topic"], env["line"])
-                    replayed += 1
-            except Exception:
-                # still down: keep this file (partially re-produced
-                # lines will dedup by pk on merge like any other replay)
-                break
-            archive = os.path.join(
-                self.failover_logger.base_path, "replayed"
-            )
-            os.makedirs(archive, exist_ok=True)
-            os.replace(
-                path, os.path.join(archive, os.path.basename(path))
-            )
+        with self._failover_lock:
+            self.failover_logger.rotate()
+            replayed = 0
+            for path in self.failover_logger.pending_files():
+                opener = _gzip.open if path.endswith(".gz") else open
+                try:
+                    with opener(path, "rt", encoding="utf-8") as fh:
+                        lines = [ln for ln in fh if ln.strip()]
+                except OSError:
+                    continue
+                try:
+                    for ln in lines:
+                        env = json.loads(ln)
+                        self.producer.produce(env["topic"], env["line"])
+                        replayed += 1
+                except Exception:
+                    # still down: keep this file (partially re-produced
+                    # lines will dedup by pk on merge like any other
+                    # replay)
+                    break
+                archive = os.path.join(
+                    self.failover_logger.base_path, "replayed"
+                )
+                os.makedirs(archive, exist_ok=True)
+                os.replace(
+                    path, os.path.join(archive, os.path.basename(path))
+                )
         if replayed:
             self.producer.flush_all()  # buffered producers: publish now
             with self._lock:
@@ -425,7 +441,12 @@ class BulkerApp:
                 if s2s and not stream.get("s2s", False):
                     continue
                 return stream
-        if write_key:
+        if write_key or s2s:
+            # domain resolution identifies BROWSER traffic by its Host
+            # header — an s2s endpoint must present a server write key;
+            # matching an unauthenticated /s2s request to a domain
+            # stream would mark untrusted input as trusted (skipping
+            # filter_event)
             return None
         for stream in self.streams:
             domains = [d.lower() for d in (stream.get("domains") or [])]
@@ -449,11 +470,16 @@ class BulkerApp:
     def _ingest_dead_letter(self, body: str, error: str) -> None:
         """Failed ingest events land in a global dead-letter topic with
         the error attached (router_pixel_handler.go:56,
-        router_classic_handler.go:190), never silently dropped."""
-        self.producer.produce(
-            self.INGEST_DEAD_LETTER_TOPIC,
-            json.dumps({"body": body, "error": error}, default=str),
-        )
+        router_classic_handler.go:190), never silently dropped. The
+        produce itself is best-effort through the failover path — a
+        dead-letter write must never take down the response."""
+        try:
+            self._produce_safe(
+                self.INGEST_DEAD_LETTER_TOPIC,
+                json.dumps({"body": body, "error": error}, default=str),
+            )
+        except Exception:
+            pass  # store down, no failover log: counted below, not raised
         self.metrics["ingest_errors"] += 1
 
     def ingest_pixel(
@@ -465,9 +491,10 @@ class BulkerApp:
         host: str = "",
     ) -> dict[str, Any]:
         """GET /api/px/:tp (router_pixel_handler.go:36-131). Always
-        pixel-safe: errors are recorded (dead letter + counter) and the
-        caller still serves the GIF — a tracking pixel must never break
-        the page embedding it."""
+        pixel-safe: errors — ANY error, the reference recovers even
+        panics here (router_pixel_handler.go:69-73) — are recorded (dead
+        letter + counter) and the caller still serves the GIF; a
+        tracking pixel must never break the page embedding it."""
         from . import ingest_shapes as shapes
 
         headers = headers or {}
@@ -479,22 +506,42 @@ class BulkerApp:
             "set_cookie": None,
         }
         try:
+            self._ingest_pixel(
+                tp, query, headers, client_ip, host, result
+            )
+        except Exception as ex:  # noqa: BLE001 — pixel-safe by contract
+            self._ingest_dead_letter(json.dumps(query), str(ex))
+            result["error"] = str(ex)
+        return result
+
+    def _ingest_pixel(
+        self,
+        tp: str,
+        query: dict[str, list[str]],
+        headers: dict[str, str],
+        client_ip: str,
+        host: str,
+        result: dict[str, Any],
+    ) -> None:
+        from . import ingest_shapes as shapes
+
+        try:
             message = shapes.parse_pixel_event(query)
         except ValueError as ex:
             self._ingest_dead_letter(json.dumps(query), str(ex))
             result["error"] = str(ex)
-            return result
+            return
         message_id = shapes.sanitize_message_id(
             str(message.get("messageId") or "")
         )
         result["message_id"] = message_id
         if shapes.is_truish((query.get(shapes.PROCESS_HEADERS_FIELD) or [""])[0]):
-            cookies = _parse_cookies(headers.get("Cookie", ""))
+            cookies = _parse_cookies(shapes.header_get(headers, "Cookie"))
             result["set_cookie"] = shapes.process_headers_data(
                 message,
                 cookies=cookies,
-                host=host or headers.get("Host", ""),
-                referer=headers.get("Referer", ""),
+                host=host or shapes.header_get(headers, "Host"),
+                referer=shapes.header_get(headers, "Referer"),
                 tp=tp,
                 cookie_domain=(
                     query.get(shapes.COOKIE_DOMAIN_FIELD) or [""]
@@ -502,14 +549,14 @@ class BulkerApp:
             )
         write_key = shapes.write_key_from(query, headers)
         stream = self._resolve_stream(
-            write_key, host or headers.get("Host", "")
+            write_key, host or shapes.header_get(headers, "Host")
         )
         if stream is None:
             self._ingest_dead_letter(
                 json.dumps(message, default=str), "stream not found"
             )
             result["error"] = "stream not found"
-            return result
+            return
         try:
             shapes.patch_event(
                 message,
@@ -522,18 +569,17 @@ class BulkerApp:
             topic = self._produce_ingest(
                 stream, message, (query.get("tableName") or [None])[0]
             )
-        except (ValueError, KeyError) as ex:
+        except Exception as ex:  # produce/validation: still a 200 GIF
             self._ingest_dead_letter(json.dumps(message, default=str), str(ex))
             result["error"] = str(ex)
-            return result
+            return
         result.update(ok=True, topic=topic, destination=stream["destination"])
         # the 302 branch: validated destination_url wins over the GIF
         result["redirect"] = shapes.extract_redirect_url(
             (query.get(shapes.REDIRECT_URL_FIELD) or [""])[0],
             message,
-            host or headers.get("Host", ""),
+            host or shapes.header_get(headers, "Host"),
         )
-        return result
 
     def ingest_classic(
         self,
@@ -554,7 +600,7 @@ class BulkerApp:
         text = body.decode("utf-8") if isinstance(body, bytes) else body
         token = shapes.classic_token_from(query, headers)
         stream = self._resolve_stream(
-            token, headers.get("Host", ""), s2s=s2s
+            token, shapes.header_get(headers, "Host"), s2s=s2s
         )
         if stream is None:
             self.metrics["ingest_errors"] += 1
@@ -1430,10 +1476,18 @@ class BulkerApp:
 
         with self._lock:
             jobs = copy.deepcopy(list(self._reproc_jobs.values()))
-        tmp = self._reproc_store + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(jobs, fh, default=str)
-        os.replace(tmp, self._reproc_store)
+        # per-writer tmp name: a worker's terminal persist can race a
+        # cycle thread's failover-job persist — a SHARED tmp path would
+        # let the second open truncate the first mid-write and publish
+        # torn bytes; unique tmps make each os.replace atomic and whole
+        tmp = f"{self._reproc_store}.{uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(jobs, fh, default=str)
+            os.replace(tmp, self._reproc_store)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def list_reprocessing(self) -> list[dict[str, Any]]:
         jobs = [

@@ -876,13 +876,7 @@ def write_avro(
     os.makedirs(path, exist_ok=True)
     declared = avro_schema  # None = derive from the frame
     if declared is not None:
-        frame_cols = [f.name for f in df.schema.fields]
-        decl_cols = [f["name"] for f in declared.get("fields", [])]
-        if frame_cols != decl_cols:
-            raise ValueError(
-                f"avro_schema fields {decl_cols} do not match the "
-                f"frame's columns {frame_cols}"
-            )
+        _validate_declared(declared, df.schema, path="")
     avro_schema = declared or spark_to_avro_schema(df.schema)
     wire = to_wire(df)
     enc_schema = wire.schema
@@ -930,6 +924,43 @@ def write_avro(
         with open(empty, "wb") as fh:
             OCFWriter(fh, avro_schema, codec).close()
     return total
+
+
+def _validate_declared(avro_record: dict, struct, path: str) -> None:
+    """Declared-schema sanity at EVERY nesting level: the encoder walks
+    the Spark struct in ITS field order while the header carries the
+    declaration — a reordered or renamed nested record would silently
+    write bytes that decode as garbage (a string consumed as a varint),
+    so names AND order must match all the way down."""
+    frame_cols = [f.name for f in struct.fields]
+    decl_fields = avro_record.get("fields", [])
+    decl_cols = [f["name"] for f in decl_fields]
+    where = path or "<root>"
+    if frame_cols != decl_cols:
+        raise ValueError(
+            f"avro_schema fields {decl_cols} at {where} do not match "
+            f"the frame's columns {frame_cols} (same names, same order "
+            "required)"
+        )
+    for decl, field in zip(decl_fields, struct.fields):
+        dt = field.dataType
+        at, _ = _denull(decl["type"])
+        child = f"{path}.{field.name}" if path else field.name
+        if isinstance(at, dict) and at.get("type") == "record":
+            if dt.typeName() != "struct":
+                raise ValueError(
+                    f"avro_schema declares a record at {child} but the "
+                    f"frame column is {dt.typeName()}"
+                )
+            _validate_declared(at, dt, child)
+        elif isinstance(at, dict) and at.get("type") == "array":
+            items, _ = _denull(at["items"])
+            if (
+                isinstance(items, dict)
+                and items.get("type") == "record"
+                and dt.typeName() == "array"
+            ):
+                _validate_declared(items, dt.elementType, child + "[]")
 
 
 def read_avro(spark, path: str):

@@ -475,3 +475,31 @@ def test_enum_fixed_write_validation(spark, tmp_warehouse):
     with pytest.raises(ValueError, match="do not match"):
         write_avro(df2, os.path.join(tmp_warehouse, "bad2"),
                     avro_schema=foreign)
+
+
+def test_nested_record_reorder_rejected(spark, tmp_warehouse):
+    """A declared avro_schema whose NESTED record fields are reordered
+    must fail at write time — the encoder walks the Spark struct order,
+    so a reordered declaration would silently write garbage bytes."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("geo", T.StructType([
+            T.StructField("a", T.StringType(), False),
+            T.StructField("b", T.LongType(), False),
+        ]), False),
+    ])
+    df = spark.createDataFrame([(("x", 1),)], schema)
+    declared = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "geo", "type": {
+                "type": "record", "name": "geo", "fields": [
+                    {"name": "b", "type": "long"},
+                    {"name": "a", "type": "string"},
+                ]}},
+        ],
+    }
+    with pytest.raises(ValueError, match="geo"):
+        write_avro(df, os.path.join(tmp_warehouse, "bad"),
+                   avro_schema=declared)

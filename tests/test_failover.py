@@ -198,3 +198,60 @@ def test_health_tracks_cycle_failures(failover_app, monkeypatch):
     out = app.run_batch_cycle("d1")
     assert out["recovered"] is True
     assert app.health.status("d1")["status"] == "UP"
+
+
+def test_no_double_delivery_from_producer_buffer(spark):
+    """A produce whose flush fails must NOT leave the line in the
+    producer's in-memory buffer — otherwise recovery delivers it twice
+    (once from the buffer flush, once from the failover replay)."""
+    import tempfile as _tf
+
+    wh = _tf.mkdtemp(prefix="fo_wh_")
+    topics = _tf.mkdtemp(prefix="fo_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("d1", wh)], failover={"enabled": True}
+    )
+    real_flush = app.producer._flush_locked
+
+    def broken_flush(topic):
+        raise OSError("store down")
+
+    app.producer._flush_locked = broken_flush
+    app.post_event("d1", "ev", json.dumps({"id": 1}))
+    app.producer._flush_locked = real_flush
+    assert app.metrics["failover_logged"] == 1
+    # the buffer must not hold a second copy
+    assert sum(len(b) for b in app.producer._buffers.values()) == 0
+    app.run_batch_cycle("d1")
+    assert app.engine_for("d1").warehouse.read("ev").count() == 1
+
+
+def test_concurrent_replays_consume_backlog_once(spark):
+    """Two threads replaying concurrently (two destinations' cycles
+    share one failover log) must not duplicate the backlog."""
+    import tempfile as _tf
+    import threading as _th
+
+    wh = _tf.mkdtemp(prefix="fo_wh_")
+    topics = _tf.mkdtemp(prefix="fo_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("d1", wh)], failover={"enabled": True}
+    )
+    real = app.producer.produce
+    app.producer.produce = lambda t, l: (_ for _ in ()).throw(OSError("x"))
+    for i in range(20):
+        app.post_event("d1", "ev", json.dumps({"id": i}))
+    app.producer.produce = real
+
+    results = []
+    threads = [
+        _th.Thread(target=lambda: results.append(app.replay_failover()))
+        for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(results) == 20
+    app.run_batch_cycle("d1")
+    assert app.engine_for("d1").warehouse.read("ev").count() == 20

@@ -591,3 +591,75 @@ def test_pixel_bypasses_bearer_auth(spark):
         server.shutdown()
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_s2s_domain_fallback_refused(spark):
+    """An unauthenticated /s2s request matching a browser stream's
+    domain must NOT resolve — domain routing identifies browser
+    traffic; trusting it as s2s would skip reserved-key filtering."""
+    wh = tempfile.mkdtemp(prefix="ingest_wh_")
+    topics = tempfile.mkdtemp(prefix="ingest_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("d1", wh)],
+        streams=[{"write_key": "", "destination": "d1",
+                  "domains": ["site.com"]}],
+    )
+    out = app.ingest_classic(
+        b'{"JITSU_TABLE_NAME": "x"}', {}, {"Host": "site.com"}, s2s=True
+    )
+    assert out["ok"] is False and out["status"] == 401
+    # browser endpoint on the same host still routes by domain
+    out = app.ingest_classic(b'{"a": 1}', {}, {"Host": "site.com"})
+    assert out["ok"] is True
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_lowercase_headers_resolve(spark):
+    """HTTP/2 proxies lowercase every header; identity, tokens and ips
+    must still resolve (case-insensitive header reads)."""
+    wh = tempfile.mkdtemp(prefix="ingest_wh_")
+    topics = tempfile.mkdtemp(prefix="ingest_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("d1", wh)],
+        streams=[{"write_key": "wk", "destination": "d1"}],
+    )
+    out = app.ingest_classic(
+        b'{"a": 1}', {},
+        {"x-auth-token": "wk", "x-real-ip": "9.8.7.6",
+         "user-agent": "UA/2", "host": "h.com"},
+    )
+    assert out["ok"] is True
+    app.producer.flush_all()
+    app.run_batch_cycle("d1")
+    row = app.engine_for("d1").warehouse.read("events").collect()[0].asDict()
+    assert row["source_ip"] == "9.8.7.6"
+    assert row["user_agent"] == "UA/2"
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_pixel_table_name_is_control_param(ingest_server, spark):
+    app, base = ingest_server
+    with _raw(f"{base}/api/px/p?writekey=wk-browser&tableName=pix_t") as r:
+        assert r.status == 200
+    app.run_batch_cycle("d1")
+    df = app.engine_for("d1").warehouse.read("pix_t")
+    assert df.count() == 1
+    assert "tableName" not in df.columns  # routing param, not payload
+
+
+def test_pixel_safe_on_store_failure_without_failover(ingest_server):
+    """The pixel contract holds even when the topic store is down and
+    no failover log exists: the handler records the error and the HTTP
+    layer still serves the GIF (no exception escapes)."""
+    app, base = ingest_server
+    real = app.producer.produce
+    app.producer.produce = lambda t, l: (_ for _ in ()).throw(OSError("dn"))
+    try:
+        out = app.ingest_pixel("p", {"writekey": ["wk-browser"]}, {})
+        assert out["ok"] is False
+        assert "dn" in out["error"]
+        assert out["gif"] == shapes.EMPTY_GIF
+    finally:
+        app.producer.produce = real

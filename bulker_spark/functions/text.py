@@ -409,8 +409,22 @@ def winnow_fingerprints(
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     # explicit partition count: the doc-level exchange is tiny in bytes,
     # and AQE would otherwise coalesce it to one partition — serializing
-    # the gram hashing, the expensive stage this shuffle exists to spread
+    # the gram hashing, the expensive stage this shuffle exists to spread.
+    # The count SCALES WITH THE CORPUS, not just the core count: the
+    # per-doc window sorts each partition by (doc_id, i), so a fixed
+    # partition count makes that sort grow (and eventually spill)
+    # linearly with the data. Sizing comes FREE from Catalyst's plan
+    # statistics (parquet footers) — no extra job; ~4 MB of source per
+    # partition ≈ a few-million-row in-memory sort run.
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size_bytes = 0
+    if 0 < size_bytes < 1 << 50:  # huge sentinel = stats unknown
+        par = max(par, min(4096, 1 + size_bytes // (4 << 20)))
     pre = df.repartition(par, id_col)
     # gram count derives from length(text) at scan time — carrying it
     # through the explode avoids a second Window pass (count(*) over the

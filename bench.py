@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "emb_covariance",
     "emb_pca_recon_error",
     "doc_dsir_weights",
+    "emb_ivf_probe_autotune",
 ]
 
 
@@ -547,6 +548,7 @@ STDOUT_PRIORITY = [
     "trickle_merge_1m_manifest", "trickle_merge_1m_clustered",
     "sql_lookup_1m_pruned", "sql_lookup_1m_full",
     "emb_covariance", "emb_pca_recon_error", "doc_dsir_weights",
+    "emb_ivf_probe_autotune",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

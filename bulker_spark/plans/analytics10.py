@@ -140,6 +140,241 @@ GROUP BY 1
 """
 
 
+# ==========================================================================
+# IVF probe autotune: the recall/cost curve that picks nprobe
+# ==========================================================================
+
+_IVF_SWEEP = (1, 2, 4, 8)
+_IVF_TARGET_BP = 9500  # smallest nprobe with ≥95% cell recall wins
+
+
+def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning loop behind ``emb_pq_ivf_adc``'s fixed ``nprobe=4``:
+    for each candidate probe count, measure CELL recall@3 — the fraction
+    of each query's exact full-vector top-3 neighbors whose IVF cell is
+    among the query's ``nprobe`` nearest cells — and the candidate-scan
+    fraction it costs. ``chosen`` marks the smallest probe count meeting
+    the 95% target (the standard FAISS nprobe sweep), falling back to
+    the largest swept value when none reach it. Cell recall is exactly
+    the loss IVF pruning introduces (ADC re-ranking happens inside the
+    probed set), so this isolates the knob being tuned.
+
+    Scale shape: the sweep does NOT rerun the search per probe count —
+    each truth neighbor joins to the probe RANK at which its cell enters
+    (one number), and every nprobe reads off ``rank ≤ n``. Ground truth
+    is exhaustive only over the FIXED query budget (the SIFT-benchmark
+    shape: O(corpus) scored pairs, queries capped); centroids, the query
+    set, the 4-row sweep and the scalar totals broadcast. All ranking is
+    over integer milli-distances and all ratios integer-divided, so the
+    curve is bit-identical across engines and partitionings."""
+    from pyspark.sql import Window
+
+    from bulker_spark.plans.analytics7 import (
+        _PQ_K,
+        _pq_dist_milli,
+        _pq_is_query,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cc = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cd = e.join(F.broadcast(cc)).select(
+        "vec_id", "cell", _pq_dist_milli("v", "cv").alias("dmilli")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("dmilli", "cell")
+    ranked = cd.withColumn("rn", F.row_number().over(w_cell))
+    cells = ranked.filter((F.col("rn") == 1) & (~_pq_is_query())).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    qrank = ranked.filter(_pq_is_query()).select(
+        F.col("vec_id").alias("query_id"), "cell", "rn"
+    )
+
+    q = e.filter(_pq_is_query()).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    db = e.filter(~_pq_is_query()).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    pairs = db.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", _pq_dist_milli("qv", "nv").alias("dmilli")
+    )
+    w_q = Window.partitionBy("query_id").orderBy("dmilli", "neighbor_id")
+    truth = (
+        pairs.withColumn("trn", F.row_number().over(w_q))
+        .filter(F.col("trn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    # the probe rank at which each truth neighbor becomes visible
+    vis = truth.join(cells, "neighbor_id").join(
+        qrank, ["query_id", "cell"]
+    )
+
+    sweep = spark.createDataFrame(
+        [(n,) for n in _IVF_SWEEP], "nprobe bigint"
+    )
+    rec = (
+        vis.crossJoin(F.broadcast(sweep))
+        .groupBy("nprobe")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("nprobe"), 1).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("sz"))
+    cand = (
+        qrank.join(sizes, "cell")
+        .crossJoin(F.broadcast(sweep))
+        .filter(F.col("rn") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("sz").alias("cand"))
+    )
+    totals = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(q.agg(F.count("*").alias("nq")))
+        .crossJoin(db.agg(F.count("*").alias("ndb")))
+    )
+    out = (
+        sweep.join(rec, "nprobe", "left")
+        .join(cand, "nprobe", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "nprobe",
+            F.expr(
+                "10000 * coalesce(hits, 0) div n_truth"
+            ).alias("recall_bp"),
+            F.expr(
+                "10000 * coalesce(cand, 0) div (nq * ndb)"
+            ).alias("cand_bp"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        out.withColumn(
+            "__min_ok",
+            F.min(
+                F.when(
+                    F.col("recall_bp") >= _IVF_TARGET_BP, F.col("nprobe")
+                )
+            ).over(w_all),
+        )
+        .withColumn(
+            "chosen",
+            F.when(
+                F.col("__min_ok").isNotNull(),
+                F.col("nprobe") == F.col("__min_ok"),
+            ).otherwise(F.col("nprobe") == F.lit(max(_IVF_SWEEP))),
+        )
+        .drop("__min_ok")
+    )
+
+
+def _ivf_autotune_sql() -> str:
+    from bulker_spark.plans.analytics7 import _PQ_K, _pq_q_sql
+
+    sweep_rows = ", ".join(f"({n})" for n in _IVF_SWEEP)
+    return f"""
+WITH fx AS (
+  SELECT vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(generate_series(1, 64)) AS i
+  FROM embeddings
+),
+ccx AS (SELECT vec_id AS cell, x AS cx, i FROM fx WHERE vec_id < {_PQ_K}),
+cd AS (
+  SELECT f.vec_id, c.cell,
+         CAST(ROUND(1000 * SUM((f.x - c.cx) * (f.x - c.cx))) AS BIGINT)
+           AS dmilli
+  FROM fx f JOIN ccx c ON f.i = c.i
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cell, dmilli,
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY dmilli, cell
+         ) AS rn
+  FROM cd
+),
+cells AS (
+  SELECT vec_id AS neighbor_id, cell FROM ranked
+  WHERE rn = 1 AND NOT {_pq_q_sql()}
+),
+qrank AS (
+  SELECT vec_id AS query_id, cell, rn FROM ranked WHERE {_pq_q_sql()}
+),
+qx AS (SELECT vec_id AS query_id, x AS qx, i FROM fx WHERE {_pq_q_sql()}),
+dbx AS (
+  SELECT vec_id AS neighbor_id, x AS nx, i FROM fx
+  WHERE NOT {_pq_q_sql()}
+),
+pairs AS (
+  SELECT q.query_id, d.neighbor_id,
+         CAST(ROUND(1000 * SUM((q.qx - d.nx) * (q.qx - d.nx))) AS BIGINT)
+           AS dmilli
+  FROM qx q JOIN dbx d ON q.i = d.i
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY dmilli, neighbor_id
+           ) AS trn
+    FROM pairs
+  ) WHERE trn <= 3
+),
+vis AS (
+  SELECT t.query_id, t.neighbor_id, r.rn
+  FROM truth t
+  JOIN cells c ON t.neighbor_id = c.neighbor_id
+  JOIN qrank r ON r.query_id = t.query_id AND r.cell = c.cell
+),
+sweep AS (SELECT CAST(col0 AS BIGINT) AS nprobe
+          FROM (VALUES {sweep_rows}) AS s(col0)),
+rec AS (
+  SELECT s.nprobe,
+         SUM(CASE WHEN v.rn <= s.nprobe THEN 1 ELSE 0 END) AS hits
+  FROM vis v CROSS JOIN sweep s
+  GROUP BY 1
+),
+sizes AS (SELECT cell, COUNT(*) AS sz FROM cells GROUP BY 1),
+cand AS (
+  SELECT s.nprobe, SUM(z.sz) AS cand
+  FROM qrank r JOIN sizes z ON r.cell = z.cell
+  CROSS JOIN sweep s
+  WHERE r.rn <= s.nprobe
+  GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(DISTINCT query_id) FROM qrank) AS nq,
+         (SELECT COUNT(*) FROM cells) AS ndb
+),
+curve AS (
+  SELECT s.nprobe,
+         (10000 * COALESCE(r.hits, 0)) // t.n_truth AS recall_bp,
+         (10000 * COALESCE(c.cand, 0)) // (t.nq * t.ndb) AS cand_bp
+  FROM sweep s
+  LEFT JOIN rec r USING (nprobe)
+  LEFT JOIN cand c USING (nprobe)
+  CROSS JOIN tot t
+)
+SELECT nprobe, recall_bp, cand_bp,
+       CASE WHEN MIN(CASE WHEN recall_bp >= {_IVF_TARGET_BP}
+                          THEN nprobe END) OVER () IS NOT NULL
+            THEN nprobe = MIN(CASE WHEN recall_bp >= {_IVF_TARGET_BP}
+                                   THEN nprobe END) OVER ()
+            ELSE nprobe = {max(_IVF_SWEEP)}
+       END AS chosen
+FROM curve
+"""
+
+
 EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
+    "emb_ivf_probe_autotune": (emb_ivf_probe_autotune, _ivf_autotune_sql()),
 }

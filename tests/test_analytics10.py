@@ -58,3 +58,46 @@ def test_plan_shape(spark, weights):
     join or extra exchange building features)."""
     plan = weights._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestIvfProbeAutotune:
+    @pytest.fixture(scope="class")
+    def curve(self, spark):
+        from bulker_spark.plans.analytics10 import emb_ivf_probe_autotune
+
+        rows = emb_ivf_probe_autotune(spark, SF).orderBy("nprobe").collect()
+        return [r.asDict() for r in rows]
+
+    def test_recall_and_cost_monotone(self, curve):
+        """More probes can only ADD candidate cells: recall and scan
+        fraction are non-decreasing in nprobe."""
+        recalls = [r["recall_bp"] for r in curve]
+        costs = [r["cand_bp"] for r in curve]
+        assert recalls == sorted(recalls)
+        assert costs == sorted(costs)
+        assert all(0 <= r <= 10000 for r in recalls)
+        assert all(0 <= c <= 10000 for c in costs)
+
+    def test_exactly_one_chosen(self, curve):
+        chosen = [r for r in curve if r["chosen"]]
+        assert len(chosen) == 1
+        target_met = [r for r in curve if r["recall_bp"] >= 9500]
+        if target_met:
+            assert chosen[0]["nprobe"] == target_met[0]["nprobe"]
+        else:
+            assert chosen[0]["nprobe"] == max(r["nprobe"] for r in curve)
+
+    def test_full_probe_count_is_full_recall(self, spark):
+        """Probing EVERY cell must recover the exhaustive answer —
+        recall 10000 bp by construction (sanity of the recall math)."""
+        import bulker_spark.plans.analytics10 as a10
+        from bulker_spark.plans.analytics7 import _PQ_K
+
+        old = a10._IVF_SWEEP
+        a10._IVF_SWEEP = (_PQ_K,)
+        try:
+            row = a10.emb_ivf_probe_autotune(spark, SF).collect()[0]
+            assert row["recall_bp"] == 10000
+            assert row["cand_bp"] == 10000
+        finally:
+            a10._IVF_SWEEP = old

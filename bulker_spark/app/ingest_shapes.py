@@ -512,6 +512,75 @@ def patch_classic_event(
     return event
 
 
+def deduplicate_batch(batch: list, gap_ms: int) -> list:
+    """router_batch_handler.go:34-108 — in-batch time-gap dedup for the
+    segment /batch endpoint: two events with identical (anonymousId,
+    userId, type, event, properties, traits) within ``gap_ms`` of each
+    other collapse to the first. Events without a parseable RFC3339
+    timestamp are never deduplicated; a repeat OUTSIDE the gap resets
+    the reference timestamp."""
+    if len(batch) <= 1 or gap_ms <= 0:
+        return list(batch)
+    seen: dict[tuple, _dt.datetime] = {}
+    result = []
+    for event in batch:
+        if not isinstance(event, dict):
+            result.append(event)
+            continue
+        ts_str = str(event.get("timestamp") or "")
+        ts = None
+        if ts_str:
+            try:
+                ts = _dt.datetime.fromisoformat(
+                    ts_str.replace("Z", "+00:00")
+                )
+            except ValueError:
+                ts = None
+        if ts is None:
+            result.append(event)
+            continue
+        key = (
+            str(event.get("anonymousId") or ""),
+            str(event.get("userId") or ""),
+            str(event.get("type") or ""),
+            str(event.get("event") or ""),
+            json.dumps(event.get("properties"), default=str)
+            if "properties" in event
+            else "",
+            json.dumps(event.get("traits"), default=str)
+            if "traits" in event
+            else "",
+        )
+        existing = seen.get(key)
+        if existing is not None:
+            # naive vs aware timestamps in one batch: treat as distinct
+            # epochs rather than crash the whole request
+            try:
+                diff_ms = abs((ts - existing).total_seconds()) * 1000.0
+            except TypeError:
+                diff_ms = float("inf")
+            if diff_ms <= gap_ms:
+                continue  # duplicate inside the gap
+        seen[key] = ts
+        result.append(event)
+    return result
+
+
+# router_segment_settings_handler.go:8-9 — the static analytics.js
+# settings document, write key spliced in
+SETTINGS_HEADER = '{"integrations":{"Segment.io":{"apiKey":"'
+SETTINGS_FOOTER = (
+    '","versionSettings":{"version":"4.4.7","componentTypes":'
+    '["browser"]}}},"plan":{"track":{"__default":{"enabled":true}},'
+    '"identify":{"__default":{"enabled":true}},"group":{"__default":'
+    '{"enabled":true}}},"analyticsNextEnabled":true}'
+)
+
+
+def settings_document(write_key: str) -> str:
+    return SETTINGS_HEADER + write_key + SETTINGS_FOOTER
+
+
 def classic_token_from(
     query: dict[str, list[str]], headers: dict[str, str]
 ) -> str:

@@ -581,6 +581,182 @@ class BulkerApp:
             host or shapes.header_get(headers, "Host"),
         )
 
+    def ingest_event(
+        self,
+        tp: str,
+        body: bytes | str,
+        query: dict[str, list[str]],
+        headers: dict[str, str] | None = None,
+        client_ip: str = "",
+        s2s: bool = False,
+    ) -> dict[str, Any]:
+        """POST /api/s/:tp and /api/s/s2s/:tp — the segment-protocol
+        single-event route (ingest/router_ingest_handler.go:21-148):
+        one JSON object, patched through the modern event shape
+        (patch_event) and produced to the stream's topic. Browser
+        endpoints answer 200 on errors; s2s surfaces 400/401."""
+        from . import ingest_shapes as shapes
+
+        headers = headers or {}
+        self.metrics["ingest_received"] += 1
+        text = body.decode("utf-8") if isinstance(body, bytes) else body
+        try:
+            message = json.loads(text)
+            if not isinstance(message, dict):
+                raise ValueError("event must be a JSON object")
+        except ValueError as ex:
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 400 if s2s else 200,
+                "error": f"error parsing message: {ex}",
+            }
+        message_id = shapes.sanitize_message_id(
+            str(message.get("messageId") or "")
+        )
+        write_key = shapes.write_key_from(query, headers)
+        stream = self._resolve_stream(
+            write_key, shapes.header_get(headers, "Host"), s2s=s2s
+        )
+        if stream is None:
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 401 if s2s else 200,
+                "error": "stream not found",
+            }
+        try:
+            shapes.patch_event(
+                message,
+                tp=tp,
+                message_id=message_id,
+                ingest_type="s2s" if (s2s or stream.get("s2s")) else "browser",
+                headers=headers,
+                client_ip=client_ip,
+            )
+            topic = self._produce_ingest(stream, message)
+        except Exception as ex:
+            self._ingest_dead_letter(json.dumps(message, default=str), str(ex))
+            return {
+                "ok": False,
+                "status": 400 if s2s else 200,
+                "error": str(ex),
+            }
+        return {
+            "ok": True,
+            "status": 200,
+            "message_id": message_id,
+            "topic": topic,
+        }
+
+    def ingest_batch(
+        self,
+        body: bytes | str,
+        query: dict[str, list[str]],
+        headers: dict[str, str] | None = None,
+        client_ip: str = "",
+        s2s: bool = False,
+    ) -> dict[str, Any]:
+        """POST /v1/batch (+aliases, /api/s/s2s/batch) — the segment
+        batch payload {batch, eventsName, context, writeKey}
+        (ingest/router_batch_handler.go:109-247): optional gzip body,
+        optional in-batch time-gap dedup (stream's
+        ``deduplicate_window_ms``), shared analytic context merged UNDER
+        each event's own context, per-event produce with per-event error
+        isolation."""
+        import gzip as _gzip
+
+        from . import ingest_shapes as shapes
+
+        headers = headers or {}
+        raw = body if isinstance(body, bytes) else body.encode("utf-8")
+        if "gzip" in shapes.header_get(headers, "Content-Encoding"):
+            try:
+                raw = _gzip.decompress(raw)
+            except OSError as ex:
+                self.metrics["ingest_errors"] += 1
+                return {
+                    "ok": False,
+                    "status": 400,
+                    "error": f"error parsing message: bad gzip body: {ex}",
+                }
+        try:
+            payload = json.loads(raw)
+            if not isinstance(payload, dict):
+                raise ValueError("payload must be a JSON object")
+        except ValueError as ex:
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 400,
+                "error": f"error parsing message: {ex}",
+            }
+        batch = payload.get("batch") or []
+        received = len(batch)
+        self.metrics["ingest_received"] += max(received, 1)
+        write_key = shapes.write_key_from(query, headers) or str(
+            payload.get("writeKey") or ""
+        )
+        stream = self._resolve_stream(
+            write_key, shapes.header_get(headers, "Host"), s2s=s2s
+        )
+        if stream is None:
+            self.metrics["ingest_errors"] += 1
+            return {"ok": False, "status": 401, "error": "stream not found"}
+
+        gap_ms = int(stream.get("deduplicate_window_ms") or 0)
+        deduplicated = 0
+        if gap_ms > 0:
+            before = len(batch)
+            batch = shapes.deduplicate_batch(batch, gap_ms)
+            deduplicated = before - len(batch)
+
+        analytic_context = payload.get("context")
+        events_name = str(payload.get("eventsName") or "")
+        ingest_type = "s2s" if (s2s or stream.get("s2s")) else "browser"
+        ok_events = 0
+        errors: list[str] = []
+        for event in batch:
+            if not isinstance(event, dict):
+                errors.append("event must be a JSON object")
+                continue
+            message_id = shapes.sanitize_message_id(
+                str(event.get("messageId") or "")
+            )
+            try:
+                shapes.patch_event(
+                    event,
+                    tp="event",
+                    message_id=message_id,
+                    ingest_type=ingest_type,
+                    headers=headers,
+                    client_ip=client_ip,
+                    analytic_context=analytic_context
+                    if isinstance(analytic_context, dict)
+                    else None,
+                    default_event_name=events_name,
+                )
+                self._produce_ingest(stream, event)
+                ok_events += 1
+            except Exception as ex:  # per-event isolation
+                self._ingest_dead_letter(
+                    json.dumps(event, default=str), str(ex)
+                )
+                errors.append(f"Message ID: {message_id}: {ex}")
+        response: dict[str, Any] = {
+            "ok": len(batch) == ok_events,
+            "status": 200,
+            "receivedEvents": received,
+            "okEvents": ok_events,
+        }
+        if deduplicated > 0:
+            response["deduplicatedEvents"] = deduplicated
+            response["processedEvents"] = len(batch)
+        if errors:
+            response["ok"] = False
+            response["errors"] = errors
+        return response
+
     def ingest_classic(
         self,
         body: bytes | str,
@@ -1643,6 +1819,58 @@ def _make_handler(app: BulkerApp):
             if not head:
                 self.wfile.write(shapes.LIB_JS)
 
+        def _segment(
+            self, url, tp: str = "", batch: bool = False, s2s: bool = False
+        ) -> None:
+            ct = self.headers.get("Content-Type", "")
+            base_ct = ct.split(";")[0].strip()
+            if not (
+                base_ct.endswith("application/json")
+                or base_ct.endswith("text/plain")
+            ):
+                self._json(
+                    400,
+                    {
+                        "error": f"invalid content type: {ct}. "
+                        "Expected: application/json"
+                    },
+                )
+                return
+            query = parse_qs(url.query, keep_blank_values=True)
+            headers = dict(self.headers.items())
+            if batch:
+                res = app.ingest_batch(
+                    self._body(),
+                    query,
+                    headers,
+                    client_ip=self.client_address[0],
+                    s2s=s2s,
+                )
+            else:
+                res = app.ingest_event(
+                    tp,
+                    self._body(),
+                    query,
+                    headers,
+                    client_ip=self.client_address[0],
+                    s2s=s2s,
+                )
+            status = res.pop("status", 200)
+            self._json(status, res)
+
+        def _settings(self, write_key: str) -> None:
+            from . import ingest_shapes as shapes
+
+            # router_segment_settings_handler.go:11-32 — static
+            # analytics.js settings doc, day-cacheable
+            body = shapes.settings_document(write_key).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Cache-Control", "public, max-age=86400")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def _classic(self, url, s2s: bool) -> None:
             ct = self.headers.get("Content-Type", "")
             base_ct = ct.split(";")[0].strip()
@@ -1696,6 +1924,15 @@ def _make_handler(app: BulkerApp):
                 return
             if parts == ["s", "lib.js"]:
                 self._lib_js(head=False)
+                return
+            # analytics.js settings probe (ingest/router.go:160-165;
+            # the /projects/projects double is a reference alias too)
+            if (
+                len(parts) >= 2
+                and parts[-1] == "settings"
+                and parts[0] in ("projects", "v1")
+            ):
+                self._settings(parts[-2])
                 return
             if parts not in (["ready"], ["health"]) and not self._authorized():
                 return
@@ -1839,6 +2076,25 @@ def _make_handler(app: BulkerApp):
                 ["api", "v1", "s2s", "events"],
             ) or (len(parts) == 1 and parts[0].startswith("api.")):
                 self._classic(url, s2s=len(parts) == 4)
+                return
+            # segment-protocol routes (ingest/router.go:166-176):
+            # /v1/batch aliases + /api/s/s2s/batch, and /api/s/[s2s/]:tp
+            if parts in (
+                ["v1", "batch", "b"], ["v1", "batch"], ["v1", "b"],
+                ["batch", "b"], ["batch"], ["b"],
+                ["api", "s", "s2s", "batch"],
+            ):
+                self._segment(url, batch=True, s2s=parts[-2:] == ["s2s", "batch"])
+                return
+            if (
+                len(parts) == 3
+                and parts[:2] == ["api", "s"]
+                and parts[2] != "s2s"
+            ):
+                self._segment(url, tp=parts[2])
+                return
+            if len(parts) == 4 and parts[:3] == ["api", "s", "s2s"]:
+                self._segment(url, tp=parts[3], s2s=True)
                 return
             if not self._authorized():
                 return

@@ -663,3 +663,172 @@ def test_pixel_safe_on_store_failure_without_failover(ingest_server):
         assert out["gif"] == shapes.EMPTY_GIF
     finally:
         app.producer.produce = real
+
+
+# ==========================================================================
+# segment-protocol routes: /api/s/:tp, /v1/batch, settings
+# ==========================================================================
+
+class TestDeduplicateBatch:
+    def _ev(self, ts, anon="a", name="click", props=None):
+        e = {"anonymousId": anon, "type": "track", "event": name,
+             "timestamp": ts}
+        if props is not None:
+            e["properties"] = props
+        return e
+
+    def test_duplicates_inside_gap_collapse(self):
+        batch = [
+            self._ev("2026-01-01T00:00:00Z"),
+            self._ev("2026-01-01T00:00:00.500Z"),  # 500ms later, dup
+            self._ev("2026-01-01T00:00:02Z"),      # outside 1s gap
+        ]
+        out = shapes.deduplicate_batch(batch, 1000)
+        assert len(out) == 2
+
+    def test_different_properties_never_collapse(self):
+        batch = [
+            self._ev("2026-01-01T00:00:00Z", props={"x": 1}),
+            self._ev("2026-01-01T00:00:00Z", props={"x": 2}),
+        ]
+        assert len(shapes.deduplicate_batch(batch, 1000)) == 2
+
+    def test_unparseable_timestamp_skips_dedup(self):
+        batch = [self._ev("not-a-time"), self._ev("not-a-time")]
+        assert len(shapes.deduplicate_batch(batch, 1000)) == 2
+
+    def test_outside_gap_resets_reference(self):
+        # 0s, 2s, 2.5s with 1s gap: third is within gap of SECOND
+        batch = [
+            self._ev("2026-01-01T00:00:00Z"),
+            self._ev("2026-01-01T00:00:02Z"),
+            self._ev("2026-01-01T00:00:02.500Z"),
+        ]
+        assert len(shapes.deduplicate_batch(batch, 1000)) == 2
+
+
+def test_segment_event_roundtrip(ingest_server):
+    app, base = ingest_server
+    body = json.dumps({"properties": {"path": "/x"}}).encode()
+    with _raw(
+        f"{base}/api/s/p?writekey=wk-browser",
+        method="POST",
+        body=body,
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        out = json.loads(resp.read())
+    assert out["ok"] is True
+    app.run_batch_cycle("d1")
+    row = app.engine_for("d1").warehouse.read("events").collect()[0].asDict()
+    assert row["type"] == "page"  # tp alias normalized by patch_event
+    assert row["properties_path"] == "/x"
+
+
+def test_segment_s2s_event_statuses(ingest_server):
+    app, base = ingest_server
+    try:
+        _raw(f"{base}/api/s/s2s/t", method="POST", body=b"{}",
+             headers={"Content-Type": "application/json"})
+        raise AssertionError("expected 401")
+    except HTTPError as ex:
+        assert ex.code == 401
+    # s2s parse error is a 400, not a silent 200
+    try:
+        _raw(f"{base}/api/s/s2s/t?writekey=wk-server", method="POST",
+             body=b"{oops", headers={"Content-Type": "application/json"})
+        raise AssertionError("expected 400")
+    except HTTPError as ex:
+        assert ex.code == 400
+
+
+def test_segment_batch_roundtrip_and_dedup(spark):
+    import gzip as _gzip
+
+    wh = tempfile.mkdtemp(prefix="ingest_wh_")
+    topics = tempfile.mkdtemp(prefix="ingest_topics_")
+    app = BulkerApp(
+        spark, topics, [Destination("d1", wh)],
+        streams=[{"write_key": "wk", "destination": "d1",
+                  "deduplicate_window_ms": 1000}],
+    )
+    server = serve(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        payload = {
+            "writeKey": "wk",
+            "eventsName": "imported",
+            "context": {"app": "loader"},
+            "batch": [
+                {"anonymousId": "a", "type": "track", "event": "e1",
+                 "timestamp": "2026-01-01T00:00:00Z",
+                 "properties": {"n": 1}},
+                # exact dup 200ms later -> deduplicated
+                {"anonymousId": "a", "type": "track", "event": "e1",
+                 "timestamp": "2026-01-01T00:00:00.200Z",
+                 "properties": {"n": 1}},
+                {"anonymousId": "b", "type": "identify"},
+            ],
+        }
+        # gzip body + Content-Encoding (router_batch_handler.go:124-126)
+        body = _gzip.compress(json.dumps(payload).encode())
+        with _raw(
+            f"{base}/v1/batch",
+            method="POST",
+            body=body,
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+        ) as resp:
+            out = json.loads(resp.read())
+        assert out["receivedEvents"] == 3
+        assert out["deduplicatedEvents"] == 1
+        assert out["processedEvents"] == 2
+        assert out["okEvents"] == 2
+        assert out["ok"] is True
+        app.run_batch_cycle("d1")
+        df = app.engine_for("d1").warehouse.read("events")
+        rows = {r["event"]: r.asDict() for r in df.collect()}
+        # with eventsName set, EVERY batch event is forced to type
+        # 'track' and the name defaults in (router.go:292-296,318-320)
+        assert set(rows) == {"e1", "imported"}
+        assert all(r["type"] == "track" for r in rows.values())
+        # shared payload context merged UNDER the event's own context
+        assert rows["e1"]["context_app"] == "loader"
+    finally:
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)
+
+
+def test_segment_batch_per_event_error_isolation(ingest_server):
+    app, base = ingest_server
+    payload = {
+        "writeKey": "wk-browser",
+        "batch": [
+            {"type": "track", "event": "ok-event"},
+            {"type": "track"},          # missing event name -> error
+            {"type": "bogus-type"},     # unknown type -> error
+        ],
+    }
+    with _raw(
+        f"{base}/v1/batch",
+        method="POST",
+        body=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    ) as resp:
+        out = json.loads(resp.read())
+    assert out["ok"] is False
+    assert out["okEvents"] == 1
+    assert len(out["errors"]) == 2
+    assert app.metrics["ingest_errors"] >= 2  # dead-lettered
+
+
+def test_settings_endpoint(ingest_server):
+    app, base = ingest_server
+    for path in ("/projects/wk-browser/settings",
+                 "/v1/projects/wk-browser/settings"):
+        with _raw(f"{base}{path}") as resp:
+            assert resp.headers["Cache-Control"] == "public, max-age=86400"
+            doc = json.loads(resp.read())
+        assert doc["integrations"]["Segment.io"]["apiKey"] == "wk-browser"
+        assert doc["analyticsNextEnabled"] is True

@@ -544,10 +544,12 @@ def deduplicate_batch(batch: list, gap_ms: int) -> list:
             str(event.get("userId") or ""),
             str(event.get("type") or ""),
             str(event.get("event") or ""),
-            json.dumps(event.get("properties"), default=str)
+            # sort_keys canonicalizes producer key order — a retried
+            # event re-serialized with reordered keys is the same event
+            json.dumps(event.get("properties"), default=str, sort_keys=True)
             if "properties" in event
             else "",
-            json.dumps(event.get("traits"), default=str)
+            json.dumps(event.get("traits"), default=str, sort_keys=True)
             if "traits" in event
             else "",
         )
@@ -578,7 +580,11 @@ SETTINGS_FOOTER = (
 
 
 def settings_document(write_key: str) -> str:
-    return SETTINGS_HEADER + write_key + SETTINGS_FOOTER
+    # JSON-escape the key: it arrives from the URL path, and splicing it
+    # raw would let a crafted key break out of the string and inject
+    # structure into a publicly-cacheable application/json document
+    escaped = json.dumps(str(write_key))[1:-1]
+    return SETTINGS_HEADER + escaped + SETTINGS_FOOTER
 
 
 def classic_token_from(

@@ -31,7 +31,7 @@ import uuid
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
-from urllib.parse import parse_qs, quote, urlparse
+from urllib.parse import parse_qs, quote, unquote, urlparse
 
 from ..api import Engine, StreamOptions, StreamResult
 from ..streaming.ingest_stream import IngestStream
@@ -599,8 +599,10 @@ class BulkerApp:
 
         headers = headers or {}
         self.metrics["ingest_received"] += 1
-        text = body.decode("utf-8") if isinstance(body, bytes) else body
         try:
+            # decode INSIDE the guard: UnicodeDecodeError is a
+            # ValueError, so invalid UTF-8 gets the graceful status too
+            text = body.decode("utf-8") if isinstance(body, bytes) else body
             message = json.loads(text)
             if not isinstance(message, dict):
                 raise ValueError("event must be a JSON object")
@@ -671,9 +673,14 @@ class BulkerApp:
         headers = headers or {}
         raw = body if isinstance(body, bytes) else body.encode("utf-8")
         if "gzip" in shapes.header_get(headers, "Content-Encoding"):
+            import zlib as _zlib
+
             try:
                 raw = _gzip.decompress(raw)
-            except OSError as ex:
+            # gzip raises THREE classes: BadGzipFile(OSError) for a bad
+            # magic, EOFError for truncation, zlib.error for corrupt
+            # deflate data after a valid header
+            except (OSError, EOFError, _zlib.error) as ex:
                 self.metrics["ingest_errors"] += 1
                 return {
                     "ok": False,
@@ -692,6 +699,13 @@ class BulkerApp:
                 "error": f"error parsing message: {ex}",
             }
         batch = payload.get("batch") or []
+        if not isinstance(batch, list):
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 400,
+                "error": "error parsing message: 'batch' must be an array",
+            }
         received = len(batch)
         self.metrics["ingest_received"] += max(received, 1)
         write_key = shapes.write_key_from(query, headers) or str(
@@ -718,6 +732,10 @@ class BulkerApp:
         errors: list[str] = []
         for event in batch:
             if not isinstance(event, dict):
+                self._ingest_dead_letter(
+                    json.dumps(event, default=str),
+                    "event must be a JSON object",
+                )
                 errors.append("event must be a JSON object")
                 continue
             message_id = shapes.sanitize_message_id(
@@ -773,7 +791,15 @@ class BulkerApp:
 
         headers = headers or {}
         self.metrics["ingest_received"] += 1
-        text = body.decode("utf-8") if isinstance(body, bytes) else body
+        try:
+            text = body.decode("utf-8") if isinstance(body, bytes) else body
+        except UnicodeDecodeError as ex:
+            self.metrics["ingest_errors"] += 1
+            return {
+                "ok": False,
+                "status": 400 if s2s else 200,
+                "error": f"error parsing message: {ex}",
+            }
         token = shapes.classic_token_from(query, headers)
         stream = self._resolve_stream(
             token, shapes.header_get(headers, "Host"), s2s=s2s
@@ -1819,28 +1845,47 @@ def _make_handler(app: BulkerApp):
             if not head:
                 self.wfile.write(shapes.LIB_JS)
 
+        def _require_json_ct(self) -> bool:
+            """Content-type gate shared by the classic and segment event
+            routes (router_classic_handler.go:99-102): json or
+            text/plain suffixes only; answers the 400 itself."""
+            ct = self.headers.get("Content-Type", "")
+            base_ct = ct.split(";")[0].strip()
+            if base_ct.endswith("application/json") or base_ct.endswith(
+                "text/plain"
+            ):
+                return True
+            self._json(
+                400,
+                {
+                    "error": f"invalid content type: {ct}. "
+                    "Expected: application/json"
+                },
+            )
+            return False
+
+        def _guarded_body(self) -> bytes | None:
+            """_body() with the oversize/malformed Content-Length error
+            surfaced as a 400 instead of a dropped connection."""
+            try:
+                return self._body()
+            except ValueError as ex:
+                self._json(400, {"error": str(ex)})
+                return None
+
         def _segment(
             self, url, tp: str = "", batch: bool = False, s2s: bool = False
         ) -> None:
-            ct = self.headers.get("Content-Type", "")
-            base_ct = ct.split(";")[0].strip()
-            if not (
-                base_ct.endswith("application/json")
-                or base_ct.endswith("text/plain")
-            ):
-                self._json(
-                    400,
-                    {
-                        "error": f"invalid content type: {ct}. "
-                        "Expected: application/json"
-                    },
-                )
+            if not self._require_json_ct():
+                return
+            body = self._guarded_body()
+            if body is None:
                 return
             query = parse_qs(url.query, keep_blank_values=True)
             headers = dict(self.headers.items())
             if batch:
                 res = app.ingest_batch(
-                    self._body(),
+                    body,
                     query,
                     headers,
                     client_ip=self.client_address[0],
@@ -1849,7 +1894,7 @@ def _make_handler(app: BulkerApp):
             else:
                 res = app.ingest_event(
                     tp,
-                    self._body(),
+                    body,
                     query,
                     headers,
                     client_ip=self.client_address[0],
@@ -1872,25 +1917,15 @@ def _make_handler(app: BulkerApp):
             self.wfile.write(body)
 
         def _classic(self, url, s2s: bool) -> None:
-            ct = self.headers.get("Content-Type", "")
-            base_ct = ct.split(";")[0].strip()
-            if not (
-                base_ct.endswith("application/json")
-                or base_ct.endswith("text/plain")
-            ):
-                # router_classic_handler.go:99-102
-                self._json(
-                    400,
-                    {
-                        "error": f"invalid content type: {ct}. "
-                        "Expected: application/json"
-                    },
-                )
+            if not self._require_json_ct():
+                return
+            body = self._guarded_body()
+            if body is None:
                 return
             query = parse_qs(url.query, keep_blank_values=True)
             headers = dict(self.headers.items())
             res = app.ingest_classic(
-                self._body(),
+                body,
                 query,
                 headers,
                 client_ip=self.client_address[0],
@@ -1925,14 +1960,31 @@ def _make_handler(app: BulkerApp):
             if parts == ["s", "lib.js"]:
                 self._lib_js(head=False)
                 return
-            # analytics.js settings probe (ingest/router.go:160-165;
-            # the /projects/projects double is a reference alias too)
-            if (
-                len(parts) >= 2
-                and parts[-1] == "settings"
-                and parts[0] in ("projects", "v1")
-            ):
-                self._settings(parts[-2])
+            # analytics.js settings probe — the EXACT reference route
+            # shapes only (ingest/router.go:160-165, incl. the
+            # /projects/projects double alias); a loose suffix match
+            # would let future authorized GETs slip past the bearer gate
+            settings_shapes = {
+                ("projects",): "",
+                ("v1", "projects"): "",
+            }
+            key_shapes = (
+                ["projects"], ["projects", "projects"],
+                ["v1", "projects"], ["v1", "projects", "projects"],
+            )
+            if parts and parts[-1] == "settings":
+                for prefix in key_shapes:
+                    if (
+                        len(parts) == len(prefix) + 2
+                        and parts[: len(prefix)] == prefix
+                    ):
+                        # gin URL-decodes path params; the JSON
+                        # escaping in settings_document keeps a crafted
+                        # decoded key from breaking out of the string
+                        self._settings(unquote(parts[-2]))
+                        return
+            if tuple(parts) in settings_shapes:
+                self._settings("")
                 return
             if parts not in (["ready"], ["health"]) and not self._authorized():
                 return

@@ -275,13 +275,18 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_autotune_sql() -> str:
-    from bulker_spark.plans.analytics7 import _PQ_K, _pq_q_sql
+    from bulker_spark.plans.analytics7 import (
+        _PQ_DIM,
+        _PQ_K,
+        _PQ_M,
+        _pq_q_sql,
+    )
 
     sweep_rows = ", ".join(f"({n})" for n in _IVF_SWEEP)
     return f"""
 WITH fx AS (
   SELECT vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
-         unnest(generate_series(1, 64)) AS i
+         unnest(generate_series(1, {_PQ_M * _PQ_DIM})) AS i
   FROM embeddings
 ),
 ccx AS (SELECT vec_id AS cell, x AS cx, i FROM fx WHERE vec_id < {_PQ_K}),

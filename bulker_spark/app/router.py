@@ -2286,12 +2286,27 @@ def _make_handler(app: BulkerApp):
     return Handler
 
 
+class _BulkerHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a deep accept backlog.
+
+    The stdlib default ``request_queue_size`` is 5: under a burst of
+    concurrent posts (or a saturated host running the full test suite)
+    the kernel sheds connections past that listen backlog and clients
+    see ECONNRESET. The reference sizes its async producer queue for
+    exactly this load profile (``bulkerapp/app/router.go:106-118``);
+    the analogous knob on an accept-then-thread server is the listen
+    backlog."""
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(app: BulkerApp, host: str = "127.0.0.1", port: int = 0):
     """Start the HTTP server (returns it; ``.server_address`` carries the
     bound port; call ``.shutdown()`` to stop). Threaded like the
     reference's gin server — handler threads share the driver's
     SparkSession, whose scheduler is thread-safe."""
-    server = ThreadingHTTPServer((host, port), _make_handler(app))
+    server = _BulkerHTTPServer((host, port), _make_handler(app))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -44,6 +44,14 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: observability for the most recent connected_components call —
+#: {"strategy": "driver"|"distributed", "edges": raw pair count,
+#:  "rounds": propagation rounds used (distributed only),
+#:  "cap": the derived/explicit round cap, "converged": bool}.
+#: Written for scale tests and SCALING.md measurements; NOT part of the
+#: stable API (single-driver state, last call wins).
+last_run_stats: dict = {}
+
 
 def connected_components(
     edges: DataFrame,
@@ -87,6 +95,10 @@ def connected_components(
     if m <= driver_threshold:
         # union-find is direction- and duplicate-agnostic: collect the
         # raw pairs directly, no symmetrize/distinct shuffle at all
+        last_run_stats.clear()
+        last_run_stats.update(
+            {"strategy": "driver", "edges": m, "converged": True}
+        )
         out = _driver_union_find(edges.sparkSession, pairs)
         pairs.unpersist()
         return out
@@ -100,7 +112,7 @@ def connected_components(
     )
     e.count()  # materialize before releasing the raw-pair pin
     pairs.unpersist()
-    return _distributed_cc(e, max_iterations, broadcast_labels)
+    return _distributed_cc(e, max_iterations, broadcast_labels, raw_edges=m)
 
 
 def _driver_union_find(spark, e: DataFrame) -> DataFrame:
@@ -145,7 +157,10 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
 
 
 def _distributed_cc(
-    e: DataFrame, max_iterations: int | None, broadcast_labels: bool
+    e: DataFrame,
+    max_iterations: int | None,
+    broadcast_labels: bool,
+    raw_edges: int | None = None,
 ) -> DataFrame:
     labels = (
         e.select(F.col("u").alias("node"))
@@ -158,7 +173,9 @@ def _distributed_cc(
         max_iterations = max(3, math.ceil(math.log2(max(n, 2))) + 3)
     hint = F.broadcast if broadcast_labels else (lambda df: df)
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # 1) propagate: min over neighbors' labels and own; carry the
         # previous label through so convergence needs no extra join
         neighbor_min = (
@@ -199,6 +216,16 @@ def _distributed_cc(
         if changed == 0:
             converged = True
             break
+    last_run_stats.clear()
+    last_run_stats.update(
+        {
+            "strategy": "distributed",
+            "edges": raw_edges,
+            "rounds": rounds,
+            "cap": max_iterations,
+            "converged": converged,
+        }
+    )
     if not converged:
         warnings.warn(
             f"connected_components did not converge within {max_iterations} "

@@ -32,8 +32,18 @@ def app_server(spark):
 
 def _post(url: str, body: bytes) -> dict:
     req = urllib.request.Request(url, data=body, method="POST")
-    with urllib.request.urlopen(req) as resp:
-        return json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+    except (ConnectionResetError, ConnectionRefusedError):
+        # One retry: even with the server's 128-deep listen backlog
+        # (router._BulkerHTTPServer) the kernel can shed a SYN when the
+        # host is saturated by the concurrent full suite; that drop
+        # happens before the handler runs, so the retry is safe. (Were
+        # a reset ever to race a processed-but-unacknowledged POST, the
+        # concurrent test's exactly-N assertion would flag the dup.)
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
 
 
 def _get(url: str) -> dict:
@@ -384,9 +394,9 @@ def test_concurrent_posts_all_land(app_server, spark):
         th.start()
     for th in threads:
         th.join()
-    # known load-sensitive under a concurrent full suite (passes solo,
-    # 4/4 measured round 4) — keep the failure DIAGNOSABLE: which step
-    # broke, with the first error verbatim
+    # hardened round 5: server listen backlog raised to 128 and _post
+    # retries once on a kernel-shed connection — keep the failure
+    # DIAGNOSABLE regardless: which step broke, first error verbatim
     assert not errs, f"{len(errs)} worker(s) errored; first: {errs[0]!r}"
     _post(f"{base}/cycle/pg1", b"")
     df = app.engine_for("pg1").warehouse.read("t_conc")

@@ -20,6 +20,8 @@ Reference parity notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2606,48 +2608,66 @@ DOC_FUZZY_LSH_SQL = _fuzzy_lsh_sql()
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd k-means over the embedding corpus (k=8, 5 fixed
-    iterations, first-k init for determinism): the clustering pass that
-    feeds SemDeDup/IVF with real centroids instead of seed vectors. Each
+    iterations, first-k init): the clustering pass that feeds
+    SemDeDup/IVF with real centroids instead of seed vectors. Each
     iteration is one job: centroids (k×dim, config-sized) are closed over
-    by an Arrow-batched assignment kernel — one BLAS matmul + argmax per
-    batch, zero shuffle — and the update is a single partial-aggregated
-    groupBy over (cluster, sum-vec, count) carrying k rows out. Driver
-    state is k centroids only, so the loop is O(iters) jobs regardless of
-    corpus size — the canonical scale-out shape for iterative ML on
-    DataFrames. Non-SQL-expressible (iterative); driver records the
-    rows-only check."""
+    by an Arrow-batched assignment kernel — one vectorized distance +
+    argmin per batch, zero shuffle — and the update is a single
+    partial-aggregated groupBy over (cluster, sum-vec, count) carrying k
+    rows out. Driver state is k centroids only, so the loop is O(iters)
+    jobs regardless of corpus size — the canonical scale-out shape for
+    iterative ML on DataFrames.
+
+    DETERMINISM (round 5, makes the DuckDB oracle strict): all arithmetic
+    is integer — embeddings quantize once to int64 at scale 1024
+    (floor(x·1024 + 0.5), identical in numpy and DuckDB), distances are
+    exact int64 sums of squared diffs (argmin ties break to the lowest
+    cluster id), and centroid updates floor the float64 mean of exact
+    integer sums (floor(s/n) — sums stay < 2⁵³ so the double division is
+    exact cross-engine). With no float accumulation anywhere, the
+    assignment sequence is engine-independent and the fixed-count loop
+    unrolls into plain CTEs on the oracle side (EMB_KMEANS_SQL)."""
     import numpy as np
     import pandas as pd
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k, iters = 8, 5
+    k, iters, dim, scale = 8, 5, 64, 1024
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qe"),
+    )
     init = sorted(
         e.filter(F.col("vec_id") < k).collect(), key=lambda r: r["vec_id"]
     )
-    cmat = np.stack([np.asarray(r["embedding"], dtype="float64") for r in init])
+    cmat = np.stack([np.asarray(r["qe"], dtype="int64") for r in init])
 
     def make_assign(centroids: np.ndarray):
         def assign(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-                d2 = (
-                    (x * x).sum(1, keepdims=True)
-                    - 2.0 * (x @ centroids.T)
-                    + (centroids * centroids).sum(1)
+                x = np.stack(pdf["qe"].to_numpy()).astype("int64")
+                # exact int64 squared distance; argmin takes the FIRST
+                # (= lowest cluster id) on ties — same as the oracle's
+                # ORDER BY dist, cluster
+                d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(
+                    axis=2
                 )
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy(),
                         "cluster": d2.argmin(axis=1).astype("int64"),
-                        "embedding": pdf["embedding"],
+                        "qe": pdf["qe"],
                     }
                 )
 
         return assign
 
-    schema = "vec_id long, cluster long, embedding array<float>"
+    schema = "vec_id long, cluster long, qe array<long>"
     for _ in range(iters):
         assigned = e.mapInPandas(make_assign(cmat), schema=schema)
         stats = (
@@ -2656,8 +2676,8 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n"),
                 F.array(
                     *[
-                        F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}")
-                        for i in range(cmat.shape[1])
+                        F.sum(F.element_at("qe", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
                     ]
                 ).alias("vsum"),
             )
@@ -2665,17 +2685,91 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new = cmat.copy()
         for r in stats:
-            new[int(r["cluster"])] = (
-                np.asarray(r["vsum"], dtype="float64") / r["n"]
+            # floor of the float64 mean of exact int sums — matches the
+            # oracle's CAST(floor(s * 1.0 / n) AS BIGINT) bit-for-bit
+            new[int(r["cluster"])] = np.array(
+                [math.floor(s / r["n"]) for s in r["vsum"]], dtype="int64"
             )
         cmat = new
 
     final = e.mapInPandas(make_assign(cmat), schema=schema)
+    l1 = {c: int(np.abs(cmat[c]).sum()) for c in range(k)}
+    l1_col = F.create_map(
+        *[F.lit(x) for pair in l1.items() for x in pair]
+    )[F.col("cluster")]
     return (
         final.groupBy("cluster")
         .agg(F.count("*").alias("n_vectors"))
+        .withColumn("centroid_l1", l1_col)
         .orderBy("cluster")
     )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64, scale: int = 1024) -> str:
+    """Unrolled Lloyd iterations as plain CTEs — a fixed iteration count
+    needs no recursion. Mirrors emb_kmeans's integer arithmetic exactly:
+    same quantization, same integer distances, same tie-break, same
+    floored centroid means (empty clusters keep the previous centroid
+    via the LEFT JOIN + coalesce)."""
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        f" * {scale} + 0.5) AS BIGINT))"
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(v.qe, c.c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [
+        f"WITH q AS (SELECT vec_id, {quant} AS qe FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cluster, qe AS c FROM q WHERE vec_id < {k}),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, qe, cluster FROM (
+    SELECT v.vec_id, v.qe, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q v CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.cluster, coalesce(u.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cluster,
+           list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY dim) AS c
+    FROM (
+      SELECT cluster, d.range AS dim, sum(qe[d.range]) AS s,
+             count(*) AS n
+      FROM a{i}, range(1, {dim + 1}) d
+      GROUP BY 1, 2
+    )
+    GROUP BY cluster
+  ) u USING (cluster)
+),""",
+        )
+    parts.append(
+        f"""final AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q v CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)
+SELECT f.cluster, count(*) AS n_vectors,
+       any_value(cl1.l1) AS centroid_l1
+FROM final f
+JOIN (SELECT cluster,
+             list_sum(list_transform(c, x -> abs(x))) AS l1
+      FROM c{iters}) cl1 ON cl1.cluster = f.cluster
+GROUP BY f.cluster
+ORDER BY f.cluster"""
+    )
+    return "\n".join(parts)
+
+
+EMB_KMEANS_SQL = _kmeans_sql()
 
 
 EXTRA_QUERIES: dict[str, tuple] = {
@@ -2740,5 +2834,5 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "doc_topk_ngrams": (doc_topk_ngrams, DOC_TOPK_NGRAMS_SQL),
     "doc_fuzzy_dedup_keep": (doc_fuzzy_dedup_keep, DOC_FUZZY_DEDUP_SQL),
     "doc_fuzzy_dedup_lsh": (doc_fuzzy_dedup_lsh, DOC_FUZZY_LSH_SQL),
-    "emb_kmeans": (emb_kmeans, None),
+    "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
 }

@@ -1133,6 +1133,8 @@ class BulkerApp:
         eng = self.engine_for(destination_id)
         dest = self.destinations[destination_id]
         drained: dict[str, int] = {}
+        retried_batches = 0
+        retry_tables: dict[str, int] = {}
         for topic in self.topics_for(destination_id):
             _dest, mode, table = parse_topic_id(topic)
             opts = self._options_for(destination_id, {"mode": mode})
@@ -1148,6 +1150,17 @@ class BulkerApp:
             q.awaitTermination()
             drained[topic] = 1
             self.metrics["cycle_topics_drained"] += 1
+            # a failed load never fails the drain — the batch moved to
+            # the table's retry queue with backoff metadata (the
+            # reference's retry-topic path, retry_consumer.go:86-233);
+            # surface that here so callers (reprocessing job detail,
+            # /cycle responses) see it instead of a silent success
+            if stream.totals["retried_batches"]:
+                retried_batches += stream.totals["retried_batches"]
+                retry_tables[table] = (
+                    retry_tables.get(table, 0)
+                    + stream.totals["retried_batches"]
+                )
         self.metrics["cycles"] += 1
         refreshed = self._refresh_rollups(eng, dest)
         replicated = self._drain_replicas(eng, dest)
@@ -1157,6 +1170,9 @@ class BulkerApp:
         }
         if failover_replayed:
             out["failover_replayed"] = failover_replayed
+        if retried_batches:
+            out["retried_batches"] = retried_batches
+            out["retry_tables"] = retry_tables
         if refreshed:
             out["rollups"] = refreshed
         if replicated:
@@ -1590,7 +1606,19 @@ class BulkerApp:
                             self.spark, replayed
                         ).count()
                     if spec.get("drain", True) and job_id not in self._reproc_cancel:
-                        jset(drained=self.run_batch_cycle(dst))
+                        cycle = self.run_batch_cycle(dst)
+                        kv: dict[str, Any] = {"drained": cycle}
+                        if cycle.get("retried_batches"):
+                            # a failing destination does NOT fail the
+                            # job opaquely: the replayed events sit in
+                            # the retry queues with backoff metadata
+                            # (the reference's reprocessing worker
+                            # inherits the Kafka retry machinery the
+                            # same way, reprocessing-worker/main.go:
+                            # 336-430) — the job detail says so
+                            kv["retried_batches"] = cycle["retried_batches"]
+                            kv["retry_tables"] = cycle["retry_tables"]
+                        jset(**kv)
                     jset(
                         topics=topics,
                         success_count=n_lines,

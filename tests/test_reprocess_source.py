@@ -137,3 +137,66 @@ def test_replay_handles_glob_metachar_filenames(spark, backups, tmp_warehouse):
     res = replay_backups(e, f"{backups}/weird/*/*/*/*.ndjson.gz")
     assert res["weird"].successful_rows == 2
     assert e.warehouse.read("weird").count() == 2
+
+
+def test_reprocess_job_failing_destination_flows_to_retry(spark, tmp_path):
+    """A replayed backup that hits a failing destination must flow into
+    the existing retry machinery — not fail the job opaquely. Parity:
+    the reference's reprocessing worker produces to the same in-topics
+    and so inherits the full Kafka retry path by construction
+    (reprocessing-worker/main.go:336-430). Pinned end-to-end: job
+    COMPLETED with retried counts in its detail, events parked in the
+    retry queue with backoff metadata, then a healed destination drains
+    them through the normal retry consumer."""
+    import datetime as dt2
+
+    from bulker_spark.api import StreamOptions
+    from bulker_spark.app import BulkerApp, Destination
+    from bulker_spark.streaming.ingest_stream import (
+        IngestStream,
+        retry_table,
+    )
+
+    root = tmp_path / "backups"
+    day = root / "events" / "2024" / "01" / "03"
+    day.mkdir(parents=True)
+    with gzip.open(day / "part-0.ndjson.gz", "wt") as fh:
+        for i in range(4):
+            fh.write(json.dumps({"id": i, "kind": "ev"}) + "\n")
+
+    app = BulkerApp(
+        spark, str(tmp_path / "topics"), [Destination("rp2", str(tmp_path / "wh"))]
+    )
+    eng = app.engine_for("rp2")
+    real_load = eng._load
+
+    def down(*a, **k):
+        raise RuntimeError("destination down")
+
+    eng._load = down
+    job = app.start_reprocessing(
+        {"destination_id": "rp2", "path": f"{root}/*/*/*/*/*.ndjson.gz"},
+        wait=True,
+    )
+    # the job is NOT opaquely failed — the drain parked the batch
+    assert job["status"] == "COMPLETED"
+    assert job["retried_batches"] == 1
+    assert job["retry_tables"] == {"events": 1}
+    assert job["drained"]["retried_batches"] == 1
+    # nothing landed, everything is queued with backoff metadata
+    assert not eng.warehouse.exists("events")
+    parked = eng.warehouse.read(retry_table("events")).collect()
+    assert len(parked) == 4
+    assert all(
+        r["retries"] == 1 and "destination down" in r["error"]
+        for r in parked
+    )
+    # heal the destination: due retries replay through the normal path
+    eng._load = real_load
+    later = dt2.datetime.utcnow() + dt2.timedelta(hours=2)
+    n = IngestStream(
+        eng, "events", StreamOptions(mode="batch", frozen_now=later)
+    ).process_retries()
+    assert n == 4
+    assert eng.warehouse.read("events").count() == 4
+    assert eng.warehouse.read(retry_table("events")).count() == 0

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "emb_pca_recon_error",
     "doc_dsir_weights",
     "emb_ivf_probe_autotune",
+    "doc_block_dedup_rebuild",
 ]
 
 
@@ -548,7 +549,7 @@ STDOUT_PRIORITY = [
     "trickle_merge_1m_manifest", "trickle_merge_1m_clustered",
     "sql_lookup_1m_pruned", "sql_lookup_1m_full",
     "emb_covariance", "emb_pca_recon_error", "doc_dsir_weights",
-    "emb_ivf_probe_autotune",
+    "emb_ivf_probe_autotune", "doc_block_dedup_rebuild",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

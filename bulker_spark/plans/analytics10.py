@@ -1,5 +1,6 @@
 """Round-5 catalog extension: DSIR-style importance weights for
-training-data selection.
+training-data selection, plus corpus-rewriting block dedup
+(doc_block_dedup_rebuild — the removal form of doc_block_dedup).
 
 Reference scope (jitsucom/bulker): none — this extends the LLM
 training-data tier. The estimator is Data Selection via Importance
@@ -379,7 +380,113 @@ FROM curve
 """
 
 
+# ==========================================================================
+# Corpus-rewriting block dedup (Gopher/MassiveText line-level dedup,
+# removal form)
+# ==========================================================================
+
+_RB_BLK = 3  # tokens per block — matches doc_block_dedup's signal
+
+
+def doc_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOVE globally-duplicated blocks and reassemble the cleaned
+    corpus — the removal form of ``doc_block_dedup``'s measurement
+    (Rae et al., Gopher appendix: strip repeated lines/paragraphs across
+    documents, keeping one canonical copy). Every block keeps its
+    globally FIRST occurrence (min (doc_id, pos)); later occurrences,
+    including intra-document repeats, are dropped, and each document is
+    rebuilt from its surviving blocks in order.
+
+    Scale shape — the text column never crosses a shuffle: blocks are
+    reduced to ``(doc_id, pos, xxhash64(block))`` in-row, the
+    first-occurrence winner per hash is one partial-aggregated groupBy
+    over ints (min struct — no window, no sort), winners re-aggregate to
+    one int-array row per surviving document, and the rebuild joins that
+    slim frame back to ``documents`` on doc_id, re-slicing block text
+    from the ORIGINAL column as a pure map. Bucketing documents by
+    doc_id would make the final join shuffle-free; 64-bit hash keying is
+    the standard large-corpus tradeoff (a collision merges two distinct
+    blocks — ~N²/2⁶⁵ expected at corpus size N)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nblk = F.ceil(F.size(toks) / F.lit(_RB_BLK)).cast("int")
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(toks, i * _RB_BLK + 1, _RB_BLK), " ")
+                ),
+            )
+        ).alias("pos", "bh"),
+    )
+    winners = blocks.groupBy("bh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    keep_lists = winners.groupBy(F.col("w.doc_id").alias("doc_id")).agg(
+        F.sort_array(F.collect_list("w.pos")).alias("keep")
+    )
+    toks2 = F.split(F.col("text"), " ")
+    nblk2 = F.ceil(F.size(toks2) / F.lit(_RB_BLK)).cast("int")
+    keep = F.coalesce(F.col("keep"), F.array().cast("array<int>"))
+    return d.join(keep_lists, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                keep,
+                lambda i: F.array_join(
+                    F.slice(toks2, i * _RB_BLK + 1, _RB_BLK), " "
+                ),
+            ),
+            " ",
+        ).alias("clean_text"),
+        nblk2.cast("long").alias("n_blocks"),
+        (nblk2 - F.size(keep)).cast("long").alias("n_removed"),
+    )
+
+
+DOC_BLOCK_REBUILD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+positions AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / {_RB_BLK}.0) AS BIGINT))) AS pos
+  FROM toks
+),
+blocks AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(t, pos * {_RB_BLK} + 1,
+                                       pos * {_RB_BLK} + {_RB_BLK}),
+                         ' ') AS btext
+  FROM positions
+),
+kept AS (
+  SELECT doc_id, pos, btext FROM (
+    SELECT doc_id, pos, btext,
+           row_number() OVER (PARTITION BY btext
+                              ORDER BY doc_id, pos) AS rn
+    FROM blocks
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(btext, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(ceil(len(t.t) / {_RB_BLK}.0) AS BIGINT) AS n_blocks,
+       CAST(ceil(len(t.t) / {_RB_BLK}.0) AS BIGINT)
+         - coalesce(r.n_kept, 0) AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "emb_ivf_probe_autotune": (emb_ivf_probe_autotune, _ivf_autotune_sql()),
+    "doc_block_dedup_rebuild": (doc_block_dedup_rebuild, DOC_BLOCK_REBUILD_SQL),
 }

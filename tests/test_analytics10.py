@@ -101,3 +101,60 @@ class TestIvfProbeAutotune:
             assert row["cand_bp"] == 10000
         finally:
             a10._IVF_SWEEP = old
+
+
+class TestBlockDedupRebuild:
+    """Pure-Python replication of the whole operator at sf0.001: an
+    independent second oracle next to the DuckDB SQL pairing."""
+
+    @pytest.fixture(scope="class")
+    def rebuilt(self, spark):
+        from bulker_spark.plans.analytics10 import doc_block_dedup_rebuild
+
+        got = {
+            r["doc_id"]: r
+            for r in doc_block_dedup_rebuild(spark, SF).collect()
+        }
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        }
+        return got, docs
+
+    @staticmethod
+    def _blocks(text):
+        toks = text.split(" ")
+        n = -(-len(toks) // 3)
+        return [" ".join(toks[i * 3 : i * 3 + 3]) for i in range(n)]
+
+    def test_matches_python_replication(self, rebuilt):
+        got, docs = rebuilt
+        seen = {}
+        for doc_id in sorted(docs):
+            for pos, b in enumerate(self._blocks(docs[doc_id])):
+                seen.setdefault(b, (doc_id, pos))
+        for doc_id in sorted(docs):
+            blocks = self._blocks(docs[doc_id])
+            kept = [
+                b
+                for pos, b in enumerate(blocks)
+                if seen[b] == (doc_id, pos)
+            ]
+            r = got[doc_id]
+            assert r["clean_text"] == " ".join(kept), doc_id
+            assert r["n_blocks"] == len(blocks)
+            assert r["n_removed"] == len(blocks) - len(kept)
+
+    def test_removal_happens_and_first_doc_keeps_intra_doc_uniques(
+        self, rebuilt
+    ):
+        got, docs = rebuilt
+        assert sum(r["n_removed"] for r in got.values()) > 0
+        # the minimal doc_id can only lose INTRA-document repeats — no
+        # earlier document exists to claim its blocks
+        first = min(docs)
+        blocks = self._blocks(docs[first])
+        intra_repeats = len(blocks) - len(dict.fromkeys(blocks))
+        assert got[first]["n_removed"] == intra_repeats

@@ -493,8 +493,91 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# ==========================================================================
+# Curriculum ordering: a global contiguous training order WITHOUT a
+# single-partition global sort
+# ==========================================================================
+
+
+def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a contiguous training-order index 0..N-1,
+    best-first (curriculum/data-ordering for training runs). The
+    ordering key is an integer quality proxy — ``(2 if mid-length else
+    1) · punctuation-stripped length`` — with doc_id as the total-order
+    tie-break, so the result is engine-exact.
+
+    The naive Spark spelling — ``row_number() OVER (ORDER BY ...)`` —
+    plans an ``Exchange SinglePartition``: one task sorts the entire
+    corpus, the classic 100 TB wall. This uses the scalable idiom
+    instead: (1) ``repartitionByRange`` on the full composite key (range
+    partition i holds strictly better keys than i+1, ties impossible —
+    doc_id is unique), (2) ``row_number`` windowed BY PARTITION ID (many
+    concurrent sorted tasks, each partition-sized), (3) per-partition
+    row counts (a k-row aggregate, k = partition count) collected and
+    prefix-summed ON THE DRIVER into a literal offset map:
+    ``train_order = offset[pid] + rn - 1``. Every distributed stage is
+    bounded by a partition, not the corpus — the only global object is
+    the k-entry offset map (the emb_kmeans centroid discipline);
+    boundary placement from range sampling does not affect the OUTPUT
+    (the composite order is total). tests/test_analytics10.py pins the
+    plan: no SinglePartition exchange anywhere."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    stripped = F.length(
+        F.regexp_replace(F.regexp_replace("text", "\\.", ""), ",", "")
+    )
+    q = (
+        F.when(F.length("text").between(100, 2000), F.lit(2))
+        .otherwise(F.lit(1))
+        * stripped
+    ).cast("long")
+    keyed = d.select("doc_id", q.alias("q_score"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with_pid = keyed.repartitionByRange(
+        n_parts, F.col("q_score").desc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in with_pid.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("pid")]
+    w_in = Window.partitionBy("pid").orderBy(
+        F.col("q_score").desc(), F.col("doc_id").asc()
+    )
+    return with_pid.withColumn("rn", F.row_number().over(w_in)).select(
+        "doc_id",
+        "q_score",
+        (off_col + F.col("rn") - 1).alias("train_order"),
+    )
+
+
+DOC_CURRICULUM_SQL = """
+SELECT doc_id, q_score,
+       row_number() OVER (ORDER BY q_score DESC, doc_id) - 1 AS train_order
+FROM (
+  SELECT doc_id,
+         CAST((CASE WHEN length(text) BETWEEN 100 AND 2000
+                    THEN 2 ELSE 1 END)
+              * length(replace(replace(text, '.', ''), ',', ''))
+              AS BIGINT) AS q_score
+  FROM documents
+)
+"""
+
+
 EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "emb_ivf_probe_autotune": (emb_ivf_probe_autotune, _ivf_autotune_sql()),
     "doc_block_dedup_rebuild": (doc_block_dedup_rebuild, DOC_BLOCK_REBUILD_SQL),
+    "doc_curriculum_order": (doc_curriculum_order, DOC_CURRICULUM_SQL),
 }

@@ -158,3 +158,33 @@ class TestBlockDedupRebuild:
         blocks = self._blocks(docs[first])
         intra_repeats = len(blocks) - len(dict.fromkeys(blocks))
         assert got[first]["n_removed"] == intra_repeats
+
+
+class TestCurriculumOrder:
+    @pytest.fixture(scope="class")
+    def order(self, spark):
+        from bulker_spark.plans.analytics10 import doc_curriculum_order
+
+        return doc_curriculum_order(spark, SF).cache()
+
+    def test_contiguous_permutation(self, spark, order):
+        rows = order.collect()
+        n = spark.read.parquet(f"{SF}/documents.parquet").count()
+        idx = sorted(r["train_order"] for r in rows)
+        assert idx == list(range(n))
+
+    def test_best_first(self, order):
+        rows = sorted(order.collect(), key=lambda r: r["train_order"])
+        scores = [r["q_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # tie-break: within equal scores, ascending doc_id
+        for a, b in zip(rows, rows[1:]):
+            if a["q_score"] == b["q_score"]:
+                assert a["doc_id"] < b["doc_id"]
+
+    def test_no_single_partition_sort(self, order):
+        """The scalability claim: the plan must not funnel the corpus
+        through an Exchange SinglePartition (what the naive global
+        row_number would do)."""
+        plan = order._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan

@@ -534,9 +534,20 @@ def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     keyed = d.select("doc_id", q.alias("q_score"))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    with_pid = keyed.repartitionByRange(
-        n_parts, F.col("q_score").desc(), F.col("doc_id").asc()
-    ).withColumn("pid", F.spark_partition_id())
+    # localCheckpoint PINS the range placement: the boundary sampling
+    # inside a range exchange is re-seeded per execution, so the counts
+    # job and the final job would otherwise see DIFFERENT partitionings
+    # and the offsets would misalign (measured: 4402/5000 wrong at
+    # sf0.1). Materializing the slim (doc_id, q_score, pid) frame once
+    # makes both reads share identical physical partitions; on a real
+    # cluster use .checkpoint() for the fault-tolerant equivalent.
+    with_pid = (
+        keyed.repartitionByRange(
+            n_parts, F.col("q_score").desc(), F.col("doc_id").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     counts = sorted(
         (r["pid"], r["n"])
         for r in with_pid.groupBy("pid")

@@ -188,3 +188,61 @@ class TestCurriculumOrder:
         row_number would do)."""
         plan = order._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+class TestRebuildEdgeCases:
+    """doc_block_dedup_rebuild on crafted corpora — empty text, single
+    token, fully-duplicated documents, and intra-doc repetition."""
+
+    def _run(self, spark, tmp_path, texts):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        d = str(tmp_path / "sf")
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        from bulker_spark.plans.analytics10 import doc_block_dedup_rebuild
+
+        return {
+            r["doc_id"]: r
+            for r in doc_block_dedup_rebuild(spark, d).collect()
+        }
+
+    def test_fully_duplicated_doc_empties(self, spark, tmp_path):
+        texts = ["a b c d e f", "a b c d e f", "x y z a b c"]
+        got = self._run(spark, tmp_path, texts)
+        # doc 0 keeps everything; doc 1 is a verbatim copy -> empty
+        assert got[0]["clean_text"] == "a b c d e f"
+        assert got[0]["n_removed"] == 0
+        assert got[1]["clean_text"] == ""
+        assert got[1]["n_removed"] == 2
+        # doc 2: "x y z" is novel, "a b c" already claimed by doc 0
+        assert got[2]["clean_text"] == "x y z"
+        assert got[2]["n_removed"] == 1
+
+    def test_intra_doc_repeat_and_short_docs(self, spark, tmp_path):
+        texts = ["p q r p q r", "tok", ""]
+        got = self._run(spark, tmp_path, texts)
+        assert got[0]["clean_text"] == "p q r"
+        assert got[0]["n_removed"] == 1
+        # single token = one partial block, kept
+        assert got[1]["clean_text"] == "tok"
+        assert got[1]["n_blocks"] == 1 and got[1]["n_removed"] == 0
+        # empty text splits to [''] -> one empty block, its own winner
+        assert got[2]["n_blocks"] == 1 and got[2]["n_removed"] == 0
+
+    def test_partial_tail_block_not_merged_with_full(self, spark, tmp_path):
+        # "g h" as a TAIL partial block must not collide with the "g h"
+        # inside a full 3-token block elsewhere
+        texts = ["a b c g h", "g h i a b c"]
+        got = self._run(spark, tmp_path, texts)
+        assert got[0]["clean_text"] == "a b c g h"
+        assert got[1]["clean_text"] == "g h i"
+        assert got[1]["n_removed"] == 1

@@ -586,9 +586,246 @@ FROM (
 """
 
 
+# ==========================================================================
+# LSH band-config autotune: the (bands × rows) sweep that tunes MinHash
+# candidate generation, text-side sibling of emb_ivf_probe_autotune
+# ==========================================================================
+
+_LSH_SWEEP = (1, 2, 4, 8)  # rows per band over an 8-hash signature
+_LSH_COEFFS8 = [
+    (1, 0),
+    (1103515245, 12345),
+    (69069, 362437),
+    (214013, 2531011),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 7),
+    (48271, 0),
+]
+_LSH_TARGET_BP = 9000  # cheapest config with ≥90% recall wins
+_LSH_MAXDOC = 50
+
+
+def doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured sweep over MinHash banding configs — for an 8-hash
+    signature, each split into b bands of r rows (r ∈ 1,2,4,8) trades
+    recall against candidate volume along the LSH S-curve. For every
+    config this measures true recall (candidates ∩ exact-Jaccard≥0.1
+    pairs) and candidate count on a fixed document budget, and marks the
+    cheapest config meeting the 90% recall target (tie → fewer bands);
+    if none qualifies, the max-recall r=1 row wins. The emb-side twin
+    (emb_ivf_probe_autotune) tunes nprobe the same way: measure on a
+    budget, apply the choice at corpus scale.
+
+    Engine-exactness: candidate pairs come from FULL band-tuple equality
+    (never an engine-specific band hash), the Jaccard threshold is the
+    integer form ``10·inter ≥ |A∪B|``, and recalls are integer basis
+    points — so the whole curve is oracle-strict. Scale shape: banding
+    at corpus scale is the equi-join on band keys this sweep is choosing
+    FOR; the sweep itself runs on the capped budget (the SIFT-benchmark
+    discipline), so its own O(budget²) truth join never touches the
+    corpus."""
+    from functools import reduce
+
+    from bulker_spark.plans._common import MINHASH_PRIME, _SPARK_H
+    from bulker_spark.plans.queries import _shingles
+
+    sh = _shingles(spark, sf_dir, _LSH_MAXDOC).distinct()
+    hashed = sh.select(
+        "doc_id", F.expr(_SPARK_H.format(col="sh")).alias("h")
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_LSH_COEFFS8)
+        ]
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter") * 10
+            >= F.col("sza") + F.col("szb") - F.col("inter")
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    per_config = []
+    for r in _LSH_SWEEP:
+        nb = len(_LSH_COEFFS8) // r
+        bands = reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                sig.select(
+                    "doc_id",
+                    F.lit(bi).alias("bi"),
+                    F.struct(
+                        *[
+                            F.col(f"mh{bi * r + j}").alias(f"k{j}")
+                            for j in range(r)
+                        ]
+                    ).alias("bk"),
+                )
+                for bi in range(nb)
+            ],
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.bi") == F.col("y.bi"))
+                & (F.col("x.bk") == F.col("y.bk"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
+            cand.join(truth, ["doc_a", "doc_b"]).agg(
+                F.count("*").alias("hits")
+            )
+        )
+        per_config.append(
+            stats.select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(nb).alias("n_bands"),
+                "n_candidates",
+                "hits",
+            )
+        )
+    curve = (
+        reduce(lambda x, y: x.unionByName(y), per_config)
+        .crossJoin(
+            F.broadcast(truth.agg(F.count("*").alias("n_truth")))
+        )
+        .select(
+            "rows_per_band",
+            "n_bands",
+            "n_candidates",
+            F.expr(
+                "10000 * hits div greatest(n_truth, 1)"
+            ).alias("recall_bp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1))
+    best = F.min(
+        F.when(
+            F.col("recall_bp") >= _LSH_TARGET_BP,
+            F.struct("n_candidates", "n_bands"),
+        )
+    ).over(w_all)
+    return (
+        curve.withColumn("__best", best)
+        .withColumn(
+            "chosen",
+            F.when(
+                F.col("__best").isNotNull(),
+                (F.col("n_candidates") == F.col("__best.n_candidates"))
+                & (F.col("n_bands") == F.col("__best.n_bands")),
+            ).otherwise(F.col("rows_per_band") == 1),
+        )
+        .drop("__best")
+    )
+
+
+def _lsh_autotune_sql() -> str:
+    from bulker_spark.plans._common import (
+        MINHASH_PRIME,
+        _DUCK_H,
+        _SHINGLE_DUCK,
+    )
+
+    mh_cols = ", ".join(
+        f"CAST(min(({a} * h + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(_LSH_COEFFS8)
+    )
+    configs = []
+    for r in _LSH_SWEEP:
+        nb = len(_LSH_COEFFS8) // r
+        band_or = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a.mh{bi * r + j} = b.mh{bi * r + j}" for j in range(r)
+            )
+            + ")"
+            for bi in range(nb)
+        )
+        configs.append(
+            f"""SELECT {r} AS rows_per_band, {nb} AS n_bands,
+       (SELECT count(*) FROM (
+          SELECT a.doc_id FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND ({band_or}))) AS n_candidates,
+       (SELECT count(*) FROM (
+          SELECT a.doc_id FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND ({band_or})
+          JOIN truth t ON t.doc_a = a.doc_id AND t.doc_b = b.doc_id))
+         AS hits"""
+        )
+    union = "\nUNION ALL\n".join(configs)
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, sh
+            FROM ({_SHINGLE_DUCK.format(max_doc=_LSH_MAXDOC)})),
+hashed AS (SELECT doc_id, {_DUCK_H.format(col="sh")} AS h FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 10 >= sa.sz + sb.sz - inter
+),
+curve AS (
+  SELECT rows_per_band, n_bands, n_candidates,
+         10000 * hits // greatest(
+           (SELECT count(*) FROM truth), 1) AS recall_bp
+  FROM ({union})
+)
+SELECT rows_per_band, n_bands, n_candidates, recall_bp,
+       CASE WHEN MIN(CASE WHEN recall_bp >= {_LSH_TARGET_BP}
+                          THEN n_candidates * 100 + n_bands END)
+                 OVER () IS NOT NULL
+            THEN n_candidates * 100 + n_bands
+                 = MIN(CASE WHEN recall_bp >= {_LSH_TARGET_BP}
+                            THEN n_candidates * 100 + n_bands END) OVER ()
+            ELSE rows_per_band = 1
+       END AS chosen
+FROM curve
+"""
+
+
 EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "emb_ivf_probe_autotune": (emb_ivf_probe_autotune, _ivf_autotune_sql()),
     "doc_block_dedup_rebuild": (doc_block_dedup_rebuild, DOC_BLOCK_REBUILD_SQL),
     "doc_curriculum_order": (doc_curriculum_order, DOC_CURRICULUM_SQL),
+    "doc_lsh_band_autotune": (doc_lsh_band_autotune, _lsh_autotune_sql()),
 }

@@ -246,3 +246,38 @@ class TestRebuildEdgeCases:
         assert got[0]["clean_text"] == "a b c g h"
         assert got[1]["clean_text"] == "g h i"
         assert got[1]["n_removed"] == 1
+
+
+class TestLshBandAutotune:
+    @pytest.fixture(scope="class")
+    def curve(self, spark):
+        from bulker_spark.plans.analytics10 import doc_lsh_band_autotune
+
+        return sorted(
+            doc_lsh_band_autotune(spark, SF).collect(),
+            key=lambda r: r["rows_per_band"],
+        )
+
+    def test_monotone_tradeoff(self, curve):
+        # fewer rows per band -> more collisions: candidates and recall
+        # both non-increasing as rows_per_band grows
+        cands = [r["n_candidates"] for r in curve]
+        recalls = [r["recall_bp"] for r in curve]
+        assert cands == sorted(cands, reverse=True)
+        assert recalls == sorted(recalls, reverse=True)
+        # the most permissive config dominates or ties every other
+        assert recalls[0] == max(recalls)
+        assert cands[0] == max(cands)
+
+    def test_exactly_one_chosen(self, curve):
+        assert sum(1 for r in curve if r["chosen"]) == 1
+
+    def test_chosen_is_cheapest_qualifier(self, curve):
+        qual = [r for r in curve if r["recall_bp"] >= 9000]
+        pick = [r for r in curve if r["chosen"]][0]
+        if qual:
+            assert pick["n_candidates"] == min(
+                r["n_candidates"] for r in qual
+            )
+        else:
+            assert pick["rows_per_band"] == 1

@@ -2326,7 +2326,6 @@ class _BulkerHTTPServer(ThreadingHTTPServer):
     backlog."""
 
     request_queue_size = 128
-    daemon_threads = True
 
 
 def serve(app: BulkerApp, host: str = "127.0.0.1", port: int = 0):

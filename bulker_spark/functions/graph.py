@@ -95,12 +95,14 @@ def connected_components(
     if m <= driver_threshold:
         # union-find is direction- and duplicate-agnostic: collect the
         # raw pairs directly, no symmetrize/distinct shuffle at all
+        out = _driver_union_find(edges.sparkSession, pairs)
+        pairs.unpersist()
+        # stats only AFTER the run actually succeeded — a toPandas OOM
+        # at the threshold boundary must not leave a phantom success
         last_run_stats.clear()
         last_run_stats.update(
             {"strategy": "driver", "edges": m, "converged": True}
         )
-        out = _driver_union_find(edges.sparkSession, pairs)
-        pairs.unpersist()
         return out
     half = pairs
     e = (

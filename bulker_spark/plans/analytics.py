@@ -2630,7 +2630,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    k, iters, dim, scale = 8, 5, 64, 1024
+    k, iters, scale = 8, 5, 1024
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -2644,6 +2644,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < k).collect(), key=lambda r: r["vec_id"]
     )
     cmat = np.stack([np.asarray(r["qe"], dtype="int64") for r in init])
+    dim = cmat.shape[1]  # derived from the data, not assumed
 
     def make_assign(centroids: np.ndarray):
         def assign(batches):

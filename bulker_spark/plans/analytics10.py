@@ -9,10 +9,13 @@ TARGET corpus (the distribution you want more of) and the RAW corpus,
 and weight every raw document by its log importance ratio
 ``Σ_f k_f · ln(p̂_target(f) / q̂_raw(f))`` — documents that look like the
 target float up, boilerplate sinks. The paper hashes n-grams into a
-fixed bucket count purely to bound model memory; with an exact
-vocabulary the estimator is identical and the result is engine-exact
-(hash-bucket collisions would differ between engines' hash functions),
-so this plan uses exact unigram+bigram features.
+fixed bucket count purely to bound model memory; this plan keeps an
+EXACT vocabulary on the oracle side while the Spark side keys the
+shuffles by xxhash64(feature) — 8-byte ints cross every exchange (the
+doc_contamination discipline). The two agree unless two distinct
+features collide in 64 bits (~V²/2⁶⁵ — accepted, same tradeoff as
+every hash-keyed dedup stage in this repo); the strict oracle runs at
+three scale factors make the bet observable rather than assumed.
 
 Target here: ``lang = 'en'`` documents (the testdata's stand-in for a
 curated high-quality slice); raw: the whole corpus. Add-one smoothing
@@ -702,10 +705,14 @@ def doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        stats = cand.agg(F.count("*").alias("n_candidates")).crossJoin(
-            cand.join(truth, ["doc_a", "doc_b"]).agg(
-                F.count("*").alias("hits")
-            )
+        # one pass over the candidate set: count everything and count
+        # truth matches in the SAME aggregate (a left join marks hits),
+        # instead of evaluating the band self-join lineage twice
+        stats = cand.join(
+            truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count("*").alias("n_candidates"),
+            F.count("__t").alias("hits"),
         )
         per_config.append(
             stats.select(

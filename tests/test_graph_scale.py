@@ -16,6 +16,11 @@ Pinned: (a) label-exactness vs an independent Python union-find over
 the same edges, (b) convergence within the derived cap with rounds
 reported via graph.last_run_stats, (c) no RuntimeWarning (no silent
 split components). Wall time + rounds are printed for SCALING.md.
+
+Deliberately NOT gated behind BULKER_SPARK_TEST_MILLION_ROWS (unlike
+test_bigdata's opt-in tiers): the distributed CC path has no other
+default-suite exercise at a size where its convergence math matters,
+and a gated-off proof is no proof. ~1 min inside a ~28 min suite.
 """
 
 import time

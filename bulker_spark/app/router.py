@@ -40,6 +40,30 @@ from ..streaming.topics import make_topic_id, parse_topic_id
 MAX_BODY_BYTES = 20 * 1024 * 1024  # reference caps request bodies (gin default)
 
 
+def hash_api_key(token: str, salt: str, secret: str) -> str:
+    """``sha512(token + salt + secret)`` hex — the reference's
+    ``hashApiKey`` (ingest/router.go:541-546) / ``HashTokenHex``
+    (appbase/router_base.go:217-222). Used to mint and verify hashed
+    write-key bindings; the plaintext secret never has to be stored."""
+    import hashlib
+
+    return hashlib.sha512((token + salt + secret).encode()).hexdigest()
+
+
+def check_hash(stored: str, secret: str, global_secrets: list[str]) -> bool:
+    """Verify a ``salt.sha512hex`` stored hash against a presented
+    secret under ANY configured global secret (rotation list,
+    ingest/router.go:548-560). Constant-time comparison — an
+    improvement over the reference's ``==``."""
+    salt, sep, hash_part = stored.partition(".")
+    if not sep:
+        return False
+    return any(
+        hmac.compare_digest(hash_part, hash_api_key(secret, salt, g))
+        for g in global_secrets
+    )
+
+
 def _utc_or_none(value, spark):
     """Aware-UTC datetime from a query-string timestamp, or ``None``.
 
@@ -199,6 +223,7 @@ class BulkerApp:
         allowed_warehouse_roots: list[str] | None = None,
         streams: list[dict[str, Any]] | None = None,
         failover: dict[str, Any] | None = None,
+        global_hash_secrets: list[str] | None = None,
     ):
         from ..sources.topic_source import register_topic_source
 
@@ -242,8 +267,17 @@ class BulkerApp:
         # ingest-front streams (ingest/router.go getStream): pixel and
         # classic endpoints route by write key or Host domain, not by the
         # /post/:dst path. Each entry: {"write_key": str, "destination":
-        # str, "table": "events", "domains": [...], "s2s": bool}
+        # str, "table": "events", "domains": [...], "s2s": bool,
+        # "key_bindings": [{"id", "hash": "salt.sha512hex",
+        # "key_type": "browser"|"s2s"}]} — bindings let a stream accept
+        # "keyId:secret" credentials whose secret is stored only as a
+        # salted hash (ingest/router.go:541-560 hashApiKey/checkHash,
+        # fast_store.go ApiKeyBinding)
         self.streams: list[dict[str, Any]] = list(streams or [])
+        # secrets mixed into every key hash (GLOBAL_HASH_SECRET,
+        # ingest/config.go:31-33 — a comma-list so secrets can rotate:
+        # a hash matching ANY configured secret is valid)
+        self.global_hash_secrets = list(global_hash_secrets or [])
         self._lock = threading.Lock()
         self._cycle_locks: dict[str, threading.Lock] = {}
         # failover-reprocessing jobs (admin/router_reprocessing_handler.go)
@@ -431,11 +465,16 @@ class BulkerApp:
     def _resolve_stream(
         self, write_key: str, host: str = "", *, s2s: bool = False
     ) -> dict[str, Any] | None:
-        """ingest/router.go getStream: write-key exact match first, then
-        Host-domain match. ``s2s`` endpoints only accept streams marked
-        server-to-server (a browser key on /s2s is rejected,
+        """ingest/router.go getStream + WriteKeyStreamLocator: a
+        single-part write key matches plaintext; a two-part
+        ``keyId:secret`` key resolves through the stream's hashed
+        key bindings (salted sha512, never the stored secret); then
+        Host-domain match. ``s2s`` endpoints only accept streams/keys
+        marked server-to-server (a browser key on /s2s is rejected,
         router_classic_handler.go:130-135)."""
         host = (host or "").split(":")[0].lower()
+        if write_key and ":" in write_key:
+            return self._resolve_hashed_key(write_key, s2s=s2s)
         for stream in self.streams:
             if write_key and stream.get("write_key") == write_key:
                 if s2s and not stream.get("s2s", False):
@@ -452,6 +491,31 @@ class BulkerApp:
             domains = [d.lower() for d in (stream.get("domains") or [])]
             if host and host in domains:
                 return stream
+        return None
+
+    def _resolve_hashed_key(
+        self, write_key: str, *, s2s: bool
+    ) -> dict[str, Any] | None:
+        """``keyId:secret`` resolution (ingest/router.go:628-655): find
+        the binding by key id, require its key TYPE to match the
+        endpoint (a browser binding cannot authenticate /s2s and vice
+        versa), then verify the secret against the stored salted hash —
+        ``sha512(secret + salt + globalSecret)`` for any configured
+        global secret (checkHash, router.go:548-560). The plaintext
+        secret is never stored in stream config."""
+        key_id, secret = write_key.split(":", 1)
+        want_type = "s2s" if s2s else "browser"
+        for stream in self.streams:
+            for binding in stream.get("key_bindings") or []:
+                if binding.get("id") != key_id:
+                    continue
+                if binding.get("key_type", "browser") != want_type:
+                    return None  # right key, wrong endpoint class
+                stored = binding.get("hash") or ""
+                if check_hash(stored, secret, self.global_hash_secrets):
+                    return stream
+                return None  # id matched, secret didn't — never fall
+                # through to a weaker locator with a bad credential
         return None
 
     def _produce_ingest(

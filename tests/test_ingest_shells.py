@@ -925,3 +925,109 @@ class TestSecondReviewRegressions:
              "timestamp": "2026-01-01T00:00:00.100Z",
              "properties": {"b": 2, "a": 1}}  # reordered keys, same event
         assert len(shapes.deduplicate_batch([a, b], 1000)) == 1
+
+
+# ==========================================================================
+# Hashed write-key bindings (keyId:secret)
+# ==========================================================================
+
+class TestHashedWriteKeys:
+    def test_hash_roundtrip_and_rotation(self):
+        from bulker_spark.app.router import check_hash, hash_api_key
+
+        stored = "salt1." + hash_api_key("sec", "salt1", "g-old")
+        assert check_hash(stored, "sec", ["g-old"])
+        # rotation: hash minted under the OLD secret stays valid while
+        # both secrets are configured
+        assert check_hash(stored, "sec", ["g-new", "g-old"])
+        assert not check_hash(stored, "sec", ["g-new"])
+        assert not check_hash(stored, "wrong", ["g-old"])
+        assert not check_hash("missing-salt-sep", "sec", ["g-old"])
+
+    @pytest.fixture()
+    def hashed_server(self, spark):
+        from bulker_spark.app.router import hash_api_key
+
+        wh = tempfile.mkdtemp(prefix="hk_wh_")
+        topics = tempfile.mkdtemp(prefix="hk_topics_")
+        app = BulkerApp(
+            spark,
+            topics,
+            [Destination("d1", wh)],
+            streams=[
+                {
+                    "write_key": "",
+                    "destination": "d1",
+                    "table": "events",
+                    "s2s": True,
+                    "key_bindings": [
+                        {
+                            "id": "k1",
+                            "hash": "na."
+                            + hash_api_key("topsecret", "na", "gsec"),
+                            "key_type": "s2s",
+                        },
+                        {
+                            "id": "kb",
+                            "hash": "nb."
+                            + hash_api_key("browsersec", "nb", "gsec"),
+                            "key_type": "browser",
+                        },
+                    ],
+                },
+            ],
+            global_hash_secrets=["gsec"],
+        )
+        server = serve(app)
+        host, port = server.server_address
+        yield app, f"http://{host}:{port}"
+        server.shutdown()
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(topics, ignore_errors=True)
+
+    def test_s2s_key_accepted_and_wrong_secret_rejected(
+        self, hashed_server
+    ):
+        app, base = hashed_server
+        body = json.dumps({"type": "track", "event": "e1"}).encode()
+        with _raw(
+            f"{base}/api/v1/s2s/event?token=k1:topsecret",
+            method="POST",
+            body=body,
+            headers={"Content-Type": "application/json"},
+        ) as resp:
+            assert resp.status == 200
+        assert app.metrics["events_produced"] == 1
+        with pytest.raises(HTTPError):
+            _raw(
+                f"{base}/api/v1/s2s/event?token=k1:WRONG",
+                method="POST",
+                body=body,
+                headers={"Content-Type": "application/json"},
+            )
+        assert app.metrics["events_produced"] == 1
+
+    def test_browser_binding_rejected_on_s2s(self, hashed_server):
+        app, base = hashed_server
+        body = json.dumps({"type": "track", "event": "e2"}).encode()
+        # kb authenticates fine as a credential, but its key TYPE is
+        # browser — the s2s endpoint must refuse it
+        with pytest.raises(HTTPError):
+            _raw(
+                f"{base}/api/v1/s2s/event?token=kb:browsersec",
+                method="POST",
+                body=body,
+                headers={"Content-Type": "application/json"},
+            )
+        assert app.metrics["events_produced"] == 0
+
+    def test_browser_binding_on_pixel(self, hashed_server):
+        app, base = hashed_server
+        data = base64.b64encode(
+            json.dumps({"properties": {"y": 2}}).encode()
+        ).decode()
+        with _raw(
+            f"{base}/api/px/p?writekey=kb:browsersec&data={data}"
+        ) as resp:
+            assert resp.status == 200
+        assert app.metrics["events_produced"] == 1

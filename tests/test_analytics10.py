@@ -281,3 +281,42 @@ class TestLshBandAutotune:
             )
         else:
             assert pick["rows_per_band"] == 1
+
+
+class TestCurriculumEdgeCases:
+    def _run(self, spark, tmp_path, texts):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        d = str(tmp_path / "sf")
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        from bulker_spark.plans.analytics10 import doc_curriculum_order
+
+        return sorted(
+            doc_curriculum_order(spark, d).collect(),
+            key=lambda r: r["train_order"],
+        )
+
+    def test_fewer_docs_than_partitions(self, spark, tmp_path):
+        # shuffle.partitions=4 in tests but 3 docs: empty range
+        # partitions must not corrupt the offset map
+        rows = self._run(spark, tmp_path, ["aaa bbb", "c", "dd ee ff gg"])
+        assert [r["train_order"] for r in rows] == [0, 1, 2]
+        scores = [r["q_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_all_tied_scores_order_by_doc_id(self, spark, tmp_path):
+        rows = self._run(spark, tmp_path, ["xy", "ab", "cd", "ef"])
+        assert [r["doc_id"] for r in rows] == [0, 1, 2, 3]
+
+    def test_single_doc(self, spark, tmp_path):
+        rows = self._run(spark, tmp_path, ["only doc"])
+        assert len(rows) == 1 and rows[0]["train_order"] == 0

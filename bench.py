@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "doc_block_dedup_rebuild",
     "doc_curriculum_order",
     "doc_lsh_band_autotune",
+    "doc_span_dedup",
 ]
 
 
@@ -552,7 +553,7 @@ STDOUT_PRIORITY = [
     "sql_lookup_1m_pruned", "sql_lookup_1m_full",
     "emb_covariance", "emb_pca_recon_error", "doc_dsir_weights",
     "emb_ivf_probe_autotune", "doc_block_dedup_rebuild",
-    "doc_curriculum_order", "doc_lsh_band_autotune",
+    "doc_curriculum_order", "doc_lsh_band_autotune", "doc_span_dedup",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

@@ -829,10 +829,146 @@ FROM curve
 """
 
 
+# ==========================================================================
+# Duplicated-SPAN removal: stride-1 sliding windows, the exact-substring
+# dedup form (vs doc_block_dedup_rebuild's block-aligned form)
+# ==========================================================================
+
+_SPAN_K = 5  # tokens per sliding window
+
+
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove duplicated token SPANS at arbitrary offsets (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the exact-substring method, here at token granularity): every
+    5-token window that re-occurs anywhere in the corpus keeps only its
+    globally first occurrence (min (doc_id, pos)); tokens covered by a
+    non-first duplicated window are dropped and each document is rebuilt
+    from its surviving tokens. Unlike ``doc_block_dedup_rebuild``'s
+    block-aligned form, stride-1 windows catch duplicated passages that
+    straddle block boundaries and at any alignment.
+
+    Scale shape (the rebuild discipline): windows reduce in-row to
+    ``(doc_id, pos, xxhash64(5-gram))`` — only ints cross the winner
+    aggregation (one partial-aggregated min-struct groupBy) and the
+    loser join (hash-keyed); loser window STARTS aggregate to one
+    int-array row per affected doc, covered positions expand in-row
+    (flatten + array_distinct), and the rebuild re-reads tokens from
+    the original text column as a pure map. Text never shuffles."""
+    k = _SPAN_K
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nwin = F.size(toks) - F.lit(k - 1)
+    # sequence(1, 0) counts DOWN ([1, 0]), it is not empty — docs with
+    # fewer than k tokens must produce zero windows explicitly
+    starts = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(toks, i, k), " ")
+                ),
+            )
+        ).alias("pos", "wh"),
+    )  # pos is 0-based window start
+    winners = wins.groupBy("wh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    losers = wins.join(winners, "wh").filter(
+        (F.col("doc_id") != F.col("w.doc_id"))
+        | (F.col("pos") != F.col("w.pos"))
+    )
+    loser_starts = losers.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("starts")
+    )
+    toks2 = F.split(F.col("text"), " ")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + F.lit(k - 1)),
+            )
+        )
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(toks2) - 1),
+        lambda i: ~F.array_contains(covered, i),
+    )
+    return d.join(loser_starts, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(toks2, i + 1)),
+            " ",
+        ).alias("clean_text"),
+        F.size(toks2).cast("long").alias("n_tokens"),
+        (F.size(toks2) - F.size(kept_idx)).cast("long").alias(
+            "n_removed_tokens"
+        ),
+    )
+
+
+DOC_SPAN_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - {_SPAN_K - 1}, 0))) AS pos
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(t, pos + 1, pos + {_SPAN_K}), ' ')
+           AS gram
+  FROM starts
+),
+losers AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram
+                              ORDER BY doc_id, pos) AS rn
+    FROM wins
+  ) WHERE rn > 1
+),
+covered AS (
+  SELECT DISTINCT doc_id,
+         unnest(range(pos, pos + {_SPAN_K})) AS cpos
+  FROM losers
+),
+kept AS (
+  SELECT s.doc_id, s.idx, s.tok
+  FROM (
+    SELECT doc_id, unnest(range(0, len(t))) AS idx,
+           unnest(t) AS tok
+    FROM toks
+  ) s
+  LEFT JOIN covered c ON c.doc_id = s.doc_id AND c.cpos = s.idx
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) AS BIGINT)
+         - CAST(coalesce((SELECT count(*) FROM kept k
+                          WHERE k.doc_id = t.doc_id), 0) AS BIGINT)
+         AS n_removed_tokens
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "emb_ivf_probe_autotune": (emb_ivf_probe_autotune, _ivf_autotune_sql()),
     "doc_block_dedup_rebuild": (doc_block_dedup_rebuild, DOC_BLOCK_REBUILD_SQL),
     "doc_curriculum_order": (doc_curriculum_order, DOC_CURRICULUM_SQL),
     "doc_lsh_band_autotune": (doc_lsh_band_autotune, _lsh_autotune_sql()),
+    "doc_span_dedup": (doc_span_dedup, DOC_SPAN_DEDUP_SQL),
 }

@@ -320,3 +320,86 @@ class TestCurriculumEdgeCases:
     def test_single_doc(self, spark, tmp_path):
         rows = self._run(spark, tmp_path, ["only doc"])
         assert len(rows) == 1 and rows[0]["train_order"] == 0
+
+
+class TestSpanDedup:
+    """Python replication + crafted cases for stride-1 span removal."""
+
+    @staticmethod
+    def _replicate(docs, k=5):
+        seen = {}
+        for doc_id in sorted(docs):
+            toks = docs[doc_id].split(" ")
+            for pos in range(max(len(toks) - k + 1, 0)):
+                seen.setdefault(" ".join(toks[pos : pos + k]), (doc_id, pos))
+        out = {}
+        for doc_id in sorted(docs):
+            toks = docs[doc_id].split(" ")
+            covered = set()
+            for pos in range(max(len(toks) - k + 1, 0)):
+                if seen[" ".join(toks[pos : pos + k])] != (doc_id, pos):
+                    covered.update(range(pos, pos + k))
+            kept = [t for i, t in enumerate(toks) if i not in covered]
+            out[doc_id] = (" ".join(kept), len(toks), len(covered))
+        return out
+
+    def test_matches_python_replication_on_corpus(self, spark):
+        from bulker_spark.plans.analytics10 import doc_span_dedup
+
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        }
+        expected = self._replicate(docs)
+        got = {
+            r["doc_id"]: (
+                r["clean_text"],
+                r["n_tokens"],
+                r["n_removed_tokens"],
+            )
+            for r in doc_span_dedup(spark, SF).collect()
+        }
+        assert got == expected
+        assert sum(v[2] for v in got.values()) > 0  # removal happened
+
+    def _run(self, spark, tmp_path, texts):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        d = str(tmp_path / "sf")
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        from bulker_spark.plans.analytics10 import doc_span_dedup
+
+        return {
+            r["doc_id"]: r for r in doc_span_dedup(spark, d).collect()
+        }
+
+    def test_unaligned_duplicate_span_caught(self, spark, tmp_path):
+        # the duplicated passage starts at offset 2 in doc 1 — a
+        # block-aligned dedup at width 3 would miss this alignment
+        span = "q w e r t y u"
+        got = self._run(
+            spark, tmp_path, [f"{span} end", f"x z {span} tail"]
+        )
+        assert got[0]["n_removed_tokens"] == 0
+        # windows covering the span in doc 1 are all losers; 'x z' and
+        # 'tail' survive only where no duplicated window covers them
+        assert got[1]["n_removed_tokens"] >= len(span.split())
+        assert "q w e" not in got[1]["clean_text"]
+
+    def test_short_docs_have_no_windows(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, ["a b c d", "a b c d"])
+        # 4 tokens < k=5: no windows exist, nothing can be removed even
+        # though the docs are identical (document-level dedup's job)
+        assert got[0]["n_removed_tokens"] == 0
+        assert got[1]["n_removed_tokens"] == 0

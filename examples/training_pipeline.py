@@ -103,6 +103,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("cosine top-5 for probe vector:")
     cosine_topk(emb, probe, k=5).show()
 
+    # 7. sub-document dedup (round 5): strip duplicated PASSAGES, not
+    #    just duplicated documents — stride-1 window removal keeps the
+    #    globally first occurrence of every repeated 5-token span
+    from bulker_spark.plans.analytics10 import (
+        doc_curriculum_order,
+        doc_span_dedup,
+    )
+
+    spans = doc_span_dedup(spark, sf_dir)
+    removed = spans.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    total = spans.agg(F.sum("n_tokens")).collect()[0][0]
+    print(f"span dedup: {removed}/{total} tokens removed corpus-wide")
+
+    # 8. curriculum ordering: a contiguous best-first training order
+    #    with NO single-partition global sort (range partitions +
+    #    driver-side offsets)
+    print("curriculum head (best documents first):")
+    doc_curriculum_order(spark, sf_dir).orderBy("train_order").show(5)
+
     spark.stop()
 
 

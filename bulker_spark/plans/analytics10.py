@@ -414,10 +414,14 @@ def doc_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ints (min struct — no window, no sort), winners re-aggregate to
     one int-array row per surviving document, and the rebuild joins that
     slim frame back to ``documents`` on doc_id, re-slicing block text
-    from the ORIGINAL column as a pure map. Bucketing documents by
-    doc_id would make the final join shuffle-free; 64-bit hash keying is
-    the standard large-corpus tradeoff (a collision merges two distinct
-    blocks — ~N²/2⁶⁵ expected at corpus size N)."""
+    from the ORIGINAL column as a pure map. While the int-list frame
+    fits the broadcast threshold (it is ~100× smaller than the text)
+    the final join is a BroadcastHashJoin and text NEVER crosses an
+    exchange (verified in the executed plan); past that, bucket the
+    corpus by doc_id for a shuffle-free SMJ or accept exactly one text
+    exchange. 64-bit hash keying is the standard large-corpus tradeoff
+    (a collision merges two distinct blocks — ~N²/2⁶⁵ expected at
+    corpus size N)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     nblk = F.ceil(F.size(toks) / F.lit(_RB_BLK)).cast("int")
@@ -854,7 +858,11 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     loser join (hash-keyed); loser window STARTS aggregate to one
     int-array row per affected doc, covered positions expand in-row
     (flatten + array_distinct), and the rebuild re-reads tokens from
-    the original text column as a pure map. Text never shuffles."""
+    the original text column as a pure map. Text never shuffles while
+    the int-list side broadcasts (the executed plan here:
+    BroadcastHashJoin, BuildRight); at corpus scale, bucket by doc_id
+    or accept exactly one text exchange — every OTHER stage is
+    int-only at any size."""
     k = _SPAN_K
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")

@@ -54,8 +54,10 @@ def check_hash(stored: str, secret: str, global_secrets: list[str]) -> bool:
     """Verify a ``salt.sha512hex`` stored hash against a presented
     secret under ANY configured global secret (rotation list,
     ingest/router.go:548-560). Constant-time comparison — an
-    improvement over the reference's ``==``."""
-    salt, sep, hash_part = stored.partition(".")
+    improvement over the reference's ``==``. Split on the LAST dot:
+    hex digests never contain one, so dotted salts (``v1.2``) still
+    verify."""
+    salt, sep, hash_part = stored.rpartition(".")
     if not sep:
         return False
     return any(
@@ -278,6 +280,30 @@ class BulkerApp:
         # ingest/config.go:31-33 — a comma-list so secrets can rotate:
         # a hash matching ANY configured secret is valid)
         self.global_hash_secrets = list(global_hash_secrets or [])
+        # fail-fast config validation: ':' is the keyId/secret separator
+        # (a plaintext write key containing one would silently route to
+        # binding resolution and never match — same grammar as the
+        # reference, ingest/router.go:630), and binding ids are a
+        # global namespace (fast_store keys by id alone) so duplicates
+        # would make resolution order-dependent
+        seen_binding_ids: set[str] = set()
+        for stream in self.streams:
+            wk = stream.get("write_key") or ""
+            if ":" in wk:
+                raise ValueError(
+                    f"plaintext write_key {wk!r} must not contain ':' — "
+                    "use a key binding (keyId:secret) instead"
+                )
+            for b in stream.get("key_bindings") or []:
+                bid = b.get("id")
+                if not bid:
+                    raise ValueError("key binding requires an 'id'")
+                if bid in seen_binding_ids:
+                    raise ValueError(
+                        f"duplicate key-binding id {bid!r}: binding ids "
+                        "are global across streams"
+                    )
+                seen_binding_ids.add(bid)
         self._lock = threading.Lock()
         self._cycle_locks: dict[str, threading.Lock] = {}
         # failover-reprocessing jobs (admin/router_reprocessing_handler.go)
@@ -502,7 +528,16 @@ class BulkerApp:
         versa), then verify the secret against the stored salted hash —
         ``sha512(secret + salt + globalSecret)`` for any configured
         global secret (checkHash, router.go:548-560). The plaintext
-        secret is never stored in stream config."""
+        secret is never stored in stream config.
+
+        Binding ids are validated GLOBALLY UNIQUE at construction, so
+        the first id match is the only possible one and the hard stop
+        on a failed credential can never shadow a same-id binding
+        elsewhere. On success the returned stream dict is a copy whose
+        ``s2s`` flag reflects the BINDING's key type — the credential
+        class, not a stream-level flag, decides downstream trust
+        (a browser credential on a mixed-binding stream must still get
+        the untrusted-input treatment in patch_event)."""
         key_id, secret = write_key.split(":", 1)
         want_type = "s2s" if s2s else "browser"
         for stream in self.streams:
@@ -513,7 +548,7 @@ class BulkerApp:
                     return None  # right key, wrong endpoint class
                 stored = binding.get("hash") or ""
                 if check_hash(stored, secret, self.global_hash_secrets):
-                    return stream
+                    return {**stream, "s2s": want_type == "s2s"}
                 return None  # id matched, secret didn't — never fall
                 # through to a weaker locator with a bad credential
         return None

@@ -111,9 +111,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         doc_span_dedup,
     )
 
-    spans = doc_span_dedup(spark, sf_dir)
-    removed = spans.agg(F.sum("n_removed_tokens")).collect()[0][0]
-    total = spans.agg(F.sum("n_tokens")).collect()[0][0]
+    removed, total = (
+        doc_span_dedup(spark, sf_dir)
+        .agg(F.sum("n_removed_tokens"), F.sum("n_tokens"))
+        .collect()[0]
+    )
     print(f"span dedup: {removed}/{total} tokens removed corpus-wide")
 
     # 8. curriculum ordering: a contiguous best-first training order

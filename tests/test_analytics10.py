@@ -9,6 +9,24 @@ from bulker_spark.plans.analytics10 import doc_dsir_weights
 SF = "/root/testdata/sf0.001"
 
 
+def _docs_dir(spark, tmp_path, texts):
+    """Write a synthetic documents.parquet corpus; returns its sf_dir."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
 @pytest.fixture(scope="module")
 def weights(spark):
     return doc_dsir_weights(spark, SF).cache()
@@ -195,21 +213,9 @@ class TestRebuildEdgeCases:
     token, fully-duplicated documents, and intra-doc repetition."""
 
     def _run(self, spark, tmp_path, texts):
-        import pandas as pd
-
-        pdf = pd.DataFrame(
-            {
-                "doc_id": range(len(texts)),
-                "text": texts,
-                "lang": ["en"] * len(texts),
-                "source": ["t"] * len(texts),
-                "n_chars": [len(t) for t in texts],
-            }
-        )
-        d = str(tmp_path / "sf")
-        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
         from bulker_spark.plans.analytics10 import doc_block_dedup_rebuild
 
+        d = _docs_dir(spark, tmp_path, texts)
         return {
             r["doc_id"]: r
             for r in doc_block_dedup_rebuild(spark, d).collect()
@@ -285,21 +291,9 @@ class TestLshBandAutotune:
 
 class TestCurriculumEdgeCases:
     def _run(self, spark, tmp_path, texts):
-        import pandas as pd
-
-        pdf = pd.DataFrame(
-            {
-                "doc_id": range(len(texts)),
-                "text": texts,
-                "lang": ["en"] * len(texts),
-                "source": ["t"] * len(texts),
-                "n_chars": [len(t) for t in texts],
-            }
-        )
-        d = str(tmp_path / "sf")
-        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
         from bulker_spark.plans.analytics10 import doc_curriculum_order
 
+        d = _docs_dir(spark, tmp_path, texts)
         return sorted(
             doc_curriculum_order(spark, d).collect(),
             key=lambda r: r["train_order"],
@@ -365,21 +359,9 @@ class TestSpanDedup:
         assert sum(v[2] for v in got.values()) > 0  # removal happened
 
     def _run(self, spark, tmp_path, texts):
-        import pandas as pd
-
-        pdf = pd.DataFrame(
-            {
-                "doc_id": range(len(texts)),
-                "text": texts,
-                "lang": ["en"] * len(texts),
-                "source": ["t"] * len(texts),
-                "n_chars": [len(t) for t in texts],
-            }
-        )
-        d = str(tmp_path / "sf")
-        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
         from bulker_spark.plans.analytics10 import doc_span_dedup
 
+        d = _docs_dir(spark, tmp_path, texts)
         return {
             r["doc_id"]: r for r in doc_span_dedup(spark, d).collect()
         }

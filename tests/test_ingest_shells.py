@@ -1031,3 +1031,104 @@ class TestHashedWriteKeys:
         ) as resp:
             assert resp.status == 200
         assert app.metrics["events_produced"] == 1
+
+
+class TestHashedKeyTrust:
+    def test_dotted_salt_verifies(self):
+        from bulker_spark.app.router import check_hash, hash_api_key
+
+        stored = "v1.2." + hash_api_key("sec", "v1.2", "g")
+        assert check_hash(stored, "sec", ["g"])
+
+    def test_config_rejects_colon_plaintext_and_dup_binding_ids(
+        self, spark, tmp_path
+    ):
+        with pytest.raises(ValueError, match="must not contain"):
+            BulkerApp(
+                spark,
+                str(tmp_path / "t1"),
+                [Destination("d1", str(tmp_path / "w1"))],
+                streams=[{"write_key": "team:alpha", "destination": "d1"}],
+            )
+        bind = {"id": "k1", "hash": "s.x", "key_type": "browser"}
+        with pytest.raises(ValueError, match="duplicate key-binding"):
+            BulkerApp(
+                spark,
+                str(tmp_path / "t2"),
+                [Destination("d1", str(tmp_path / "w2"))],
+                streams=[
+                    {"write_key": "", "destination": "d1",
+                     "key_bindings": [bind]},
+                    {"write_key": "", "destination": "d1",
+                     "key_bindings": [dict(bind)]},
+                ],
+            )
+
+    def test_browser_binding_on_s2s_stream_gets_untrusted_treatment(
+        self, spark, tmp_path
+    ):
+        """A browser credential on a mixed-binding stream must NOT
+        inherit the stream's s2s trust: the server-observed IP wins
+        over a client-supplied context.ip (patch_event's browser
+        branch), exactly as if the stream were browser-only."""
+        from bulker_spark.app.router import hash_api_key
+
+        app = BulkerApp(
+            spark,
+            str(tmp_path / "topics"),
+            [Destination("d1", str(tmp_path / "wh"))],
+            streams=[
+                {
+                    "write_key": "",
+                    "destination": "d1",
+                    "table": "events",
+                    "s2s": True,
+                    "key_bindings": [
+                        {
+                            "id": "kb",
+                            "hash": "n." + hash_api_key("bsec", "n", "g"),
+                            "key_type": "browser",
+                        },
+                        {
+                            "id": "ks",
+                            "hash": "m." + hash_api_key("ssec", "m", "g"),
+                            "key_type": "s2s",
+                        },
+                    ],
+                },
+            ],
+            global_hash_secrets=["g"],
+        )
+        spoof = json.dumps(
+            {"type": "track", "event": "e", "context": {"ip": "6.6.6.6"}}
+        )
+        out = app.ingest_event(
+            "track",
+            spoof,
+            {"writekey": ["kb:bsec"]},
+            headers={},
+            client_ip="9.9.9.9",
+            s2s=False,
+        )
+        assert out["ok"] is True
+        # same spoof through the s2s credential keeps its context.ip
+        out2 = app.ingest_event(
+            "track",
+            spoof,
+            {"writekey": ["ks:ssec"]},
+            headers={},
+            client_ip="9.9.9.9",
+            s2s=True,
+        )
+        assert out2["ok"] is True
+        app.run_batch_cycle("d1")
+        rows = {
+            r["context_ip"]
+            for r in app.engine_for("d1")
+            .warehouse.read("events")
+            .select("context_ip")
+            .collect()
+        }
+        # browser credential: server-observed IP replaced the spoof;
+        # s2s credential: client-supplied context kept
+        assert rows == {"9.9.9.9", "6.6.6.6"}

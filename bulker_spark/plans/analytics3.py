@@ -180,13 +180,19 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     spillable single task, and everything upstream is partial-agged."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    n_sh = F.greatest(F.size(toks) - F.lit(_NOV_N - 1), F.lit(0))
+    n_sh = F.size(toks) - F.lit(_NOV_N - 1)
+    # sequence(1, 0) counts DOWN ([1, 0]) rather than being empty: a
+    # doc with fewer than _NOV_N tokens must emit ZERO shingles (and
+    # drop out of the output, exactly like the oracle's range(1, 1))
+    starts = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = (
         d.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), n_sh),
+                    starts,
                     lambda i: F.array_join(F.slice(toks, i, _NOV_N), " "),
                 )
             ).alias("sh"),

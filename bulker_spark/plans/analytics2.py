@@ -44,16 +44,21 @@ def doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation and the join back — both keyed on `xxhash64(block)` so
     64-bit ints cross the shuffle, not strings. Partial aggregation
     (distinct-doc count per block) runs map-side before either exchange."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    nblk = F.ceil(F.size(toks) / F.lit(_BLK)).cast("int")
+    # project the token array once — expressions referenced inside a
+    # transform() lambda are not subexpression-eliminated, so an
+    # unprojected split(text) would re-split per block
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    t = F.col("t")
+    nblk = F.ceil(F.size(t) / F.lit(_BLK)).cast("int")
     blocks = d.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), nblk - 1),
                 lambda i: F.array_join(
-                    F.slice(toks, i * _BLK + 1, _BLK), " "
+                    F.slice(t, i * _BLK + 1, _BLK), " "
                 ),
             )
         ).alias("btext"),

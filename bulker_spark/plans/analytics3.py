@@ -178,9 +178,14 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     for one hash is bounded by that shingle's document frequency —
     distinct docs, not occurrences — so even a Zipf-head shingle stays a
     spillable single task, and everything upstream is partial-agged."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_sh = F.size(toks) - F.lit(_NOV_N - 1)
+    # project the token array once — lambda bodies are not
+    # subexpression-eliminated, so an unprojected split(text) would
+    # re-split per shingle
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    t = F.col("t")
+    n_sh = F.size(t) - F.lit(_NOV_N - 1)
     # sequence(1, 0) counts DOWN ([1, 0]) rather than being empty: a
     # doc with fewer than _NOV_N tokens must emit ZERO shingles (and
     # drop out of the output, exactly like the oracle's range(1, 1))
@@ -193,11 +198,14 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     starts,
-                    lambda i: F.array_join(F.slice(toks, i, _NOV_N), " "),
+                    # variadic xxhash64 over the token elements — no
+                    # per-shingle string concatenation
+                    lambda i: F.xxhash64(
+                        *[F.element_at(t, i + j) for j in range(_NOV_N)]
+                    ),
                 )
-            ).alias("sh"),
+            ).alias("h"),
         )
-        .select("doc_id", F.xxhash64("sh").alias("h"))
         .groupBy("h", "doc_id")
         .agg(F.lit(1).alias("_one"))
     )

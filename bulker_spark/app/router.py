@@ -2132,7 +2132,29 @@ def _make_handler(app: BulkerApp):
                         },
                     )
                 elif parts == ["metrics"]:
-                    self._json(200, dict(app.metrics))
+                    # the reference exposes Prometheus text on its
+                    # metrics server (bulkerapp/app/metrics_server.go:
+                    # 20-35, promhttp); here the same counters render
+                    # in exposition format on ?format=prometheus
+                    if q.get("format") == "prometheus":
+                        with app._lock:
+                            snap = dict(app.metrics)
+                        lines = []
+                        for name in sorted(snap):
+                            metric = f"bulker_{name}"
+                            lines.append(f"# TYPE {metric} counter")
+                            lines.append(f"{metric} {snap[name]}")
+                        body = ("\n".join(lines) + "\n").encode()
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            "text/plain; version=0.0.4; charset=utf-8",
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._json(200, dict(app.metrics))
                 elif len(parts) == 2 and parts[0] == "failed":
                     table = q.get("tableName")
                     if not table:

@@ -1106,3 +1106,26 @@ def test_reprocessing_jobs_persist_across_restart(app_server, backup_root, spark
         "dry_run": True,
     }, wait=True)
     assert int(job2["id"].rsplit("-", 1)[1]) > 99
+
+
+def test_metrics_prometheus_exposition(app_server, spark):
+    """GET /metrics?format=prometheus renders the counters in the
+    Prometheus text format (the reference's promhttp metrics server,
+    bulkerapp/app/metrics_server.go)."""
+    import urllib.request
+
+    app, base = app_server
+    _post(f"{base}/post/pg1?tableName=t_prom", b'{"id": 1}')
+    with urllib.request.urlopen(f"{base}/metrics?format=prometheus") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    lines = body.strip().splitlines()
+    assert "# TYPE bulker_events_produced counter" in lines
+    produced = next(
+        ln for ln in lines if ln.startswith("bulker_events_produced ")
+    )
+    assert int(produced.split()[1]) >= 1
+    # every counter carries a TYPE line and a value line
+    values = [ln for ln in lines if not ln.startswith("#")]
+    types = [ln for ln in lines if ln.startswith("# TYPE")]
+    assert len(values) == len(types) == len(app.metrics)

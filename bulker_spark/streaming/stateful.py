@@ -74,6 +74,31 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_native(
+    stream_df: DataFrame,
+    pk_cols: list[str],
+    ts_col: str,
+    delay: str = "24 hours",
+) -> DataFrame:
+    """Cross-batch dedup on the JVM-NATIVE state path:
+    ``withWatermark(ts) + dropDuplicatesWithinWatermark(pk)``.
+
+    The event-time twin of :func:`streaming_dedup` (which keys state on
+    a processing-time TTL via ``applyInPandasWithState``): duplicates of
+    a key are dropped for as long as its first row is within the
+    watermark ``delay``; state for keys older than the watermark is
+    evicted by the engine. Prefer this form when an event-time column
+    exists — the state store, eviction, and comparisons all stay inside
+    the JVM (no Arrow transfer, no Python in the per-event path), which
+    is the scale-preferred shape for exactly the reason the catalog
+    avoids row-at-a-time UDFs. Unlike plain ``dropDuplicates`` on a
+    stream, state here is BOUNDED: the watermark trims it, so a
+    long-running query cannot accumulate unbounded key state."""
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        pk_cols
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -304,6 +304,17 @@ class BulkerApp:
                         "are global across streams"
                     )
                 seen_binding_ids.add(bid)
+        # same single-namespace rule for plaintext keys: two streams
+        # sharing a write_key would route by config-list order
+        seen_keys: set[str] = set()
+        for stream in self.streams:
+            wk = stream.get("write_key") or ""
+            if wk and wk in seen_keys:
+                raise ValueError(
+                    f"duplicate write_key {wk!r} across streams"
+                )
+            if wk:
+                seen_keys.add(wk)
         self._lock = threading.Lock()
         self._cycle_locks: dict[str, threading.Lock] = {}
         # failover-reprocessing jobs (admin/router_reprocessing_handler.go)
@@ -2137,8 +2148,12 @@ def _make_handler(app: BulkerApp):
                     # 20-35, promhttp); here the same counters render
                     # in exposition format on ?format=prometheus
                     if q.get("format") == "prometheus":
-                        with app._lock:
-                            snap = dict(app.metrics)
+                        # plain dict copy: counter bumps are unlocked
+                        # GIL-atomic int adds (same discipline as the
+                        # JSON branch) — a lock here would synchronize
+                        # with almost no writers and imply a consistency
+                        # it cannot provide
+                        snap = dict(app.metrics)
                         lines = []
                         for name in sorted(snap):
                             metric = f"bulker_{name}"

@@ -189,7 +189,7 @@ class WebhookSink:
         driver-side single request (the macro body needs the whole
         batch)."""
         if self.custom_payload:
-            lines = [r for r in df.toJSON().collect()]
+            lines = df.toJSON().collect()
             body = self._render(lines, events_name, dict(env or {}))
             status, resp = _upload_with_retries(
                 self.url,

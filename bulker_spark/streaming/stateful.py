@@ -87,13 +87,20 @@ def streaming_dedup_native(
     a processing-time TTL via ``applyInPandasWithState``): duplicates of
     a key are dropped for as long as its first row is within the
     watermark ``delay``; state for keys older than the watermark is
-    evicted by the engine. Prefer this form when an event-time column
-    exists — the state store, eviction, and comparisons all stay inside
-    the JVM (no Arrow transfer, no Python in the per-event path), which
-    is the scale-preferred shape for exactly the reason the catalog
-    avoids row-at-a-time UDFs. Unlike plain ``dropDuplicates`` on a
-    stream, state here is BOUNDED: the watermark trims it, so a
-    long-running query cannot accumulate unbounded key state."""
+    evicted by the engine. The state store, eviction, and comparisons
+    all stay inside the JVM (no Arrow transfer, no Python in the
+    per-event path), and unlike plain ``dropDuplicates`` on a stream the
+    state is BOUNDED — the watermark trims it, so a long-running query
+    cannot accumulate unbounded key state.
+
+    SEMANTIC TRADEOFF vs the TTL twin: the watermark also gates
+    ADMISSION — an event arriving more than ``delay`` behind the
+    observed max event time is DROPPED by the stateful operator, never
+    emitted. :func:`streaming_dedup` has no event-time notion and would
+    deliver such a row. Choose this form when late data beyond the
+    delay is acceptable to discard (the usual contract wherever a
+    watermark appears); choose the TTL form when every event must come
+    out exactly once regardless of its event-time skew."""
     return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         pk_cols
     )

@@ -1050,6 +1050,16 @@ class TestHashedKeyTrust:
                 [Destination("d1", str(tmp_path / "w1"))],
                 streams=[{"write_key": "team:alpha", "destination": "d1"}],
             )
+        with pytest.raises(ValueError, match="duplicate write_key"):
+            BulkerApp(
+                spark,
+                str(tmp_path / "t3"),
+                [Destination("d1", str(tmp_path / "w3"))],
+                streams=[
+                    {"write_key": "wk", "destination": "d1"},
+                    {"write_key": "wk", "destination": "d1"},
+                ],
+            )
         bind = {"id": "k1", "hash": "s.x", "key_type": "browser"}
         with pytest.raises(ValueError, match="duplicate key-binding"):
             BulkerApp(

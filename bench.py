@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "doc_curriculum_order",
     "doc_lsh_band_autotune",
     "doc_span_dedup",
+    "doc_token_budget_mix",
 ]
 
 
@@ -554,6 +555,7 @@ STDOUT_PRIORITY = [
     "emb_covariance", "emb_pca_recon_error", "doc_dsir_weights",
     "emb_ivf_probe_autotune", "doc_block_dedup_rebuild",
     "doc_curriculum_order", "doc_lsh_band_autotune", "doc_span_dedup",
+    "doc_token_budget_mix",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

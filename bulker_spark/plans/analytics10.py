@@ -982,6 +982,129 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# ==========================================================================
+# Budget-exact mixture selection: fill a fixed token budget across
+# sources, deterministically
+# ==========================================================================
+
+_MIX_BUDGET_TOKENS = 10_000
+
+
+def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a training mix against a FIXED token budget: each
+    source gets an integer-exact proportional slice of the budget
+    (``B · source_tokens // total_tokens``) and fills it by taking
+    documents in a deterministic pseudo-random order (the portable
+    md5-derived hash every MinHash query uses — reproducible across
+    engines AND cluster sizes, unlike a sample() seed) until the next
+    document would overflow the slice. Where ``doc_mixture_temperature``
+    designs sampling WEIGHTS, this op executes a selection: the output
+    is what you actually feed the tokenizer when the contract is "give
+    me exactly ≤B tokens, same docs every rerun".
+
+    Scale shape: one groupBy(source) for totals (map-side partials over
+    an in-row token count), the |sources|-row budget frame broadcasts,
+    and the per-source cumulative sum is a window PARTITIONED BY source
+    — each source sorts only its own rows (for a pathologically huge
+    single source, pre-bucket by source or sub-salt the scan; the
+    selection rule is order-stable either way). Integer arithmetic
+    end-to-end → strict oracle."""
+    from pyspark.sql import Window
+
+    from bulker_spark.plans._common import _SPARK_H
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("long")
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.expr(_SPARK_H.format(col="cast(doc_id as string)")).alias("h"),
+    )
+    totals = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    w_all = Window.partitionBy()  # |sources| rows — constant-size
+    # exact integer `div`, not floor(double /): at 100 TB a corpus can
+    # exceed 2⁵³-precision territory where a correctly-rounded double
+    # quotient lands on the wrong side of the floor
+    budgets = totals.withColumn(
+        "total_tokens", F.sum("src_tokens").over(w_all)
+    ).selectExpr(
+        "source",
+        "src_tokens",
+        f"{_MIX_BUDGET_TOKENS}L * src_tokens div total_tokens"
+        " AS budget_tokens",
+    )
+    w_src = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum = F.sum("n_tokens").over(w_src)
+    picked = (
+        per_doc.join(F.broadcast(budgets), "source")
+        .withColumn("cum", cum)
+        .filter(F.col("cum") <= F.col("budget_tokens"))
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_selected"),
+            F.max("cum").alias("tokens_selected"),
+        )
+        .join(F.broadcast(budgets.select("source", "budget_tokens")), "source", "right")
+        .select(
+            "source",
+            "budget_tokens",
+            F.coalesce("n_docs_selected", F.lit(0)).alias("n_docs_selected"),
+            F.coalesce("tokens_selected", F.lit(0)).alias("tokens_selected"),
+            F.expr(
+                "10000 * coalesce(tokens_selected, 0)"
+                " div greatest(budget_tokens, 1)"
+            ).alias("utilization_bp"),
+        )
+    )
+
+
+def _budget_mix_sql() -> str:
+    from bulker_spark.plans._common import _DUCK_H
+
+    h = _DUCK_H.format(col="cast(doc_id as varchar)")
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+budgets AS (
+  SELECT source, sum(n_tokens) AS src_tokens,
+         {_MIX_BUDGET_TOKENS} * sum(n_tokens)
+           // (SELECT sum(n_tokens) FROM per_doc) AS budget_tokens
+  FROM per_doc GROUP BY source
+),
+ranked AS (
+  SELECT p.source, p.n_tokens, b.budget_tokens,
+         sum(p.n_tokens) OVER (PARTITION BY p.source
+                               ORDER BY p.h, p.doc_id) AS cum
+  FROM per_doc p JOIN budgets b USING (source)
+),
+picked AS (
+  SELECT source, count(*) AS n_docs_selected,
+         max(cum) AS tokens_selected
+  FROM ranked WHERE cum <= budget_tokens
+  GROUP BY source
+)
+SELECT b.source,
+       b.budget_tokens,
+       CAST(coalesce(p.n_docs_selected, 0) AS BIGINT) AS n_docs_selected,
+       CAST(coalesce(p.tokens_selected, 0) AS BIGINT) AS tokens_selected,
+       10000 * coalesce(p.tokens_selected, 0)
+         // greatest(b.budget_tokens, 1) AS utilization_bp
+FROM budgets b LEFT JOIN picked p USING (source)
+"""
+
+
 EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_dsir_weights": (doc_dsir_weights, DOC_DSIR_SQL),
     "emb_ivf_probe_autotune": (emb_ivf_probe_autotune, _ivf_autotune_sql()),
@@ -989,4 +1112,5 @@ EXTRA_QUERIES10: dict[str, tuple] = {
     "doc_curriculum_order": (doc_curriculum_order, DOC_CURRICULUM_SQL),
     "doc_lsh_band_autotune": (doc_lsh_band_autotune, _lsh_autotune_sql()),
     "doc_span_dedup": (doc_span_dedup, DOC_SPAN_DEDUP_SQL),
+    "doc_token_budget_mix": (doc_token_budget_mix, _budget_mix_sql()),
 }

@@ -385,3 +385,59 @@ class TestSpanDedup:
         # though the docs are identical (document-level dedup's job)
         assert got[0]["n_removed_tokens"] == 0
         assert got[1]["n_removed_tokens"] == 0
+
+
+class TestTokenBudgetMix:
+    @pytest.fixture(scope="class")
+    def mix(self, spark):
+        from bulker_spark.plans.analytics10 import doc_token_budget_mix
+
+        return [r.asDict() for r in doc_token_budget_mix(spark, SF).collect()]
+
+    def test_budgets_partition_the_total(self, mix):
+        from bulker_spark.plans.analytics10 import _MIX_BUDGET_TOKENS
+
+        total_budget = sum(r["budget_tokens"] for r in mix)
+        # integer div leaves at most |sources|-1 tokens unallocated
+        assert (
+            _MIX_BUDGET_TOKENS - len(mix) < total_budget <= _MIX_BUDGET_TOKENS
+        )
+
+    def test_selection_respects_budgets(self, mix):
+        for r in mix:
+            assert r["tokens_selected"] <= r["budget_tokens"]
+            assert 0 <= r["utilization_bp"] <= 10000
+            if r["n_docs_selected"] == 0:
+                assert r["tokens_selected"] == 0
+
+    def test_greedy_fill_is_maximal_prefix(self, spark, mix):
+        """The selection takes the LONGEST hash-ordered prefix fitting
+        the budget: the next document in order must overflow it."""
+        from pyspark.sql import functions as F
+
+        from bulker_spark.plans._common import _SPARK_H
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id",
+            "source",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+                + 1
+            ).cast("long").alias("n"),
+            F.expr(_SPARK_H.format(col="cast(doc_id as string)")).alias("h"),
+        )
+        rows = sorted(
+            d.collect(), key=lambda r: (r["source"], r["h"], r["doc_id"])
+        )
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r["n"])
+        for m in mix:
+            seq = by_src[m["source"]]
+            k, cum = 0, 0
+            while k < len(seq) and cum + seq[k] <= m["budget_tokens"]:
+                cum += seq[k]
+                k += 1
+            assert m["n_docs_selected"] == k
+            assert m["tokens_selected"] == cum

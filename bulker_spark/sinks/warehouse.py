@@ -2835,6 +2835,20 @@ class Warehouse:
             raise FileNotFoundError(name)
         stats = self.table_stats(name, namespace)
         n_out = max(1, round(stats["bytes"] / target_file_bytes))
+        # idempotent no-op: an already-compacted table (file count at or
+        # under target, no MoR deltas to fold, no explicit re-layout
+        # requested) returns WITHOUT committing — Delta's OPTIMIZE skips
+        # the same way. Beyond wasted rewrites, a maintenance loop
+        # spinning no-op commits would contend with concurrent writers'
+        # optimistic retries for nothing (it starved an appender in
+        # test_concurrent_writes once in eight full-suite runs).
+        if (
+            zorder_by is None
+            and cluster_by is None
+            and meta.mor_deltas == 0
+            and stats["n_files"] <= n_out
+        ):
+            return {"before": stats, "after": stats, "skipped": True}
         df = self.read(name, namespace)
         if zorder_by:
             # multi-dimensional clustering: files cover small cells of the

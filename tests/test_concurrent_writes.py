@@ -530,3 +530,27 @@ def test_vacuum_ages_inflight_version_dirs_by_tree_mtime(spark, roots):
         fh.write("x")  # fresh: the writer is alive
     assert wh.vacuum("t", min_age_seconds=3600) == []
     assert os.path.isdir(vdir)
+
+
+def test_compact_is_noop_when_already_compacted(spark, roots):
+    """An already-compacted table (files <= target, no MoR deltas, no
+    explicit re-layout) must return WITHOUT committing a version — a
+    maintenance loop spinning no-op commits contends with writers for
+    nothing."""
+    w = Warehouse(spark, roots)
+    w.create_or_replace("nc", _df(spark, [(1, "a"), (2, "b")]))
+    first = w.compact("nc")  # may rewrite once to the target layout
+    assert "before" in first
+    head = w.history("nc")[0]["commit"]
+    again = w.compact("nc")
+    assert again.get("skipped") is True
+    assert w.history("nc")[0]["commit"] == head  # no new commit
+    # an append re-fragments -> next compact works again
+    w.refresh("nc")
+    w.append("nc", _df(spark, [(3, "c")]))
+    w.refresh("nc")
+    out = w.compact("nc")
+    assert out.get("skipped") is not True or (
+        w.table_stats("nc")["n_files"] == 1
+    )
+    assert sorted(r["pk"] for r in w.read("nc").collect()) == [1, 2, 3]

@@ -2845,6 +2845,9 @@ class Warehouse:
         if (
             zorder_by is None
             and cluster_by is None
+            and not meta.cluster_cols  # persisted layout: appends since
+            # the last compact may be unsorted even at the target file
+            # count — a clustered table's maintenance pass must re-sort
             and meta.mor_deltas == 0
             and stats["n_files"] <= n_out
         ):

@@ -75,6 +75,28 @@ def codegen_stage_count(df: DataFrame) -> int:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def exchange_output_columns(df: DataFrame) -> list[list[str]]:
+    """Column-name lists carried by every shuffle exchange in the plan —
+    the precise form of the "text never crosses a shuffle" claim. Each
+    inner list holds the bare attribute names (``doc_id``, ``wh`` — the
+    ``#exprId`` suffix and type tag stripped) of one ``Exchange`` node's
+    input, read from the formatted explain. Broadcast exchanges are
+    excluded: a broadcast of the slim side is exactly the cheap path the
+    rebuild plans choose when it fits."""
+    txt = explain_str(df)
+    out: list[list[str]] = []
+    for m in re.finditer(
+        r"\(\d+\) Exchange\b[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", txt
+    ):
+        cols = [
+            c.strip().split("#", 1)[0]
+            for c in m.group(1).split(",")
+            if c.strip()
+        ]
+        out.append(cols)
+    return out
+
+
 def has_partial_aggregate(df: DataFrame) -> bool:
     """Map-side combine present (partial_* functions below the exchange)."""
     return "partial_" in explain_str(df, "simple")

@@ -441,3 +441,120 @@ class TestTokenBudgetMix:
                 k += 1
             assert m["n_docs_selected"] == k
             assert m["tokens_selected"] == cum
+
+
+class TestRebuildScaleShapes:
+    """Both routing shapes of the corpus-rebuild join (span + block
+    forms): the broadcast shape while the slim int-list side fits the
+    threshold, the doc_id-bucketed sort-merge shape past it. The scale
+    invariant — NO shuffle exchange output ever carries a text/token
+    column — is asserted structurally on the executed plan, and the two
+    shapes must be value-identical."""
+
+    _TEXTY = {"t", "text", "clean_text"}
+
+    @staticmethod
+    def _shaped(spark, mode, fn):
+        from bulker_spark.plans.analytics10 import _REBUILD_JOIN_CONF
+
+        prev = {
+            k: spark.conf.get(k, None)
+            for k in (
+                _REBUILD_JOIN_CONF,
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set(_REBUILD_JOIN_CONF, mode)
+            if mode == "bucketed":
+                # keep AQE from converting the SMJ back to broadcast —
+                # at real scale the slim side would not fit anyway
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                spark.conf.set(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+                )
+            df = fn(spark, SF)
+            rows = sorted(map(tuple, df.collect()))
+            return df, rows
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    @pytest.fixture(scope="class", params=["span", "block"])
+    def shapes(self, request, spark):
+        from bulker_spark.plans.analytics10 import (
+            doc_block_dedup_rebuild,
+            doc_span_dedup,
+        )
+
+        fn = (
+            doc_span_dedup
+            if request.param == "span"
+            else doc_block_dedup_rebuild
+        )
+        small = self._shaped(spark, "broadcast", fn)
+        large = self._shaped(spark, "bucketed", fn)
+        return small, large
+
+    def test_small_shape_is_broadcast(self, shapes):
+        from bulker_spark.plans.audit import explain_str
+
+        (df, _), _ = shapes
+        plan = explain_str(df, "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_large_shape_is_bucketed_sort_merge(self, shapes):
+        from bulker_spark.plans.audit import explain_str
+
+        _, (df, _) = shapes
+        plan = explain_str(df, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        # the text side must be the bucketed catalog scan, not the
+        # plain parquet path (Bucketed: true appears in formatted scans)
+        assert "bulker_corpus_bkt_" in explain_str(df, "formatted")
+
+    def test_text_never_crosses_an_exchange(self, shapes):
+        from bulker_spark.plans.audit import exchange_output_columns
+
+        for df, _rows in shapes:
+            for cols in exchange_output_columns(df):
+                assert not (set(cols) & self._TEXTY), cols
+
+    def test_shapes_value_identical(self, shapes):
+        (_, small_rows), (_, large_rows) = shapes
+        assert small_rows == large_rows and small_rows
+
+    def test_auto_routing_thresholds(self, spark):
+        """auto picks broadcast under the default threshold at test
+        scale, bucketed when broadcast joins are disabled outright."""
+        from bulker_spark.plans.analytics10 import _rebuild_join_mode
+
+        assert _rebuild_join_mode(spark, SF) == "broadcast"
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert _rebuild_join_mode(spark, SF) == "bucketed"
+            # a 1-byte threshold routes the estimated slim side out too
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+            assert _rebuild_join_mode(spark, SF) == "bucketed"
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_size_parser(self):
+        from bulker_spark.plans.analytics10 import _parse_size_bytes
+
+        assert _parse_size_bytes("10485760b") == 10 * 1024 * 1024
+        assert _parse_size_bytes("10MB") == 10 * 1024 * 1024
+        assert _parse_size_bytes("1g") == 1024**3
+        assert _parse_size_bytes("-1") == -1
+        assert _parse_size_bytes("512k") == 512 * 1024
+        assert _parse_size_bytes("bogus") == 10 * 1024 * 1024

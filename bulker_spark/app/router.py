@@ -25,6 +25,7 @@ from __future__ import annotations
 import hmac
 import json
 import os
+import re
 import threading
 import time
 import uuid
@@ -54,10 +55,11 @@ def check_hash(stored: str, secret: str, global_secrets: list[str]) -> bool:
     """Verify a ``salt.sha512hex`` stored hash against a presented
     secret under ANY configured global secret (rotation list,
     ingest/router.go:548-560). Constant-time comparison — an
-    improvement over the reference's ``==``. Split on the LAST dot:
-    hex digests never contain one, so dotted salts (``v1.2``) still
-    verify."""
-    salt, sep, hash_part = stored.rpartition(".")
+    improvement over the reference's ``==``. Split on the FIRST dot,
+    matching the reference's ``strings.SplitN(hash, ".", 2)``, so
+    hashes minted by either implementation verify identically (a
+    dotted salt puts its tail inside the hash part in both)."""
+    salt, sep, hash_part = stored.partition(".")
     if not sep:
         return False
     return any(
@@ -2156,7 +2158,17 @@ def _make_handler(app: BulkerApp):
                         snap = dict(app.metrics)
                         lines = []
                         for name in sorted(snap):
-                            metric = f"bulker_{name}"
+                            # exposition-safe name: anything outside
+                            # [a-zA-Z0-9_:] would make the whole page
+                            # unscrapable; counters carry the
+                            # conventional _total suffix
+                            safe = re.sub(r"[^a-zA-Z0-9_:]", "_", name)
+                            metric = f"bulker_{safe}"
+                            if not metric.endswith("_total"):
+                                metric += "_total"
+                            lines.append(
+                                f"# HELP {metric} bulker counter {name}"
+                            )
                             lines.append(f"# TYPE {metric} counter")
                             lines.append(f"{metric} {snap[name]}")
                         body = ("\n".join(lines) + "\n").encode()

@@ -187,7 +187,15 @@ class WebhookSink:
         Plain mode: executor-distributed — each partition POSTs its rows
         in ``chunk_size``-bounded JSON arrays. Custom-payload mode:
         driver-side single request (the macro body needs the whole
-        batch)."""
+        batch).
+
+        Delivery is AT-LEAST-ONCE: a task retry or a speculative
+        duplicate re-POSTs chunks the failed/slower attempt already
+        delivered. Run these sinks with ``spark.speculation=false``
+        (retries remain possible even then), and make the receiver
+        idempotent — dedup on a stable event id the way Mixpanel dedups
+        on ``$insert_id``; a generic webhook should honor an
+        idempotency key carried in the payload."""
         if self.custom_payload:
             lines = df.toJSON().collect()
             body = self._render(lines, events_name, dict(env or {}))

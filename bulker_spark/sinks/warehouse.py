@@ -2845,9 +2845,16 @@ class Warehouse:
         if (
             zorder_by is None
             and cluster_by is None
-            and not meta.cluster_cols  # persisted layout: appends since
-            # the last compact may be unsorted even at the target file
-            # count — a clustered table's maintenance pass must re-sort
+            # persisted layout: appends since the last compact may be
+            # unsorted even at the target file count — a clustered
+            # table's maintenance pass must re-sort UNLESS the table's
+            # current commit IS the last compaction (no writes landed
+            # since the re-sort, so a rewrite would reproduce the
+            # existing layout byte-for-byte-equivalently)
+            and (
+                not meta.cluster_cols
+                or meta.last_compact_commit == base
+            )
             and meta.mor_deltas == 0
             and stats["n_files"] <= n_out
         ):
@@ -2888,6 +2895,9 @@ class Warehouse:
         version = self._write_version(name, df, meta.partition_by, namespace)
         meta.version = version
         meta.mor_deltas = 0
+        # claiming expected+1 is what _commit_meta does for an OCC commit,
+        # so the id this compaction lands at is known before the claim
+        meta.last_compact_commit = base + 1
         self._commit_meta(meta, op="compact", expected_commit=base)
         self._gc_old_versions(name, version, namespace)
         after = self.table_stats(name, namespace)

@@ -43,6 +43,11 @@ class TableMeta:
     # these columns so footer min/max stats keep pruning and the change
     # feed keeps slicing AFTER rewrites, not only until the first merge.
     cluster_cols: list[str] = field(default_factory=list)
+    # commit id of the last compact() rewrite. A clustered table whose
+    # CURRENT commit is that compaction has had no writes since the last
+    # re-sort, so a maintenance pass can skip it (the no-op guard would
+    # otherwise rewrite untouched clustered tables every cycle).
+    last_compact_commit: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -60,6 +65,7 @@ class TableMeta:
             "mor_seq": self.mor_seq,
             "mor_deltas": self.mor_deltas,
             "cluster_cols": self.cluster_cols,
+            "last_compact_commit": self.last_compact_commit,
         }
 
     @classmethod
@@ -79,6 +85,7 @@ class TableMeta:
             mor_seq=int(d.get("mor_seq") or 0),
             mor_deltas=int(d.get("mor_deltas") or 0),
             cluster_cols=list(d.get("cluster_cols") or []),
+            last_compact_commit=int(d.get("last_compact_commit") or 0),
         )
 
     def diff_new_columns(self, incoming: dict[str, DataType]) -> list[str]:

@@ -554,3 +554,28 @@ def test_compact_is_noop_when_already_compacted(spark, roots):
         w.table_stats("nc")["n_files"] == 1
     )
     assert sorted(r["pk"] for r in w.read("nc").collect()) == [1, 2, 3]
+
+
+def test_compact_is_noop_on_untouched_clustered_table(spark, roots):
+    """A clustered table whose current commit IS its last compaction has
+    had no writes since the re-sort — the maintenance pass must skip it
+    (it used to rewrite untouched clustered tables every cycle), while
+    any write after the compaction re-arms the rewrite."""
+    w = Warehouse(spark, roots)
+    w.create_or_replace("ncc", _df(spark, [(2, "b"), (1, "a"), (3, "c")]))
+    first = w.compact("ncc", cluster_by=["pk"])  # persists the layout
+    assert first.get("skipped") is not True
+    assert w.get_meta("ncc").cluster_cols == ["pk"]
+    head = w.history("ncc")[0]["commit"]
+    again = w.compact("ncc")
+    assert again.get("skipped") is True
+    assert w.history("ncc")[0]["commit"] == head  # no commit churn
+    # a write after the compaction means the layout may be stale again
+    w.refresh("ncc")
+    w.append("ncc", _df(spark, [(0, "z")]))
+    w.refresh("ncc")
+    out = w.compact("ncc")
+    assert out.get("skipped") is not True
+    # and the rewrite re-applies the persisted clustering + re-arms skip
+    assert w.compact("ncc").get("skipped") is True
+    assert sorted(r["pk"] for r in w.read("ncc").collect()) == [0, 1, 2, 3]

@@ -1120,12 +1120,20 @@ def test_metrics_prometheus_exposition(app_server, spark):
         assert r.headers["Content-Type"].startswith("text/plain")
         body = r.read().decode()
     lines = body.strip().splitlines()
-    assert "# TYPE bulker_events_produced counter" in lines
+    assert "# TYPE bulker_events_produced_total counter" in lines
     produced = next(
-        ln for ln in lines if ln.startswith("bulker_events_produced ")
+        ln for ln in lines if ln.startswith("bulker_events_produced_total ")
     )
     assert int(produced.split()[1]) >= 1
-    # every counter carries a TYPE line and a value line
+    # every counter carries HELP + TYPE lines and a value line, names
+    # are exposition-safe ([a-zA-Z0-9_:]) and carry the _total suffix
+    import re as _re
+
     values = [ln for ln in lines if not ln.startswith("#")]
     types = [ln for ln in lines if ln.startswith("# TYPE")]
-    assert len(values) == len(types) == len(app.metrics)
+    helps = [ln for ln in lines if ln.startswith("# HELP")]
+    assert len(values) == len(types) == len(helps) == len(app.metrics)
+    for ln in values:
+        name = ln.split()[0]
+        assert _re.fullmatch(r"[a-zA-Z_:][a-zA-Z0-9_:]*", name), name
+        assert name.endswith("_total"), name

@@ -1034,11 +1034,18 @@ class TestHashedWriteKeys:
 
 
 class TestHashedKeyTrust:
-    def test_dotted_salt_verifies(self):
+    def test_split_on_first_dot_matches_reference_splitn(self):
+        """The stored-hash format splits on the FIRST dot, matching the
+        reference's strings.SplitN(hash, ".", 2) (ingest/router.go:
+        548-560) so hashes are interoperable between implementations. A
+        dotted salt therefore does NOT round-trip — its tail lands in
+        the hash part, in both implementations identically."""
         from bulker_spark.app.router import check_hash, hash_api_key
 
-        stored = "v1.2." + hash_api_key("sec", "v1.2", "g")
-        assert check_hash(stored, "sec", ["g"])
+        assert check_hash("v1." + hash_api_key("sec", "v1", "g"), "sec", ["g"])
+        assert not check_hash(
+            "v1.2." + hash_api_key("sec", "v1.2", "g"), "sec", ["g"]
+        )
 
     def test_config_rejects_colon_plaintext_and_dup_binding_ids(
         self, spark, tmp_path

@@ -2182,6 +2182,26 @@ def _make_handler(app: BulkerApp):
                         self.wfile.write(body)
                     else:
                         self._json(200, dict(app.metrics))
+                elif parts[:2] == ["debug", "pprof"] and len(parts) <= 3:
+                    # pprof-style profiling surface (the reference mounts
+                    # net/http/pprof here, bulkerapp/app/router.go:76-85);
+                    # Python analogues, see app/debug_profiler.py. Behind
+                    # the same bearer gate as every non-health route.
+                    from . import debug_profiler
+
+                    suffix = parts[2] if len(parts) == 3 else ""
+                    fn = debug_profiler.ROUTES.get(suffix)
+                    if fn is None:
+                        self._json(404, {"error": f"unknown profile {suffix}"})
+                        return
+                    body = fn(q).encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif len(parts) == 2 and parts[0] == "failed":
                     table = q.get("tableName")
                     if not table:

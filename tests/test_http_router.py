@@ -1137,3 +1137,38 @@ def test_metrics_prometheus_exposition(app_server, spark):
         name = ln.split()[0]
         assert _re.fullmatch(r"[a-zA-Z_:][a-zA-Z0-9_:]*", name), name
         assert name.endswith("_total"), name
+
+
+def test_debug_pprof_surface(app_server, spark):
+    """The pprof-analogue debug routes (reference mounts net/http/pprof,
+    bulkerapp/app/router.go:76-85): index lists every profile, each
+    route serves text, unknown profiles 404."""
+    import urllib.request
+    import urllib.error
+
+    app, base = app_server
+
+    def get(path):
+        with urllib.request.urlopen(f"{base}{path}") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            return r.read().decode()
+
+    idx = get("/debug/pprof")
+    for route in ("goroutine", "heap", "block", "mutex", "threadcreate",
+                  "cmdline", "symbol", "profile", "trace"):
+        assert f"/debug/pprof/{route}" in idx
+
+    assert "do_GET" in get("/debug/pprof/goroutine")  # this handler
+    assert "tracemalloc started" in get("/debug/pprof/heap")
+    assert "# traced:" in get("/debug/pprof/heap")  # second call: snapshot
+    assert "blocked threads:" in get("/debug/pprof/block")
+    assert "daemon=" in get("/debug/pprof/threadcreate")
+    assert "num_symbols: 0" in get("/debug/pprof/symbol")
+    assert "\x00" in get("/debug/pprof/cmdline")
+    prof = get("/debug/pprof/profile?seconds=0.05")
+    assert prof.startswith("# folded stacks")
+    trace = get("/debug/pprof/trace?seconds=0.05")
+    assert trace.startswith("# ts_us")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get("/debug/pprof/nope")
+    assert ei.value.code == 404

@@ -1732,38 +1732,10 @@ def doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ANN search (approximate tier; not SQL-expressible → rows-only) ---------
-
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row["embedding"]]
-
-
-def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-projection LSH top-k (Spark ML BucketedRandomProjectionLSH,
-    fixed seed). Approximate: rows-only driver check; accuracy is asserted
-    against brute force in tests/test_functions.py."""
-    from bulker_spark.functions.similarity import ann_lsh
-
-    emb = _t(spark, sf_dir, "embeddings")
-    res, _model = ann_lsh(emb, _query_vec(spark, sf_dir), k=20)
-    return res.select("vec_id", F.round("l2_dist", 4).alias("l2_dist"))
-
-
-def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means cells + probe-limited brute force — the 100 TB
-    scale path (partition-pruned probe of n_probe/n_cells of the corpus)."""
-    from bulker_spark.functions.similarity import IvfIndex
-
-    emb = _t(spark, sf_dir, "embeddings")
-    idx = IvfIndex(n_cells=16)
-    idx.build(emb)
-    return idx.search(_query_vec(spark, sf_dir), k=20, n_probe=4)
+# emb_ann_lsh / emb_ann_ivf moved to plans/analytics11.py in their
+# deterministic, strict-oracled forms (fixed configs, portable integer
+# randomness); the Spark-ML general-purpose tiers stay in
+# functions/similarity.py under their accuracy tests.
 
 
 # --- corpus curation: repetition signals, quality buckets, cohorts -------
@@ -2821,8 +2793,6 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "events_daily_uniques": (events_daily_uniques, EVENTS_DAILY_UNIQUES_SQL),
     "events_daily_uniques_hll": (events_daily_uniques_hll, None),
     "doc_length_quantiles_sketch": (doc_length_quantiles_sketch, None),
-    "emb_ann_lsh": (emb_ann_lsh, None),
-    "emb_ann_ivf": (emb_ann_ivf, None),
     "events_hopping_active_users": (
         events_hopping_active_users,
         EVENTS_HOPPING_SQL,

@@ -1316,6 +1316,7 @@ from bulker_spark.plans.analytics7 import EXTRA_QUERIES7  # noqa: E402
 from bulker_spark.plans.analytics8 import EXTRA_QUERIES8  # noqa: E402
 from bulker_spark.plans.analytics9 import EXTRA_QUERIES9  # noqa: E402
 from bulker_spark.plans.analytics10 import EXTRA_QUERIES10  # noqa: E402
+from bulker_spark.plans.analytics11 import EXTRA_QUERIES11  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(EXTRA_QUERIES2)
@@ -1327,3 +1328,4 @@ QUERIES.update(EXTRA_QUERIES7)
 QUERIES.update(EXTRA_QUERIES8)
 QUERIES.update(EXTRA_QUERIES9)
 QUERIES.update(EXTRA_QUERIES10)
+QUERIES.update(EXTRA_QUERIES11)

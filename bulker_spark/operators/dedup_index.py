@@ -239,3 +239,209 @@ class MinHashDedupIndex:
             ).localCheckpoint()
             self._append_index(novel_sigs)
         return novel, dups
+
+
+class SpanDedupIndex:
+    """Incremental EXACT-substring dedup (Lee et al. 2022) against a
+    persisted window-hash index — the delta form of the full-corpus
+    ``doc_span_dedup`` / ``doc_block_dedup_rebuild`` rebuilds
+    (``plans/analytics10.py``): a production pipeline re-runs span
+    removal on daily batches, and re-rebuilding the whole corpus per
+    batch is an O(corpus) text scan this index avoids.
+
+    ``mode="span"`` removes every token covered by a duplicated
+    stride-1 ``k``-token window; ``mode="block"`` removes duplicated
+    aligned ``k``-token blocks. Precedence is ARRIVAL ORDER: a window
+    already in the index beats any occurrence in a later batch, and
+    within a batch the smallest (doc_id, pos) wins — identical to the
+    full-corpus global-first-occurrence rule whenever batches arrive in
+    ascending doc_id order, so the incremental pipeline's output equals
+    the full rerun (pinned: tests/test_dedup_index.py).
+
+    Per-batch cost: one batch text scan (windows hash in-row), one
+    int-only equi-join of batch window hashes against the index table
+    (8-byte keys — corpus text is never read), and an O(new hashes)
+    append. The index table stores DISTINCT window hashes only; the
+    warehouse append path keeps it atomic and retry-idempotent (a
+    double-landed hash is collapsed by the probe's semi-join, which is
+    set-semantics by construction)."""
+
+    def __init__(
+        self,
+        warehouse: Warehouse,
+        name: str = "span_index",
+        *,
+        k: int = 5,
+        mode: str = "span",
+        namespace: str | None = None,
+    ):
+        if mode not in ("span", "block"):
+            raise ValueError(f"mode must be span|block, got {mode!r}")
+        self.wh = warehouse
+        self.name = name
+        self.k = k
+        self.mode = mode
+        self.namespace = namespace
+
+    @property
+    def table(self) -> str:
+        return f"{self.name}_{self.mode}{self.k}_hashes"
+
+    # -- window hashing (shared with the batch rebuild) ---------------------
+    def _tokens(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        # token array projected ONCE — HOF lambdas are not CSE'd, an
+        # unprojected split re-splits per generated element
+        return docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("t"),
+        )
+
+    def _windows(self, dt: DataFrame) -> DataFrame:
+        """(doc_id, pos, wh): stride-1 k-gram hashes (span mode, pos =
+        0-based window start) or aligned-block hashes (block mode, pos =
+        block index). Hashing matches plans/analytics10.py exactly —
+        variadic xxhash64 over token elements for spans, xxhash64 of the
+        joined block for blocks (partial tail blocks hash differently
+        from any full block by construction)."""
+        k, t = self.k, F.col("t")
+        if self.mode == "span":
+            nwin = F.size(t) - F.lit(k - 1)
+            # sequence(1, 0) counts DOWN — short docs need an explicit
+            # empty window list
+            starts = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+                F.array().cast("array<int>")
+            )
+            gen = F.transform(
+                starts,
+                lambda i: F.xxhash64(
+                    *[F.element_at(t, i + j) for j in range(k)]
+                ),
+            )
+        else:
+            nblk = F.ceil(F.size(t) / F.lit(k)).cast("int")
+            gen = F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(t, i * k + 1, k), " ")
+                ),
+            )
+        return dt.select("doc_id", F.posexplode(gen).alias("pos", "wh"))
+
+    # -- lifecycle -----------------------------------------------------------
+    def rebuild(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """Bootstrap from the accepted corpus — the only O(corpus) scan."""
+        hashes = (
+            self._windows(self._tokens(docs, id_col, text_col))
+            .select("wh")
+            .distinct()
+        )
+        self.wh.create_or_replace(self.table, hashes, namespace=self.namespace)
+
+    def _indexed(self) -> DataFrame | None:
+        if not self.wh.exists(self.table, self.namespace):
+            return None
+        return self.wh.read(self.table, self.namespace)
+
+    # -- the incremental rebuild ---------------------------------------------
+    def dedup_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        extend_index: bool = True,
+    ) -> DataFrame:
+        """Rebuild the BATCH documents only: every window that already
+        exists in the index — or occurs earlier within the batch — loses,
+        and each document is reassembled from its surviving tokens
+        (span) / blocks (block). Returns the same schema as the
+        full-corpus catalog query (``doc_id, clean_text, n_tokens,
+        n_removed_tokens`` / ``n_blocks, n_removed``); by default the
+        batch's window hashes then extend the index (novel ones only —
+        an O(new) anti-join append)."""
+        dt = self._tokens(batch, id_col, text_col).localCheckpoint()
+        wins = self._windows(dt).localCheckpoint()
+        idx = self._indexed()
+        # intra-batch first occurrence per hash
+        first = wins.groupBy("wh").agg(
+            F.min(F.struct("doc_id", "pos")).alias("w")
+        )
+        intra_losers = wins.join(first, "wh").filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("pos") != F.col("w.pos"))
+        ).select("doc_id", "pos")
+        if idx is not None:
+            # ANY batch occurrence of an indexed hash loses (the index
+            # always precedes the batch in arrival order)
+            vs_index = (
+                wins.join(idx, "wh", "left_semi").select("doc_id", "pos")
+            )
+            losers = intra_losers.union(vs_index).distinct()
+        else:
+            losers = intra_losers.distinct()
+        out = self._rebuild_docs(dt, losers)
+        if extend_index:
+            new_hashes = wins.select("wh").distinct()
+            if idx is not None:
+                new_hashes = new_hashes.join(idx, "wh", "left_anti")
+            if self.wh.exists(self.table, self.namespace):
+                self.wh.append(
+                    self.table, new_hashes, namespace=self.namespace
+                )
+            else:
+                self.wh.create_or_replace(
+                    self.table, new_hashes, namespace=self.namespace
+                )
+        return out
+
+    def _rebuild_docs(self, dt: DataFrame, losers: DataFrame) -> DataFrame:
+        k, t = self.k, F.col("t")
+        loser_lists = losers.groupBy("doc_id").agg(
+            F.collect_list("pos").alias("lpos")
+        )
+        # the loser lists are bounded by the BATCH (one slim int-array
+        # row per affected batch doc), so they broadcast: the batch's
+        # token arrays never cross an exchange (pinned in
+        # test_dedup_index.py). A full-corpus rebuild goes through the
+        # catalog queries' routed join instead (plans/analytics10.py).
+        joined = dt.join(F.broadcast(loser_lists), "doc_id", "left")
+        lpos = F.coalesce(F.col("lpos"), F.array().cast("array<int>"))
+        if self.mode == "span":
+            covered = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        lpos, lambda p: F.sequence(p, p + F.lit(k - 1))
+                    )
+                )
+            )
+            kept_idx = F.array_except(
+                F.sequence(F.lit(0), F.size(t) - 1), covered
+            )
+            return joined.select(
+                "doc_id",
+                F.array_join(
+                    F.transform(kept_idx, lambda i: F.element_at(t, i + 1)),
+                    " ",
+                ).alias("clean_text"),
+                F.size(t).cast("long").alias("n_tokens"),
+                (F.size(t) - F.size(kept_idx)).cast("long").alias(
+                    "n_removed_tokens"
+                ),
+            )
+        nblk = F.ceil(F.size(t) / F.lit(k)).cast("int")
+        kept_blocks = F.array_except(F.sequence(F.lit(0), nblk - 1), lpos)
+        return joined.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    kept_blocks,
+                    lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+                ),
+                " ",
+            ).alias("clean_text"),
+            nblk.cast("long").alias("n_blocks"),
+            F.size(lpos).cast("long").alias("n_removed"),
+        )

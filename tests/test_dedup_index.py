@@ -185,3 +185,103 @@ def test_probe_before_bootstrap_treats_all_as_novel(spark, tmp_path):
     again = _docs(spark, [(10, BASE)])
     got = idx.match_batch(again, min_agreement=0.9).collect()
     assert {(r.batch_id, r.corpus_id) for r in got} == {(10, 1)}
+
+
+class TestSpanDedupIndex:
+    """Incremental span/block dedup vs the full-corpus rerun: batches
+    applied in arrival order must reproduce the catalog queries'
+    global-first-occurrence output exactly."""
+
+    B1 = [
+        (0, "a b c d e f g h i j"),
+        (1, "k l m n o p q r s t"),
+        (2, "a b c d e f z z2 z3 z4"),  # repeats batch-internal span
+    ]
+    B2 = [
+        (10, "x y a b c d e f w v"),   # span duplicated vs batch 1
+        (11, "k l m n o p q r s t"),   # verbatim copy of doc 1
+        (12, "u uu uuu uuuu u5 u6 u7 u8 u9 u10"),  # novel
+        (13, "x y a b c d e f w v"),   # copy of doc 10 (intra-batch-2)
+    ]
+
+    def _full(self, spark, tmp_path, mode):
+        """Full-corpus rerun via the catalog query on batch1 ∪ batch2."""
+        import pandas as pd
+
+        from bulker_spark.plans.analytics10 import (
+            doc_block_dedup_rebuild,
+            doc_span_dedup,
+        )
+
+        rows = self.B1 + self.B2
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        )
+        d = str(tmp_path / f"full_{mode}")
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        fn = doc_span_dedup if mode == "span" else doc_block_dedup_rebuild
+        return {r["doc_id"]: tuple(r) for r in fn(spark, d).collect()}
+
+    @pytest.mark.parametrize("mode,k", [("span", 5), ("block", 3)])
+    def test_incremental_equals_full_rerun(self, spark, tmp_path, mode, k):
+        from bulker_spark.operators.dedup_index import SpanDedupIndex
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        idx = SpanDedupIndex(wh, k=k, mode=mode)
+        out1 = {
+            r["doc_id"]: tuple(r)
+            for r in idx.dedup_batch(_docs(spark, self.B1)).collect()
+        }
+        out2 = {
+            r["doc_id"]: tuple(r)
+            for r in idx.dedup_batch(_docs(spark, self.B2)).collect()
+        }
+        full = self._full(spark, tmp_path, mode)
+        assert {**out1, **out2} == full
+        # the interesting rows actually lost something
+        removed_col = 3
+        assert out2[11][removed_col] > 0  # verbatim copy emptied
+        assert out2[13][removed_col] > 0  # intra-batch-2 copy emptied
+        assert out2[12][removed_col] == 0  # novel doc untouched
+
+    def test_batch2_only_probes_index_not_text(self, spark, tmp_path):
+        """The probe is an int-only semi-join against the hash table —
+        no exchange in the batch-2 plan may carry a text/token column
+        from anywhere (the corpus is not even an input)."""
+        from bulker_spark.operators.dedup_index import SpanDedupIndex
+        from bulker_spark.plans.audit import exchange_output_columns
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        idx = SpanDedupIndex(wh, k=5, mode="span")
+        idx.rebuild(_docs(spark, self.B1))
+        out = idx.dedup_batch(_docs(spark, self.B2), extend_index=False)
+        out.collect()
+        for cols in exchange_output_columns(out):
+            assert not ({"t", "text", "clean_text"} & set(cols)), cols
+
+    def test_rebuild_then_same_batch_is_all_duplicate(self, spark, tmp_path):
+        """Re-running an already-indexed batch removes everything —
+        retry idempotence of the arrival-order contract."""
+        from bulker_spark.operators.dedup_index import SpanDedupIndex
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        idx = SpanDedupIndex(wh, k=5, mode="span")
+        idx.dedup_batch(_docs(spark, self.B1))
+        again = idx.dedup_batch(_docs(spark, self.B1))
+        for r in again.collect():
+            # every window is indexed now, so every coverable token goes;
+            # only tokens not covered by ANY window (none here: docs have
+            # ≥ k tokens) would survive
+            assert r["clean_text"] == ""
+
+    def test_mode_validation(self, spark, tmp_path):
+        from bulker_spark.operators.dedup_index import SpanDedupIndex
+
+        with pytest.raises(ValueError, match="span|block"):
+            SpanDedupIndex(Warehouse(spark, str(tmp_path / "wh")), mode="x")

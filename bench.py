@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "doc_lsh_band_autotune",
     "doc_span_dedup",
     "doc_token_budget_mix",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
 ]
 
 
@@ -275,6 +277,35 @@ def main() -> None:
         errors["ingest_1m_rows"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(wh1m, ignore_errors=True)
+
+    # opt-in 10M tier (--tier10m / SPARK_GRAFT_TIER10M=1): the standing
+    # form of BASELINE.md's 10M-row measurement, regenerated per run
+    # instead of cited as a one-off anecdote. Opt-in because the default
+    # bench must stay fast enough to run per-round on a shared host —
+    # the same stance as the reference's opt-in bigdata_test.go and the
+    # env-gated tests/test_bigdata.py tiers.
+    if "--tier10m" in sys.argv[1:] or os.environ.get("SPARK_GRAFT_TIER10M"):
+        wh10m = tempfile.mkdtemp(prefix="bench_wh10m_")
+        try:
+            events_10m = spark.range(10_000_000).select(
+                F.col("id").alias("pk"),
+                F.concat(
+                    F.lit("u"), (F.col("id") % 99991).cast("string")
+                ).alias("user"),
+                (F.col("id") * 1.5).alias("score"),
+                F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+            )
+            eng = Engine(spark, wh10m)
+            t0 = time.time()
+            eng.bulk_load(
+                "bench_ingest_10m", events_10m, mode="batch",
+                primary_key=["pk"], deduplicate=True, timestamp_column="ts",
+            )
+            timings["ingest_10m_rows"] = round(time.time() - t0, 3)
+        except Exception as exc:
+            errors["ingest_10m_rows"] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            shutil.rmtree(wh10m, ignore_errors=True)
 
     # trickle-upsert tier: a 16-key batch into a 1M-row table — the CDC
     # shape (small frequent batches into a giant table). The bucket-index
@@ -533,7 +564,8 @@ def main() -> None:
 # dropped from the END until the line fits. Everything always lands in
 # BENCH_FULL.json regardless.
 STDOUT_PRIORITY = [
-    "ingest_100k_rows", "ingest_1m_rows", "trickle_merge_1m_bucketed",
+    "ingest_100k_rows", "ingest_1m_rows", "ingest_10m_rows",
+    "trickle_merge_1m_bucketed",
     "trickle_merge_1m_plain", "trickle_merge_1m_mor",
     "replace_table_100k_rows", "replace_partition_100k_rows",
     "stream_ingest_100k_rows",
@@ -555,7 +587,7 @@ STDOUT_PRIORITY = [
     "emb_covariance", "emb_pca_recon_error", "doc_dsir_weights",
     "emb_ivf_probe_autotune", "doc_block_dedup_rebuild",
     "doc_curriculum_order", "doc_lsh_band_autotune", "doc_span_dedup",
-    "doc_token_budget_mix",
+    "doc_token_budget_mix", "emb_ann_ivf", "emb_ann_lsh",
 ]
 
 MAX_LINE = 1900  # driver tail buffer is 2000 chars; leave newline headroom

@@ -942,19 +942,34 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): the event-time
     windowing the reference lacks but a training-data pipeline needs.
-    Expressed as lag + running-sum windows — two window passes over the
-    same (user_id, ts) partitioning, one shuffle total."""
+
+    TWO-PHASE plan, hot-key-proof: a single ``partitionBy(user_id)``
+    window puts a bot user's entire stream in ONE task (measured 12.7×
+    max/median task time on the Zipf fixture, scripts/skew_stress.py —
+    the classic unsplittable-window wall). Instead: (1) the heavy pass
+    windows by ``(user_id, day-bucket)`` — splittable, every partition
+    bounded by one user-day — and aggregates LOCAL sessions; (2) a
+    light pass merges sessions across bucket boundaries on per-bucket
+    summaries (≤ a few rows per user-day, independent of event count):
+    bucket b's first local session joins bucket b-1's last when the
+    boundary gap ≤ 30 min, and global ordinals are a prefix-sum over
+    ``n_local - merged`` per bucket. Day buckets ≫ the 30-min gap, so
+    ONLY boundary sessions can merge and chains telescope through the
+    prefix sum. Output is bit-identical to the naive global window
+    (the strict oracle is unchanged)."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bkt = F.floor(F.unix_timestamp(F.date_trunc("second", "ts")) / 86400)
     # timestampdiff is TIMESTAMP_NTZ-safe (a cast to BIGINT is not in
     # Spark 4.x) and avoids any session-timezone dependence. Operands are
     # truncated to whole seconds so the gap counts second-boundary
     # crossings — the same semantics as SQL date_diff('second', ...) —
     # instead of flooring the sub-second-precise difference.
+    w = Window.partitionBy("user_id", "__bkt").orderBy("ts", "event_id")
     gapped = (
-        ev.withColumn("__prev_ts", F.lag("ts").over(w))
+        ev.withColumn("__bkt", bkt)
+        .withColumn("__prev_ts", F.lag("ts").over(w))
         .withColumn(
             "__new_session",
             F.when(
@@ -973,16 +988,66 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__prev_ts")
     )
-    sess = gapped.withColumn(
-        "session_id",
+    local = gapped.withColumn(
+        "__lsid",
         F.sum("__new_session").over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
+    ).groupBy("user_id", "__bkt", "__lsid").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+    # per-bucket summary: session count + boundary timestamps — a few
+    # ints per (user, day), the ONLY frame a per-user window ever sees
+    summary = local.groupBy("user_id", "__bkt").agg(
+        F.max("__lsid").alias("n_local"),
+        F.min("session_start").alias("first_start"),
+        F.max("session_end").alias("last_end"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("__bkt")
+    merged = (
+        summary.withColumn("__prev_end", F.lag("last_end").over(wu))
+        .withColumn(
+            "__merge",
+            F.when(
+                F.col("__prev_end").isNotNull()
+                & (
+                    F.expr(
+                        "timestampdiff(SECOND,"
+                        " date_trunc('second', __prev_end),"
+                        " date_trunc('second', first_start))"
+                    )
+                    <= 1800
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum(F.col("n_local") - F.col("__merge")).over(
+                    wu.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "__bkt", "__merge", "__offset")
+    )
+    return (
+        local.join(merged, ["user_id", "__bkt"])
+        .withColumn(
+            "session_id",
+            F.col("__offset") + F.col("__lsid") - F.col("__merge"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+        )
     )
 
 

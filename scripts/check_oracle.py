@@ -2,6 +2,7 @@
 its DuckDB oracle side-by-side, compare row count, sorted column names, and
 order-insensitive values. Usage: python scripts/check_oracle.py [--strict] [sf_dir] [only...]; --strict compares floats repr-exactly (the driver hash discipline) instead of 6 significant digits."""
 
+import os
 import sys
 import time
 
@@ -48,9 +49,12 @@ def main(sf_dir: str, only: list[str]):
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata is one file per table; gen_sf1.py output is a
+        # Spark-written DIRECTORY of part files — glob it for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     failed = []
     attempted = 0
     for name, (fn, sql) in QUERIES.items():

@@ -124,6 +124,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("curriculum head (best documents first):")
     doc_curriculum_order(spark, sf_dir).orderBy("train_order").show(5)
 
+    # 9. incremental form (round 6): a production pipeline re-runs span
+    #    dedup on DAILY batches — the persisted window-hash index probes
+    #    each new batch with an int-only join instead of re-scanning the
+    #    corpus, and arrival order equals the global first-occurrence
+    #    rule for ascending batches
+    from bulker_spark.operators.dedup_index import SpanDedupIndex
+    from bulker_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="pipeline_wh_"))
+    idx = SpanDedupIndex(wh, k=5, mode="span")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    day1 = docs.filter(F.col("doc_id") <= half)
+    day2 = docs.filter(F.col("doc_id") > half)
+    idx.dedup_batch(day1)  # bootstrap day: indexes its own windows
+    d2 = idx.dedup_batch(day2)
+    inc_removed = d2.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    print(
+        f"incremental span dedup, day 2: {inc_removed} tokens removed "
+        "against day 1's index (no corpus rescan)"
+    )
+
     spark.stop()
 
 

@@ -148,6 +148,14 @@ def heap_snapshot(limit: int = 40) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _clip_int(raw, default: int) -> int:
+    """Defensive query-param parsing — garbage falls back, never 500s."""
+    try:
+        return max(1, int(raw))
+    except (TypeError, ValueError):
+        return default
+
+
 def _clip_seconds(raw, default: float) -> float:
     try:
         s = float(raw)
@@ -217,7 +225,7 @@ def trace_samples(seconds=1.0, hz: int = _HZ) -> str:
 ROUTES = {
     "": lambda q: index(),
     "goroutine": lambda q: goroutine_dump(),
-    "heap": lambda q: heap_snapshot(int(q.get("limit", "40") or 40)),
+    "heap": lambda q: heap_snapshot(_clip_int(q.get("limit"), 40)),
     "block": lambda q: blocked_dump("block"),
     "mutex": lambda q: blocked_dump("mutex"),
     "threadcreate": lambda q: threadcreate_dump(),

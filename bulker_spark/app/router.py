@@ -2157,6 +2157,7 @@ def _make_handler(app: BulkerApp):
                         # it cannot provide
                         snap = dict(app.metrics)
                         lines = []
+                        seen: set[str] = set()
                         for name in sorted(snap):
                             # exposition-safe name: anything outside
                             # [a-zA-Z0-9_:] would make the whole page
@@ -2166,6 +2167,14 @@ def _make_handler(app: BulkerApp):
                             metric = f"bulker_{safe}"
                             if not metric.endswith("_total"):
                                 metric += "_total"
+                            # two keys differing only in sanitized chars
+                            # must not emit one series twice — a dup
+                            # series fails the WHOLE scrape
+                            n, base_metric = 2, metric
+                            while metric in seen:
+                                metric = f"{base_metric[:-6]}_{n}_total"
+                                n += 1
+                            seen.add(metric)
                             lines.append(
                                 f"# HELP {metric} bulker counter {name}"
                             )

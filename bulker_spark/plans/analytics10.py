@@ -140,11 +140,21 @@ def _bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed join); here it is created on demand so the rebuild
     queries stay self-contained."""
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(os.path.realpath(src).encode()).hexdigest()[:12]
+    # tag = (path, mtime, size): regenerating the source parquet at the
+    # same path changes the tag, so a long session never serves a stale
+    # bucketed copy; the LOCATION additionally carries the application
+    # id so two concurrent sessions materializing the same corpus write
+    # disjoint directories instead of racing one overwrite
+    st = os.stat(os.path.realpath(src))
+    tag = hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     name = f"bulker_corpus_bkt_{tag}"
     if not spark.catalog.tableExists(name):
         loc = os.path.join(
-            tempfile.gettempdir(), f"bulker_spark_corpus_bkt_{tag}"
+            tempfile.gettempdir(),
+            f"bulker_spark_corpus_bkt_{tag}_"
+            f"{spark.sparkContext.applicationId}",
         )
         (
             spark.read.parquet(src)

@@ -49,7 +49,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bulker_spark.plans.analytics7 import (
+    _PQ_DIM,
     _PQ_K,
+    _PQ_M,
     _pq_dist_milli,
     _pq_is_query,
     _pq_q_sql,
@@ -65,7 +67,8 @@ _ANN_TOPK = 10
 # deterministic lowest-id "centroids" no swept nprobe reaches the 95%
 # cell-recall target, so the sweep falls back to its largest value
 _ANN_NPROBE = 8
-_ANN_DIM = 64
+# one source of truth for the embedding dimension (analytics7's PQ grid)
+_ANN_DIM = _PQ_M * _PQ_DIM
 
 _LSH_TABLES = 8
 _LSH_PLANES = 8  # sign bits per table → 256 buckets/table
@@ -209,14 +212,11 @@ SELECT query_id, neighbor_id, topk_rank, dmilli FROM (
 """
 
 
-def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH ANN (SimHash-for-cosine), deterministic
-    form: 8 tables × 8 sign bits per table (256 buckets/table) over
-    integer-quantized vectors with LCG-derived hyperplanes. A database
-    vector is a candidate for a query iff they share ANY table's full
-    bucket code; candidates are re-ranked exactly and the top
-    ``_ANN_TOPK`` kept. Every sign bit is an integer dot product, so
-    candidate sets are bit-identical across engines."""
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (query_id, neighbor_id) LSH candidate pairs — the
+    banding stage of :func:`emb_ann_lsh`, exposed separately so the
+    selectivity property (candidates ≪ all pairs) is testable on its
+    own."""
     e = _vecs(spark, sf_dir)
     # micro-unit quantization JVM-side, projected ONCE; floor(x*1e6+0.5)
     # instead of round() — identical in both engines for every sign of x
@@ -277,13 +277,25 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbcodes = coded.filter(~_pq_is_query()).select(
         F.col("vec_id").alias("neighbor_id"), "tbl", "code"
     )
-    # candidate pairs are bounded by the fixed query budget, so they
-    # broadcast back onto the corpus for the exact pass
-    cand = (
+    return (
         dbcodes.join(F.broadcast(qcodes), ["tbl", "code"])
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN (SimHash-for-cosine), deterministic
+    form: 8 tables × 8 sign bits per table (256 buckets/table) over
+    integer-quantized vectors with LCG-derived hyperplanes. A database
+    vector is a candidate for a query iff they share ANY table's full
+    bucket code; candidates are re-ranked exactly and the top
+    ``_ANN_TOPK`` kept. Every sign bit is an integer dot product, so
+    candidate sets are bit-identical across engines."""
+    e = _vecs(spark, sf_dir)
+    # candidate pairs are bounded by the fixed query budget, so they
+    # broadcast back onto the corpus for the exact pass
+    cand = _lsh_candidates(spark, sf_dir)
     qv = e.filter(_pq_is_query()).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

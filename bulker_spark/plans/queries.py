@@ -1036,8 +1036,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "__bkt", "__merge", "__offset")
     )
+    # NULL-SAFE user_id equality: window partitionBy (and the SQL
+    # oracle's GROUP BY) treat NULL as one group, so the merge join must
+    # not drop anonymous events the way a null-rejecting equi-join would
+    m = merged.select(
+        F.col("user_id").alias("__m_uid"),
+        F.col("__bkt").alias("__m_bkt"),
+        "__merge",
+        "__offset",
+    )
     return (
-        local.join(merged, ["user_id", "__bkt"])
+        local.join(
+            m,
+            F.col("user_id").eqNullSafe(F.col("__m_uid"))
+            & F.col("__bkt").eqNullSafe(F.col("__m_bkt")),
+        )
         .withColumn(
             "session_id",
             F.col("__offset") + F.col("__lsid") - F.col("__merge"),

@@ -1242,6 +1242,10 @@ class Warehouse:
         new_meta.name = target
         new_meta.namespace = tgt_ns
         new_meta.version = f"v_{uuid.uuid4().hex}"
+        # the clone's commit log restarts at 1 — an inherited
+        # last_compact_commit could collide with the new counter and
+        # falsely arm the clustered no-op compaction skip
+        new_meta.last_compact_commit = 0
         tgt_vdir = os.path.join(
             self._table_dir(target, tgt_ns), new_meta.version
         )

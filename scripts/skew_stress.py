@@ -133,7 +133,11 @@ def main(fixture: str) -> None:
             pass
         df = fn(spark, fixture)
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # adaptive plan inspected below is the final executed one — a
+        # noop write would run a separate QueryExecution and the skew
+        # flag would read the never-executed initial plan (always "no")
+        df.collect()
         wall = round(time.time() - t0, 2)
         plan = df._jdf.queryExecution().executedPlan().toString()
         skewed = "yes" if "skew=true" in plan else "no"

@@ -140,15 +140,22 @@ def test_ann_ivf_probes_beat_random(spark):
 
 
 def test_ann_lsh_candidates_are_selective_and_ranked(spark):
-    """Deterministic sign-LSH: result-shape invariants plus selectivity —
-    the bucket join must NOT degenerate to all pairs (the whole point of
-    banding), yet every query keeps at least one candidate."""
+    """Deterministic sign-LSH: result-shape invariants plus MEASURED
+    selectivity — the bucket join must not degenerate to all pairs (a
+    code-collapse bug would still produce valid-looking ranked top-k,
+    so the candidate count itself is asserted), yet every query keeps
+    at least one candidate."""
+    from bulker_spark.plans.analytics11 import _lsh_candidates
+
     fn, _ = QUERIES["emb_ann_lsh"]
     by_q = _ann_invariants(fn(spark, SF_DIR).collect())
     n_queries = sum(
         1 for v in range(0, 2000, 29) if v < 500
     )  # sf0.001 embeddings: 500 vectors
     assert len(by_q) == n_queries
+    n_cand = _lsh_candidates(spark, SF_DIR).count()
+    n_db = 500 - n_queries
+    assert n_cand < 0.5 * n_queries * n_db, (n_cand, n_queries * n_db)
 
 
 def test_semdedup_partition_invariant(spark):
@@ -336,3 +343,68 @@ def test_native_sessionize_matches_lag_variant(spark):
         for r in events_sessionize(spark, SF_DIR).collect()
     }
     assert native == lagged
+
+
+def test_sessionize_keeps_null_user_sessions(spark, tmp_path):
+    """Anonymous (NULL user_id) events form one session group under the
+    naive window AND the SQL oracle; the two-phase plan's boundary-merge
+    join must be null-safe or those sessions silently vanish."""
+    import datetime as dt
+
+    from bulker_spark.plans.queries import events_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # null user: two sessions (gap 31 min), the second crossing a
+        # DAY boundary via a long-lived chain is covered elsewhere
+        (1, ts(0), None, "page", 0.0, "{}"),
+        (2, ts(10), None, "page", 0.0, "{}"),
+        (3, ts(45), None, "page", 0.0, "{}"),
+        # a normal user for contrast
+        (4, ts(0), 7, "page", 0.0, "{}"),
+    ]
+    d = str(tmp_path / "sess_null")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = events_sessionize(spark, d).collect()
+    null_sessions = sorted(
+        (r["session_id"], r["n_events"])
+        for r in out
+        if r["user_id"] is None
+    )
+    assert null_sessions == [(1, 2), (2, 1)]
+    assert sum(1 for r in out if r["user_id"] == 7) == 1
+
+
+def test_sessionize_session_spans_many_day_buckets(spark, tmp_path):
+    """A session that stays active across 3+ day buckets must telescope
+    through the boundary-merge prefix sum into ONE session."""
+    import datetime as dt
+
+    from bulker_spark.plans.queries import events_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 23, 50, 0)
+    rows = []
+    # an event every 20 minutes for 50 hours -> one continuous session
+    # crossing two midnights, plus a separate later session
+    for i in range(150):
+        rows.append((i, t0 + dt.timedelta(minutes=20 * i), 1))
+    rows.append((999, t0 + dt.timedelta(hours=80), 1))
+    d = str(tmp_path / "sess_span")
+    spark.createDataFrame(
+        [(e, t, u, "page", 0.0, "{}") for e, t, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = sorted(
+        (r["session_id"], r["n_events"])
+        for r in events_sessionize(spark, d).collect()
+    )
+    assert out == [(1, 150), (2, 1)]

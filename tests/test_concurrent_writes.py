@@ -579,3 +579,18 @@ def test_compact_is_noop_on_untouched_clustered_table(spark, roots):
     # and the rewrite re-applies the persisted clustering + re-arms skip
     assert w.compact("ncc").get("skipped") is True
     assert sorted(r["pk"] for r in w.read("ncc").collect()) == [0, 1, 2, 3]
+
+
+def test_clone_does_not_inherit_compaction_skip(spark, roots):
+    """A clone's commit log restarts at 1; an inherited
+    last_compact_commit could coincide with the new counter and falsely
+    skip the re-sort of a cloned clustered table after writes landed."""
+    w = Warehouse(spark, roots)
+    w.create_or_replace("src_c", _df(spark, [(2, "b"), (1, "a")]))
+    w.compact("src_c", cluster_by=["pk"])
+    w.clone("src_c", "dst_c")
+    assert w.get_meta("dst_c").last_compact_commit == 0
+    w.append("dst_c", _df(spark, [(3, "c")]))
+    w.refresh("dst_c")
+    out = w.compact("dst_c")  # clustered + writes since: must rewrite
+    assert out.get("skipped") is not True

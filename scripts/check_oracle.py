@@ -39,11 +39,20 @@ def canon(rows, cols):
 
 
 def main(sf_dir: str, only: list[str]):
+    import os as _os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # sf1 runs collect full result sets for the strict compare —
+        # the 1g default driver heap dies around the big TPC-H answers
+        .config(
+            "spark.driver.memory",
+            _os.environ.get("SPARK_ORACLE_DRIVER_MEM", "6g"),
+        )
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

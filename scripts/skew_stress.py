@@ -133,12 +133,13 @@ def main(fixture: str) -> None:
             pass
         df = fn(spark, fixture)
         t0 = time.time()
-        # collect() executes THIS DataFrame's QueryExecution, so the
-        # adaptive plan inspected below is the final executed one — a
-        # noop write would run a separate QueryExecution and the skew
-        # flag would read the never-executed initial plan (always "no")
-        df.collect()
+        df.write.mode("overwrite").format("noop").save()
         wall = round(time.time() - t0, 2)
+        # the skew flag needs the FINAL adaptive plan, which only this
+        # DataFrame's own QueryExecution carries after an action on it —
+        # the noop write above ran a separate QueryExecution, so execute
+        # this one too (untimed; driver transfer would distort the wall)
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         skewed = "yes" if "skew=true" in plan else "no"
         w = stage_skew(base, app_id, last_stage)

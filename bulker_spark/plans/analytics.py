@@ -2276,17 +2276,45 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing exactly at the window's extent (closed interval: merge iff
     gap <= G) — so G = 1800s over second-truncated timestamps reproduces
     the exact same session boundaries. Aggregates (min/max) read the
-    ORIGINAL timestamps, only the window key is truncated."""
+    ORIGINAL timestamps, only the window key is truncated.
+
+    Hot-key-proofing (round 6): grouping by ``session_window`` alone
+    funnels a bot user's whole stream into one task (measured 11.1×
+    max/median task time on the Zipf fixture) — so the native operator
+    runs per ``(user_id, day-bucket)`` and the shared boundary-merge
+    phase (``queries._merge_bucketed_sessions``) stitches bucket-edge
+    sessions back together, exactly as in ``events_sessionize``."""
+    from pyspark.sql import Window
+
+    from bulker_spark.plans.queries import _merge_bucketed_sessions
+
     ev = _t(spark, sf_dir, "events")
-    return (
+    local = (
         ev.select("user_id", "ts", F.date_trunc("second", "ts").alias("tss"))
-        .groupBy(F.session_window("tss", "1800 seconds"), "user_id")
+        .withColumn(
+            "__bkt", F.floor(F.unix_timestamp(F.col("tss")) / 86400)
+        )
+        .groupBy(F.session_window("tss", "1800 seconds"), "user_id", "__bkt")
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .select("user_id", "n_events", "session_start", "session_end")
+        .withColumn(
+            "__lsid",
+            F.row_number().over(
+                Window.partitionBy("user_id", "__bkt").orderBy(
+                    "session_start"
+                )
+            ),
+        )
+        .select(
+            "user_id", "__bkt", "__lsid",
+            "n_events", "session_start", "session_end",
+        )
+    )
+    return _merge_bucketed_sessions(local).select(
+        "user_id", "n_events", "session_start", "session_end"
     )
 
 

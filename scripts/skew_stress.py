@@ -35,6 +35,7 @@ QUERIES_UNDER_TEST = [
     "doc_contamination",
     "doc_dsir_weights",
     "events_sessionize",
+    "events_sessionize_native",
 ]
 
 QUANTS = "0.0,0.5,1.0"  # min, median, max

@@ -1,0 +1,462 @@
+"""Hot-key-proof per-key sequential windows: split an unsplittable
+``Window.partitionBy(key)`` into a bucketed two-phase plan.
+
+The hazard (measured, not hypothetical): a ``partitionBy(user_id)``
+window puts one user's ENTIRE stream into a single task. On the Zipf
+fixture (``scripts/gen_skew.py`` — one bot user owning 50% of 2M
+events) the naive shape measured 11-13x max/median task time on the
+sessionize queries (SCALING.md skew tier); AQE cannot split a window
+partition, so the wall survives any shuffle-partition count and only
+grows with data. At 100 TB a bot user is the NORMAL case in web-event
+corpora.
+
+The fix, shared by every helper here (the same two-phase scheme as
+``plans/queries._merge_bucketed_sessions``):
+
+1. **Heavy pass** — the window runs per ``(key, time-bucket)``. Every
+   partition is bounded by one key-day (or key-``bucket_width``), so
+   the hot key spreads over #buckets splittable tasks.
+2. **Light pass** — a per-``(key, bucket)`` SUMMARY (a few scalars per
+   bucket, independent of event count) rides the only per-key window,
+   carrying state across bucket boundaries: the previous bucket's last
+   row for lag, the running prefix for cumulative sums, the last
+   non-null for carry-forward.
+3. **Join-back** — summaries join to the event rows on
+   ``(key, bucket)`` — splittable, and hash-partitioned the same way
+   as the heavy pass so the exchange is reusable.
+
+Outputs are BIT-IDENTICAL to the naive global window (the strict
+DuckDB oracles of every rewritten catalog query are unchanged);
+``tests/test_hotkey.py`` pins identity against the naive shape on
+multi-bucket data with boundary-exact gaps and NULL keys.
+
+Cross-bucket correctness argument, shared by all helpers: within one
+key, ordering by ``(bucket, *order)`` equals ordering by ``*order``
+whenever the bucket is monotone non-decreasing in the order columns
+(it is: a floor of the leading timestamp). ``lag(...)`` over the
+per-key SUMMARY stream therefore yields the last row of the key's
+previous NON-EMPTY bucket — exactly the global predecessor of a
+bucket's first row.
+
+Float caution: ``running_sum_over_buckets`` reassociates the sum
+(bucket totals + within-bucket prefix). Pass a DECIMAL-cast column —
+decimal addition is exact and associative, double addition is not,
+and a reassociated double running sum can flip a downstream ROUND.
+
+Related: ``operators/skew.py`` (salted equi-joins) covers the JOIN
+side of the same hazard; this module covers sequential windows, which
+salting cannot fix (a window needs its whole partition in order).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "day_bucket",
+    "lag_over_buckets",
+    "carry_over_buckets",
+    "running_sum_over_buckets",
+    "trailing_range_sums",
+    "with_trailing_halo",
+]
+
+_BKT = "__hk_bkt"
+
+
+def day_bucket(ts_col: str = "ts", width_s: int = 86400) -> Column:
+    """The standard bucket expression: UTC-epoch day of a timestamp
+    column. ``width_s`` must exceed any gap/lookback the query compares
+    across rows (86400 >> the catalog's 1800-s session gap and 3600-s
+    TTL/trailing windows) so only boundary rows ever need phase 2."""
+    return F.floor(
+        F.unix_timestamp(F.date_trunc("second", ts_col)) / width_s
+    )
+
+
+def _null_safe_eq(keys: Sequence[str], prefix: str) -> Column:
+    """NULL-SAFE join condition on keys + bucket: window partitionBy
+    (and SQL GROUP BY) treat NULL as one group, so the join-back must
+    not drop anonymous-user rows the way a null-rejecting equi-join
+    would."""
+    return reduce(
+        Column.__and__,
+        [F.col(c).eqNullSafe(F.col(f"{prefix}{c}")) for c in (*keys, _BKT)],
+    )
+
+
+def lag_over_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    lag_cols: Mapping[str, str],
+    bucket: Column | None = None,
+) -> DataFrame:
+    """``lag(src) OVER (PARTITION BY keys ORDER BY order)`` without a
+    per-key partition: bit-identical output, hot-key-splittable plan.
+
+    ``lag_cols`` maps output column name -> source column name (offset
+    1; chain two calls for ``lag(x, 2)`` — ``lag(lag(x))`` over the
+    same total order is ``lag(x, 2)``). ``order`` must be a per-key
+    unique total order (the catalog convention: ``(ts, event_id)``).
+
+    Phase 2 state is one struct per (key, bucket): the source values of
+    the bucket's LAST row, picked by ``max_by`` over the order tuple
+    (deterministic — the order is unique). Bucket b's first row takes
+    its lag values from the previous non-empty bucket's struct; every
+    other row keeps the within-bucket lag.
+    """
+    bucket = day_bucket(order[0]) if bucket is None else bucket
+    srcs = list(dict.fromkeys(lag_cols.values()))
+    b = df.withColumn(_BKT, bucket)
+    w = Window.partitionBy(*keys, _BKT).orderBy(*order)
+    proj = b
+    for out, src in lag_cols.items():
+        proj = proj.withColumn(out, F.lag(src).over(w))
+    proj = proj.withColumn("__hk_first", F.row_number().over(w) == 1)
+    # summary from the RAW bucketed frame, not from `proj`: referencing
+    # only pre-window columns lets Catalyst drop the Window node from
+    # this branch entirely (column pruning), so the heavy sort runs once
+    summary = b.groupBy(*keys, _BKT).agg(
+        F.max_by(
+            F.struct(*[F.col(s).alias(s) for s in srcs]),
+            F.struct(*[F.col(c) for c in order]),
+        ).alias("__hk_last")
+    )
+    wb = Window.partitionBy(*keys).orderBy(_BKT)
+    prev = summary.select(
+        *[F.col(k).alias(f"__hk_p_{k}") for k in keys],
+        F.col(_BKT).alias(f"__hk_p_{_BKT}"),
+        F.lag("__hk_last").over(wb).alias("__hk_prev"),
+    )
+    joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
+    for out, src in lag_cols.items():
+        joined = joined.withColumn(
+            out,
+            F.when(
+                F.col("__hk_first"), F.col(f"__hk_prev.{src}")
+            ).otherwise(F.col(out)),
+        )
+    return joined.drop(
+        _BKT,
+        "__hk_first",
+        "__hk_prev",
+        f"__hk_p_{_BKT}",
+        *[f"__hk_p_{k}" for k in keys],
+    )
+
+
+def carry_over_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    carry_cols: Mapping[str, str],
+    bucket: Column | None = None,
+) -> DataFrame:
+    """``last(src, ignorenulls) OVER (PARTITION BY keys ORDER BY order
+    ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`` — the strictly-before
+    carry-forward (as-of / last-touch shape) — without a per-key
+    partition.
+
+    Atomicity: each carry column is carried INDEPENDENTLY; when several
+    values must come from the same source row (e.g. a touch's type and
+    timestamp), pass ONE struct column that is null-or-present as a
+    whole.
+
+    Phase 2 state per (key, bucket): the bucket's last NON-NULL source
+    value (``max_by`` with a null order key skips null-src rows); the
+    per-key carry across buckets is ``last(..., ignorenulls)`` over the
+    strictly-previous summary rows. A row's final value prefers the
+    within-bucket carry (later in the total order by construction) and
+    falls back to the cross-bucket carry.
+    """
+    bucket = day_bucket(order[0]) if bucket is None else bucket
+    srcs = list(dict.fromkeys(carry_cols.values()))
+    b = df.withColumn(_BKT, bucket)
+    w = (
+        Window.partitionBy(*keys, _BKT)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    proj = b
+    for out, src in carry_cols.items():
+        proj = proj.withColumn(
+            out, F.last(src, ignorenulls=True).over(w)
+        )
+    summary = b.groupBy(*keys, _BKT).agg(
+        *[
+            F.max_by(
+                F.col(s),
+                F.when(
+                    F.col(s).isNotNull(),
+                    F.struct(*[F.col(c) for c in order]),
+                ),
+            ).alias(f"__hk_last_{s}")
+            for s in srcs
+        ]
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = summary.select(
+        *[F.col(k).alias(f"__hk_p_{k}") for k in keys],
+        F.col(_BKT).alias(f"__hk_p_{_BKT}"),
+        *[
+            F.last(f"__hk_last_{s}", ignorenulls=True)
+            .over(wb)
+            .alias(f"__hk_prev_{s}")
+            for s in srcs
+        ],
+    )
+    joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
+    for out, src in carry_cols.items():
+        joined = joined.withColumn(
+            out, F.coalesce(F.col(out), F.col(f"__hk_prev_{src}"))
+        )
+    return joined.drop(
+        _BKT,
+        f"__hk_p_{_BKT}",
+        *[f"__hk_p_{k}" for k in keys],
+        *[f"__hk_prev_{s}" for s in srcs],
+    )
+
+
+def running_sum_over_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    sums: Mapping[str, Column],
+    bucket: Column | None = None,
+) -> DataFrame:
+    """``SUM(col) OVER (PARTITION BY keys ORDER BY order ROWS UNBOUNDED
+    PRECEDING TO CURRENT ROW)`` — the per-key running total, one output
+    column per ``sums`` entry — without a per-key partition:
+    within-bucket prefix sums + the key's exclusive prefix of bucket
+    totals, all sums sharing one window pass and one summary join.
+
+    This REASSOCIATES the addition: pass DECIMAL-cast (or integer)
+    columns — exact, associative. A double column would drift in the
+    last ulp vs the sequential oracle and can flip a downstream ROUND.
+    """
+    bucket = day_bucket(order[0]) if bucket is None else bucket
+    names = list(sums)
+    b = df.withColumn(_BKT, bucket)
+    for n in names:
+        b = b.withColumn(f"__hk_v_{n}", sums[n])
+    w = (
+        Window.partitionBy(*keys, _BKT)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    proj = b
+    for n in names:
+        proj = proj.withColumn(
+            f"__hk_in_{n}", F.sum(f"__hk_v_{n}").over(w)
+        )
+    totals = b.groupBy(*keys, _BKT).agg(
+        *[F.sum(f"__hk_v_{n}").alias(f"__hk_tot_{n}") for n in names]
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = totals.select(
+        *[F.col(k).alias(f"__hk_p_{k}") for k in keys],
+        F.col(_BKT).alias(f"__hk_p_{_BKT}"),
+        *[
+            F.sum(f"__hk_tot_{n}").over(wb).alias(f"__hk_off_{n}")
+            for n in names
+        ],
+    )
+    joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
+    for n in names:
+        joined = joined.withColumn(
+            n,
+            F.col(f"__hk_in_{n}")
+            + F.coalesce(
+                F.col(f"__hk_off_{n}"), F.lit(0).cast("decimal(18,6)")
+            ),
+        )
+    return joined.drop(
+        _BKT,
+        f"__hk_p_{_BKT}",
+        *[f"__hk_p_{k}" for k in keys],
+        *[
+            c
+            for n in names
+            for c in (f"__hk_v_{n}", f"__hk_in_{n}", f"__hk_off_{n}")
+        ],
+    )
+
+
+def with_trailing_halo(
+    df: DataFrame,
+    keys: Sequence[str],
+    secs_col: str,
+    lookback: int,
+    bucket_width: int = 86400,
+) -> tuple[DataFrame, "Window"]:
+    """Trailing RANGE frame (``rangeBetween(-lookback, 0)`` over epoch
+    seconds) without a per-key partition, via the halo pattern: rows
+    within ``lookback`` of a bucket's END are DUPLICATED into the next
+    bucket as context rows, so every row's full frame is present inside
+    its own (key, bucket) partition. Requires ``bucket_width >=
+    lookback`` (a frame then reaches at most one bucket back).
+
+    Use this for NON-INVERTIBLE frame aggregates (min/max/collect):
+    Spark's sliding range frame re-adds the whole frame per output row,
+    so cost is O(rows x frame size) — quadratic in a hot key's event
+    RATE even after bucketing (measured: the Zipf bot user's 1M-event
+    stream cost a 26 s max task under the halo split alone). For
+    count/sum (invertible), use ``trailing_range_sums`` instead:
+    prefix sums + boundary probes, O(rows), rate-independent.
+
+    Returns ``(halo_df, window_spec)``; the caller applies its
+    ``agg(...).over(window_spec)`` columns, then MUST filter
+    ``F.col("__hk_ctx") == 0`` and drop ``__hk_ctx`` — context rows are
+    frame-fill only, never output. Aggregates must be
+    duplication-safe in the sense that a context row is counted only by
+    frames that genuinely span it (the range frame guarantees this; the
+    row's original lives in the previous bucket's partition, so nothing
+    double-counts). Reassociation caution as above: pass decimal
+    columns to SUM.
+    """
+    if bucket_width < lookback:
+        raise ValueError(
+            f"bucket_width {bucket_width} must be >= lookback {lookback}"
+        )
+    b = df.withColumn(
+        _BKT, F.floor(F.col(secs_col) / F.lit(bucket_width))
+    )
+    own = b.withColumn("__hk_ctx", F.lit(0))
+    halo = (
+        b.filter(
+            F.col(secs_col)
+            >= (F.col(_BKT) + 1) * bucket_width - lookback
+        )
+        .withColumn(_BKT, F.col(_BKT) + 1)
+        .withColumn("__hk_ctx", F.lit(1))
+    )
+    u = own.unionByName(halo)
+    w = (
+        Window.partitionBy(*keys, _BKT)
+        .orderBy(F.col(secs_col))
+        .rangeBetween(-lookback, 0)
+    )
+    return u, w
+
+
+def trailing_range_sums(
+    df: DataFrame,
+    keys: Sequence[str],
+    secs_col: str,
+    lookback: int,
+    sums: Mapping[str, Column],
+    row_id: str,
+    bucket_width: int = 86400,
+) -> DataFrame:
+    """Trailing RANGE-frame COUNT/SUMs (``rangeBetween(-lookback, 0)``
+    over epoch seconds) in O(rows), hot-key-proof and frame-size-proof:
+    prefix sums + boundary probes instead of a sliding frame.
+
+    Two hazards with Spark's native sliding range frame: (a) the per-key
+    window single-tasks a hot key, and (b) the sliding frame is
+    recomputed by RE-ADDING every in-frame row per output row, so cost
+    is O(rows x frame) — quadratic in a bot user's event rate (measured
+    26 s for one 33k-row task on the Zipf fixture even after halo
+    bucketing). Since count/sum are invertible, the frame aggregate is a
+    DIFFERENCE OF PREFIX SUMS instead:
+
+    1. Each row spawns two zero-weight PROBES: an upper probe at ``t``
+       (ordered after all real rows at ``t``) and a lower probe at
+       ``t - lookback - 1`` (ordered after real rows there, so "<= t -
+       lookback - 1" is inclusive — the complement of the frame's
+       inclusive lower bound).
+    2. One bucketed running sum per aggregate
+       (``running_sum_over_buckets`` — splittable, exact) over the
+       union, ordered by (secs, probe-after-real, row_id, probe-kind):
+       a probe's running value is the prefix sum of all real rows at or
+       before its point; RANGE tie semantics (every row at ``t`` sees
+       all rows at ``t``) fall out of probes sorting after reals.
+    3. Frame value = upper - lower, joined back per ``row_id`` — two
+       slim equi-joins on a unique key, no hot key possible.
+
+    ``sums`` values must be DECIMAL or integer expressions (exact,
+    associative — same contract as ``running_sum_over_buckets``; a
+    trailing count is ``F.lit(1).cast("long")``). ``row_id`` must be a
+    per-row unique column (the catalog convention: ``event_id``).
+    Returns ``df`` plus one column per ``sums`` entry.
+    """
+    names = list(sums)
+    base = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
+    real = base.select(
+        *[F.col(k) for k in keys],
+        "__hk_secs",
+        F.lit(0).alias("__hk_probe"),
+        F.col(row_id).alias("__hk_rid"),
+        F.lit(0).alias("__hk_kind"),
+        *[sums[n].alias(f"__hk_w_{n}") for n in names],
+    )
+    zeros = [
+        F.lit(0).cast(dict(real.dtypes)[f"__hk_w_{n}"]).alias(f"__hk_w_{n}")
+        for n in names
+    ]
+    lower = base.select(
+        *[F.col(k) for k in keys],
+        (F.col("__hk_secs") - F.lit(lookback + 1)).alias("__hk_secs"),
+        F.lit(1).alias("__hk_probe"),
+        F.col(row_id).alias("__hk_rid"),
+        F.lit(1).alias("__hk_kind"),
+        *zeros,
+    )
+    upper = base.select(
+        *[F.col(k) for k in keys],
+        "__hk_secs",
+        F.lit(1).alias("__hk_probe"),
+        F.col(row_id).alias("__hk_rid"),
+        F.lit(2).alias("__hk_kind"),
+        *zeros,
+    )
+    u = real.unionByName(lower).unionByName(upper)
+    cum = running_sum_over_buckets(
+        u,
+        keys=keys,
+        order=["__hk_secs", "__hk_probe", "__hk_rid", "__hk_kind"],
+        sums={f"__hk_c_{n}": F.col(f"__hk_w_{n}") for n in names},
+        bucket=F.floor(F.col("__hk_secs") / F.lit(bucket_width)),
+    )
+    lo = cum.filter(F.col("__hk_kind") == 1).select(
+        F.col("__hk_rid").alias("__hk_rid_lo"),
+        *[F.col(f"__hk_c_{n}").alias(f"__hk_lo_{n}") for n in names],
+    )
+    up = cum.filter(F.col("__hk_kind") == 2).select(
+        F.col("__hk_rid").alias("__hk_rid_up"),
+        *[F.col(f"__hk_c_{n}").alias(f"__hk_up_{n}") for n in names],
+    )
+    out = df.join(
+        up, F.col(row_id) == F.col("__hk_rid_up"), "inner"
+    ).join(lo, F.col(row_id) == F.col("__hk_rid_lo"), "inner")
+    for n in names:
+        out = out.withColumn(
+            n,
+            F.col(f"__hk_up_{n}")
+            - F.coalesce(
+                F.col(f"__hk_lo_{n}"), F.lit(0).cast("decimal(18,6)")
+            ),
+        )
+    return out.drop(
+        "__hk_rid_lo",
+        "__hk_rid_up",
+        *[
+            c
+            for n in names
+            for c in (f"__hk_lo_{n}", f"__hk_up_{n}")
+        ],
+    )

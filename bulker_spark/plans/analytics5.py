@@ -508,16 +508,22 @@ def events_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming/stateful.py:streaming_dedup``'s TTL state semantics
     (dedupe retries/re-fires without suppressing genuine recurrences).
 
-    Scale shape: one shuffle on (user_id, event_type) — the window's
-    partition key — then a constant-size per-type rollup; the lag frame
-    holds one row of state per partition, nothing buffers."""
+    Scale shape: the lag rides the bucketed two-phase window
+    (``operators/hotkey.lag_over_buckets``, composite key) — a bot
+    user's (user, type) stream would otherwise land in ONE task since
+    the type only fans a hot user out |types| ways; bucketing spreads
+    it per-day. The per-type rollup is constant-size and
+    partial-aggregates map-side."""
+    from bulker_spark.operators.hotkey import lag_over_buckets
     from bulker_spark.plans.queries import _events
 
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
-    )
-    kept = ev.withColumn("__prev", F.lag("ts").over(w)).withColumn(
+    kept = lag_over_buckets(
+        ev,
+        keys=["user_id", "event_type"],
+        order=["ts", "event_id"],
+        lag_cols={"__prev": "ts"},
+    ).withColumn(
         "__kept",
         F.col("__prev").isNull()
         | (

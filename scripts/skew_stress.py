@@ -36,6 +36,16 @@ QUERIES_UNDER_TEST = [
     "doc_dsir_weights",
     "events_sessionize",
     "events_sessionize_native",
+    # round 7: every remaining per-user(/key) window in the catalog —
+    # the same hot-user hazard sessionize walled on (VERDICT r6 #1)
+    "events_running_total",
+    "events_interarrival_stats",
+    "events_trailing_1h",
+    "events_user_features",
+    "events_markov_transitions",
+    "events_attribution_last_touch",
+    "events_top_paths",
+    "events_dedup_ttl",
 ]
 
 QUANTS = "0.0,0.5,1.0"  # min, median, max

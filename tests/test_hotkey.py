@@ -1,0 +1,241 @@
+"""Bit-identity pins for ``operators/hotkey.py``: every bucketed
+two-phase helper must equal the naive per-key global window on data
+that exercises the cross-bucket paths — multi-day streams, NULL keys,
+boundary-exact gaps, empty-bucket adjacency, and a hot key owning most
+rows (the Zipf shape the helpers exist for)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bulker_spark.operators.hotkey import (
+    carry_over_buckets,
+    day_bucket,
+    lag_over_buckets,
+    running_sum_over_buckets,
+    with_trailing_halo,
+)
+
+DAY = 86400
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    """Synthetic multi-day per-user stream. user 0 is hot (owns ~70% of
+    rows); user NULL present; timestamps engineered so several user-days
+    are empty (cross-bucket lag must reach the previous NON-EMPTY
+    bucket) and some rows land exactly on bucket/lookback boundaries."""
+    rows = []
+    eid = 0
+    # hot user 0: 700 events over 10 days, bursty (gaps of 1..7000 s)
+    t = 0
+    for i in range(700):
+        t += (i * 37) % 7000 + 1
+        rows.append((eid, t, 0, float((i * 13) % 100) / 4.0))
+        eid += 1
+    # users 1..5: 20 events each, days 0,2,5 only (day 1,3,4 empty)
+    for u in range(1, 6):
+        for i in range(20):
+            day = [0, 2, 5][i % 3]
+            t = day * DAY + (i * 731 + u * 97) % DAY
+            rows.append((eid, t, u, float(i)))
+            eid += 1
+    # NULL user: 10 events across 3 days
+    for i in range(10):
+        rows.append((eid, i * 30000, None, 1.5))
+        eid += 1
+    # boundary-exact rows: exactly at a day edge and exactly lookback
+    # seconds before the edge (range-frame inclusivity)
+    rows.append((eid, 3 * DAY, 7, 2.0)); eid += 1
+    rows.append((eid, 3 * DAY - 3600, 7, 3.0)); eid += 1
+    rows.append((eid, 3 * DAY - 3601, 7, 4.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, secs long, user_id long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+    return df.localCheckpoint(eager=True)
+
+
+def _sorted(df, cols):
+    return df.orderBy(*cols).collect()
+
+
+def test_lag_identity(stream):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = stream.select(
+        "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    two = lag_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"prev_ts": "ts", "prev_value": "value"},
+    ).select("event_id", "prev_ts", "prev_value")
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_lag_chained_is_lag2(stream):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = stream.select(
+        "event_id", F.lag("value", 2).over(w).alias("v2")
+    )
+    one = lag_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"v1": "value"},
+    )
+    two = lag_over_buckets(
+        one,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"v2": "v1"},
+    ).select("event_id", "v2")
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_lag_composite_keys(stream):
+    tagged = stream.withColumn(
+        "etype", (F.col("event_id") % 3).cast("string")
+    )
+    w = Window.partitionBy("user_id", "etype").orderBy("ts", "event_id")
+    naive = tagged.select(
+        "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    two = lag_over_buckets(
+        tagged,
+        keys=["user_id", "etype"],
+        order=["ts", "event_id"],
+        lag_cols={"prev_ts": "ts"},
+    ).select("event_id", "prev_ts")
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_carry_identity(stream):
+    # carry a struct that is null on ~2/3 of rows (the last-touch shape)
+    src = stream.withColumn(
+        "touch",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.struct(F.col("value").alias("v"), F.col("ts").alias("t")),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = src.select(
+        "event_id",
+        F.last("touch", ignorenulls=True).over(w).alias("carried"),
+    )
+    two = carry_over_buckets(
+        src,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        carry_cols={"carried": "touch"},
+    ).select("event_id", "carried")
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_running_sum_identity_decimal(stream):
+    dec = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = stream.select(
+        "event_id", F.sum(dec).over(w).alias("run")
+    )
+    two = running_sum_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        sums={"run": dec},
+    ).select("event_id", "run")
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_trailing_halo_identity(stream):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("secs"))
+        .rangeBetween(-3600, 0)
+    )
+    naive = stream.select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("v_1h"),
+    )
+    halo, hw = with_trailing_halo(
+        stream, keys=["user_id"], secs_col="secs", lookback=3600
+    )
+    two = (
+        halo.withColumn("n_1h", F.count("*").over(hw))
+        .withColumn(
+            "v_1h",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(hw),
+        )
+        .filter(F.col("__hk_ctx") == 0)
+        .select("event_id", "n_1h", "v_1h")
+    )
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_trailing_range_sums_identity(stream):
+    from bulker_spark.operators.hotkey import trailing_range_sums
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("secs"))
+        .rangeBetween(-3600, 0)
+    )
+    naive = stream.select(
+        "event_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("v_1h"),
+    )
+    two = trailing_range_sums(
+        stream,
+        keys=["user_id"],
+        secs_col="secs",
+        lookback=3600,
+        sums={
+            "__n": F.lit(1).cast("long"),
+            "__v": F.col("value").cast("decimal(18,6)"),
+        },
+        row_id="event_id",
+    ).select(
+        "event_id",
+        F.col("__n").cast("long").alias("n_1h"),
+        F.col("__v").cast("decimal(28,6)").alias("v_1h"),
+    )
+    n = {r["event_id"]: (r["n_1h"], r["v_1h"]) for r in naive.collect()}
+    t = {r["event_id"]: (r["n_1h"], r["v_1h"]) for r in two.collect()}
+    assert n == t
+
+
+def test_trailing_halo_rejects_small_bucket(stream):
+    with pytest.raises(ValueError):
+        with_trailing_halo(
+            stream,
+            keys=["user_id"],
+            secs_col="secs",
+            lookback=DAY + 1,
+            bucket_width=DAY,
+        )
+
+
+def test_helpers_preserve_input_columns(stream):
+    out = lag_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"prev_ts": "ts"},
+    )
+    assert set(stream.columns) | {"prev_ts"} == set(out.columns)
+    assert out.count() == stream.count()

@@ -258,6 +258,17 @@ class SpanDedupIndex:
     ascending doc_id order, so the incremental pipeline's output equals
     the full rerun (pinned: tests/test_dedup_index.py).
 
+    The ascending-doc_id precondition is ENFORCED, not assumed (the
+    incremental-equals-full claim is vacuous otherwise): the index
+    persists the maximum doc_id it has absorbed (``<table>_meta``, one
+    row) and an EXTENDING ``dedup_batch`` whose minimum doc_id does not
+    exceed it raises ``ValueError`` — out-of-order extension would
+    silently flip first-occurrence winners vs the full rerun.
+    Probe-only calls (``extend_index=False``) are exempt: they claim
+    arrival-order precedence (index beats batch), which holds for any
+    doc_id. Pre-contract indexes without a meta table are grandfathered
+    (checked from first extension onward).
+
     Per-batch cost: one batch text scan (windows hash in-row), one
     int-only equi-join of batch window hashes against the index table
     (8-byte keys — corpus text is never read), and an O(new hashes)
@@ -286,6 +297,27 @@ class SpanDedupIndex:
     @property
     def table(self) -> str:
         return f"{self.name}_{self.mode}{self.k}_hashes"
+
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_{self.mode}{self.k}_meta"
+
+    def _indexed_max(self):
+        """Max doc_id the index has absorbed (one-row meta table), or
+        None when unknown (no meta yet / empty corpus)."""
+        if not self.wh.exists(self.meta_table, self.namespace):
+            return None
+        rows = self.wh.read(self.meta_table, self.namespace).collect()
+        return rows[0]["max_doc_id"] if rows else None
+
+    def _write_max(self, spark, value) -> None:
+        if value is None:
+            return
+        self.wh.create_or_replace(
+            self.meta_table,
+            spark.createDataFrame([(value,)], ["max_doc_id"]),
+            namespace=self.namespace,
+        )
 
     # -- window hashing (shared with the batch rebuild) ---------------------
     def _tokens(
@@ -340,6 +372,8 @@ class SpanDedupIndex:
             .distinct()
         )
         self.wh.create_or_replace(self.table, hashes, namespace=self.namespace)
+        mx = docs.agg(F.max(id_col).alias("max_doc_id")).first()[0]
+        self._write_max(docs.sparkSession, mx)
 
     def _indexed(self) -> DataFrame | None:
         if not self.wh.exists(self.table, self.namespace):
@@ -361,7 +395,26 @@ class SpanDedupIndex:
         full-corpus catalog query (``doc_id, clean_text, n_tokens,
         n_removed_tokens`` / ``n_blocks, n_removed``); by default the
         batch's window hashes then extend the index (novel ones only —
-        an O(new) anti-join append)."""
+        an O(new) anti-join append).
+
+        Extending out of arrival order raises ``ValueError`` (class
+        docstring: the incremental-equals-full-rerun guarantee needs
+        ascending doc_ids); probe-only calls are exempt."""
+        lo = hi = None
+        if extend_index:
+            lo, hi = batch.agg(
+                F.min(id_col), F.max(id_col)
+            ).first()
+            mx = self._indexed_max()
+            if mx is not None and lo is not None and lo <= mx:
+                raise ValueError(
+                    f"SpanDedupIndex({self.table}): batch min {id_col}"
+                    f" {lo!r} <= indexed max {mx!r} — extending out of"
+                    " arrival order would silently flip first-occurrence"
+                    " winners vs the full-corpus rerun. Sort/split the"
+                    " batch above the indexed max, or probe with"
+                    " extend_index=False."
+                )
         dt = self._tokens(batch, id_col, text_col).localCheckpoint()
         wins = self._windows(dt).localCheckpoint()
         idx = self._indexed()
@@ -395,6 +448,7 @@ class SpanDedupIndex:
                 self.wh.create_or_replace(
                     self.table, new_hashes, namespace=self.namespace
                 )
+            self._write_max(batch.sparkSession, hi)
         return out
 
     def _rebuild_docs(self, dt: DataFrame, losers: DataFrame) -> DataFrame:

@@ -266,19 +266,43 @@ class TestSpanDedupIndex:
             assert not ({"t", "text", "clean_text"} & set(cols)), cols
 
     def test_rebuild_then_same_batch_is_all_duplicate(self, spark, tmp_path):
-        """Re-running an already-indexed batch removes everything —
-        retry idempotence of the arrival-order contract."""
+        """Re-probing an already-indexed batch removes everything —
+        retry idempotence of the arrival-order contract. A COMPLETED
+        batch's retry is a probe (extend_index=False): re-EXTENDING is
+        indistinguishable from out-of-order extension and raises (next
+        test); a crash-retry still extends fine because the max-doc_id
+        meta is written only after the hash append lands."""
         from bulker_spark.operators.dedup_index import SpanDedupIndex
 
         wh = Warehouse(spark, str(tmp_path / "wh"))
         idx = SpanDedupIndex(wh, k=5, mode="span")
         idx.dedup_batch(_docs(spark, self.B1))
-        again = idx.dedup_batch(_docs(spark, self.B1))
+        again = idx.dedup_batch(_docs(spark, self.B1), extend_index=False)
         for r in again.collect():
             # every window is indexed now, so every coverable token goes;
             # only tokens not covered by ANY window (none here: docs have
             # ≥ k tokens) would survive
             assert r["clean_text"] == ""
+
+    def test_out_of_order_extension_raises(self, spark, tmp_path):
+        """The incremental-equals-full-rerun guarantee only holds for
+        ascending doc_id arrival, so extending with a batch at or below
+        the indexed max must fail loudly instead of silently flipping
+        first-occurrence winners (VERDICT r6 #6)."""
+        from bulker_spark.operators.dedup_index import SpanDedupIndex
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        idx = SpanDedupIndex(wh, k=5, mode="span")
+        idx.dedup_batch(_docs(spark, self.B2))  # ids 10..13 first
+        with pytest.raises(ValueError, match="arrival order"):
+            idx.dedup_batch(_docs(spark, self.B1))  # ids 0..2: shuffled
+        # same-batch re-extension is equally out-of-order
+        with pytest.raises(ValueError, match="arrival order"):
+            idx.dedup_batch(_docs(spark, self.B2))
+        # probe-only retry of the shuffled batch is allowed: index-beats-
+        # batch precedence holds for any doc_id
+        out = idx.dedup_batch(_docs(spark, self.B1), extend_index=False)
+        assert out.count() == len(self.B1)
 
     def test_mode_validation(self, spark, tmp_path):
         from bulker_spark.operators.dedup_index import SpanDedupIndex

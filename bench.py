@@ -143,8 +143,13 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER lets the standing bench run under
+    # local-cluster[N,cores,memMB] — real executor JVMs, real
+    # serialization and driver/executor boundaries (the topology audit
+    # in SCALING.md); default stays single-JVM local[cpus]
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("bulker-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -156,9 +161,32 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_CKPT_MODE=reliable routes every session.pin site to
+    # fault-tolerant .checkpoint() (the right mode when executors are
+    # separate processes that can die, i.e. local-cluster / a real
+    # cluster); SPARK_GRAFT_CKPT_DIR supplies the checkpoint directory
+    ckpt_mode = os.environ.get("SPARK_GRAFT_CKPT_MODE")
+    if ckpt_mode:
+        builder = builder.config("spark.bulker.checkpoint.mode", ckpt_mode)
+        builder = builder.config(
+            "spark.bulker.checkpoint.dir",
+            os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/bulker_ckpt"),
+        )
+    if master.startswith("local-cluster"):
+        # executor JVMs are separate processes here — size their heaps
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"),
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if not master.startswith("local["):
+        # separate-process executors can't import bulker_spark from the
+        # driver's sys.path — ship the package (see session.ship_package)
+        from bulker_spark.session import ship_package
+
+        ship_package(spark)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -233,25 +261,35 @@ def main() -> None:
         if wh0:
             shutil.rmtree(wh0, ignore_errors=True)
 
-    wh = tempfile.mkdtemp(prefix="bench_wh_")
     events = spark.range(100_000).select(
         F.col("id").alias("pk"),
         F.concat(F.lit("u"), (F.col("id") % 997).cast("string")).alias("user"),
         (F.col("id") * 1.5).alias("score"),
         F.timestamp_micros(F.col("id") * 1000).alias("ts"),
     )
+    # best-of-2 like the query tier (VERDICT r6 #8: the driver's one-shot
+    # run paid ~1.6 s of first-entry warm-up the committed number never
+    # sees) — each attempt gets a FRESH warehouse so both measure the
+    # identical create-table + load path, and the min is steady state
     try:
-        eng = Engine(spark, wh)
-        t0 = time.time()
-        eng.bulk_load(
-            "bench_ingest", events, mode="batch",
-            primary_key=["pk"], deduplicate=True, timestamp_column="ts",
-        )
-        timings["ingest_100k_rows"] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            wh = tempfile.mkdtemp(prefix="bench_wh_")
+            try:
+                eng = Engine(spark, wh)
+                t0 = time.time()
+                eng.bulk_load(
+                    "bench_ingest", events, mode="batch",
+                    primary_key=["pk"], deduplicate=True,
+                    timestamp_column="ts",
+                )
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
+        timings["ingest_100k_rows"] = round(best, 3)
     except Exception as exc:
         errors["ingest_100k_rows"] = f"{type(exc).__name__}: {exc}"[:300]
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
 
     # scale tier: the reference's opt-in bigdata test loads 1M rows in one
     # batch (bulkerlib/implementations/sql/bigdata_test.go:18-48, throughput

@@ -206,12 +206,14 @@ def _distributed_cc(
             new_c.alias("component"),
             (new_c < F.col("_old")).alias("_changed"),
         )
-        # localCheckpoint truncates the lineage — without it each round's
-        # plan nests the previous round's and the tree grows exponentially
-        # (driver OOM before the data is ever large). On a real cluster
-        # use spark.sparkContext.setCheckpointDir + .checkpoint() for
-        # fault-tolerant truncation; the algorithm is unchanged.
-        updated = updated.localCheckpoint(eager=True)
+        # the pin truncates the lineage — without it each round's plan
+        # nests the previous round's and the tree grows exponentially
+        # (driver OOM before the data is ever large). session.pin
+        # routes to fault-tolerant .checkpoint() on a cluster via
+        # spark.bulker.checkpoint.mode; the algorithm is unchanged.
+        from bulker_spark.session import pin
+
+        updated = pin(updated)
         changed = updated.filter(F.col("_changed")).count()
         labels.unpersist()
         labels = updated.drop("_changed")

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import pin
 from ..functions.text import (
     MINHASH_COEFFS_16,
     band_keys,
@@ -139,7 +140,7 @@ class MinHashDedupIndex:
         """Extend the index with accepted documents — O(batch) appends.
         Retry-idempotent per the module's consistency model (bands land
         first; duplicates are collapsed on read)."""
-        sigs = self.signatures(docs, id_col, text_col).localCheckpoint()
+        sigs = pin(self.signatures(docs, id_col, text_col))
         self._append_index(sigs)
 
     def _append_index(self, sigs: DataFrame) -> None:
@@ -161,10 +162,10 @@ class MinHashDedupIndex:
         of the hash components (the MinHash estimate of Jaccard
         similarity), LSH-restricted to pairs sharing at least one full
         band. Corpus text is never read — only the band/sig tables. The
-        result is materialized (localCheckpoint), so it stays valid and
+        result is materialized (``session.pin``), so it stays valid and
         recompute-free after the index changes."""
-        bsigs = self.signatures(batch, id_col, text_col).localCheckpoint()
-        return self._match_from_sigs(bsigs, min_agreement).localCheckpoint()
+        bsigs = pin(self.signatures(batch, id_col, text_col))
+        return pin(self._match_from_sigs(bsigs, min_agreement))
 
     def _match_from_sigs(
         self, bsigs: DataFrame, min_agreement: float
@@ -224,19 +225,22 @@ class MinHashDedupIndex:
         DataFrames by the context cleaner, no permanent cache pin), so
         re-evaluating them later can't re-probe the batch against its
         own freshly-indexed survivors."""
-        bsigs = self.signatures(batch, id_col, text_col).localCheckpoint()
-        dup_ids = (
+        bsigs = pin(self.signatures(batch, id_col, text_col))
+        dup_ids = pin(
             self._match_from_sigs(bsigs, min_agreement)
             .select(F.col("batch_id").alias(id_col))
             .distinct()
-            .localCheckpoint()
         )
         novel = batch.join(dup_ids, id_col, "left_anti")
         dups = batch.join(dup_ids, id_col, "left_semi")
         if extend_index:
-            novel_sigs = bsigs.join(
-                dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
-            ).localCheckpoint()
+            novel_sigs = pin(
+                bsigs.join(
+                    dup_ids.withColumnRenamed(id_col, "id"),
+                    "id",
+                    "left_anti",
+                )
+            )
             self._append_index(novel_sigs)
         return novel, dups
 
@@ -415,8 +419,8 @@ class SpanDedupIndex:
                     " batch above the indexed max, or probe with"
                     " extend_index=False."
                 )
-        dt = self._tokens(batch, id_col, text_col).localCheckpoint()
-        wins = self._windows(dt).localCheckpoint()
+        dt = pin(self._tokens(batch, id_col, text_col))
+        wins = pin(self._windows(dt))
         idx = self._indexed()
         # intra-batch first occurrence per hash
         first = wins.groupBy("wh").agg(

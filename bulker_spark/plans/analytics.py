@@ -2744,11 +2744,21 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64, scale: int = 1024) -> str:
-    """Unrolled Lloyd iterations as plain CTEs — a fixed iteration count
-    needs no recursion. Mirrors emb_kmeans's integer arithmetic exactly:
-    same quantization, same integer distances, same tie-break, same
-    floored centroid means (empty clusters keep the previous centroid
-    via the LEFT JOIN + coalesce)."""
+    """Unrolled Lloyd iterations as MATERIALIZED per-iteration CTEs — a
+    fixed iteration count needs no recursion. Mirrors emb_kmeans's
+    integer arithmetic exactly: same quantization, same integer
+    distances, same tie-break, same floored centroid means (empty
+    clusters keep the previous centroid via the LEFT JOIN + coalesce).
+
+    Memory shape (VERDICT r6 #3 — the old form OOM'd DuckDB at ~100+
+    GiB on sf1): each assignment CTE is ``AS MATERIALIZED`` and carries
+    ONLY (vec_id, cluster) — the 64-long quantized vectors never flow
+    through the unrolled pipeline (centroid sums re-join the quantized
+    scan per iteration instead). Materialization makes the iterations
+    execute sequentially — peak is one iteration's 8-way argmin sort
+    over 3-int rows — where the inlined form let the optimizer stack
+    all five iterations' pipelines (each dragging qe through its
+    window sort) into one concurrently-resident plan."""
     quant = (
         f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
         f" * {scale} + 0.5) AS BIGINT))"
@@ -2757,44 +2767,40 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dim: int = 64, scale: int = 1024) ->
         "list_sum(list_transform(list_zip(v.qe, c.c),"
         " p -> (p[1]-p[2])*(p[1]-p[2])))"
     )
+    assign = """(
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM q v CROSS JOIN {cprev} c
+  ) WHERE rn = 1
+)"""
     parts = [
         f"WITH q AS (SELECT vec_id, {quant} AS qe FROM embeddings),",
         f"c0 AS (SELECT vec_id AS cluster, qe AS c FROM q WHERE vec_id < {k}),",
     ]
     for i in range(1, iters + 1):
+        body = assign.format(dist=dist, cprev=f"c{i - 1}")
         parts.append(
-            f"""a{i} AS (
-  SELECT vec_id, qe, cluster FROM (
-    SELECT v.vec_id, v.qe, c.cluster,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {dist}, c.cluster) AS rn
-    FROM q v CROSS JOIN c{i - 1} c
-  ) WHERE rn = 1
-),
-c{i} AS (
+            f"""a{i} AS MATERIALIZED {body},
+c{i} AS MATERIALIZED (
   SELECT p.cluster, coalesce(u.c, p.c) AS c
   FROM c{i - 1} p LEFT JOIN (
     SELECT cluster,
            list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY dim) AS c
     FROM (
-      SELECT cluster, d.range AS dim, sum(qe[d.range]) AS s,
+      SELECT a.cluster, d.range AS dim, sum(q.qe[d.range]) AS s,
              count(*) AS n
-      FROM a{i}, range(1, {dim + 1}) d
+      FROM a{i} a JOIN q USING (vec_id), range(1, {dim + 1}) d
       GROUP BY 1, 2
     )
     GROUP BY cluster
   ) u USING (cluster)
 ),""",
         )
+    final = assign.format(dist=dist, cprev=f"c{iters}")
     parts.append(
-        f"""final AS (
-  SELECT vec_id, cluster FROM (
-    SELECT v.vec_id, c.cluster,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {dist}, c.cluster) AS rn
-    FROM q v CROSS JOIN c{iters} c
-  ) WHERE rn = 1
-)
+        f"""final AS MATERIALIZED {final}
 SELECT f.cluster, count(*) AS n_vectors,
        any_value(cl1.l1) AS centroid_l1
 FROM final f

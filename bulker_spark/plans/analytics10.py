@@ -704,14 +704,15 @@ def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job and the final job would otherwise see DIFFERENT partitionings
     # and the offsets would misalign (measured: 4402/5000 wrong at
     # sf0.1). Materializing the slim (doc_id, q_score, pid) frame once
-    # makes both reads share identical physical partitions; on a real
-    # cluster use .checkpoint() for the fault-tolerant equivalent.
-    with_pid = (
+    # makes both reads share identical physical partitions;
+    # session.pin routes to a fault-tolerant .checkpoint() on a
+    # cluster via spark.bulker.checkpoint.mode.
+    from bulker_spark.session import pin
+
+    with_pid = pin(
         keyed.repartitionByRange(
             n_parts, F.col("q_score").desc(), F.col("doc_id").asc()
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        ).withColumn("pid", F.spark_partition_id())
     )
     counts = sorted(
         (r["pid"], r["n"])

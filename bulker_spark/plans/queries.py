@@ -1019,8 +1019,11 @@ def _merge_bucketed_sessions(local: DataFrame) -> DataFrame:
     # session-level frame materializes once at construction (measured
     # 1.07 s → 0.65 s end-to-end at sf0.1; the same
     # construction-time-job convention as doc_curriculum_order's offset
-    # collect; on a cluster use .checkpoint())
-    local = local.localCheckpoint(eager=True)
+    # collect; session.pin routes it to a reliable .checkpoint() on a
+    # cluster via spark.bulker.checkpoint.mode)
+    from bulker_spark.session import pin
+
+    local = pin(local)
     # per-bucket summary: session count + boundary timestamps — a few
     # ints per (user, day), the ONLY frame a per-user window ever sees
     summary = local.groupBy("user_id", "__bkt").agg(

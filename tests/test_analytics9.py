@@ -75,15 +75,19 @@ def test_recon_error_bounds_and_subspace_quality(spark, corpus):
     assert len(rows) == corpus.shape[0]
     bps = np.array([r["recon_err_bp"] for r in rows])
     assert ((bps >= 0) & (bps <= 10_000)).all()
-    # the top-K subspace must beat the expected error of a RANDOM
-    # K-subspace (1 - K/D of the energy) on average — i.e. PCA actually
-    # concentrated energy
-    assert bps.mean() < 10_000 * (1 - _PCA_K / _DIM)
+    # the estimated top component must beat the expected error of a
+    # RANDOM direction (1 - 1/D of the energy) on average — i.e. the
+    # power iteration actually found an energy-concentrating direction
+    assert bps.mean() < 10_000 * (1 - 1 / _DIM)
 
 
-def test_recon_error_matches_driver_numpy(spark, corpus):
-    """End-to-end against a single-machine reference implementation of
-    the same quantized-covariance → eigh → project pipeline."""
+def test_recon_error_tracks_true_top_eigvector(spark, corpus):
+    """The quantized 12-iteration power-iteration metric must track the
+    float eigh reference: the integer eigenvector estimate nearly
+    parallel to numpy's true top component, and per-vector bp within
+    quantization distance of the float top-1 reconstruction error.
+    (Bit-exactness across ENGINES is pinned by the strict DuckDB oracle
+    twin, not here.)"""
     rows = {r["vec_id"]: r["recon_err_bp"]
             for r in emb_pca_recon_error(spark, SF).collect()}
     q = np.floor(corpus * 1_000_000 + 0.5)
@@ -91,12 +95,50 @@ def test_recon_error_matches_driver_numpy(spark, corpus):
     p = q.T @ q
     s = q.sum(axis=0)
     cov = (n * p - np.outer(s, s)) / (n * (n - 1)) / 1e12
-    _, evecs = np.linalg.eigh(cov)
-    basis = evecs[:, -_PCA_K:]
-    mean = q.sum(axis=0) / n / 1e6
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    # the integer iteration vector ~ parallel to the true top component
+    from bulker_spark.plans.analytics9 import _power_iteration
+
+    stats = emb_covariance(spark, SF).collect()
+    _, v, vv = _power_iteration(stats, n)
+    v = np.asarray(v, dtype=np.float64)
+    cosine = abs(v @ top) / np.sqrt((v * v).sum())
+    assert cosine > 0.999, cosine
+    # per-vector bp within quantization distance of the float reference
+    mean = s / n / 1e6
     xc = corpus - mean
     energy = (xc * xc).sum(axis=1)
-    kept = ((xc @ basis) ** 2).sum(axis=1)
-    bp = np.floor(10_000 * np.maximum(energy - kept, 0) / energy)
-    for vid in range(0, n, 97):
-        assert rows[vid] == int(bp[vid]), vid
+    kept = (xc @ top) ** 2
+    ref = np.where(
+        energy > 0, 10_000 * np.maximum(energy - kept, 0) / energy, 0
+    )
+    got = np.array([rows[vid] for vid in range(n)], dtype=np.float64)
+    # 2¹⁰ quantization of a ~0.999-cosine direction moves individual
+    # projections by up to ~1.5% of energy — 150 bp covers it while
+    # still catching a wrong direction (whose error would be 10³-10⁴)
+    assert np.abs(got - ref).max() <= 150, np.abs(got - ref).max()
+
+
+def test_recon_error_exact_integer_contract(spark, corpus):
+    """The distributed kernel must reproduce the driver-side exact
+    integer pipeline bit-for-bit (same quantization, same
+    truncate-toward-zero divisions) — partitioning must not leak in."""
+    from bulker_spark.plans.analytics9 import _power_iteration, _tz_div
+
+    rows = {r["vec_id"]: r["recon_err_bp"]
+            for r in emb_pca_recon_error(spark, SF).collect()}
+    stats = emb_covariance(spark, SF).collect()
+    n = stats[0]["n"]
+    mean, v, vv = _power_iteration(stats, n)
+    q = np.floor(corpus * 1_000_000 + 0.5).astype(np.int64)
+    for vid in range(0, q.shape[0], 37):
+        xc = [int(x) - m for x, m in zip(q[vid], mean)]
+        energy = sum(x * x for x in xc)
+        proj = sum(x * w for x, w in zip(xc, v))
+        want = (
+            0
+            if energy == 0
+            else (10_000 * (energy * vv - proj * proj)) // (energy * vv)
+        )
+        assert rows[vid] == want, vid

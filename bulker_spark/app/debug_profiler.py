@@ -37,7 +37,10 @@ import time
 import traceback
 
 # frame names that mean "this thread is parked, not running" — the slice
-# of a goroutine dump Go's block/mutex profiles would attribute time to
+# of a goroutine dump Go's block/mutex profiles would attribute time to.
+# A name alone is too loose (any application function called "read" or
+# "get" would be misreported as parked), so the match is qualified by
+# the frame's MODULE: only stdlib blocking primitives count.
 _WAIT_FUNCS = frozenset(
     {
         "wait",
@@ -57,6 +60,31 @@ _WAIT_FUNCS = frozenset(
         "flowControlledRead",
     }
 )
+
+# stdlib modules whose blocking calls park a thread; a _WAIT_FUNCS name
+# in any other file is application code that merely shares the name
+_WAIT_FILES = frozenset(
+    {
+        "threading.py",
+        "socket.py",
+        "selectors.py",
+        "queue.py",
+        "ssl.py",
+        "subprocess.py",
+        "connection.py",  # multiprocessing.connection
+        "socketserver.py",
+        "clientserver.py",  # py4j gateway I/O threads
+        "java_gateway.py",
+    }
+)
+
+
+def _is_wait_frame(frame) -> bool:
+    code = frame.f_code
+    return (
+        code.co_name in _WAIT_FUNCS
+        and code.co_filename.rsplit("/", 1)[-1] in _WAIT_FILES
+    )
 
 _MAX_SECONDS = 30.0  # self-DoS guard on the sampling routes
 _HZ = 100
@@ -90,12 +118,16 @@ def blocked_dump(kind: str = "block") -> str:
     parked subset of the goroutine dump (see module docstring on why
     this stands in for Go's block/mutex profiles)."""
     names = _thread_names()
-    out = [f"# {kind}: threads currently parked in a blocking call"]
+    out = [
+        f"# {kind}: threads currently parked in a stdlib blocking call",
+        "# (heuristic: top frame name AND module both match — an"
+        " application function named 'read'/'get' does not count)",
+    ]
     n = 0
     for ident, frame in sorted(_frames().items()):
-        func = frame.f_code.co_name
-        if func not in _WAIT_FUNCS:
+        if not _is_wait_frame(frame):
             continue
+        func = frame.f_code.co_name
         n += 1
         out.append(f"thread {ident} ({names.get(ident, '?')}) in {func}:")
         out.extend(
@@ -127,22 +159,40 @@ def symbol() -> str:
     return "num_symbols: 0\n"
 
 
-def heap_snapshot(limit: int = 40) -> str:
+def heap_snapshot(limit: int = 40, stop: bool = False) -> str:
     """Top allocation sites by live bytes from ``tracemalloc``. The
     tracer starts on the FIRST call (a baseline response that says so) —
     tracing always-on would tax the hot path the way Go's heap profile
-    does not."""
+    does not. While tracing, every allocation pays the tracemalloc
+    bookkeeping tax; ``?stop=1`` turns the tracer off again so one
+    authorized heap peek does not tax the driver for the rest of the
+    process lifetime."""
     import tracemalloc
 
+    if stop:
+        was = tracemalloc.is_tracing()
+        if was:
+            tracemalloc.stop()
+        return (
+            "# tracemalloc stopped — allocation tracking overhead"
+            " removed\n"
+            if was
+            else "# tracemalloc was not running\n"
+        )
     if not tracemalloc.is_tracing():
         tracemalloc.start(10)
         return (
             "# tracemalloc started (10-frame tracebacks); allocations are "
-            "recorded from this point — call again for a snapshot\n"
+            "recorded from this point — call again for a snapshot, and "
+            "?stop=1 when done (tracking taxes every allocation while "
+            "on)\n"
         )
     snap = tracemalloc.take_snapshot()
     traced, peak = tracemalloc.get_traced_memory()
-    lines = [f"# traced: {traced} bytes (peak {peak})"]
+    lines = [
+        f"# traced: {traced} bytes (peak {peak})"
+        " — tracer stays ON until ?stop=1"
+    ]
     for stat in snap.statistics("lineno")[: max(1, limit)]:
         lines.append(str(stat))
     return "\n".join(lines) + "\n"
@@ -225,7 +275,10 @@ def trace_samples(seconds=1.0, hz: int = _HZ) -> str:
 ROUTES = {
     "": lambda q: index(),
     "goroutine": lambda q: goroutine_dump(),
-    "heap": lambda q: heap_snapshot(_clip_int(q.get("limit"), 40)),
+    "heap": lambda q: heap_snapshot(
+        _clip_int(q.get("limit"), 40),
+        stop=str(q.get("stop", "")).lower() in ("1", "true", "yes"),
+    ),
     "block": lambda q: blocked_dump("block"),
     "mutex": lambda q: blocked_dump("mutex"),
     "threadcreate": lambda q: threadcreate_dump(),

@@ -58,14 +58,37 @@ def check_hash(stored: str, secret: str, global_secrets: list[str]) -> bool:
     improvement over the reference's ``==``. Split on the FIRST dot,
     matching the reference's ``strings.SplitN(hash, ".", 2)``, so
     hashes minted by either implementation verify identically (a
-    dotted salt puts its tail inside the hash part in both)."""
+    dotted salt puts its tail inside the hash part in both).
+
+    FORMAT BREAK NOTE (pre-round-6 bindings): this port originally
+    split on the LAST dot, so a binding minted under the old scheme
+    with a dotted salt parses differently now and will fail to verify.
+    When that exact situation is detected — first-dot verification
+    fails but the legacy last-dot parse would have passed — a WARNING
+    names the binding's salt prefix so operators can re-mint it instead
+    of chasing a silent auth failure."""
     salt, sep, hash_part = stored.partition(".")
     if not sep:
         return False
-    return any(
+    if any(
         hmac.compare_digest(hash_part, hash_api_key(secret, salt, g))
         for g in global_secrets
-    )
+    ):
+        return True
+    l_salt, l_sep, l_hash = stored.rpartition(".")
+    if l_sep and l_salt != salt and any(
+        hmac.compare_digest(l_hash, hash_api_key(secret, l_salt, g))
+        for g in global_secrets
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "check_hash: stored hash (salt prefix %r) only verifies"
+            " under the legacy last-dot split — re-mint this binding"
+            " with the current salt.sha512 format",
+            salt[:8],
+        )
+    return False
 
 
 def _utc_or_none(value, spark):

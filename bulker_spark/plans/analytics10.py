@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,30 +143,52 @@ def _bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     # tag = (path, mtime, size): regenerating the source parquet at the
     # same path changes the tag, so a long session never serves a stale
-    # bucketed copy; the LOCATION additionally carries the application
-    # id so two concurrent sessions materializing the same corpus write
-    # disjoint directories instead of racing one overwrite
+    # bucketed copy. BOTH the catalog name and the LOCATION carry the
+    # application id — with a shared persistent metastore two concurrent
+    # sessions could each pass tableExists and race one saveAsTable if
+    # only the location were disambiguated (ADVICE r6)
     st = os.stat(os.path.realpath(src))
     tag = hashlib.md5(
         f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    name = f"bulker_corpus_bkt_{tag}"
+    app = re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    name = f"bulker_corpus_bkt_{tag}_{app}"
     if not spark.catalog.tableExists(name):
         loc = os.path.join(
             tempfile.gettempdir(),
             f"bulker_spark_corpus_bkt_{tag}_"
             f"{spark.sparkContext.applicationId}",
         )
-        (
-            spark.read.parquet(src)
-            .select("doc_id", "text")
-            .write.mode("overwrite")
-            .option("path", loc)
-            .bucketBy(_shuffle_partitions(spark), "doc_id")
-            .sortBy("doc_id")
-            .saveAsTable(name)
-        )
+        try:
+            (
+                spark.read.parquet(src)
+                .select("doc_id", "text")
+                .write.mode("overwrite")
+                .option("path", loc)
+                .bucketBy(_shuffle_partitions(spark), "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(name)
+            )
+        except Exception as exc:  # lost a same-app creation race: re-read
+            if not spark.catalog.tableExists(name):
+                raise exc
+        # the temp directory outlives the (in-memory) catalog entry —
+        # without cleanup every session leaks a corpus-sized copy
+        _cleanup_at_exit(loc)
     return spark.table(name)
+
+
+_CLEANUP_REGISTERED: set = set()
+
+
+def _cleanup_at_exit(loc: str) -> None:
+    if loc in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(loc)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, loc, ignore_errors=True)
 
 
 def _rebuild_corpus(spark: SparkSession, sf_dir: str):

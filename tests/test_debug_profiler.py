@@ -110,3 +110,41 @@ def test_index_lists_every_route():
     idx = dp.index()
     for r in sorted(k for k in dp.ROUTES if k):
         assert f"/debug/pprof/{r}" in idx
+
+
+def test_heap_snapshot_stop_removes_tracer():
+    import tracemalloc
+
+    try:
+        dp.heap_snapshot()  # ensure started
+        out = dp.heap_snapshot(stop=True)
+        assert "stopped" in out
+        assert not tracemalloc.is_tracing()
+        again = dp.heap_snapshot(stop=True)
+        assert "was not running" in again
+    finally:
+        if tracemalloc.is_tracing():
+            tracemalloc.stop()
+
+
+def test_blocked_dump_ignores_app_functions_named_like_waits():
+    """An application function called 'read' must not be reported as
+    parked — the wait heuristic is qualified by stdlib module, not name
+    alone (ADVICE r6)."""
+    import time as _time
+
+    stop = threading.Event()
+
+    def read():  # app-level name collision with the wait list
+        while not stop.is_set():
+            _time.sleep(0)  # C-level sleep: 'read' stays the top frame
+
+    t = threading.Thread(target=read, name="fake-read-probe", daemon=True)
+    t.start()
+    _time.sleep(0.05)
+    try:
+        out = dp.blocked_dump("block")
+        assert "fake-read-probe" not in out
+    finally:
+        stop.set()
+        t.join()

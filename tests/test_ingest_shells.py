@@ -1149,3 +1149,29 @@ class TestHashedKeyTrust:
         # browser credential: server-observed IP replaced the spoof;
         # s2s credential: client-supplied context kept
         assert rows == {"9.9.9.9", "6.6.6.6"}
+
+
+class TestLegacyHashSplitWarning:
+    def test_legacy_last_dot_binding_warns_not_verifies(self, caplog):
+        """A binding minted under the old LAST-dot split with a dotted
+        salt no longer authenticates (format break, round 6); the
+        failure must name itself in a warning so operators re-mint
+        instead of chasing a silent 401 (ADVICE r6)."""
+        import logging
+
+        from bulker_spark.app.router import check_hash, hash_api_key
+
+        legacy = "v1.2." + hash_api_key("sec", "v1.2", "g")
+        with caplog.at_level(logging.WARNING, "bulker_spark.app.router"):
+            assert not check_hash(legacy, "sec", ["g"])
+        assert any("legacy last-dot" in r.message for r in caplog.records)
+
+    def test_wrong_secret_does_not_warn(self, caplog):
+        import logging
+
+        from bulker_spark.app.router import check_hash, hash_api_key
+
+        stored = "v1." + hash_api_key("sec", "v1", "g")
+        with caplog.at_level(logging.WARNING, "bulker_spark.app.router"):
+            assert not check_hash(stored, "nope", ["g"])
+        assert not [r for r in caplog.records if "legacy" in r.message]

@@ -404,11 +404,15 @@ class SpanDedupIndex:
         Extending out of arrival order raises ``ValueError`` (class
         docstring: the incremental-equals-full-rerun guarantee needs
         ascending doc_ids); probe-only calls are exempt."""
+        dt = pin(self._tokens(batch, id_col, text_col))
         lo = hi = None
         if extend_index:
-            lo, hi = batch.agg(
-                F.min(id_col), F.max(id_col)
-            ).first()
+            # min/max come from the PINNED token frame, not the raw
+            # batch — the guard must not re-execute the caller's whole
+            # upstream plan a second time (review r7); tokens-only
+            # scope is by design: null-text docs are never indexed, so
+            # their ids cannot flip an indexed first occurrence
+            lo, hi = dt.agg(F.min("doc_id"), F.max("doc_id")).first()
             mx = self._indexed_max()
             if mx is not None and lo is not None and lo <= mx:
                 raise ValueError(
@@ -419,7 +423,6 @@ class SpanDedupIndex:
                     " batch above the indexed max, or probe with"
                     " extend_index=False."
                 )
-        dt = pin(self._tokens(batch, id_col, text_col))
         wins = pin(self._windows(dt))
         idx = self._indexed()
         # intra-batch first occurrence per hash

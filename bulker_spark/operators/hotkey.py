@@ -112,11 +112,15 @@ def lag_over_buckets(
     """
     bucket = day_bucket(order[0]) if bucket is None else bucket
     srcs = list(dict.fromkeys(lag_cols.values()))
+    outs = list(lag_cols)
     b = df.withColumn(_BKT, bucket)
     w = Window.partitionBy(*keys, _BKT).orderBy(*order)
+    # lags land in TEMP names first: an output name that shadows a
+    # source column (lag_cols={"ts": "ts", "x": "ts"}) would otherwise
+    # make later entries lag the already-lagged column (review r7)
     proj = b
-    for out, src in lag_cols.items():
-        proj = proj.withColumn(out, F.lag(src).over(w))
+    for idx, (out, src) in enumerate(lag_cols.items()):
+        proj = proj.withColumn(f"__hk_lag_{idx}", F.lag(src).over(w))
     proj = proj.withColumn("__hk_first", F.row_number().over(w) == 1)
     # summary from the RAW bucketed frame, not from `proj`: referencing
     # only pre-window columns lets Catalyst drop the Window node from
@@ -134,12 +138,12 @@ def lag_over_buckets(
         F.lag("__hk_last").over(wb).alias("__hk_prev"),
     )
     joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
-    for out, src in lag_cols.items():
+    for idx, (out, src) in enumerate(lag_cols.items()):
         joined = joined.withColumn(
             out,
             F.when(
                 F.col("__hk_first"), F.col(f"__hk_prev.{src}")
-            ).otherwise(F.col(out)),
+            ).otherwise(F.col(f"__hk_lag_{idx}")),
         )
     return joined.drop(
         _BKT,
@@ -147,6 +151,7 @@ def lag_over_buckets(
         "__hk_prev",
         f"__hk_p_{_BKT}",
         *[f"__hk_p_{k}" for k in keys],
+        *[f"__hk_lag_{i}" for i in range(len(outs))],
     )
 
 
@@ -277,11 +282,19 @@ def running_sum_over_buckets(
     )
     joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
     for n in names:
+        # NULL semantics of the naive running SUM: NULL only when the
+        # WHOLE prefix is null-valued. Within-bucket prefix and offset
+        # can each be null independently (all-null bucket prefix /
+        # first bucket), so: sum when both present, the non-null one
+        # when only one is, NULL when neither (review r7 — plain
+        # `in + coalesce(off, 0)` returned NULL the moment the current
+        # bucket's prefix was all-null even with earlier real values)
         joined = joined.withColumn(
             n,
-            F.col(f"__hk_in_{n}")
-            + F.coalesce(
-                F.col(f"__hk_off_{n}"), F.lit(0).cast("decimal(18,6)")
+            F.coalesce(
+                F.col(f"__hk_in_{n}") + F.col(f"__hk_off_{n}"),
+                F.col(f"__hk_in_{n}"),
+                F.col(f"__hk_off_{n}"),
             ),
         )
     return joined.drop(
@@ -320,8 +333,10 @@ def with_trailing_halo(
 
     Returns ``(halo_df, window_spec)``; the caller applies its
     ``agg(...).over(window_spec)`` columns, then MUST filter
-    ``F.col("__hk_ctx") == 0`` and drop ``__hk_ctx`` — context rows are
-    frame-fill only, never output. Aggregates must be
+    ``F.col("__hk_ctx") == 0`` and drop BOTH internals ``__hk_ctx``
+    and ``__hk_bkt`` (or select explicit output columns) — context
+    rows are frame-fill only, never output, and a leaked bucket column
+    would fail a strict-schema compare downstream. Aggregates must be
     duplication-safe in the sense that a context row is counted only by
     frames that genuinely span it (the range frame guarantees this; the
     row's original lives in the previous bucket's partition, so nothing
@@ -396,6 +411,11 @@ def trailing_range_sums(
     """
     names = list(sums)
     base = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
+    # SQL NULL semantics of a frame SUM: NULL when the frame holds no
+    # non-null value (review r7) — so probes carry typed NULL weights
+    # (never 0: a probe must not make an all-null prefix look summed),
+    # and each sum rides with a non-null-INDICATOR running count that
+    # decides frame-has-a-value at the end
     real = base.select(
         *[F.col(k) for k in keys],
         "__hk_secs",
@@ -403,18 +423,24 @@ def trailing_range_sums(
         F.col(row_id).alias("__hk_rid"),
         F.lit(0).alias("__hk_kind"),
         *[sums[n].alias(f"__hk_w_{n}") for n in names],
+        *[
+            F.when(sums[n].isNotNull(), F.lit(1))
+            .cast("long")
+            .alias(f"__hk_i_{n}")
+            for n in names
+        ],
     )
-    zeros = [
-        F.lit(0).cast(dict(real.dtypes)[f"__hk_w_{n}"]).alias(f"__hk_w_{n}")
+    nulls = [
+        F.lit(None).cast(dict(real.dtypes)[f"__hk_w_{n}"]).alias(f"__hk_w_{n}")
         for n in names
-    ]
+    ] + [F.lit(None).cast("long").alias(f"__hk_i_{n}") for n in names]
     lower = base.select(
         *[F.col(k) for k in keys],
         (F.col("__hk_secs") - F.lit(lookback + 1)).alias("__hk_secs"),
         F.lit(1).alias("__hk_probe"),
         F.col(row_id).alias("__hk_rid"),
         F.lit(1).alias("__hk_kind"),
-        *zeros,
+        *nulls,
     )
     upper = base.select(
         *[F.col(k) for k in keys],
@@ -422,34 +448,46 @@ def trailing_range_sums(
         F.lit(1).alias("__hk_probe"),
         F.col(row_id).alias("__hk_rid"),
         F.lit(2).alias("__hk_kind"),
-        *zeros,
+        *nulls,
     )
     u = real.unionByName(lower).unionByName(upper)
+    cum_sums = {f"__hk_c_{n}": F.col(f"__hk_w_{n}") for n in names}
+    cum_sums.update(
+        {f"__hk_ci_{n}": F.col(f"__hk_i_{n}") for n in names}
+    )
     cum = running_sum_over_buckets(
         u,
         keys=keys,
         order=["__hk_secs", "__hk_probe", "__hk_rid", "__hk_kind"],
-        sums={f"__hk_c_{n}": F.col(f"__hk_w_{n}") for n in names},
+        sums=cum_sums,
         bucket=F.floor(F.col("__hk_secs") / F.lit(bucket_width)),
     )
     lo = cum.filter(F.col("__hk_kind") == 1).select(
         F.col("__hk_rid").alias("__hk_rid_lo"),
         *[F.col(f"__hk_c_{n}").alias(f"__hk_lo_{n}") for n in names],
+        *[F.col(f"__hk_ci_{n}").alias(f"__hk_loi_{n}") for n in names],
     )
     up = cum.filter(F.col("__hk_kind") == 2).select(
         F.col("__hk_rid").alias("__hk_rid_up"),
         *[F.col(f"__hk_c_{n}").alias(f"__hk_up_{n}") for n in names],
+        *[F.col(f"__hk_ci_{n}").alias(f"__hk_upi_{n}") for n in names],
     )
     out = df.join(
         up, F.col(row_id) == F.col("__hk_rid_up"), "inner"
     ).join(lo, F.col(row_id) == F.col("__hk_rid_lo"), "inner")
     for n in names:
+        frame_cnt = F.coalesce(F.col(f"__hk_upi_{n}"), F.lit(0)) - F.coalesce(
+            F.col(f"__hk_loi_{n}"), F.lit(0)
+        )
+        # a null lower prefix with a non-null upper means every non-null
+        # value sits inside the frame: the difference degrades to the
+        # upper prefix alone (coalesce chain, no typed zero needed)
+        diff = F.coalesce(
+            F.col(f"__hk_up_{n}") - F.col(f"__hk_lo_{n}"),
+            F.col(f"__hk_up_{n}"),
+        )
         out = out.withColumn(
-            n,
-            F.col(f"__hk_up_{n}")
-            - F.coalesce(
-                F.col(f"__hk_lo_{n}"), F.lit(0).cast("decimal(18,6)")
-            ),
+            n, F.when(frame_cnt > 0, diff).otherwise(F.lit(None))
         )
     return out.drop(
         "__hk_rid_lo",
@@ -457,6 +495,11 @@ def trailing_range_sums(
         *[
             c
             for n in names
-            for c in (f"__hk_lo_{n}", f"__hk_up_{n}")
+            for c in (
+                f"__hk_lo_{n}",
+                f"__hk_up_{n}",
+                f"__hk_loi_{n}",
+                f"__hk_upi_{n}",
+            )
         ],
     )

@@ -1134,20 +1134,24 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=["ts", "event_id"],
         sums={"__run": F.col("value").cast("decimal(18,6)")},
     )
+    # ALSO lag the (never-null) event_id: `lag(value, 1, 0.0)` defaults
+    # to 0.0 only when there is NO previous row — a previous row whose
+    # value is NULL must stay NULL, and a bare coalesce on the lagged
+    # value cannot tell the two apart (review r7)
     lagged = lag_over_buckets(
         run,
         keys=["user_id"],
         order=["ts", "event_id"],
-        lag_cols={"__prev_value": "value"},
+        lag_cols={"__prev_value": "value", "__prev_eid": "event_id"},
     )
+    prev_or_default = F.when(
+        F.col("__prev_eid").isNull(), F.lit(0.0)
+    ).otherwise(F.col("__prev_value"))
     return lagged.select(
         "user_id",
         "event_id",
         F.round(F.col("__run"), 2).cast("double").alias("running_value"),
-        F.round(
-            F.col("value") - F.coalesce(F.col("__prev_value"), F.lit(0.0)),
-            2,
-        ).alias("delta_prev"),
+        F.round(F.col("value") - prev_or_default, 2).alias("delta_prev"),
     )
 
 

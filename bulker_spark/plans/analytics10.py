@@ -153,13 +153,18 @@ def _bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     app = re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
     name = f"bulker_corpus_bkt_{tag}_{app}"
-    if not spark.catalog.tableExists(name):
-        loc = os.path.join(
-            tempfile.gettempdir(),
-            f"bulker_spark_corpus_bkt_{tag}_"
-            f"{spark.sparkContext.applicationId}",
-        )
-        try:
+    # same-process lock: two threads of one app share name AND location,
+    # so concurrent overwrite writes would clobber each other mid-flight
+    # and a tableExists re-check could bless a half-written table
+    # (review r7) — the lock makes creation single-flight; the loser of
+    # the wait re-checks and reads the winner's table
+    with _BUCKETED_CREATE_LOCK:
+        if not spark.catalog.tableExists(name):
+            loc = os.path.join(
+                tempfile.gettempdir(),
+                f"bulker_spark_corpus_bkt_{tag}_"
+                f"{spark.sparkContext.applicationId}",
+            )
             (
                 spark.read.parquet(src)
                 .select("doc_id", "text")
@@ -169,14 +174,15 @@ def _bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .sortBy("doc_id")
                 .saveAsTable(name)
             )
-        except Exception as exc:  # lost a same-app creation race: re-read
-            if not spark.catalog.tableExists(name):
-                raise exc
-        # the temp directory outlives the (in-memory) catalog entry —
-        # without cleanup every session leaks a corpus-sized copy
-        _cleanup_at_exit(loc)
+            # the temp directory outlives the (in-memory) catalog entry —
+            # without cleanup every session leaks a corpus-sized copy
+            _cleanup_at_exit(loc)
     return spark.table(name)
 
+
+import threading as _threading
+
+_BUCKETED_CREATE_LOCK = _threading.Lock()
 
 _CLEANUP_REGISTERED: set = set()
 

@@ -127,6 +127,7 @@ def ship_package(spark) -> None:
     ModuleNotFoundError under local-cluster[2,8] while green on
     local[32] — exactly the single-JVM-hidden boundary VERDICT r6 #5
     predicted."""
+    import hashlib
     import tempfile
     import zipfile
 
@@ -134,16 +135,36 @@ def ship_package(spark) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(bulker_spark.__file__))
     root = os.path.dirname(pkg_dir)
+    sources = sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _, files in os.walk(pkg_dir)
+        if "__pycache__" not in dirpath
+        for f in files
+        if f.endswith(".py")
+    )
+    # content-addressed zip name (path, mtime, size of every module):
+    # a PID-keyed cache would serve a STALE package after PID reuse or
+    # a source edit, and a crash mid-write would poison the path
+    # forever — the tag changes with the code, and the write is
+    # tmp-then-rename atomic (review r7)
+    h = hashlib.md5()
+    for full in sources:
+        st = os.stat(full)
+        h.update(f"{full}|{st.st_mtime_ns}|{st.st_size}".encode())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"bulker_spark_py_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"bulker_spark_py_{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                if "__pycache__" in dirpath:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", prefix="bulker_spark_py_",
+        )
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for full in sources:
+                    z.write(full, os.path.relpath(full, root))
+            os.replace(tmp, zpath)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     spark.sparkContext.addPyFile(zpath)

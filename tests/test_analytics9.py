@@ -82,8 +82,8 @@ def test_recon_error_bounds_and_subspace_quality(spark, corpus):
 
 
 def test_recon_error_tracks_true_top_eigvector(spark, corpus):
-    """The quantized 12-iteration power-iteration metric must track the
-    float eigh reference: the integer eigenvector estimate nearly
+    """The quantized fixed-count (_PI_ITERS=60) power-iteration metric
+    must track the float eigh reference: the integer eigenvector estimate nearly
     parallel to numpy's true top component, and per-vector bp within
     quantization distance of the float top-1 reconstruction error.
     (Bit-exactness across ENGINES is pinned by the strict DuckDB oracle

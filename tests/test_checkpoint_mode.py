@@ -23,8 +23,9 @@ def reset_mode(spark):
 def test_default_mode_is_local(spark):
     df = pin(spark.range(10).withColumn("x", F.col("id") * 2))
     assert df.count() == 10
-    # local checkpoint: nothing on disk, lineage truncated
-    assert df.rdd.toDebugString().count(b"Checkpoint") >= 0
+    # local checkpoint actually happened: the RDD lineage shows the
+    # checkpointed scan instead of the range+project chain
+    assert df.rdd.toDebugString().count(b"Checkpoint") >= 1
 
 
 def test_reliable_mode_without_dir_raises(spark, reset_mode):

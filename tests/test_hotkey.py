@@ -29,11 +29,17 @@ def stream(spark):
     bucket) and some rows land exactly on bucket/lookback boundaries."""
     rows = []
     eid = 0
-    # hot user 0: 700 events over 10 days, bursty (gaps of 1..7000 s)
+    # hot user 0: 700 events over 10 days, bursty (gaps of 1..7000 s);
+    # every 7th value is NULL — the naive windows' SQL null semantics
+    # (sum skips nulls, NULL only for an all-null prefix/frame; lag
+    # carries a real NULL) are part of the bit-identity contract
+    # (review r7: the fixture previously had no nulls, hiding three
+    # null-path divergences)
     t = 0
     for i in range(700):
         t += (i * 37) % 7000 + 1
-        rows.append((eid, t, 0, float((i * 13) % 100) / 4.0))
+        val = None if i % 7 == 3 else float((i * 13) % 100) / 4.0
+        rows.append((eid, t, 0, val))
         eid += 1
     # users 1..5: 20 events each, days 0,2,5 only (day 1,3,4 empty)
     for u in range(1, 6):
@@ -51,6 +57,17 @@ def stream(spark):
     rows.append((eid, 3 * DAY, 7, 2.0)); eid += 1
     rows.append((eid, 3 * DAY - 3600, 7, 3.0)); eid += 1
     rows.append((eid, 3 * DAY - 3601, 7, 4.0)); eid += 1
+    # user 8: a WHOLE day-bucket of null values sandwiched between real
+    # ones — the running sum must carry the earlier prefix through the
+    # all-null bucket, and an all-null trailing frame must stay NULL
+    rows.append((eid, 0 * DAY + 100, 8, 1.0)); eid += 1
+    rows.append((eid, 0 * DAY + 200, 8, 2.0)); eid += 1
+    for i in range(5):
+        rows.append((eid, 2 * DAY + i * 5000, 8, None)); eid += 1
+    rows.append((eid, 4 * DAY + 100, 8, 7.0)); eid += 1
+    # user 9: never a non-null value — every prefix and frame is NULL
+    for i in range(4):
+        rows.append((eid, i * 40000, 9, None)); eid += 1
     df = spark.createDataFrame(
         rows, "event_id long, secs long, user_id long, value double"
     ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
@@ -228,6 +245,30 @@ def test_trailing_halo_rejects_small_bucket(stream):
             lookback=DAY + 1,
             bucket_width=DAY,
         )
+
+
+def test_lag_output_name_shadowing_source(stream):
+    """An output name that shadows a source column another entry still
+    needs must not turn later lags into lag-of-lag (review r7)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = stream.select(
+        "event_id",
+        F.lag("value").over(w).alias("value_l"),
+        F.lag("secs").over(w).alias("secs_l"),
+    )
+    two = lag_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        # first entry REPLACES the value column; second still lags the
+        # original secs — and a third lags the original value again
+        lag_cols={"value": "value", "secs_l": "secs", "value2": "value"},
+    ).select(
+        "event_id",
+        F.col("value").alias("value_l"),
+        "secs_l",
+    )
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
 
 
 def test_helpers_preserve_input_columns(stream):

@@ -15,23 +15,29 @@ ordered stream per key and carry the right payload forward with
 ``last(col, ignorenulls=True)`` over ``(key) ORDER BY (ts, side,
 tiebreak) ROWS UNBOUNDED PRECEDING``:
 
-- ONE hash shuffle on the key (the same shuffle the equi-join would
-  pay), then a linear single-pass window per partition — no
-  intermediate pair blow-up, no second shuffle.
+- the carry rides the bucketed two-phase pass
+  (``operators/hotkey.carry_over_buckets``): the heavy window runs per
+  (key, time-bucket) and a per-bucket summary carries state across
+  boundaries — a bot user's million-row stream spreads over per-day
+  partitions instead of the single task a plain
+  ``partitionBy(key)`` window would pin it to (the measured 11-28x
+  hot-key walls of SCALING.md's round-7 sweep). Still ONE logical
+  shuffle family on the key, no pair blow-up.
 - right rows sort before left rows at equal timestamps (``side`` 0 < 1)
   so the match is inclusive; among same-timestamp right rows the
-  ascending ``tiebreak`` makes ``last`` deterministic (greatest wins).
-- ``forward`` flips the sort to descending; same single pass.
-- at 100 TB the window state is one row of carried payload per key —
-  no growth with history length; hot keys degrade to a sequential scan
-  of that key's rows (the same cost any ordered merge pays), never to
-  a cross product.
+  ascending ``tiebreak`` makes the carry deterministic (greatest wins).
+- ``forward`` negates the epoch-micros order column; same single pass
+  (the bucketed helper needs ascending order columns, so direction is
+  encoded in the value, not the sort).
+- carried columns keep the original per-column ``last(...,
+  ignorenulls)`` semantics (each column independently carried).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql import Window as W
+
+from .hotkey import carry_over_buckets
 
 
 def asof_join(
@@ -93,22 +99,24 @@ def asof_join(
     )
 
     keys = [f"__k{i}" for i in range(len(lkeys))]
-    # last() takes the final row in window order, so ascending tiebreak
-    # means the greatest value wins ties in either direction
-    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    order = [t_ord, F.col("__side").asc(), F.col("__tb").asc_nulls_first()]
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the bucketed carry orders ASCENDING, so direction lives in the
+    # order VALUE: epoch micros for backward, negated for forward
+    # (NTZ/date cast to timestamp under the engine's fixed UTC session
+    # zone — a constant offset, order-preserving). The strictly-before
+    # frame of carry_over_buckets equals the original inclusive frame
+    # at every LEFT row: the left row itself carries only nulls, and a
+    # same-timestamp right row sorts before it via __side 0 < 1.
+    sign = 1 if direction == "backward" else -1
+    merged = l_side.unionByName(r_side).withColumn(
+        "__o",
+        F.lit(sign) * F.unix_micros(F.col("__t").cast("timestamp")),
     )
-
-    merged = l_side.unionByName(r_side)
-    matched = merged.select(
-        *keys,
-        "__side",
-        *lcols,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in carried],
+    matched = carry_over_buckets(
+        merged,
+        keys=keys,
+        order=["__o", "__side", "__tb"],
+        carry_cols={f"__r_{c}": f"__r_{c}" for c in carried},
+        bucket=F.floor(F.col("__o") / F.lit(86_400_000_000)),
     ).where(F.col("__side") == 1)
 
     if tolerance is not None:

@@ -118,7 +118,29 @@ def main(out: str) -> None:
     ev.repartition(16).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
-    print(f"wrote {out}: documents={N_DOCS} events={N_EVENTS}")
+
+    # orders for the as-of enrichment: the bot user owns half the order
+    # history too, so asof_join's per-user carry sees the same hot key
+    # as the window queries
+    n_orders = 200_000
+    hot_orders = n_orders // 2
+    orders = spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.when(F.col("id") < hot_orders, F.lit(0))
+        .otherwise(1 + F.col("id") % N_USERS)
+        .alias("o_custkey"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * 104729) % (30 * 86400)
+        ).alias("o_orderdate"),
+        (F.col("id") % 10000 / 100.0).alias("o_totalprice"),
+    )
+    orders.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    print(
+        f"wrote {out}: documents={N_DOCS} events={N_EVENTS}"
+        f" orders={n_orders}"
+    )
     spark.stop()
 
 

@@ -46,6 +46,7 @@ QUERIES_UNDER_TEST = [
     "events_attribution_last_touch",
     "events_top_paths",
     "events_dedup_ttl",
+    "events_asof_last_order",
 ]
 
 QUANTS = "0.0,0.5,1.0"  # min, median, max

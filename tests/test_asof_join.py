@@ -149,8 +149,15 @@ def test_suffix_renames_payload(spark):
     assert "val_dim" in out.columns and "rts_dim" in out.columns
 
 
-def test_single_shuffle_plan(spark, rand_sides):
-    """The whole point: ONE exchange (on the key), no join node at all."""
+def test_no_pair_blowup_plan(spark, rand_sides):
+    """The point of the union-and-carry shape: the range predicate must
+    never execute as a pair-emitting join — no nested-loop/cartesian
+    node anywhere. Since the round-7 hot-key-proofing the carry is the
+    bucketed two-phase pass, so the plan legitimately contains ONE slim
+    EQUI-join (per-bucket summaries back onto the stream, a few rows
+    per key-day) and a bounded number of hash exchanges — but the
+    pair-explosion shapes stay banned, and no exchange may carry a
+    theta/range condition."""
     left, right = rand_sides
     plan = (
         asof_join(
@@ -166,5 +173,8 @@ def test_single_shuffle_plan(spark, rand_sides):
         .executedPlan()
         .toString()
     )
-    assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union stream window + summary window + join-back: a handful of
+    # hash exchanges, still no O(n*m) intermediate
+    assert plan.count("Exchange hashpartitioning") <= 5

@@ -271,25 +271,33 @@ def main() -> None:
     # run paid ~1.6 s of first-entry warm-up the committed number never
     # sees) — each attempt gets a FRESH warehouse so both measure the
     # identical create-table + load path, and the min is steady state
-    try:
-        best = None
-        for _ in range(2):
-            wh = tempfile.mkdtemp(prefix="bench_wh_")
-            try:
-                eng = Engine(spark, wh)
-                t0 = time.time()
-                eng.bulk_load(
-                    "bench_ingest", events, mode="batch",
-                    primary_key=["pk"], deduplicate=True,
-                    timestamp_column="ts",
-                )
-                el = time.time() - t0
-                best = el if best is None or el < best else best
-            finally:
-                shutil.rmtree(wh, ignore_errors=True)
+    # per-attempt catch (advice r7): a failure on the SECOND attempt must
+    # not discard the first attempt's success — record best-of-whatever
+    # succeeded, and an error only when BOTH attempts fail
+    best = None
+    last_exc = None
+    for _ in range(2):
+        wh = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            eng = Engine(spark, wh)
+            t0 = time.time()
+            eng.bulk_load(
+                "bench_ingest", events, mode="batch",
+                primary_key=["pk"], deduplicate=True,
+                timestamp_column="ts",
+            )
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        except Exception as exc:
+            last_exc = exc
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    if best is not None:
         timings["ingest_100k_rows"] = round(best, 3)
-    except Exception as exc:
-        errors["ingest_100k_rows"] = f"{type(exc).__name__}: {exc}"[:300]
+    else:
+        errors["ingest_100k_rows"] = (
+            f"{type(last_exc).__name__}: {last_exc}"[:300]
+        )
 
     # scale tier: the reference's opt-in bigdata test loads 1M rows in one
     # batch (bulkerlib/implementations/sql/bigdata_test.go:18-48, throughput
@@ -584,11 +592,20 @@ def main() -> None:
     # Full per-query detail goes to a repo file (the judge reads it);
     # stdout gets a line guaranteed to fit the driver's 2000-char tail
     # buffer — rounds 1 and 2 both overflowed it and recorded parsed=null.
+    # BULKER_BENCH_OUT routes the detail file elsewhere (verdict r7 #4:
+    # driver runs were clobbering the committed BENCH_FULL.json record,
+    # making committed-vs-driver comparisons require git archaeology);
+    # the committed BENCH_FULL.json is refreshed only at the round freeze
+    # by exporting BULKER_BENCH_OUT=BENCH_FULL.json explicitly.
+    out_path = os.environ.get("BULKER_BENCH_OUT") or os.path.join(
+        tempfile.gettempdir(), f"bulker_bench_{os.getpid()}.json"
+    )
+    if not os.path.isabs(out_path):
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), out_path
+        )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"), "w",
-        ) as fh:
+        with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
     except OSError:

@@ -31,6 +31,7 @@ Spark UI / ``spark.python.profile``, not this surface.
 
 from __future__ import annotations
 
+import functools
 import sys
 import threading
 import time
@@ -61,30 +62,58 @@ _WAIT_FUNCS = frozenset(
     }
 )
 
-# stdlib modules whose blocking calls park a thread; a _WAIT_FUNCS name
-# in any other file is application code that merely shares the name
-_WAIT_FILES = frozenset(
-    {
-        "threading.py",
-        "socket.py",
-        "selectors.py",
-        "queue.py",
-        "ssl.py",
-        "subprocess.py",
-        "connection.py",  # multiprocessing.connection
-        "socketserver.py",
-        "clientserver.py",  # py4j gateway I/O threads
-        "java_gateway.py",
-    }
-)
+# modules whose blocking calls park a thread, resolved to their ACTUAL
+# file paths at import time — a _WAIT_FUNCS name in any other file is
+# application code that merely shares the name. Basename matching was
+# too loose here (advice r7): an application module named queue.py or
+# connection.py with a wait() would be misreported as parked — the
+# exact false-positive class this filter exists to remove.
+def _wait_paths() -> frozenset:
+    import os
+    import queue
+    import selectors
+    import socket
+    import socketserver
+    import ssl
+    import subprocess
+    from multiprocessing import connection
+
+    mods = [
+        threading,
+        socket,
+        selectors,
+        queue,
+        ssl,
+        subprocess,
+        connection,
+        socketserver,
+    ]
+    # py4j gateway I/O threads (site-packages, gated: absent in
+    # gateway-less deployments)
+    try:
+        from py4j import clientserver, java_gateway
+
+        mods += [clientserver, java_gateway]
+    except ImportError:
+        pass
+    return frozenset(
+        os.path.realpath(m.__file__) for m in mods if getattr(m, "__file__", None)
+    )
+
+
+_WAIT_PATHS = _wait_paths()
+
+
+@functools.lru_cache(maxsize=4096)
+def _is_wait_file(co_filename: str) -> bool:
+    import os
+
+    return os.path.realpath(co_filename) in _WAIT_PATHS
 
 
 def _is_wait_frame(frame) -> bool:
     code = frame.f_code
-    return (
-        code.co_name in _WAIT_FUNCS
-        and code.co_filename.rsplit("/", 1)[-1] in _WAIT_FILES
-    )
+    return code.co_name in _WAIT_FUNCS and _is_wait_file(code.co_filename)
 
 _MAX_SECONDS = 30.0  # self-DoS guard on the sampling routes
 _HZ = 100

@@ -187,10 +187,14 @@ def carry_over_buckets(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # carries land in TEMP names first, mirroring lag_over_buckets: an
+    # output name that shadows a source column consumed by a LATER entry
+    # (carry_cols={"s": "s", "a": "s"}) would otherwise make that entry
+    # carry the already-carried column (advice r7)
     proj = b
-    for out, src in carry_cols.items():
+    for idx, (out, src) in enumerate(carry_cols.items()):
         proj = proj.withColumn(
-            out, F.last(src, ignorenulls=True).over(w)
+            f"__hk_carry_{idx}", F.last(src, ignorenulls=True).over(w)
         )
     summary = b.groupBy(*keys, _BKT).agg(
         *[
@@ -220,15 +224,19 @@ def carry_over_buckets(
         ],
     )
     joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
-    for out, src in carry_cols.items():
+    for idx, (out, src) in enumerate(carry_cols.items()):
         joined = joined.withColumn(
-            out, F.coalesce(F.col(out), F.col(f"__hk_prev_{src}"))
+            out,
+            F.coalesce(
+                F.col(f"__hk_carry_{idx}"), F.col(f"__hk_prev_{src}")
+            ),
         )
     return joined.drop(
         _BKT,
         f"__hk_p_{_BKT}",
         *[f"__hk_p_{k}" for k in keys],
         *[f"__hk_prev_{s}" for s in srcs],
+        *[f"__hk_carry_{i}" for i in range(len(carry_cols))],
     )
 
 
@@ -405,9 +413,10 @@ def trailing_range_sums(
 
     ``sums`` values must be DECIMAL or integer expressions (exact,
     associative — same contract as ``running_sum_over_buckets``; a
-    trailing count is ``F.lit(1).cast("long")``). ``row_id`` must be a
-    per-row unique column (the catalog convention: ``event_id``).
-    Returns ``df`` plus one column per ``sums`` entry.
+    trailing count is ``F.lit(1).cast("long")``). ``row_id`` must be
+    unique at least PER KEY (the join-back matches on keys + row_id, so
+    a per-key-unique id is safe; the catalog convention ``event_id`` is
+    globally unique). Returns ``df`` plus one column per ``sums`` entry.
     """
     names = list(sums)
     base = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
@@ -462,19 +471,37 @@ def trailing_range_sums(
         sums=cum_sums,
         bucket=F.floor(F.col("__hk_secs") / F.lit(bucket_width)),
     )
+    # join-back keys include the KEY columns, not row_id alone: row_id
+    # uniqueness is a docstring contract, and a per-key-unique id would
+    # otherwise cross-match rows between keys with silently wrong sums
+    # (advice r7). The probe frames already carry the keys, so the
+    # extra equality is near-free.
     lo = cum.filter(F.col("__hk_kind") == 1).select(
+        *[F.col(k).alias(f"__hk_lo_k_{k}") for k in keys],
         F.col("__hk_rid").alias("__hk_rid_lo"),
         *[F.col(f"__hk_c_{n}").alias(f"__hk_lo_{n}") for n in names],
         *[F.col(f"__hk_ci_{n}").alias(f"__hk_loi_{n}") for n in names],
     )
     up = cum.filter(F.col("__hk_kind") == 2).select(
+        *[F.col(k).alias(f"__hk_up_k_{k}") for k in keys],
         F.col("__hk_rid").alias("__hk_rid_up"),
         *[F.col(f"__hk_c_{n}").alias(f"__hk_up_{n}") for n in names],
         *[F.col(f"__hk_ci_{n}").alias(f"__hk_upi_{n}") for n in names],
     )
+
+    def _probe_cond(rid_col: str, kprefix: str) -> Column:
+        return reduce(
+            Column.__and__,
+            [F.col(row_id) == F.col(rid_col)]
+            + [
+                F.col(k).eqNullSafe(F.col(f"{kprefix}{k}"))
+                for k in keys
+            ],
+        )
+
     out = df.join(
-        up, F.col(row_id) == F.col("__hk_rid_up"), "inner"
-    ).join(lo, F.col(row_id) == F.col("__hk_rid_lo"), "inner")
+        up, _probe_cond("__hk_rid_up", "__hk_up_k_"), "inner"
+    ).join(lo, _probe_cond("__hk_rid_lo", "__hk_lo_k_"), "inner")
     for n in names:
         frame_cnt = F.coalesce(F.col(f"__hk_upi_{n}"), F.lit(0)) - F.coalesce(
             F.col(f"__hk_loi_{n}"), F.lit(0)
@@ -492,6 +519,8 @@ def trailing_range_sums(
     return out.drop(
         "__hk_rid_lo",
         "__hk_rid_up",
+        *[f"__hk_lo_k_{k}" for k in keys],
+        *[f"__hk_up_k_{k}" for k in keys],
         *[
             c
             for n in names

@@ -160,6 +160,7 @@ def _bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wait re-checks and reads the winner's table
     with _BUCKETED_CREATE_LOCK:
         if not spark.catalog.tableExists(name):
+            _sweep_stale_corpus_tables(spark, keep=name)
             loc = os.path.join(
                 tempfile.gettempdir(),
                 f"bulker_spark_corpus_bkt_{tag}_"
@@ -175,8 +176,11 @@ def _bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
             # the temp directory outlives the (in-memory) catalog entry —
-            # without cleanup every session leaks a corpus-sized copy
-            _cleanup_at_exit(loc)
+            # without cleanup every session leaks a corpus-sized copy.
+            # The DROP matters with a PERSISTENT metastore (advice r7):
+            # without it app-scoped entries accumulate unboundedly and
+            # survive pointing at deleted locations.
+            _cleanup_at_exit(loc, spark=spark, table=name)
     return spark.table(name)
 
 
@@ -187,14 +191,55 @@ _BUCKETED_CREATE_LOCK = _threading.Lock()
 _CLEANUP_REGISTERED: set = set()
 
 
-def _cleanup_at_exit(loc: str) -> None:
+def _cleanup_at_exit(loc: str, spark=None, table: str | None = None) -> None:
     if loc in _CLEANUP_REGISTERED:
         return
     _CLEANUP_REGISTERED.add(loc)
     import atexit
     import shutil
 
-    atexit.register(shutil.rmtree, loc, ignore_errors=True)
+    def _clean() -> None:
+        # drop the catalog entry BEFORE deleting its data so a
+        # persistent metastore never holds a dangling-location table;
+        # best-effort — the session may already be stopped at exit
+        if spark is not None and table is not None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+        shutil.rmtree(loc, ignore_errors=True)
+
+    atexit.register(_clean)
+
+
+def _sweep_stale_corpus_tables(spark: SparkSession, keep: str) -> None:
+    """Drop leftover ``bulker_corpus_bkt_*`` catalog entries whose data
+    directory no longer exists — the residue a crashed session leaves in
+    a persistent shared metastore (the atexit hook never ran). Runs once
+    per table creation, under the create lock; never touches a live
+    table (an existing location means another app may be reading it)."""
+    try:
+        tables = spark.catalog.listTables()
+    except Exception:
+        return
+    for t in tables:
+        if not t.name.startswith("bulker_corpus_bkt_") or t.name == keep:
+            continue
+        try:
+            rows = spark.sql(f"DESCRIBE FORMATTED {t.name}").collect()
+            loc = next(
+                (
+                    r.data_type
+                    for r in rows
+                    if (r.col_name or "").strip() == "Location"
+                ),
+                None,
+            )
+            path = re.sub(r"^file:/*", "/", loc) if loc else None
+            if path is None or not os.path.exists(path):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        except Exception:
+            pass
 
 
 def _rebuild_corpus(spark: SparkSession, sf_dir: str):

@@ -11,13 +11,21 @@ import os
 import re
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
 
 def run_bench(sf: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}")
+    # route the per-query detail record to a scratch file: bench.py no
+    # longer writes the committed BENCH_FULL.json unless told to
+    out = os.path.join(tempfile.gettempdir(), f"bench_scaling_{sf}.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
+        BULKER_BENCH_OUT=out,
+    )
     subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -27,8 +35,8 @@ def run_bench(sf: str) -> dict:
         check=True,
     )
     # the stdout line is trimmed to fit the driver's tail buffer; the
-    # complete per-query record lands in BENCH_FULL.json
-    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+    # complete per-query record lands in the BULKER_BENCH_OUT file
+    with open(out) as fh:
         return json.load(fh)
 
 

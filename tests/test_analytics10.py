@@ -558,3 +558,66 @@ class TestRebuildScaleShapes:
         assert _parse_size_bytes("-1") == -1
         assert _parse_size_bytes("512k") == 512 * 1024
         assert _parse_size_bytes("bogus") == 10 * 1024 * 1024
+
+
+class TestStaleCorpusSweep:
+    """Persistent-metastore hygiene (advice r7): stale bulker_corpus_bkt_*
+    catalog entries pointing at deleted locations are dropped at the next
+    creation; entries whose data still exists are left alone."""
+
+    def test_sweep_drops_dangling_keeps_live(self, spark, tmp_path):
+        from bulker_spark.plans.analytics10 import _sweep_stale_corpus_tables
+
+        live_loc = tmp_path / "live"
+        gone_loc = tmp_path / "gone"
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        for nm, loc in [
+            ("bulker_corpus_bkt_testlive_app", live_loc),
+            ("bulker_corpus_bkt_testgone_app", gone_loc),
+        ]:
+            (
+                df.write.mode("overwrite")
+                .option("path", str(loc))
+                .saveAsTable(nm)
+            )
+        import shutil
+
+        shutil.rmtree(gone_loc)
+        try:
+            _sweep_stale_corpus_tables(spark, keep="bulker_corpus_bkt_other")
+            assert not spark.catalog.tableExists("bulker_corpus_bkt_testgone_app")
+            assert spark.catalog.tableExists("bulker_corpus_bkt_testlive_app")
+        finally:
+            for nm in (
+                "bulker_corpus_bkt_testlive_app",
+                "bulker_corpus_bkt_testgone_app",
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {nm}")
+
+    def test_cleanup_at_exit_registers_table_drop(self, spark, tmp_path):
+        from bulker_spark.plans import analytics10 as a10
+
+        loc = tmp_path / "corpus"
+        nm = "bulker_corpus_bkt_testexit_app"
+        (
+            spark.range(3)
+            .withColumnRenamed("id", "doc_id")
+            .write.mode("overwrite")
+            .option("path", str(loc))
+            .saveAsTable(nm)
+        )
+        import atexit
+
+        registered = []
+        orig = atexit.register
+        try:
+            atexit.register = lambda fn, *a, **k: registered.append((fn, a, k))
+            a10._cleanup_at_exit(str(loc), spark=spark, table=nm)
+        finally:
+            atexit.register = orig
+            a10._CLEANUP_REGISTERED.discard(str(loc))
+        assert len(registered) == 1
+        fn, args, kwargs = registered[0]
+        fn(*args, **kwargs)  # run the exit hook now
+        assert not spark.catalog.tableExists(nm)
+        assert not loc.exists()

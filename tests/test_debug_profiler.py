@@ -127,6 +127,38 @@ def test_heap_snapshot_stop_removes_tracer():
             tracemalloc.stop()
 
 
+def test_blocked_dump_ignores_app_module_named_like_stdlib(tmp_path):
+    """An APPLICATION module named connection.py with a function named
+    'wait' must not be reported as parked — the filter matches the
+    resolved stdlib/py4j file paths, not basenames (advice r7)."""
+    import importlib.util
+    import time as _time
+
+    mod_file = tmp_path / "connection.py"
+    mod_file.write_text(
+        "import threading\n"
+        "def wait(stop):\n"
+        "    while not stop.is_set():\n"
+        "        pass\n"
+    )
+    spec = importlib.util.spec_from_file_location("app_connection", mod_file)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stop = threading.Event()
+    t = threading.Thread(
+        target=mod.wait, args=(stop,), name="fake-conn-probe", daemon=True
+    )
+    t.start()
+    _time.sleep(0.05)
+    try:
+        out = dp.blocked_dump("block")
+        assert "fake-conn-probe" not in out
+    finally:
+        stop.set()
+        t.join()
+
+
 def test_blocked_dump_ignores_app_functions_named_like_waits():
     """An application function called 'read' must not be reported as
     parked — the wait heuristic is qualified by stdlib module, not name

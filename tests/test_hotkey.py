@@ -271,6 +271,67 @@ def test_lag_output_name_shadowing_source(stream):
     assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
 
 
+def test_carry_output_name_shadowing_source(stream):
+    """carry_over_buckets twin of the lag shadowing pin (advice r7):
+    an output name that replaces a source column consumed by a LATER
+    entry must not turn that entry into carry-of-carry."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = stream.select(
+        "event_id",
+        F.last("value", ignorenulls=True).over(w).alias("value_c"),
+        F.last("value", ignorenulls=True).over(w).alias("again_c"),
+    )
+    two = carry_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        # first entry REPLACES the value column; the second must still
+        # carry the ORIGINAL value, not the carried one
+        carry_cols={"value": "value", "again": "value"},
+    ).select(
+        "event_id",
+        F.col("value").alias("value_c"),
+        F.col("again").alias("again_c"),
+    )
+    assert _sorted(naive, ["event_id"]) == _sorted(two, ["event_id"])
+
+
+def test_trailing_range_sums_per_key_row_id(stream):
+    """The join-back matches on keys + row_id (advice r7), so an id
+    that is only unique PER KEY — colliding across keys — must still
+    produce per-key-correct sums, not cross-key matches."""
+    from bulker_spark.operators.hotkey import trailing_range_sums
+
+    # rank within user = per-key-unique, heavily colliding across users
+    wk = Window.partitionBy("user_id").orderBy("secs", "event_id")
+    keyed = stream.withColumn("seq", F.row_number().over(wk))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("secs"))
+        .rangeBetween(-3600, 0)
+    )
+    naive = keyed.select(
+        "user_id",
+        "seq",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+    )
+    two = trailing_range_sums(
+        keyed,
+        keys=["user_id"],
+        secs_col="secs",
+        lookback=3600,
+        sums={"__n": F.lit(1).cast("long")},
+        row_id="seq",
+    ).select("user_id", "seq", F.col("__n").cast("long").alias("n_1h"))
+    n = {(r["user_id"], r["seq"]): r["n_1h"] for r in naive.collect()}
+    t = {(r["user_id"], r["seq"]): r["n_1h"] for r in two.collect()}
+    assert n == t
+
+
 def test_helpers_preserve_input_columns(stream):
     out = lag_over_buckets(
         stream,

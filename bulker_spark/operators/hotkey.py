@@ -46,6 +46,29 @@ and a reassociated double running sum can flip a downstream ROUND.
 Related: ``operators/skew.py`` (salted equi-joins) covers the JOIN
 side of the same hazard; this module covers sequential windows, which
 salting cannot fix (a window needs its whole partition in order).
+
+**Adaptive routing** (``spark.bulker.hotkey.mode``, verdict r7 #2): the
+two-phase shape is insurance — measured ~+3.6 s across the sf0.1 bench
+on UNIFORM data where the naive single-window plan is fine. Every
+helper therefore routes, the same way ``plans/analytics10`` routes
+broadcast vs bucketed rebuilds:
+
+- ``always`` — two-phase unconditionally (round-7 behavior).
+- ``never`` — the naive global window (pre-round-7 behavior).
+- ``auto`` (default) — sample the key histogram once per (input plan,
+  keys) and take the naive shape below the skew threshold. The probe
+  is one column-pruned sampled aggregation (~a few % of the key
+  column), cached by ``DataFrame.semanticHash`` so repeated queries on
+  the same input pay it once per session; a production deployment with
+  table statistics can pin ``always``/``never`` per pipeline instead.
+  Threshold: the top key owning more than one average shuffle
+  partition's share of rows (``1 / spark.sql.shuffle.partitions``,
+  override via ``spark.bulker.hotkey.threshold``) — below that, no
+  single task can be dominated by one key, which is the only failure
+  mode the two-phase shape exists to prevent.
+
+Both shapes are bit-identical (pinned in ``tests/test_hotkey.py``), so
+routing can never change results — only plans.
 """
 
 from __future__ import annotations
@@ -66,6 +89,79 @@ __all__ = [
 ]
 
 _BKT = "__hk_bkt"
+
+_MODE_CONF = "spark.bulker.hotkey.mode"
+_THRESH_CONF = "spark.bulker.hotkey.threshold"
+_SAMPLE_CONF = "spark.bulker.hotkey.sample"
+
+# (semanticHash, keys) -> bucketed? — one probe per input plan per session
+_AUTO_CACHE: dict = {}
+_AUTO_CACHE_MAX = 1024
+
+
+def _use_two_phase(df: DataFrame, keys: Sequence[str]) -> bool:
+    """Routing decision for one helper call (module docstring: modes)."""
+    spark = df.sparkSession
+    mode = (spark.conf.get(_MODE_CONF, "auto") or "auto").lower()
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"{_MODE_CONF} must be auto|always|never, got {mode!r}"
+        )
+    # cache by the BACKING FILES when the frame is file-based: every
+    # query projecting the same table shares one probe regardless of
+    # projection (semanticHash would re-probe per plan shape). The
+    # coarseness is deliberate — a filtered subset shares its base
+    # table's verdict, which is the right default for skew (a bot user
+    # dominates filtered slices of its stream too).
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    try:
+        cache_key = (
+            ("files", tuple(sorted(files)[:32]), tuple(keys))
+            if files
+            else ("plan", df.semanticHash(), tuple(keys))
+        )
+    except Exception:
+        return True  # un-hashable plan: keep the insurance
+    if cache_key in _AUTO_CACHE:
+        return _AUTO_CACHE[cache_key]
+    fraction = float(spark.conf.get(_SAMPLE_CONF, "0.05"))
+    default_thr = 1.0 / int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    threshold = float(spark.conf.get(_THRESH_CONF, str(default_thr)))
+    try:
+        row = (
+            df.select(*keys)
+            .sample(fraction=min(fraction, 1.0), seed=7)
+            .groupBy(*keys)
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.sum("count").alias("tot"),
+            )
+            .first()
+        )
+        # empty/tiny sample: too little evidence either way — the naive
+        # shape is also harmless on data this small, but keep insurance
+        # (a 5% sample of a 100-row frame says nothing about skew)
+        bucketed = (
+            True
+            if row is None or not row["tot"] or row["tot"] < 100
+            else (row["mx"] / row["tot"]) >= threshold
+        )
+    except Exception:
+        bucketed = True
+    if len(_AUTO_CACHE) >= _AUTO_CACHE_MAX:
+        _AUTO_CACHE.clear()
+    _AUTO_CACHE[cache_key] = bucketed
+    return bucketed
 
 
 def day_bucket(ts_col: str = "ts", width_s: int = 86400) -> Column:
@@ -89,69 +185,143 @@ def _null_safe_eq(keys: Sequence[str], prefix: str) -> Column:
     )
 
 
+def _norm_lag_entries(
+    lag_cols: Mapping[str, "str | tuple"],
+) -> list:
+    """Normalize ``lag_cols`` values: ``src`` means offset 1,
+    ``(src, offset)`` gives an explicit offset in {1, 2}."""
+    entries = []
+    for out, spec in lag_cols.items():
+        src, off = (spec, 1) if isinstance(spec, str) else spec
+        if off not in (1, 2):
+            raise ValueError(
+                f"lag offset must be 1 or 2, got {off} for {out!r} "
+                "(chain calls for deeper offsets)"
+            )
+        entries.append((out, src, off))
+    return entries
+
+
 def lag_over_buckets(
     df: DataFrame,
     keys: Sequence[str],
     order: Sequence[str],
-    lag_cols: Mapping[str, str],
+    lag_cols: Mapping[str, "str | tuple"],
     bucket: Column | None = None,
 ) -> DataFrame:
-    """``lag(src) OVER (PARTITION BY keys ORDER BY order)`` without a
+    """``lag(src, k) OVER (PARTITION BY keys ORDER BY order)`` without a
     per-key partition: bit-identical output, hot-key-splittable plan.
 
     ``lag_cols`` maps output column name -> source column name (offset
-    1; chain two calls for ``lag(x, 2)`` — ``lag(lag(x))`` over the
-    same total order is ``lag(x, 2)``). ``order`` must be a per-key
-    unique total order (the catalog convention: ``(ts, event_id)``).
+    1) or ``(source, offset)`` with offset 1 or 2. Offsets 1 and 2
+    share ONE summary join (verdict r7 #3: the chained two-call form
+    paid two summary joins); deeper offsets chain calls —
+    ``lag(lag(x))`` over the same total order is ``lag(x, 2)``.
+    ``order`` must be a per-key unique total order (the catalog
+    convention: ``(ts, event_id)``).
 
-    Phase 2 state is one struct per (key, bucket): the source values of
-    the bucket's LAST row, picked by ``max_by`` over the order tuple
-    (deterministic — the order is unique). Bucket b's first row takes
-    its lag values from the previous non-empty bucket's struct; every
-    other row keeps the within-bucket lag.
+    Phase 2 state per (key, bucket): the source values of the bucket's
+    last ``max_offset`` rows (offset 1: one ``max_by`` struct — no
+    extra sort; offset 2: tail rows picked by a descending
+    ``row_number`` over the same partition, pivoted by
+    position-from-end). Bucket b's first ``k`` rows take lag values
+    from the previous non-empty buckets' tails; every other row keeps
+    the within-bucket lag. Routed per the module docstring
+    (``spark.bulker.hotkey.mode``).
     """
-    bucket = day_bucket(order[0]) if bucket is None else bucket
-    srcs = list(dict.fromkeys(lag_cols.values()))
-    outs = list(lag_cols)
-    b = df.withColumn(_BKT, bucket)
-    w = Window.partitionBy(*keys, _BKT).orderBy(*order)
+    entries = _norm_lag_entries(lag_cols)
     # lags land in TEMP names first: an output name that shadows a
     # source column (lag_cols={"ts": "ts", "x": "ts"}) would otherwise
     # make later entries lag the already-lagged column (review r7)
+    if not _use_two_phase(df, keys):
+        wn = Window.partitionBy(*keys).orderBy(*order)
+        out_df = df
+        for idx, (out, src, off) in enumerate(entries):
+            out_df = out_df.withColumn(
+                f"__hk_lag_{idx}", F.lag(src, off).over(wn)
+            )
+        for idx, (out, _src, _off) in enumerate(entries):
+            out_df = out_df.withColumn(out, F.col(f"__hk_lag_{idx}"))
+        return out_df.drop(*[f"__hk_lag_{i}" for i in range(len(entries))])
+
+    bucket = day_bucket(order[0]) if bucket is None else bucket
+    srcs = list(dict.fromkeys(src for _o, src, _k in entries))
+    maxk = max(off for _o, _s, off in entries)
+    b = df.withColumn(_BKT, bucket)
+    w = Window.partitionBy(*keys, _BKT).orderBy(*order)
     proj = b
-    for idx, (out, src) in enumerate(lag_cols.items()):
-        proj = proj.withColumn(f"__hk_lag_{idx}", F.lag(src).over(w))
-    proj = proj.withColumn("__hk_first", F.row_number().over(w) == 1)
-    # summary from the RAW bucketed frame, not from `proj`: referencing
-    # only pre-window columns lets Catalyst drop the Window node from
-    # this branch entirely (column pruning), so the heavy sort runs once
-    summary = b.groupBy(*keys, _BKT).agg(
-        F.max_by(
-            F.struct(*[F.col(s).alias(s) for s in srcs]),
-            F.struct(*[F.col(c) for c in order]),
-        ).alias("__hk_last")
-    )
+    for idx, (out, src, off) in enumerate(entries):
+        proj = proj.withColumn(f"__hk_lag_{idx}", F.lag(src, off).over(w))
+    proj = proj.withColumn("__hk_rn", F.row_number().over(w))
+    # summaries reference the RAW bucketed frame, not `proj`: referencing
+    # only pre-window columns lets Catalyst drop the ascending Window
+    # node from this branch entirely (column pruning)
+    tail_struct = F.struct(*[F.col(s).alias(s) for s in srcs])
+    if maxk == 1:
+        # offset-1 summary stays agg-only (max_by): no sort in this
+        # branch at all — don't regress the existing single-lag plans
+        summary = b.groupBy(*keys, _BKT).agg(
+            F.max_by(
+                tail_struct,
+                F.struct(*[F.col(c) for c in order]),
+            ).alias("__hk_tail_1")
+        )
+    else:
+        wd = Window.partitionBy(*keys, _BKT).orderBy(
+            *[F.col(c).desc() for c in order]
+        )
+        summary = (
+            b.withColumn("__hk_rnd", F.row_number().over(wd))
+            .filter(F.col("__hk_rnd") <= maxk)
+            .groupBy(*keys, _BKT)
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("__hk_rnd") == j, tail_struct)
+                    ).alias(f"__hk_tail_{j}")
+                    for j in range(1, maxk + 1)
+                ]
+            )
+        )
     wb = Window.partitionBy(*keys).orderBy(_BKT)
+    prev_cols = [F.lag("__hk_tail_1").over(wb).alias("__hk_prev_1")]
+    if maxk == 2:
+        # 2nd-last row before bucket b: the previous non-empty bucket's
+        # 2nd-last row when it has one (tail_2 non-null), else the last
+        # row of the bucket before that
+        prev_cols.append(
+            F.coalesce(
+                F.lag("__hk_tail_2").over(wb),
+                F.lag("__hk_tail_1", 2).over(wb),
+            ).alias("__hk_prev_2")
+        )
     prev = summary.select(
         *[F.col(k).alias(f"__hk_p_{k}") for k in keys],
         F.col(_BKT).alias(f"__hk_p_{_BKT}"),
-        F.lag("__hk_last").over(wb).alias("__hk_prev"),
+        *prev_cols,
     )
     joined = proj.join(prev, _null_safe_eq(keys, "__hk_p_"), "inner")
-    for idx, (out, src) in enumerate(lag_cols.items()):
+    for idx, (out, src, off) in enumerate(entries):
+        if off == 1:
+            cross = F.col(f"__hk_prev_1.{src}")
+        else:
+            cross = F.when(
+                F.col("__hk_rn") == 2, F.col(f"__hk_prev_1.{src}")
+            ).otherwise(F.col(f"__hk_prev_2.{src}"))
         joined = joined.withColumn(
             out,
-            F.when(
-                F.col("__hk_first"), F.col(f"__hk_prev.{src}")
-            ).otherwise(F.col(f"__hk_lag_{idx}")),
+            F.when(F.col("__hk_rn") <= off, cross).otherwise(
+                F.col(f"__hk_lag_{idx}")
+            ),
         )
     return joined.drop(
         _BKT,
-        "__hk_first",
-        "__hk_prev",
+        "__hk_rn",
+        "__hk_prev_1",
+        "__hk_prev_2",
         f"__hk_p_{_BKT}",
         *[f"__hk_p_{k}" for k in keys],
-        *[f"__hk_lag_{i}" for i in range(len(outs))],
+        *[f"__hk_lag_{i}" for i in range(len(entries))],
     )
 
 
@@ -177,8 +347,26 @@ def carry_over_buckets(
     per-key carry across buckets is ``last(..., ignorenulls)`` over the
     strictly-previous summary rows. A row's final value prefers the
     within-bucket carry (later in the total order by construction) and
-    falls back to the cross-bucket carry.
+    falls back to the cross-bucket carry. Routed per the module
+    docstring (``spark.bulker.hotkey.mode``).
     """
+    if not _use_two_phase(df, keys):
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out_df = df
+        for idx, (out, src) in enumerate(carry_cols.items()):
+            out_df = out_df.withColumn(
+                f"__hk_carry_{idx}", F.last(src, ignorenulls=True).over(wn)
+            )
+        for idx, out in enumerate(carry_cols):
+            out_df = out_df.withColumn(out, F.col(f"__hk_carry_{idx}"))
+        return out_df.drop(
+            *[f"__hk_carry_{i}" for i in range(len(carry_cols))]
+        )
+
     bucket = day_bucket(order[0]) if bucket is None else bucket
     srcs = list(dict.fromkeys(carry_cols.values()))
     b = df.withColumn(_BKT, bucket)
@@ -246,6 +434,7 @@ def running_sum_over_buckets(
     order: Sequence[str],
     sums: Mapping[str, Column],
     bucket: Column | None = None,
+    _route: "bool | None" = None,
 ) -> DataFrame:
     """``SUM(col) OVER (PARTITION BY keys ORDER BY order ROWS UNBOUNDED
     PRECEDING TO CURRENT ROW)`` — the per-key running total, one output
@@ -256,9 +445,30 @@ def running_sum_over_buckets(
     This REASSOCIATES the addition: pass DECIMAL-cast (or integer)
     columns — exact, associative. A double column would drift in the
     last ulp vs the sequential oracle and can flip a downstream ROUND.
+    Routed per the module docstring (``spark.bulker.hotkey.mode``);
+    ``_route`` is internal (``trailing_range_sums`` pins its inner sum
+    to its own routing decision so the probe runs once, not twice).
     """
-    bucket = day_bucket(order[0]) if bucket is None else bucket
     names = list(sums)
+    two_phase = _use_two_phase(df, keys) if _route is None else _route
+    if not two_phase:
+        # sum expressions land in temp value columns BEFORE any output
+        # assignment (same shadowing discipline as the two-phase shape)
+        out_df = df
+        for i, n in enumerate(names):
+            out_df = out_df.withColumn(f"__hk_rsv_{i}", sums[n])
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for i, n in enumerate(names):
+            out_df = out_df.withColumn(
+                n, F.sum(f"__hk_rsv_{i}").over(wn)
+            )
+        return out_df.drop(*[f"__hk_rsv_{i}" for i in range(len(names))])
+
+    bucket = day_bucket(order[0]) if bucket is None else bucket
     b = df.withColumn(_BKT, bucket)
     for n in names:
         b = b.withColumn(f"__hk_v_{n}", sums[n])
@@ -355,6 +565,16 @@ def with_trailing_halo(
         raise ValueError(
             f"bucket_width {bucket_width} must be >= lookback {lookback}"
         )
+    if not _use_two_phase(df, keys):
+        u = df.withColumn(_BKT, F.lit(0).cast("long")).withColumn(
+            "__hk_ctx", F.lit(0)
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(secs_col))
+            .rangeBetween(-lookback, 0)
+        )
+        return u, w
     b = df.withColumn(
         _BKT, F.floor(F.col(secs_col) / F.lit(bucket_width))
     )
@@ -417,8 +637,25 @@ def trailing_range_sums(
     unique at least PER KEY (the join-back matches on keys + row_id, so
     a per-key-unique id is safe; the catalog convention ``event_id`` is
     globally unique). Returns ``df`` plus one column per ``sums`` entry.
+    Routed per the module docstring (``spark.bulker.hotkey.mode``);
+    the naive shape is the native sliding range frame — fine on uniform
+    keys where frames stay small, quadratic on a bot user's rate.
     """
     names = list(sums)
+    if not _use_two_phase(df, keys):
+        out_df = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
+        for i, n in enumerate(names):
+            out_df = out_df.withColumn(f"__hk_trv_{i}", sums[n])
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__hk_secs"))
+            .rangeBetween(-lookback, 0)
+        )
+        for i, n in enumerate(names):
+            out_df = out_df.withColumn(n, F.sum(f"__hk_trv_{i}").over(wn))
+        return out_df.drop(
+            "__hk_secs", *[f"__hk_trv_{i}" for i in range(len(names))]
+        )
     base = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
     # SQL NULL semantics of a frame SUM: NULL when the frame holds no
     # non-null value (review r7) — so probes carry typed NULL weights
@@ -470,6 +707,7 @@ def trailing_range_sums(
         order=["__hk_secs", "__hk_probe", "__hk_rid", "__hk_kind"],
         sums=cum_sums,
         bucket=F.floor(F.col("__hk_secs") / F.lit(bucket_width)),
+        _route=True,  # this call IS the two-phase branch: don't re-probe
     )
     # join-back keys include the KEY columns, not row_id alone: row_id
     # uniqueness is a docstring contract, and a per-key-unique id would

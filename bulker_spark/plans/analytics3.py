@@ -580,27 +580,22 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-step generalization of the Markov matrix — funnel discovery
     without pre-declaring the funnel.
 
-    Both lags ride the bucketed two-phase window — chained
-    ``lag_over_buckets`` calls (lag of a lagged column over the same
-    total order is lag-2), so a bot user's stream spreads over
-    per-day partitions instead of one task; the path aggregate's
-    key space is |types|³ ≤ 125, so everything after the first exchange
-    is constant-size. Top-20 via TakeOrdered (orderBy+limit), no global
-    sort materialization."""
+    Both lags ride ONE fused two-phase window (``lag_over_buckets``
+    with offsets 1 and 2 — one summary join carrying both tails,
+    verdict r7 #3: the chained two-call form paid two summary joins
+    and was slower in wall than naive at fixture scale), so a bot
+    user's stream spreads over per-day partitions instead of one
+    task; the path aggregate's key space is |types|³ ≤ 125, so
+    everything after the first exchange is constant-size. Top-20 via
+    TakeOrdered (orderBy+limit), no global sort materialization."""
     from bulker_spark.operators.hotkey import lag_over_buckets
 
     ev = _t(spark, sf_dir, "events")
-    one = lag_over_buckets(
+    steps = lag_over_buckets(
         ev.select("user_id", "ts", "event_id", "event_type"),
         keys=["user_id"],
         order=["ts", "event_id"],
-        lag_cols={"t2": "event_type"},
-    )
-    steps = lag_over_buckets(
-        one,
-        keys=["user_id"],
-        order=["ts", "event_id"],
-        lag_cols={"t1": "t2"},
+        lag_cols={"t1": ("event_type", 2), "t2": ("event_type", 1)},
     ).filter(F.col("t1").isNotNull())
     return (
         steps.select(

@@ -341,3 +341,192 @@ def test_helpers_preserve_input_columns(stream):
     )
     assert set(stream.columns) | {"prev_ts"} == set(out.columns)
     assert out.count() == stream.count()
+
+
+def test_lag2_fused_identity(stream):
+    """Offsets 1 and 2 in ONE call (one summary join, verdict r7 #3)
+    must equal the naive lag-1/lag-2 window — including keys whose
+    buckets hold a single row (the lag(tail_1, 2) cross-bucket path:
+    users 1-5 here have whole empty days between single-digit-row
+    days, and user 9 hits all-null values)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = stream.select(
+        "event_id",
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("secs", 2).over(w).alias("s2"),
+    )
+    fused = lag_over_buckets(
+        stream,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={
+            "v2": ("value", 2),
+            "v1": ("value", 1),
+            "s2": ("secs", 2),
+        },
+    ).select("event_id", "v2", "v1", "s2")
+    assert _sorted(naive, ["event_id"]) == _sorted(fused, ["event_id"])
+
+
+def test_lag2_single_row_buckets(spark):
+    """Dedicated single-row-per-bucket stress: every bucket holds one
+    row, so EVERY lag-2 crosses two buckets (pure lag(tail_1, 2))."""
+    rows = [(i, i * DAY + 50, 1, float(i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, secs long, user_id long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = df.select("event_id", F.lag("value", 2).over(w).alias("v2"))
+    fused = lag_over_buckets(
+        df,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        lag_cols={"v2": ("value", 2)},
+    ).select("event_id", "v2")
+    assert _sorted(naive, ["event_id"]) == _sorted(fused, ["event_id"])
+
+
+def test_lag_rejects_bad_offset(stream):
+    with pytest.raises(ValueError):
+        lag_over_buckets(
+            stream,
+            keys=["user_id"],
+            order=["ts", "event_id"],
+            lag_cols={"v3": ("value", 3)},
+        )
+
+
+class TestModeRouting:
+    """spark.bulker.hotkey.mode routing (verdict r7 #2): auto samples
+    the key histogram and picks naive below the skew threshold; both
+    shapes are bit-identical so routing only changes plans."""
+
+    @pytest.fixture()
+    def mode(self, spark):
+        prev = spark.conf.get("spark.bulker.hotkey.mode", None)
+        yield spark
+        if prev is None:
+            spark.conf.unset("spark.bulker.hotkey.mode")
+        else:
+            spark.conf.set("spark.bulker.hotkey.mode", prev)
+
+    @staticmethod
+    def _uniform(spark, n=20_000, keys=500):
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 97).alias("secs"),
+            (F.col("id") % keys).alias("user_id"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+
+    @staticmethod
+    def _zipf(spark, n=20_000):
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 97).alias("secs"),
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 500)
+            .alias("user_id"),
+            (F.col("id") % 7).cast("double").alias("value"),
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+
+    def test_auto_routes_uniform_naive_and_zipf_bucketed(self, mode):
+        from bulker_spark.operators import hotkey as hk
+
+        mode.conf.set("spark.bulker.hotkey.mode", "auto")
+        hk._AUTO_CACHE.clear()
+        assert hk._use_two_phase(self._uniform(mode), ["user_id"]) is False
+        assert hk._use_two_phase(self._zipf(mode), ["user_id"]) is True
+
+    def test_auto_decision_is_cached(self, mode):
+        from bulker_spark.operators import hotkey as hk
+
+        mode.conf.set("spark.bulker.hotkey.mode", "auto")
+        hk._AUTO_CACHE.clear()
+        df = self._uniform(mode)
+        hk._use_two_phase(df, ["user_id"])
+        n = len(hk._AUTO_CACHE)
+        hk._use_two_phase(df, ["user_id"])
+        assert len(hk._AUTO_CACHE) == n
+
+    def test_overrides(self, mode):
+        from bulker_spark.operators import hotkey as hk
+
+        mode.conf.set("spark.bulker.hotkey.mode", "never")
+        assert hk._use_two_phase(self._zipf(mode), ["user_id"]) is False
+        mode.conf.set("spark.bulker.hotkey.mode", "always")
+        assert hk._use_two_phase(self._uniform(mode), ["user_id"]) is True
+        mode.conf.set("spark.bulker.hotkey.mode", "bogus")
+        with pytest.raises(ValueError):
+            hk._use_two_phase(self._uniform(mode), ["user_id"])
+
+    def test_naive_plan_has_no_join(self, mode):
+        mode.conf.set("spark.bulker.hotkey.mode", "never")
+        df = self._zipf(mode)
+        out = lag_over_buckets(
+            df,
+            keys=["user_id"],
+            order=["ts", "event_id"],
+            lag_cols={"prev": "value", "prev2": ("value", 2)},
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
+        mode.conf.set("spark.bulker.hotkey.mode", "always")
+        out2 = lag_over_buckets(
+            df,
+            keys=["user_id"],
+            order=["ts", "event_id"],
+            lag_cols={"prev": "value"},
+        )
+        assert "Join" in out2._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_never_mode_identity_all_helpers(self, mode, stream):
+        """All five helpers under mode=never equal mode=always on the
+        skewed fixture — routing can never change values."""
+        from bulker_spark.operators.hotkey import trailing_range_sums
+
+        dec = F.col("value").cast("decimal(18,6)")
+
+        def shapes():
+            lag = lag_over_buckets(
+                stream,
+                keys=["user_id"],
+                order=["ts", "event_id"],
+                lag_cols={"p1": "value", "p2": ("value", 2)},
+            ).select("event_id", "p1", "p2")
+            carry = carry_over_buckets(
+                stream,
+                keys=["user_id"],
+                order=["ts", "event_id"],
+                carry_cols={"c": "value"},
+            ).select("event_id", "c")
+            run = running_sum_over_buckets(
+                stream,
+                keys=["user_id"],
+                order=["ts", "event_id"],
+                sums={"r": dec},
+            ).select("event_id", "r")
+            tr = trailing_range_sums(
+                stream,
+                keys=["user_id"],
+                secs_col="secs",
+                lookback=3600,
+                sums={"n": F.lit(1).cast("long"), "v": dec},
+                row_id="event_id",
+            ).select("event_id", "n", "v")
+            halo, hw = with_trailing_halo(
+                stream, keys=["user_id"], secs_col="secs", lookback=3600
+            )
+            hl = (
+                halo.withColumn("hn", F.count("*").over(hw))
+                .filter(F.col("__hk_ctx") == 0)
+                .select("event_id", "hn")
+            )
+            return [lag, carry, run, tr, hl]
+
+        mode.conf.set("spark.bulker.hotkey.mode", "always")
+        always = [_sorted(d, ["event_id"]) for d in shapes()]
+        mode.conf.set("spark.bulker.hotkey.mode", "never")
+        never = [_sorted(d, ["event_id"]) for d in shapes()]
+        assert always == never

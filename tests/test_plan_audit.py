@@ -459,11 +459,12 @@ def test_top_paths_constant_after_first_shuffle(spark):
     from bulker_spark.plans.analytics3 import events_top_paths
 
     df = events_top_paths(spark, SF)
-    # round 7: TWO chained bucketed lag passes (lag-of-lag = lag-2) +
-    # <=125-key agg + top-k boundary — measured 12 exchanges, each
-    # carrying (user, ts, event_id, type)-slim or constant-size frames
+    # round 8: ONE fused bucketed lag pass (offsets 1+2 share a single
+    # summary join, verdict r7 #3 — was 12 exchanges as two chained
+    # passes) + <=125-key agg + top-k boundary — measured 4 exchanges,
+    # each carrying (user, ts, event_id, type)-slim or constant frames
     plan = audit.explain_str(df, "simple")
-    assert audit.exchange_count(df) <= 14, plan
+    assert audit.exchange_count(df) <= 5, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert audit.has_partial_aggregate(df)
 

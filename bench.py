@@ -228,6 +228,27 @@ def main() -> None:
         except Exception as exc:  # one broken query must not zero the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # opt-in Zipf-fixture tier (SPARK_GRAFT_SKEW_DIR=/tmp/skewdata,
+    # gen_skew.py first): times the skew sweep's two worst per-user
+    # window queries on the bot-user fixture, where the hotkey auto
+    # probe routes them to the two-phase shape — under
+    # SPARK_GRAFT_MASTER=local-cluster[...] this exercises the
+    # two-phase plans across REAL process boundaries (verdict r7 #4)
+    skew_dir = os.environ.get("SPARK_GRAFT_SKEW_DIR")
+    if skew_dir and os.path.isdir(skew_dir):
+        for name in ("events_trailing_1h", "events_asof_last_order"):
+            best = None
+            try:
+                for _ in range(2):
+                    df = QUERIES[name][0](spark, skew_dir)
+                    t0 = time.time()
+                    df.write.mode("overwrite").format("noop").save()
+                    el = time.time() - t0
+                    best = el if best is None or el < best else best
+                timings[f"skew_{name}"] = round(best, 3)
+            except Exception as exc:
+                errors[f"skew_{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # core-engine ingest throughput: 100k events through the full
     # flatten/infer/dedup/merge pipeline into a fresh warehouse — the
     # number directly comparable to the reference's batch path

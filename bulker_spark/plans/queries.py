@@ -956,10 +956,54 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_local - merged`` per bucket. Day buckets ≫ the 30-min gap, so
     ONLY boundary sessions can merge and chains telescope through the
     prefix sum. Output is bit-identical to the naive global window
-    (the strict oracle is unchanged)."""
+    (the strict oracle is unchanged).
+
+    Routed like the hotkey helpers (round 8,
+    ``spark.bulker.hotkey.mode``): on uniform keys the single-window
+    naive shape is cheaper and equally safe, so ``auto`` takes it below
+    the skew threshold; a bot-user fixture (or ``always``) keeps the
+    two-phase insurance."""
     from pyspark.sql import Window
 
+    from bulker_spark.operators.hotkey import _use_two_phase
+
     ev = _t(spark, sf_dir, "events")
+    if not _use_two_phase(ev.select("user_id", "ts", "event_id"), ["user_id"]):
+        wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = (
+            ev.withColumn("__prev_ts", F.lag("ts").over(wn))
+            .withColumn(
+                "__new_session",
+                F.when(
+                    F.col("__prev_ts").isNull()
+                    | (
+                        F.expr(
+                            "timestampdiff(SECOND,"
+                            " date_trunc('second', __prev_ts),"
+                            " date_trunc('second', ts))"
+                        )
+                        > 1800
+                    ),
+                    1,
+                )
+                .otherwise(0)
+                .cast("long"),
+            )
+        )
+        return (
+            flagged.withColumn(
+                "session_id",
+                F.sum("__new_session").over(
+                    wn.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+        )
     bkt = F.floor(F.unix_timestamp(F.date_trunc("second", "ts")) / 86400)
     # timestampdiff is TIMESTAMP_NTZ-safe (a cast to BIGINT is not in
     # Spark 4.x) and avoids any session-timezone dependence. Operands are

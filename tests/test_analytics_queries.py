@@ -345,7 +345,22 @@ def test_native_sessionize_matches_lag_variant(spark):
     assert native == lagged
 
 
-def test_sessionize_keeps_null_user_sessions(spark, tmp_path):
+@pytest.fixture()
+def hotkey_always(spark):
+    """Pin the TWO-PHASE sessionize shape: the edge tests below exist to
+    exercise the boundary-merge join; auto's tiny-sample insurance
+    currently routes these fixtures there too, but the pin must not
+    depend on that heuristic (r8 adaptive routing)."""
+    prev = spark.conf.get("spark.bulker.hotkey.mode", None)
+    spark.conf.set("spark.bulker.hotkey.mode", "always")
+    yield
+    if prev is None:
+        spark.conf.unset("spark.bulker.hotkey.mode")
+    else:
+        spark.conf.set("spark.bulker.hotkey.mode", prev)
+
+
+def test_sessionize_keeps_null_user_sessions(spark, tmp_path, hotkey_always):
     """Anonymous (NULL user_id) events form one session group under the
     naive window AND the SQL oracle; the two-phase plan's boundary-merge
     join must be null-safe or those sessions silently vanish."""
@@ -383,7 +398,7 @@ def test_sessionize_keeps_null_user_sessions(spark, tmp_path):
     assert sum(1 for r in out if r["user_id"] == 7) == 1
 
 
-def test_sessionize_session_spans_many_day_buckets(spark, tmp_path):
+def test_sessionize_session_spans_many_day_buckets(spark, tmp_path, hotkey_always):
     """A session that stays active across 3+ day buckets must telescope
     through the boundary-merge prefix sum into ONE session."""
     import datetime as dt

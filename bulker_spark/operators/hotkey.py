@@ -122,11 +122,18 @@ def _use_two_phase(df: DataFrame, keys: Sequence[str]) -> bool:
     except Exception:
         files = []
     try:
-        cache_key = (
-            ("files", tuple(sorted(files)[:32]), tuple(keys))
-            if files
-            else ("plan", df.semanticHash(), tuple(keys))
-        )
+        if files:
+            # hash ALL file names (review r8: truncating to a prefix let
+            # appended part files alias to a stale verdict — new data
+            # with a bot user would keep a cached 'naive' routing)
+            import hashlib
+
+            digest = hashlib.md5(
+                "\n".join(sorted(files)).encode()
+            ).hexdigest()
+            cache_key = ("files", digest, tuple(keys))
+        else:
+            cache_key = ("plan", df.semanticHash(), tuple(keys))
     except Exception:
         return True  # un-hashable plan: keep the insurance
     if cache_key in _AUTO_CACHE:
@@ -452,8 +459,11 @@ def running_sum_over_buckets(
     names = list(sums)
     two_phase = _use_two_phase(df, keys) if _route is None else _route
     if not two_phase:
-        # sum expressions land in temp value columns BEFORE any output
-        # assignment (same shadowing discipline as the two-phase shape)
+        # FULL temp discipline (review r8): sum expressions land in temp
+        # value columns before any window, and the window RESULTS land
+        # in temp names before any output assignment — an output name
+        # shadowing a key/order column would otherwise corrupt LATER
+        # outputs' window resolution and break routing bit-identity
         out_df = df
         for i, n in enumerate(names):
             out_df = out_df.withColumn(f"__hk_rsv_{i}", sums[n])
@@ -464,9 +474,17 @@ def running_sum_over_buckets(
         )
         for i, n in enumerate(names):
             out_df = out_df.withColumn(
-                n, F.sum(f"__hk_rsv_{i}").over(wn)
+                f"__hk_rso_{i}", F.sum(f"__hk_rsv_{i}").over(wn)
             )
-        return out_df.drop(*[f"__hk_rsv_{i}" for i in range(len(names))])
+        for i, n in enumerate(names):
+            out_df = out_df.withColumn(n, F.col(f"__hk_rso_{i}"))
+        return out_df.drop(
+            *[
+                c
+                for i in range(len(names))
+                for c in (f"__hk_rsv_{i}", f"__hk_rso_{i}")
+            ]
+        )
 
     bucket = day_bucket(order[0]) if bucket is None else bucket
     b = df.withColumn(_BKT, bucket)
@@ -643,6 +661,7 @@ def trailing_range_sums(
     """
     names = list(sums)
     if not _use_two_phase(df, keys):
+        # full temp discipline — see the running-sum naive branch
         out_df = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
         for i, n in enumerate(names):
             out_df = out_df.withColumn(f"__hk_trv_{i}", sums[n])
@@ -652,9 +671,18 @@ def trailing_range_sums(
             .rangeBetween(-lookback, 0)
         )
         for i, n in enumerate(names):
-            out_df = out_df.withColumn(n, F.sum(f"__hk_trv_{i}").over(wn))
+            out_df = out_df.withColumn(
+                f"__hk_tro_{i}", F.sum(f"__hk_trv_{i}").over(wn)
+            )
+        for i, n in enumerate(names):
+            out_df = out_df.withColumn(n, F.col(f"__hk_tro_{i}"))
         return out_df.drop(
-            "__hk_secs", *[f"__hk_trv_{i}" for i in range(len(names))]
+            "__hk_secs",
+            *[
+                c
+                for i in range(len(names))
+                for c in (f"__hk_trv_{i}", f"__hk_tro_{i}")
+            ],
         )
     base = df.withColumn("__hk_secs", F.col(secs_col).cast("long"))
     # SQL NULL semantics of a frame SUM: NULL when the frame holds no

@@ -235,11 +235,31 @@ def _sweep_stale_corpus_tables(spark: SparkSession, keep: str) -> None:
                 ),
                 None,
             )
-            path = re.sub(r"^file:/*", "/", loc) if loc else None
-            if path is None or not os.path.exists(path):
+            path = _sweepable_location(loc)
+            if path is not None and not os.path.exists(path):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         except Exception:
             pass
+
+
+def _sweepable_location(loc: "str | None") -> "str | None":
+    """The local path a stale-corpus sweep may verify-and-drop, or None
+    when the location is not safely verifiable from this host. ONLY
+    local ``file:`` locations qualify — an object-store URI
+    (``s3a://...``) or another filesystem scheme can be fully alive
+    while ``os.path.exists`` says no, and dropping it would break the
+    app reading it (review r8). A second guard restricts drops to the
+    engine's own ``bulker_spark_corpus_bkt_*`` directory naming."""
+    if loc is None:
+        return None
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", loc) and not loc.startswith(
+        "file:"
+    ):
+        return None
+    path = re.sub(r"^file:/*", "/", loc)
+    if not os.path.basename(path).startswith("bulker_spark_corpus_bkt_"):
+        return None
+    return path
 
 
 def _rebuild_corpus(spark: SparkSession, sf_dir: str):

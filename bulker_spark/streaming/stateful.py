@@ -57,7 +57,9 @@ def drain_and_stop(
     timeout-polling spin), at which point the query is stopped. Open
     state (unexpired sessions, live dedup keys) stays in the checkpoint
     for the next run, exactly as if the query had kept running. Returns
-    True if the query terminated by itself, False if it was stopped."""
+    True if the query terminated by itself, False if it was stopped.
+    A query that DIED raises its StreamingQueryException instead of
+    reporting success (review r8 — awaitTermination's contract)."""
     deadline = _time.monotonic() + timeout_s
     idle = 0
     last_batch = -1
@@ -78,6 +80,9 @@ def drain_and_stop(
         query.stop()
         query.awaitTermination(30)
         return False
+    # inactive without our stop: either clean self-termination or a
+    # crash — awaitTermination re-raises the query's exception if any
+    query.awaitTermination(30)
     return True
 
 
@@ -254,6 +259,14 @@ def streaming_sessionize_event_time(
     streaming skew audit measured ≤2x max/median task time on the Zipf
     bot-user fixture for the state stages."""
     gap_ms = gap_s * 1000
+    # the Arrow transfer delivers timestamps as SESSION-TIMEZONE-naive
+    # pandas datetimes, while getCurrentWatermarkMs() is true UTC epoch
+    # ms — comparing them raw would skew seal/timeout decisions by the
+    # tz offset (review r8: sessions sealed hours early west of UTC).
+    # Capture the effective session tz at construction and localize.
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
     state_schema = T.StructType(
         [
             T.StructField("starts", T.ArrayType(T.LongType())),
@@ -262,13 +275,22 @@ def streaming_sessionize_event_time(
         ]
     )
 
+    def _from_ms(ms: int):
+        # back to session-tz-naive so the emitted timestamp round-trips
+        return (
+            pd.Timestamp(ms, unit="ms", tz="UTC")
+            .tz_convert(session_tz)
+            .tz_localize(None)
+            .to_pydatetime()
+        )
+
     def _emit(key, closed):
         return pd.DataFrame(
             [
                 {
                     "user_id": key[0],
-                    "session_start": pd.Timestamp(s, unit="ms").to_pydatetime(),
-                    "session_end": pd.Timestamp(e, unit="ms").to_pydatetime(),
+                    "session_start": _from_ms(s),
+                    "session_end": _from_ms(e),
                     "n_events": n,
                 }
                 for s, e, n in closed
@@ -315,8 +337,14 @@ def streaming_sessionize_event_time(
         if not len(rows):
             yield from _split_emit(key, prior, state)
             return
+        # localize the session-tz-naive timestamps to true UTC epoch ms
+        # so every comparison against the watermark is tz-correct; DST
+        # ambiguity raises rather than silently mis-sealing
         ts = (
-            pd.to_datetime(rows[ts_col]).astype("int64") // 1_000_000
+            pd.to_datetime(rows[ts_col])
+            .dt.tz_localize(session_tz)
+            .astype("int64")
+            // 1_000_000
         ).sort_values()
         # gap-split the batch slice, then interval-merge with the open
         # sessions (both lists sorted by start; a session absorbs the

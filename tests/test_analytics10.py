@@ -568,8 +568,10 @@ class TestStaleCorpusSweep:
     def test_sweep_drops_dangling_keeps_live(self, spark, tmp_path):
         from bulker_spark.plans.analytics10 import _sweep_stale_corpus_tables
 
-        live_loc = tmp_path / "live"
-        gone_loc = tmp_path / "gone"
+        # locations must carry the engine's own naming pattern — the
+        # sweep refuses to drop anything else (review r8)
+        live_loc = tmp_path / "bulker_spark_corpus_bkt_live"
+        gone_loc = tmp_path / "bulker_spark_corpus_bkt_gone"
         df = spark.range(3).withColumnRenamed("id", "doc_id")
         for nm, loc in [
             ("bulker_corpus_bkt_testlive_app", live_loc),

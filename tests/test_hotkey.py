@@ -530,3 +530,32 @@ class TestModeRouting:
         mode.conf.set("spark.bulker.hotkey.mode", "never")
         never = [_sorted(d, ["event_id"]) for d in shapes()]
         assert always == never
+
+
+def test_running_sum_output_shadows_order_column(stream):
+    """An output name that shadows an ORDER column must not corrupt
+    later outputs' window resolution in EITHER shape (review r8: the
+    naive branch assigned outputs between window evaluations)."""
+    dec = F.col("value").cast("decimal(18,6)")
+    dec2 = (F.col("value") * 2).cast("decimal(18,6)")
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.bulker.hotkey.mode", None)
+    try:
+        results = {}
+        for mode in ("always", "never"):
+            spark.conf.set("spark.bulker.hotkey.mode", mode)
+            out = running_sum_over_buckets(
+                stream,
+                keys=["user_id"],
+                order=["ts", "event_id"],
+                # first output REPLACES an order-adjacent value column;
+                # second still orders by the original ts/event_id
+                sums={"value": dec, "x": dec2},
+            ).select("event_id", F.col("value").alias("v"), "x")
+            results[mode] = _sorted(out, ["event_id"])
+        assert results["always"] == results["never"]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.bulker.hotkey.mode")
+        else:
+            spark.conf.set("spark.bulker.hotkey.mode", prev)

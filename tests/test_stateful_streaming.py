@@ -228,3 +228,58 @@ def test_streaming_sessionize_event_time_merges_batch_slices(spark, dirs):
     assert r["session_start"].isoformat() == "2024-01-01T10:00:00"
     assert r["session_end"].isoformat() == "2024-01-01T10:15:00"
     assert r["n_events"] == 3
+
+
+def test_streaming_sessionize_event_time_non_utc_session_tz(spark, dirs):
+    """Seal decisions compare true UTC epoch ms against the watermark
+    regardless of spark.sql.session.timeZone (review r8: naive local
+    ms vs UTC watermark sealed sessions hours early west of UTC)."""
+    from bulker_spark.streaming.stateful import (
+        drain_and_stop,
+        streaming_sessionize_event_time,
+    )
+
+    src, ckpt, out = dirs
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        _write_batch(src, "b1.ndjson", [
+            {"user_id": 1, "ts": "2024-01-01T10:00:00Z"},
+            {"user_id": 1, "ts": "2024-01-01T10:10:00Z"},
+            {"user_id": 1, "ts": "2024-01-01T11:00:00Z"},
+            {"user_id": 2, "ts": "2024-01-01T12:00:00Z"},
+        ])
+        stream = (
+            spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .json(src)
+        )
+        sess = streaming_sessionize_event_time(
+            stream, "user_id", "ts", gap_s=1800,
+            watermark_delay="10 minutes",
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert drain_and_stop(q, timeout_s=120) is True
+        rows = spark.read.parquet(out).collect()
+        # IDENTICAL instants and seals as the UTC twin (collect()
+        # renders in the driver OS tz, UTC here). The discriminator:
+        # pre-fix, LA-naive ms compared against the UTC watermark made
+        # every seal point look ~8h past, so user 2's still-extendable
+        # session (seal 12:30 > wm 11:50) was wrongly emitted too.
+        got = {
+            (r["user_id"], r["session_start"].isoformat(),
+             r["session_end"].isoformat(), r["n_events"])
+            for r in rows
+        }
+        assert got == {
+            (1, "2024-01-01T10:00:00", "2024-01-01T10:10:00", 2),
+            (1, "2024-01-01T11:00:00", "2024-01-01T11:00:00", 1),
+        }, got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

@@ -321,10 +321,20 @@ def video_frame_sample(
     passthrough = [f.name for f in df.schema.fields if f.name != content_col]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise iteration (r08, guide §4.2): the previous
+        # ``pdf.iterrows()`` + one dict per output row paid ~100 µs of
+        # pandas Series construction per INPUT row and re-boxed every
+        # passthrough value per frame; zip over plain column lists and
+        # build output columns once. Per-frame math is unchanged
+        # (same np.frombuffer/.mean()/round), so values are
+        # bit-identical — mean_luma feeds an oracled average.
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                b = r[content_col]
+            idx_out: list[int] = []
+            tms_out: list[int] = []
+            luma_out: list[float] = []
+            keep: list[int] = []
+            contents = pdf[content_col].tolist()
+            for j, b in enumerate(contents):
                 if b is None or len(b) < 20 or b[:4] != VIDEO_MAGIC:
                     continue
                 w, h, fps, n = struct.unpack("<IIII", b[4:20])
@@ -336,17 +346,20 @@ def video_frame_sample(
                     frame = np.frombuffer(
                         b[off : off + frame_bytes], dtype=np.uint8
                     )
-                    rows.append(
-                        {
-                            "frame_idx": i,
-                            "t_ms": i * 1000 // fps,
-                            "mean_luma": round(float(frame.mean()), 4),
-                            **{c: r[c] for c in passthrough},
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["frame_idx", "t_ms", "mean_luma", *passthrough]
+                    idx_out.append(i)
+                    tms_out.append(i * 1000 // fps)
+                    luma_out.append(round(float(frame.mean()), 4))
+                    keep.append(j)
+            out = pd.DataFrame(
+                {
+                    "frame_idx": pd.Series(idx_out, dtype="int32"),
+                    "t_ms": pd.Series(tms_out, dtype="int64"),
+                    "mean_luma": pd.Series(luma_out, dtype="float64"),
+                }
             )
+            for c in passthrough:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            yield out
 
     return df.mapInPandas(kernel, schema=out_schema)
 
@@ -372,10 +385,14 @@ def audio_frame_sample(
     passthrough = [f.name for f in df.schema.fields if f.name != content_col]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise iteration (r08, guide §4.2) — same rationale and
+        # same per-frame numpy math as video_frame_sample above
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                b = r[content_col]
+            idx_out: list[int] = []
+            rms_out: list[float] = []
+            keep: list[int] = []
+            contents = pdf[content_col].tolist()
+            for j, b in enumerate(contents):
                 if b is None or len(b) < 12 or b[:4] != AUDIO_MAGIC:
                     continue
                 rate, n = struct.unpack("<II", b[4:12])
@@ -384,15 +401,17 @@ def audio_frame_sample(
                 for idx in range(0, len(samples), hop):
                     frame = samples[idx : idx + hop].astype(np.float64)
                     rms = float(np.sqrt(np.mean(frame**2))) if len(frame) else 0.0
-                    rows.append(
-                        {
-                            "frame_idx": idx // hop,
-                            "rms": round(rms, 4),
-                            **{c: r[c] for c in passthrough},
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["frame_idx", "rms", *passthrough]
+                    idx_out.append(idx // hop)
+                    rms_out.append(round(rms, 4))
+                    keep.append(j)
+            out = pd.DataFrame(
+                {
+                    "frame_idx": pd.Series(idx_out, dtype="int32"),
+                    "rms": pd.Series(rms_out, dtype="float64"),
+                }
             )
+            for c in passthrough:
+                out[c] = pdf[c].iloc[keep].reset_index(drop=True)
+            yield out
 
     return df.mapInPandas(kernel, schema=out_schema)

@@ -434,28 +434,42 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from bulker_spark.plans.analytics7 import (
-        _PQ_K,
-        _pq_dist_milli,
+        _PQ_DIM,
+        _PQ_M,
+        _cell_rank_array,
+        _collect_centroids,
+        _pq_dist_milli_fixed,
         _pq_is_query,
     )
+    from bulker_spark.session import pin
 
+    # r08 rewrite (guide §2.4): cell assignment and probe ranks are
+    # in-row over the collected centroid literals (the emb_ann_ivf
+    # shape) — the previous broadcast-join + rank window re-executed
+    # its exchange + sort per reference (cells feeds vis AND sizes;
+    # qrank feeds vis AND cand); now each re-reference is a pure map
+    # over the scan. Same (dmilli, cell) tie-break, bit-identical.
+    cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cc = e.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    assigned = e.select("vec_id", _cell_rank_array("v", cents).alias("cd"))
+    cells = assigned.filter(~_pq_is_query()).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cd")[0]["cell"].alias("cell"),
     )
-    cd = e.join(F.broadcast(cc)).select(
-        "vec_id", "cell", _pq_dist_milli("v", "cv").alias("dmilli")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy("dmilli", "cell")
-    ranked = cd.withColumn("rn", F.row_number().over(w_cell))
-    cells = ranked.filter((F.col("rn") == 1) & (~_pq_is_query())).select(
-        F.col("vec_id").alias("neighbor_id"), "cell"
-    )
-    qrank = ranked.filter(_pq_is_query()).select(
-        F.col("vec_id").alias("query_id"), "cell", "rn"
+    qrank = (
+        assigned.filter(_pq_is_query())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("cd").alias("pos", "p"),
+        )
+        .select(
+            "query_id",
+            F.col("p.cell").alias("cell"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
     )
 
     q = e.filter(_pq_is_query()).select(
@@ -465,10 +479,15 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
     )
     pairs = db.join(F.broadcast(q)).select(
-        "query_id", "neighbor_id", _pq_dist_milli("qv", "nv").alias("dmilli")
+        "query_id",
+        "neighbor_id",
+        _pq_dist_milli_fixed("qv", "nv", _PQ_M * _PQ_DIM).alias("dmilli"),
     )
     w_q = Window.partitionBy("query_id").orderBy("dmilli", "neighbor_id")
-    truth = (
+    # pin: truth feeds both the visibility join and the n_truth total —
+    # without it the exhaustive O(queries × corpus) ground-truth scoring
+    # runs twice (placement-pin discipline, session.pin)
+    truth = pin(
         pairs.withColumn("trn", F.row_number().over(w_q))
         .filter(F.col("trn") <= 3)
         .select("query_id", "neighbor_id")
@@ -498,11 +517,14 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(F.sum("sz").alias("cand"))
     )
-    totals = (
-        truth.agg(F.count("*").alias("n_truth"))
-        .crossJoin(q.agg(F.count("*").alias("nq")))
-        .crossJoin(db.agg(F.count("*").alias("ndb")))
+    # one scan for both corpus counts (previously two separate full
+    # aggregations of e); count(when(cond, 1)) counts exactly the rows
+    # the old filtered count(*) did
+    counts = e.agg(
+        F.count(F.when(_pq_is_query(), 1)).alias("nq"),
+        F.count(F.when(~_pq_is_query(), 1)).alias("ndb"),
     )
+    totals = truth.agg(F.count("*").alias("n_truth")).crossJoin(counts)
     out = (
         sweep.join(rec, "nprobe", "left")
         .join(cand, "nprobe", "left")
@@ -885,8 +907,6 @@ def doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     FOR; the sweep itself runs on the capped budget (the SIFT-benchmark
     discipline), so its own O(budget²) truth join never touches the
     corpus."""
-    from functools import reduce
-
     from bulker_spark.plans._common import MINHASH_PRIME, _SPARK_H
     from bulker_spark.plans.queries import _shingles
 
@@ -929,67 +949,82 @@ def doc_lsh_band_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    per_config = []
+    # r08 rewrite (guide §2.4): the old form built a UNION of 15 band
+    # branches (8+4+2+1 across the 4 configs), each branch re-running
+    # the shingle→hash→minhash aggregation from the scan, and then
+    # self-joined PER CONFIG — a 519-operator physical plan with ~150
+    # parquet scans. Melt instead: ONE signature pass, one explode into
+    # (doc_id, r, bi, bk) band rows for every config at once (band keys
+    # as arrays — still full band-TUPLE equality, never a band hash),
+    # one self-join on (r, bi, bk), one distinct, one truth-marking
+    # aggregation grouped by config. Identical candidate sets per
+    # config, one self-join instead of four, plan ~10× smaller.
+    band_structs = []
     for r in _LSH_SWEEP:
         nb = len(_LSH_COEFFS8) // r
-        bands = reduce(
-            lambda x, y: x.unionByName(y),
-            [
-                sig.select(
-                    "doc_id",
+        for bi in range(nb):
+            band_structs.append(
+                F.struct(
+                    F.lit(r).alias("r"),
                     F.lit(bi).alias("bi"),
-                    F.struct(
-                        *[
-                            F.col(f"mh{bi * r + j}").alias(f"k{j}")
-                            for j in range(r)
-                        ]
+                    F.array(
+                        *[F.col(f"mh{bi * r + j}") for j in range(r)]
                     ).alias("bk"),
                 )
-                for bi in range(nb)
-            ],
-        )
-        x, y = bands.alias("x"), bands.alias("y")
-        cand = (
-            x.join(
-                y,
-                (F.col("x.bi") == F.col("y.bi"))
-                & (F.col("x.bk") == F.col("y.bk"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
             )
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "doc_id", F.col("b.r").alias("r"), F.col("b.bi").alias("bi"),
+        F.col("b.bk").alias("bk"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.r") == F.col("y.r"))
+            & (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        # one pass over the candidate set: count everything and count
-        # truth matches in the SAME aggregate (a left join marks hits),
-        # instead of evaluating the band self-join lineage twice
-        stats = cand.join(
+        .select(
+            F.col("x.r").alias("r"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # one pass over the candidate set: count everything and count truth
+    # matches in the SAME aggregate (a left join marks hits)
+    stats = (
+        cand.join(
             truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "left"
-        ).agg(
+        )
+        .groupBy("r")
+        .agg(
             F.count("*").alias("n_candidates"),
             F.count("__t").alias("hits"),
         )
-        per_config.append(
-            stats.select(
-                F.lit(r).alias("rows_per_band"),
-                F.lit(nb).alias("n_bands"),
-                "n_candidates",
-                "hits",
-            )
-        )
+    )
+    # every swept config must produce a row even with zero candidates
+    # (the old per-config global aggregate did); left-join the sweep
+    configs = spark.createDataFrame(
+        [(r, len(_LSH_COEFFS8) // r) for r in _LSH_SWEEP],
+        "rows_per_band int, n_bands int",
+    )
     curve = (
-        reduce(lambda x, y: x.unionByName(y), per_config)
+        configs.join(
+            stats, F.col("rows_per_band") == F.col("r"), "left"
+        )
         .crossJoin(
             F.broadcast(truth.agg(F.count("*").alias("n_truth")))
         )
         .select(
             "rows_per_band",
             "n_bands",
-            "n_candidates",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
             F.expr(
-                "10000 * hits div greatest(n_truth, 1)"
+                "10000 * coalesce(hits, 0) div greatest(n_truth, 1)"
             ).alias("recall_bp"),
         )
     )

@@ -52,7 +52,7 @@ from bulker_spark.plans.analytics7 import (
     _PQ_DIM,
     _PQ_K,
     _PQ_M,
-    _pq_dist_milli,
+    _pq_dist_milli_fixed,
     _pq_is_query,
     _pq_q_sql,
 )
@@ -120,13 +120,15 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # in-row distance-to-every-cell: array of (dmilli, cell) structs,
     # ordered ascending = probe ranking; element 0 = assignment
+    # flat codegen distances (r08): _pq_dist_milli's zip_with/aggregate
+    # lambdas are CodegenFallback (interpreted per element); the fixed
+    # form unrolls the same left-associated sum into compiled arithmetic
     cell_d = F.sort_array(
         F.array(
             *[
                 F.struct(
-                    _pq_dist_milli(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in cv]),
+                    _pq_dist_milli_fixed(
+                        F.col("v"), cv, _ANN_DIM
                     ).alias("dmilli"),
                     F.lit(cell).cast("long").alias("cell"),
                 )
@@ -154,7 +156,7 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = db.join(F.broadcast(probes), "cell").select(
         "query_id",
         "neighbor_id",
-        _pq_dist_milli("qv", "nv").alias("dmilli"),
+        _pq_dist_milli_fixed("qv", "nv", _ANN_DIM).alias("dmilli"),
     )
     return _topk_per_query(scored)
 
@@ -307,7 +309,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            _pq_dist_milli("qv", "v").alias("dmilli"),
+            _pq_dist_milli_fixed("qv", "v", _ANN_DIM).alias("dmilli"),
         )
     )
     return _topk_per_query(scored)

@@ -89,31 +89,121 @@ def _pq_dist_milli(a, b):
     return F.round(d2 * 1000).cast("long")
 
 
+def _pq_dist_milli_fixed(a, b, dim: int, a_off: int = 0, b_off: int = 0):
+    """``_pq_dist_milli`` over a statically-known window of ``a``/``b``:
+    slices ``dim`` elements starting at ``a_off``/``b_off`` (0-based) and
+    applies the SAME left-associated fold, so values are bit-identical to
+    slicing first and calling ``_pq_dist_milli``. ``b`` may be a Python
+    list of floats, in which case the window is embedded as an array
+    literal (bit-exact: the collected values are engine-cast doubles).
+
+    r08 measurement note (guide §1/§4): a fully-unrolled flat
+    ``0.0 + t₀ + …`` expression tree was tried here to escape the
+    interpreted ``zip_with``/``aggregate`` lambdas — at 1024 terms it
+    exceeds janino's method limits, whole-stage codegen FAILS to compile
+    (per-stage compile attempts + interpreted fallback made the PQ family
+    ~10× slower: 15.6 s vs 1.0 s for ``emb_pq_ivf_residual``), so the
+    fold form is deliberately kept."""
+    a = F.col(a) if isinstance(a, str) else a
+    a = F.slice(a, a_off + 1, dim)
+    if isinstance(b, (list, tuple)):
+        b = F.array(*[F.lit(float(x)) for x in b[b_off : b_off + dim]])
+    else:
+        b = F.col(b) if isinstance(b, str) else b
+        if b_off:
+            b = F.slice(b, b_off + 1, dim)
+    return _pq_dist_milli(a, b)
+
+
+def _collect_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The ``_PQ_K`` lowest-id vectors pulled to the driver — the k-row
+    scalar-pull discipline shared with ``emb_ann_ivf`` / the k-means
+    centroid loop. Returns ``[(cell_id, [float64, ...])]`` sorted by id;
+    the float→double cast happens engine-side so the collected values are
+    bit-exact, and ``F.lit`` re-embeds the same IEEE doubles."""
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    return sorted((r["vec_id"], list(r["v"])) for r in rows)
+
+
+def _cell_rank_array(v_col, cents, with_cv: bool = False):
+    """In-row coarse-cell ranking (r08, guide §2.4): a sorted array of
+    ``struct(dmilli, cell[, cv])`` over the collected centroid literals —
+    element 0 is the assignment, a slice is the probe set. Replaces the
+    broadcast-join + ``Window.partitionBy(vec_id)`` argmin the IVF family
+    used before: the same (dmilli, cell) tie-break, but a pure map over
+    the scan, so every re-reference costs a scan instead of an exchange
+    + sort. ``with_cv=True`` carries each centroid's vector through the
+    struct (for residual computation); (dmilli, cell) is unique per row,
+    so the sort never compares the cv field."""
+    entries = []
+    for cell, cv in cents:
+        fields = [
+            _pq_dist_milli_fixed(v_col, cv, len(cv)).alias("dmilli"),
+            F.lit(int(cell)).cast("long").alias("cell"),
+        ]
+        if with_cv:
+            fields.append(
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv")
+            )
+        entries.append(F.struct(*fields))
+    return F.sort_array(F.array(*entries))
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding: (vec_id, m, code, dmilli) — per subspace, the nearest
     of the K centroids (ties → lowest centroid id).
 
-    Scale shape: the codebook is K×M tiny rows → broadcast; the distance
-    evaluation is a map-side array expression per (row, centroid); the
-    only shuffle is the per-(vec, m) argmin window. At 100 TB the window
-    would be replaced by a ``min_by`` aggregate on the same key — same
-    single shuffle."""
-    subs = _pq_subvectors(spark, sf_dir)
-    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
-    )
-    j = subs.join(F.broadcast(cb), "m")
-    scored = j.select(
+    Scale shape (r08 rewrite, guide §2.4): the K×M codebook is collected
+    once (k-row scalar pull — raw parquet values, no driver float math)
+    and the per-(vec, m) argmin computes IN-ROW via ``array_min`` over
+    ``struct(dmilli, cid)`` literals, replacing the previous
+    broadcast-join + per-(vec, m) rank-1 window: the corpus is scanned,
+    never shuffled, for encoding — zero exchanges where there was an
+    exchange + sort. ``array_min`` on structs is lexicographic
+    (dmilli, cid), exactly the old ``ORDER BY dmilli, cid`` rank-1 row."""
+    cents = _collect_centroids(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        "m",
-        "cid",
-        _pq_dist_milli("sv", "cv").alias("dmilli"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("dmilli", "cid")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"), "dmilli")
+    per_m = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.array_min(
+                    F.array(
+                        *[
+                            F.struct(
+                                _pq_dist_milli_fixed(
+                                    F.col("v"),
+                                    cv,
+                                    _PQ_DIM,
+                                    a_off=m * _PQ_DIM,
+                                    b_off=m * _PQ_DIM,
+                                ).alias("dmilli"),
+                                F.lit(int(cid)).cast("long").alias("cid"),
+                            )
+                            for cid, cv in cents
+                        ]
+                    )
+                ).alias("best"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return e.select("vec_id", F.explode(per_m).alias("mc")).select(
+        "vec_id",
+        F.col("mc.m").alias("m"),
+        F.col("mc.best.cid").alias("code"),
+        F.col("mc.best.dmilli").alias("dmilli"),
     )
 
 
@@ -193,6 +283,45 @@ ORDER BY subspace, code
 """
 
 
+def _pq_dtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC distance table (query_id, m, code, qd_milli) — one row per
+    (query, subspace, codebook entry). r08 rewrite (guide §2.4): the
+    query set is a PRUNED scan (the ``vec_id`` predicates push down to
+    parquet) and the K×M distances compute in-row against collected
+    codebook literals, replacing the previous subvector-explode +
+    broadcast join. Values are bit-identical: same slices, same fold
+    order, same single ROUND."""
+    cents = _collect_centroids(spark, sf_dir)
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(_pq_is_query())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.lit(int(cid)).cast("long").alias("code"),
+                _pq_dist_milli_fixed(
+                    F.col("v"),
+                    cv,
+                    _PQ_DIM,
+                    a_off=m * _PQ_DIM,
+                    b_off=m * _PQ_DIM,
+                ).alias("qd_milli"),
+            )
+            for m in range(_PQ_M)
+            for cid, cv in cents
+        ]
+    )
+    return q.select("query_id", F.explode(entries).alias("t")).select(
+        "query_id", "t.m", "t.code", "t.qd_milli"
+    )
+
+
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance search (the PQ query path): each query vector
     precomputes its K×M distance table to the codebook; a database
@@ -210,19 +339,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     front (bucket candidates by nearest coarse centroid, probe a few
     buckets per query) so the pair enumeration drops by the probe
     fraction — the same equi-join shape as the LSH banding queries."""
-    subs = _pq_subvectors(spark, sf_dir)
-    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
-    )
-    q = subs.filter(_pq_is_query()).select(
-        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
-    )
-    dtable = q.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        F.col("cid").alias("code"),
-        _pq_dist_milli("qv", "cv").alias("qd_milli"),
-    )
+    dtable = _pq_dtable(spark, sf_dir)
     codes = _pq_codes(spark, sf_dir).filter(
         ~_pq_is_query()
     )
@@ -286,39 +403,31 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignment is a map-side argmin over the scan; the candidate
     join keys on the cell id, so the corpus never shuffles — only probed
     (query, candidate) rows flow into the top-k."""
+    # r08 rewrite (guide §2.4): cell assignment and probe ranking are
+    # IN-ROW argmins over the collected centroid literals (the
+    # emb_ann_ivf shape) — the previous broadcast-join + rank-1 window
+    # cost an exchange + sort per reference; now cells and probes are
+    # pure maps over (pruned) scans. Same (dmilli, cell) tie-break.
+    cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cc = e.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    cd_arr = _cell_rank_array("v", cents)
+    assigned = e.select("vec_id", cd_arr.alias("cd"))
+    cells = assigned.filter(~_pq_is_query()).select(
+        "vec_id", F.col("cd")[0]["cell"].alias("cell")
     )
-    # full-vector distance to every coarse centroid (broadcast), argmin
-    cd = e.join(F.broadcast(cc)).select(
-        "vec_id", "cell", _pq_dist_milli("v", "cv").alias("dmilli")
+    probes = (
+        assigned.filter(_pq_is_query())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice("cd", 1, _IVF_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p.cell").alias("cell"))
     )
-    w_cell = Window.partitionBy("vec_id").orderBy("dmilli", "cell")
-    ranked = cd.withColumn("__rn", F.row_number().over(w_cell))
-    cells = ranked.filter(
-        (F.col("__rn") == 1) & (~_pq_is_query())
-    ).select("vec_id", "cell")
-    probes = ranked.filter(
-        (F.col("__rn") <= _IVF_PROBE) & (_pq_is_query())
-    ).select(F.col("vec_id").alias("query_id"), "cell")
 
-    subs = _pq_subvectors(spark, sf_dir)
-    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
-    )
-    q = subs.filter(_pq_is_query()).select(
-        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
-    )
-    dtable = q.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        F.col("cid").alias("code"),
-        _pq_dist_milli("qv", "cv").alias("qd_milli"),
-    )
+    dtable = _pq_dtable(spark, sf_dir)
     cand = cells.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id"
     )
@@ -422,22 +531,20 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, candidate) rows reach the top-k. Residual seeds are the
     vectors with ids [16, 32) — ids < 16 are the coarse centroids, whose
     residuals are identically zero."""
+    # r08 rewrite (guide §2.4): assignment, probes, and BOTH residual
+    # computations are in-row over the collected centroid literals — the
+    # probe structs carry each probed cell's centroid vector
+    # (with_cv=True), so the query residual per probed cell needs no
+    # join at all; the per-(vec, m) code argmin is a min-struct
+    # aggregate (map-side partial) instead of a rank-1 window.
+    cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cc = e.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
-    cd = e.join(F.broadcast(cc)).select(
-        "vec_id", "cell", _pq_dist_milli("v", "cv").alias("dmilli")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy("dmilli", "cell")
-    ranked = cd.withColumn("__rn", F.row_number().over(w_cell))
-    assign = ranked.filter(F.col("__rn") == 1).select("vec_id", "cell")
-    probes = ranked.filter(
-        (F.col("__rn") <= _IVF_PROBE) & (_pq_is_query())
-    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cd_arr = _cell_rank_array("v", cents, with_cv=True)
+    base = e.select("vec_id", "v", cd_arr.alias("cd"))
+    assign = base.select("vec_id", F.col("cd")[0]["cell"].alias("cell"))
 
     def sub_explode(df, keep):
         return df.select(
@@ -450,12 +557,12 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # residual of every vector w.r.t. its own cell, split into subspaces
     rsubs = sub_explode(
-        e.join(assign, "vec_id")
-        .join(F.broadcast(cc), "cell")
-        .select(
+        base.select(
             "vec_id",
-            "cell",
-            F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+            F.col("cd")[0]["cell"].alias("cell"),
+            F.zip_with(
+                "v", F.col("cd")[0]["cv"], lambda x, y: x - y
+            ).alias("rv"),
         ),
         ["vec_id", "cell"],
     )
@@ -466,24 +573,32 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         rsubs.filter(~_pq_is_query())
         .join(F.broadcast(rcb), "m")
         .select(
-            "vec_id", "cell", "m", "cid", _pq_dist_milli("sv", "cv2").alias("dmilli")
+            "vec_id",
+            "cell",
+            "m",
+            "cid",
+            _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("dmilli"),
         )
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy("dmilli", "cid")
     codes = (
-        scored.withColumn("__rn", F.row_number().over(w_code))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+        scored.groupBy("vec_id", "cell", "m")
+        .agg(F.min(F.struct("dmilli", "cid")).alias("best"))
+        .select("vec_id", "cell", "m", F.col("best.cid").alias("code"))
     )
 
-    # query residual PER PROBED CELL → per-cell distance tables
+    # query residual PER PROBED CELL → per-cell distance tables; the
+    # probed cell's centroid rides the probe struct, so this is a pure
+    # map over the pruned query scan
+    qprobe = base.filter(_pq_is_query()).select(
+        F.col("vec_id").alias("query_id"),
+        "v",
+        F.explode(F.slice("cd", 1, _IVF_PROBE)).alias("p"),
+    )
     qsubs = sub_explode(
-        e.join(probes, F.col("vec_id") == F.col("query_id"))
-        .join(F.broadcast(cc), "cell")
-        .select(
+        qprobe.select(
             "query_id",
-            "cell",
-            F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+            F.col("p.cell").alias("cell"),
+            F.zip_with("v", F.col("p.cv"), lambda x, y: x - y).alias("rv"),
         ),
         ["query_id", "cell"],
     )
@@ -492,8 +607,9 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "m",
         F.col("cid").alias("code"),
-        _pq_dist_milli("sv", "cv2").alias("qd_milli"),
+        _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("qd_milli"),
     )
+    probes = qprobe.select("query_id", F.col("p.cell").alias("cell"))
     cand = (
         assign.filter(~_pq_is_query())
         .join(F.broadcast(probes), "cell")
@@ -639,6 +755,15 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).distinct()
+    # r08 audit note (guide §7.2): the apparent hazard here — the full
+    # (doc_id, h) distinct feeding BOTH splits, with the train side then
+    # re-deduping on bare h — does not survive optimization: Catalyst
+    # pushes each split's doc_id predicate through the aggregate into its
+    # own pruned scan and removes the now-redundant inner distinct
+    # (verified: a filter-before-distinct source rewrite produced a
+    # byte-identical physical plan, plans/r08/doc_contamination_*.txt).
+    # Each split pays exactly one exchange; the train side's carries
+    # bare 8-byte hashes with map-side partial aggregation.
     eval_sh = sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
     train_sh = (
         sh.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0)

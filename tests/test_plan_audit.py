@@ -542,27 +542,30 @@ def test_mixture_temperature_constant_tail(spark):
     assert audit.pruned_to(df, 2), audit.read_schemas(df)  # lang, text
 
 
-def test_pq_codebook_broadcasts_not_shuffles(spark):
-    """The PQ codebook (K×M rows) must broadcast against the corpus: a
-    shuffle here would reshuffle every subvector per centroid at scale."""
+def test_pq_codebook_in_row_no_joins(spark):
+    """r08: PQ encoding computes the per-(vec, m) argmin IN-ROW over the
+    collected codebook literals — no codebook join, no rank-1 window; the
+    only exchanges are the (m, code) aggregation (with map-side partials)
+    and the presentation sort. A join or window reappearing here is a
+    100 TB regression (it would reshuffle every subvector per centroid)."""
     from bulker_spark.plans.analytics7 import emb_pq_codebooks
 
     df = emb_pq_codebooks(spark, SF)
-    assert audit.broadcast_join_count(df) >= 1, audit.explain_str(
-        df, "simple"
-    )
-    assert audit.sortmerge_join_count(df) == 0, audit.explain_str(
-        df, "simple"
-    )
+    plan = audit.explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert audit.has_partial_aggregate(df), plan
+    assert audit.exchange_count(df) <= 2, plan
 
 
 def test_pq_adc_distance_table_broadcasts(spark):
-    """ADC search: the query×codebook distance table rides a broadcast
-    lookup join; the candidate side must never shuffle to meet it."""
+    """ADC search: the in-row distance table (r08) leaves exactly one
+    join — the broadcast lookup of the query distance table against the
+    candidate codes; the candidate side must never shuffle to meet it."""
     from bulker_spark.plans.analytics7 import emb_pq_adc_topk
 
     df = emb_pq_adc_topk(spark, SF)
-    assert audit.broadcast_join_count(df) >= 2, audit.explain_str(
+    assert audit.broadcast_join_count(df) >= 1, audit.explain_str(
         df, "simple"
     )
     assert audit.sortmerge_join_count(df) == 0, audit.explain_str(

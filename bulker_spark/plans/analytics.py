@@ -1355,21 +1355,44 @@ GROUP BY CUBE(o_orderstatus, EXTRACT(year FROM o_orderdate)::INT)
 
 def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT segments: customers with both open and
-    fulfilled orders, and each side's exclusives. Spark compiles set ops
-    to hash aggregates + joins — same shuffle budget as the SQL."""
+    fulfilled orders, and each side's exclusives.
+
+    r08 rewrite (guide §2.2): the set-op form compiled to SIX pruned
+    scans of orders (two per branch) with an aggregate + join each; the
+    same three counts fall out of ONE scan — per-customer has-open /
+    has-fulfilled flags (a single map-side-combined aggregation), then a
+    1-row conditional count melted to the three labelled segments.
+    Identical results: each segment predicate is exactly the set-op
+    membership condition."""
     o = _t(spark, sf_dir, "orders")
-    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
-    fulf_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-
-    def _n(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(
-            F.lit(label).alias("segment"), F.count("*").alias("n")
+    flags = (
+        o.where(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("has_o"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("has_f"),
         )
-
-    return (
-        _n(open_c.intersect(fulf_c), "both")
-        .unionByName(_n(open_c.subtract(fulf_c), "open_only"))
-        .unionByName(_n(fulf_c.subtract(open_c), "fulfilled_only"))
+    )
+    counts = flags.agg(
+        F.count(
+            F.when((F.col("has_o") == 1) & (F.col("has_f") == 1), 1)
+        ).alias("both"),
+        F.count(
+            F.when((F.col("has_o") == 1) & (F.col("has_f") == 0), 1)
+        ).alias("open_only"),
+        F.count(
+            F.when((F.col("has_o") == 0) & (F.col("has_f") == 1), 1)
+        ).alias("fulfilled_only"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'both', both, 'open_only', open_only, "
+            "'fulfilled_only', fulfilled_only)"
+        ).alias("segment", "n")
     )
 
 

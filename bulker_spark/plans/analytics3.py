@@ -514,23 +514,35 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct per day). At 100 TB the fan-out is 7× the per-day DISTINCT
     pairs (already aggregated), not 7× events."""
     ev = _t(spark, sf_dir, "events")
-    user_days = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
-    dau = user_days.groupBy("day").agg(
-        F.countDistinct("user_id").alias("dau")
+    # the explicit filters are semantic no-ops (a null day survives
+    # neither the inner join nor the sequence() explode; a null user
+    # counted toward neither of the original countDistincts) but they
+    # match the constraints Catalyst infers on the DAU side only, making
+    # the two distinct subtrees identical so AQE stage reuse collapses
+    # them to one events scan
+    user_days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .where(F.col("day").isNotNull() & F.col("user_id").isNotNull())
+        .distinct()
     )
+    # r08 (guide §2.2): user_days is already DISTINCT (user, day), so DAU
+    # is a plain count per day — countDistinct here re-planned the whole
+    # branch as a fused count-distinct over the raw scan, which (a) costs
+    # an extra expand/exchange and (b) makes the dau/fan subtrees
+    # non-identical, defeating ReuseExchange: the measured plan scanned
+    # events THREE times. With count(*) both branches share the identical
+    # distinct subtree (one scan + ReusedExchange). The WAU side's
+    # left-semi against dau days was redundant — the final inner join
+    # already restricts to active days — removing it drops the third
+    # scan branch and a broadcast join. Results are provably identical.
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
     fan = user_days.select(
         "user_id",
         F.explode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
         ).alias("day"),
     )
-    wau = (
-        fan.groupBy("day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-        .join(dau.select("day"), "day", "left_semi")
-    )
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
     return (
         dau.join(wau, "day")
         .select(

@@ -216,17 +216,24 @@ def main() -> None:
             errors[name] = "not in QUERIES"
             continue
         fn = QUERIES[name][0]
+        # per-attempt catch (the ingest tier's advice-r7 fix, applied
+        # here too): a failure on the SECOND attempt must not discard
+        # the first attempt's success — error only when BOTH fail
         best = None
-        try:
-            for _ in range(2):
+        err = None
+        for _ in range(2):
+            try:
                 df = fn(spark, sf_dir)
                 t0 = time.time()
                 df.write.mode("overwrite").format("noop").save()
                 el = time.time() - t0
                 best = el if best is None or el < best else best
+            except Exception as exc:  # one broken query must not zero the run
+                err = f"{type(exc).__name__}: {exc}"[:300]
+        if best is not None:
             timings[name] = round(best, 3)
-        except Exception as exc:  # one broken query must not zero the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        else:
+            errors[name] = err
 
     # opt-in Zipf-fixture tier (SPARK_GRAFT_SKEW_DIR=/tmp/skewdata,
     # gen_skew.py first): times the skew sweep's two worst per-user
@@ -238,16 +245,20 @@ def main() -> None:
     if skew_dir and os.path.isdir(skew_dir):
         for name in ("events_trailing_1h", "events_asof_last_order"):
             best = None
-            try:
-                for _ in range(2):
+            err = None
+            for _ in range(2):
+                try:
                     df = QUERIES[name][0](spark, skew_dir)
                     t0 = time.time()
                     df.write.mode("overwrite").format("noop").save()
                     el = time.time() - t0
                     best = el if best is None or el < best else best
+                except Exception as exc:
+                    err = f"{type(exc).__name__}: {exc}"[:300]
+            if best is not None:
                 timings[f"skew_{name}"] = round(best, 3)
-            except Exception as exc:
-                errors[f"skew_{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+            else:
+                errors[f"skew_{name}"] = err
 
     # core-engine ingest throughput: 100k events through the full
     # flatten/infer/dedup/merge pipeline into a fresh warehouse — the

@@ -716,7 +716,17 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # r08 (guide §2.2): the conditional count is identical to count(*)
+    # (tf >= 1 by construction) but REFERENCES tf, so Catalyst cannot
+    # prune the count out of this branch's (doc_id, tok) aggregate —
+    # both consumers then share one identical subtree and AQE stage
+    # reuse collapses them: one documents scan + one corpus-scale
+    # exchange instead of two of each (measured: 3 scans -> 2, the
+    # second a ReusedQueryStage; the pruned form re-tokenized the whole
+    # corpus to save an 8-byte column in the shuffle)
+    df_ = tf.groupBy("tok").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    )
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_, "tok")

@@ -818,7 +818,11 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = docs.withColumn("__run", F.sum("toks").over(wl))
-    totals = local.groupBy("__bkt").agg(F.max("__run").alias("__sum"))
+    # r08 (guide §2.2): the bucket total equals the plain per-bucket sum
+    # (the running sum's last value), so the totals branch skips the
+    # window entirely — a map-side-combined aggregate instead of a
+    # second exchange + sort over the corpus
+    totals = docs.groupBy("__bkt").agg(F.sum("toks").alias("__sum"))
     wb = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "__bkt", F.coalesce(F.sum("__sum").over(wb), F.lit(0)).alias("__off")

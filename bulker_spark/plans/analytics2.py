@@ -556,14 +556,25 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     cms = count_min_sketch(ev, "user_id", width=_CMS_W, depth=_CMS_D)
-    probes = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
-    est = count_min_lookup(
-        cms, probes, "user_id", width=_CMS_W, depth=_CMS_D
-    )
+    # r08 (guide §2.2): the probe key set IS the exact-count branch's key
+    # set (distinct users < 20), so derive it from `true` instead of a
+    # third events scan + distinct — the two consumers now share one
+    # identical aggregation subtree (AQE stage reuse), and events is
+    # scanned twice (sketch + exact counts) instead of three times
     true = (
         ev.filter(F.col("user_id") < 20)
         .groupBy("user_id")
         .agg(F.count("*").alias("true_count"))
+    )
+    # the always-true filter references true_count so Catalyst cannot
+    # prune it out of this branch's aggregate — both consumers then share
+    # one identical exchange subtree (the doc_tfidf_top_terms trick)
+    est = count_min_lookup(
+        cms,
+        true.filter(F.col("true_count") >= 1).select("user_id"),
+        "user_id",
+        width=_CMS_W,
+        depth=_CMS_D,
     )
     return est.join(true, "user_id").select(
         "user_id", "est_count", "true_count"

@@ -58,7 +58,9 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one ArrayType Literal node (not CreateArray of per-element lits):
+    # bit-identical doubles, ~|vec|× smaller expression tree
+    q = F.lit([float(x) for x in query_vec])
     sim = _dot(F.col(vec_col), q) / (_norm2(vec_col) * _norm2(q))
     return (
         df.select(id_col, sim.alias("cos_sim"))

@@ -1893,11 +1893,31 @@ FROM s
 
 def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail bucketing: ntile(3) over the quality
-    score within each language, then per-bucket stats. The window
-    partitions by ``lang`` (few partitions, balanced) and the aggregate is
-    map-side-combinable; quality totals are summed as decimal so the
-    result is order-independent (double summation would tie-break
-    differently from the oracle)."""
+    score within each language, then per-bucket stats; quality totals
+    are summed as decimal so the result is order-independent (double
+    summation would tie-break differently from the oracle).
+
+    Scale shape (r08 rewrite, guide §2.5): a literal
+    ``ntile(3) OVER (PARTITION BY lang ...)`` sorts 1/|langs| of the
+    corpus in ONE task — the low-cardinality hot-key wall, hit on every
+    large corpus. But ``quality`` is ROUNDED TO 4 DECIMALS in [0, 1], so
+    it has ≤ 10 001 distinct values: the corpus collapses map-side into
+    a (lang, quality) histogram, ntile's bucket boundaries are pure
+    arithmetic on the per-lang count (sizes ``n div 3`` with the first
+    ``n % 3`` buckets one larger — the SQL-standard definition), and
+    every per-bucket stat reads off the histogram exactly:
+
+    - ``n_docs``: overlap of the value's rank range with the bucket's,
+    - ``min_q``/``max_q``: extremes of overlapping values (ties that
+      ntile splits across a boundary contribute the same value to both
+      buckets, exactly like the row form),
+    - ``total_q``: quality × overlapping-row-count in decimal — exact,
+      associative, identical to the row-wise decimal sum.
+
+    The ``doc_id`` tiebreak never changes any of these (equal qualities
+    are rank-adjacent, and which doc lands where inside a tie affects no
+    aggregate). The boundary join is |langs|·3 rows against the
+    histogram — broadcast nested-loop on constant-size frames."""
     d = _t(spark, sf_dir, "documents")
     n_punct = F.length("text") - F.length(
         F.regexp_replace(F.regexp_replace("text", "\\.", ""), ",", "")
@@ -1908,18 +1928,55 @@ def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = F.round(
         length_ok * (1.0 - n_punct.cast("double") / F.length("text")), 4
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
+    scored = d.select("lang", quality.alias("quality"))
+    hist = scored.groupBy("lang", "quality").agg(F.count("*").alias("c"))
+    # rank ranges in (quality DESC) order; nulls sort last exactly as
+    # the ntile window's default desc_nulls_last did
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("lang").orderBy(F.col("quality").desc())
+        ),
     )
-    scored = d.select("doc_id", "lang", quality.alias("quality"))
-    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    i = F.col("bucket").cast("long")
+    q_ = F.expr("n div 3")
+    r_ = F.col("n") % 3
+    buckets = (
+        hist.groupBy("lang")
+        .agg(F.sum("c").alias("n"))
+        .select(
+            F.col("lang").alias("blang"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias(
+                "bucket"
+            ),
+            F.col("n"),
+        )
+        .select(
+            "blang",
+            "bucket",
+            ((i - 1) * q_ + F.least(i - 1, r_)).alias("bstart"),
+            (i * q_ + F.least(i, r_)).alias("bend"),
+        )
+        .filter(F.col("bend") > F.col("bstart"))  # n < 3: drop empties
+    )
+    j = cum.join(
+        F.broadcast(buckets),
+        F.col("lang").eqNullSafe(F.col("blang"))
+        & (F.col("cum") > F.col("bstart"))
+        & (F.col("cum") - F.col("c") < F.col("bend")),
+    )
+    rows_in = F.least("cum", "bend") - F.greatest(
+        F.col("cum") - F.col("c"), F.col("bstart")
+    )
     return (
-        bucketed.groupBy("lang", "bucket")
+        j.groupBy("lang", "bucket")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.sum(rows_in).cast("long").alias("n_docs"),
             F.min("quality").alias("min_q"),
             F.max("quality").alias("max_q"),
-            F.round(F.sum(F.col("quality").cast("decimal(14,4)")), 4)
+            F.round(
+                F.sum(F.col("quality").cast("decimal(14,4)") * rows_in), 4
+            )
             .cast("double")
             .alias("total_q"),
         )

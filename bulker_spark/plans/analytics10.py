@@ -1290,11 +1290,18 @@ def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy(source) for totals (map-side partials over
     an in-row token count), the |sources|-row budget frame broadcasts,
-    and the per-source cumulative sum is a window PARTITIONED BY source
-    — each source sorts only its own rows (for a pathologically huge
-    single source, pre-bucket by source or sub-salt the scan; the
-    selection rule is order-stable either way). Integer arithmetic
-    end-to-end → strict oracle."""
+    and the per-source cumulative sum routes through
+    ``running_sum_over_buckets`` (r08, guide §2.5): ``source`` has
+    single-digit cardinality, so a plain PARTITION BY source window puts
+    1/|sources| of the corpus in ONE task — the definitional hot-key
+    wall, hit on EVERY large corpus, not just skewed ones. The bucket is
+    a 256-way contiguous range of the selection hash (``h >> 23`` —
+    monotone in the window's (h, doc_id) order), so each source's sort
+    splits across 256 tasks and the carry join adds |sources|·256 tiny
+    rows. The sums are BIGINT — reassociation is exact — and the auto
+    probe routes two-phase whenever one source exceeds 1/parallelism of
+    sampled rows (always, for single-digit source counts). Integer
+    arithmetic end-to-end → strict oracle."""
     from pyspark.sql import Window
 
     from bulker_spark.plans._common import _SPARK_H
@@ -1324,12 +1331,19 @@ def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_MIX_BUDGET_TOKENS}L * src_tokens div total_tokens"
         " AS budget_tokens",
     )
-    w_src = Window.partitionBy("source").orderBy("h", "doc_id")
-    cum = F.sum("n_tokens").over(w_src)
-    picked = (
-        per_doc.join(F.broadcast(budgets), "source")
-        .withColumn("cum", cum)
-        .filter(F.col("cum") <= F.col("budget_tokens"))
+    from bulker_spark.operators.hotkey import running_sum_over_buckets
+
+    run = running_sum_over_buckets(
+        per_doc,
+        keys=["source"],
+        order=["h", "doc_id"],
+        sums={"cum": F.col("n_tokens")},
+        # h ∈ [0, 2³¹): >>23 gives 256 contiguous h-ranges, monotone in
+        # the (h, doc_id) window order as the helper requires
+        bucket=F.shiftright(F.col("h"), 23),
+    )
+    picked = run.join(F.broadcast(budgets), "source").filter(
+        F.col("cum") <= F.col("budget_tokens")
     )
     return (
         picked.groupBy("source")

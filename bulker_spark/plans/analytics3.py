@@ -214,6 +214,20 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
+        # r08 (guide §2.4): partition by h ALONE before the (h, doc_id)
+        # distinct — HashPartitioning(h) satisfies both the aggregate's
+        # ClusteredDistribution(h, doc_id) and the window's
+        # ClusteredDistribution(h), so the dedup and the min-over-h ride
+        # ONE corpus-scale exchange instead of two (3 → 2 Exchanges,
+        # verified in the executed plan). The trade: the exchange now
+        # carries raw shingle rows instead of map-side-deduped pairs —
+        # within-doc 4-gram repeats are the only duplicates a map-side
+        # partial could remove (a doc's shingles never split across scan
+        # partitions), so bytes grow by the in-doc repeat rate (~10% on
+        # typical text) while a full second exchange+pipeline pass of
+        # the whole pair set disappears. REPARTITION_BY_COL stays
+        # AQE-coalescible, so the partition count remains scale-adaptive.
+        .repartition(F.col("h"))
         .groupBy("h", "doc_id")
         .agg(F.lit(1).alias("_one"))
     )

@@ -696,7 +696,9 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = [_PCA_S] * _PCA_DIMS  # v₀ = all-ones at scale S
     for _ in range(_PCA_ITERS):
-        vlit = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        # one ArrayType(Long) Literal per iteration (python ints infer
+        # LongType), not 64 CreateArray children — same exact values
+        vlit = F.lit([int(c) for c in v])
         d_int = F.aggregate(
             F.zip_with(
                 "x", vlit, lambda a, b: F.floor(a * b).cast("long")
@@ -816,7 +818,8 @@ def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dot_int(col, vec):
-        lit = F.array(*[F.lit(float(v)).cast("double") for v in vec])
+        # one ArrayType(Double) Literal node — same IEEE doubles
+        lit = F.lit([float(v) for v in vec])
         return F.aggregate(
             F.zip_with(
                 col, lit, lambda a, b: F.floor(a * b * _MMR_Q).cast("long")

@@ -107,7 +107,13 @@ def _pq_dist_milli_fixed(a, b, dim: int, a_off: int = 0, b_off: int = 0):
     a = F.col(a) if isinstance(a, str) else a
     a = F.slice(a, a_off + 1, dim)
     if isinstance(b, (list, tuple)):
-        b = F.array(*[F.lit(float(x)) for x in b[b_off : b_off + dim]])
+        # ONE ArrayType Literal node, not CreateArray(dim × Literal)
+        # (r08, guide §1/§7.2: per-element lits made every PQ/ANN plan
+        # carry thousands of literal nodes — Catalyst re-walks them per
+        # optimizer rule and the driver pays one py4j round-trip per
+        # element at build time; a list literal is bit-identical — same
+        # IEEE doubles, hex-checked — and collapses both costs)
+        b = F.lit([float(x) for x in b[b_off : b_off + dim]])
     else:
         b = F.col(b) if isinstance(b, str) else b
         if b_off:
@@ -151,7 +157,8 @@ def _cell_rank_array(v_col, cents, with_cv: bool = False):
         ]
         if with_cv:
             fields.append(
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv")
+                # single ArrayType Literal (see _pq_dist_milli_fixed)
+                F.lit([float(x) for x in cv]).alias("cv")
             )
         entries.append(F.struct(*fields))
     return F.sort_array(F.array(*entries))
@@ -833,28 +840,41 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx``: approx sketches are engine-specific, ranks are
     reproducible everywhere.
 
-    Scale shape: one shuffle on the language key; the rank window sorts
-    within each language partition. Skewed languages (English) would get
-    the two-pass exact-quantile split at 100 TB; the plan shape (single
-    keyed sort) is the same."""
-    d = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    r = d.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    Scale shape (r08 rewrite, guide §2.5): the previous form ran
+    row_number + count windows PARTITIONED BY lang over the raw corpus —
+    with single-digit |langs| that is 1/|langs| of the corpus sorted in
+    ONE task, the low-cardinality twin of the per-user hot-key walls
+    (and the docstring used to defer it to "a two-pass split at
+    100 TB"). Now the corpus collapses map-side into a
+    (lang, n_chars) histogram — the ``doc_length_quantiles`` layout —
+    and the rank readout runs over |langs| × |distinct lengths| rows:
+    value at rank ``ceil(q·n)`` is the unique histogram bucket whose
+    cumulative count straddles the rank (``cum − c < rank ≤ cum``),
+    bit-identical to the row_number form because equal lengths are
+    rank-adjacent (the doc_id tiebreak never changes the VALUE at a
+    rank). Same rank arithmetic (``ceil(q · n)`` on the same types), so
+    the strict oracle is unchanged."""
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("lang")
+    cum = hist.withColumn("n", F.sum("c").over(wp)).withColumn(
+        "cum", F.sum("c").over(wp.orderBy("n_chars"))
     )
 
     def at(q: float):
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        # exactly one bucket straddles the rank — max() reads it off
+        # (exact even for a NULL length group, which sorts first and
+        # would be read back as NULL, matching the row_number form)
         return F.max(
             F.when(
-                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars")
+                (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank),
+                F.col("n_chars"),
             )
         ).cast("long")
 
     return (
-        r.groupBy("lang")
+        cum.groupBy("lang")
         .agg(
             F.max("n").cast("long").alias("n_docs"),
             at(0.5).alias("p50_chars"),

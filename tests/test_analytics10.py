@@ -442,6 +442,28 @@ class TestTokenBudgetMix:
             assert m["n_docs_selected"] == k
             assert m["tokens_selected"] == cum
 
+    def test_two_phase_routing_identity(self, spark):
+        """r08: the per-source cumulative sum routes through
+        running_sum_over_buckets (h>>23 range buckets). Both routings
+        must be value-identical — the sums are BIGINT, so the two-phase
+        reassociation is exact."""
+        from bulker_spark.plans.analytics10 import doc_token_budget_mix
+
+        prev = spark.conf.get("spark.bulker.hotkey.mode", None)
+        out = {}
+        try:
+            for mode in ("never", "always"):
+                spark.conf.set("spark.bulker.hotkey.mode", mode)
+                out[mode] = sorted(
+                    tuple(r) for r in doc_token_budget_mix(spark, SF).collect()
+                )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.bulker.hotkey.mode")
+            else:
+                spark.conf.set("spark.bulker.hotkey.mode", prev)
+        assert out["never"] == out["always"]
+
 
 class TestRebuildScaleShapes:
     """Both routing shapes of the corpus-rebuild join (span + block

@@ -423,3 +423,67 @@ def test_sessionize_session_spans_many_day_buckets(spark, tmp_path, hotkey_alway
         for r in events_sessionize(spark, d).collect()
     )
     assert out == [(1, 150), (2, 1)]
+
+
+def test_quality_buckets_matches_literal_ntile(spark, tmp_path):
+    """r08: doc_quality_buckets reads ntile(3) stats off a (lang,
+    quality) histogram instead of sorting the corpus per lang. Pin the
+    histogram readout against a literal ntile window on an engineered
+    corpus: boundary-straddling ties, n % 3 != 0, and a lang with n < 3
+    (empty third bucket must vanish, as ntile's grouping does)."""
+    from pyspark.sql import Window
+
+    from bulker_spark.plans.analytics import doc_quality_buckets
+
+    # texts chosen so many docs share one rounded quality value and the
+    # per-lang counts are 7 (ties straddle both boundaries), 2 (< 3)
+    texts = []
+    rows = []
+    did = 0
+    for lang, n in (("en", 7), ("xx", 2)):
+        for k in range(n):
+            # same length bucket; punctuation varies quality for k >= 4
+            body = ("word " * 30).strip() + ("." * min(k, 2))
+            rows.append((did, body, lang, "s", len(body)))
+            did += 1
+    pdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    pdf.write.parquet(f"{d}/documents.parquet")
+
+    got = sorted(tuple(r) for r in doc_quality_buckets(spark, d).collect())
+
+    # literal form (the pre-r08 plan, reproduced inline)
+    doc = spark.read.parquet(f"{d}/documents.parquet")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.regexp_replace("text", "\\.", ""), ",", "")
+    )
+    length_ok = F.when(
+        F.length("text").between(100, 2000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    quality = F.round(
+        length_ok * (1.0 - n_punct.cast("double") / F.length("text")), 4
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in (
+            doc.select("doc_id", "lang", quality.alias("quality"))
+            .withColumn("bucket", F.ntile(3).over(w))
+            .groupBy("lang", "bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("quality").alias("min_q"),
+                F.max("quality").alias("max_q"),
+                F.round(
+                    F.sum(F.col("quality").cast("decimal(14,4)")), 4
+                )
+                .cast("double")
+                .alias("total_q"),
+            )
+        ).collect()
+    )
+    assert got == want

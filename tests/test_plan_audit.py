@@ -583,12 +583,17 @@ def test_contamination_scan_prunes_to_text(spark):
     assert audit.has_partial_aggregate(df), audit.explain_str(df, "simple")
 
 
-def test_length_deciles_single_keyed_sort(spark):
-    """Exact quantiles: one language-keyed exchange feeds both windows
-    and the final agg — no join, no extra shuffle."""
+def test_length_deciles_histogram_collapse(spark):
+    """Exact quantiles off the (lang, n_chars) HISTOGRAM (r08): the
+    corpus collapses in a map-side partial aggregate before any
+    exchange — no corpus-scale per-lang sort (the row_number form put
+    1/|langs| of the corpus in one window task), no join, and the scan
+    reads only (lang, n_chars)."""
     from bulker_spark.plans.analytics7 import doc_length_deciles
 
     df = doc_length_deciles(spark, SF)
     plan = audit.explain_str(df, "simple")
     assert "Join" not in plan
-    assert audit.pruned_to(df, 3), audit.read_schemas(df)
+    assert audit.has_partial_aggregate(df), plan
+    assert "row_number" not in plan
+    assert audit.pruned_to(df, 2), audit.read_schemas(df)

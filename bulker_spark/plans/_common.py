@@ -46,3 +46,71 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.x = b.x AND a.doc_id < b.doc_id
 """
+
+
+# --- low-cardinality-window routing (r08) ---------------------------------
+#
+# Several catalog queries aggregate/rank the raw corpus inside a window
+# PARTITIONED BY a single-digit-cardinality key (lang, source): correct,
+# and fastest at test scale, but at corpus scale each key is 1/|keys| of
+# the data sorted in ONE task. Their scale-safe twins read the same stats
+# off a map-side (key, value) histogram — a few extra stages that cost
+# ~0.1-0.2 s of fixed overhead locally. Route by INPUT SIZE, the same
+# adaptive discipline as spark.bulker.hotkey.mode (verdict r7 #2: shape
+# insurance must be free when it isn't needed):
+#
+#   spark.bulker.lowcard.mode  = auto | histogram | window
+#   spark.bulker.lowcard.bytes = size threshold for auto (default 1 GiB)
+#
+# Both shapes are bit-identical (pinned by tests + the strict oracle);
+# `auto` picks the naive window below the threshold and the histogram
+# above it, and falls back to the histogram (the insurance) when the
+# input size cannot be determined.
+
+LOWCARD_MODE_CONF = "spark.bulker.lowcard.mode"
+LOWCARD_BYTES_CONF = "spark.bulker.lowcard.bytes"
+
+
+def path_bytes(spark, path: str) -> int:
+    """On-storage size of a file/directory through the Hadoop FS layer
+    (works for hdfs://, s3a://, local), with a pure-local fallback."""
+    import os
+
+    try:
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(p).getLength())
+    except Exception:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+        return total
+
+
+def lowcard_histogram_route(spark, path: str) -> bool:
+    """True → use the histogram shape for a low-cardinality-key window
+    over the corpus at ``path``; False → the naive window."""
+    mode = (spark.conf.get(LOWCARD_MODE_CONF, "auto") or "auto").lower()
+    if mode == "histogram":
+        return True
+    if mode == "window":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"{LOWCARD_MODE_CONF} must be auto|histogram|window, got {mode!r}"
+        )
+    try:
+        thresh = int(
+            spark.conf.get(LOWCARD_BYTES_CONF, str(1 << 30)) or (1 << 30)
+        )
+    except ValueError:
+        thresh = 1 << 30
+    try:
+        return path_bytes(spark, path) >= thresh
+    except Exception:
+        return True  # unknown size: keep the insurance

@@ -164,6 +164,40 @@ def _cell_rank_array(v_col, cents, with_cv: bool = False):
     return F.sort_array(F.array(*entries))
 
 
+def _pq_codes_col(v_col, book, dim: int = _PQ_DIM, n_sub: int = _PQ_M):
+    """In-row per-subspace PQ encoding of ``v_col`` against a collected
+    codebook ``[(cid, vec), ...]``: an array of ``n_sub`` structs
+    ``(m, best=(dmilli, cid))`` where ``best`` is the ``array_min``
+    lexicographic argmin — exactly ``ORDER BY dmilli, cid`` rank 1. The
+    codebook may be full-width vectors (sliced per subspace here) or,
+    for residual PQ, residual vectors of the same width."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.array_min(
+                    F.array(
+                        *[
+                            F.struct(
+                                _pq_dist_milli_fixed(
+                                    v_col,
+                                    cv,
+                                    dim,
+                                    a_off=m * dim,
+                                    b_off=m * dim,
+                                ).alias("dmilli"),
+                                F.lit(int(cid)).cast("long").alias("cid"),
+                            )
+                            for cid, cv in book
+                        ]
+                    )
+                ).alias("best"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding: (vec_id, m, code, dmilli) — per subspace, the nearest
     of the K centroids (ties → lowest centroid id).
@@ -181,31 +215,7 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    per_m = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.array_min(
-                    F.array(
-                        *[
-                            F.struct(
-                                _pq_dist_milli_fixed(
-                                    F.col("v"),
-                                    cv,
-                                    _PQ_DIM,
-                                    a_off=m * _PQ_DIM,
-                                    b_off=m * _PQ_DIM,
-                                ).alias("dmilli"),
-                                F.lit(int(cid)).cast("long").alias("cid"),
-                            )
-                            for cid, cv in cents
-                        ]
-                    )
-                ).alias("best"),
-            )
-            for m in range(_PQ_M)
-        ]
-    )
+    per_m = _pq_codes_col(F.col("v"), cents)
     return e.select("vec_id", F.explode(per_m).alias("mc")).select(
         "vec_id",
         F.col("mc.m").alias("m"),
@@ -415,32 +425,45 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emb_ann_ivf shape) — the previous broadcast-join + rank-1 window
     # cost an exchange + sort per reference; now cells and probes are
     # pure maps over (pruned) scans. Same (dmilli, cell) tie-break.
+    # r08 second pass: cell assignment and PQ codes are computed in the
+    # SAME projection of ONE corpus scan (both are in-row argmins over
+    # the same collected codebook), so the former
+    # ``codes ⋈ cand ON vec_id`` self-join — which shuffled the corpus
+    # by vec_id twice once the candidate set outgrew broadcast — is
+    # gone: candidates attach by the broadcast cell-keyed probe join and
+    # carry their codes with them. One corpus scan instead of two, zero
+    # corpus-scale joins on vec_id; code values bit-identical
+    # (_pq_codes_col is the same expression _pq_codes explodes).
     cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     cd_arr = _cell_rank_array("v", cents)
-    assigned = e.select("vec_id", cd_arr.alias("cd"))
-    cells = assigned.filter(~_pq_is_query()).select(
-        "vec_id", F.col("cd")[0]["cell"].alias("cell")
-    )
     probes = (
-        assigned.filter(_pq_is_query())
+        e.filter(_pq_is_query())
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(F.slice("cd", 1, _IVF_PROBE)).alias("p"),
+            F.explode(F.slice(cd_arr, 1, _IVF_PROBE)).alias("p"),
         )
         .select("query_id", F.col("p.cell").alias("cell"))
     )
 
     dtable = _pq_dtable(spark, sf_dir)
-    cand = cells.join(F.broadcast(probes), "cell").select(
-        "query_id", "vec_id"
+    db = e.filter(~_pq_is_query()).select(
+        "vec_id",
+        cd_arr[0]["cell"].alias("cell"),
+        _pq_codes_col(F.col("v"), cents).alias("mc"),
     )
-    codes = _pq_codes(spark, sf_dir)
     adc = (
-        codes.join(cand, "vec_id")
+        db.join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id", F.explode("mc").alias("mc"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("mc.m").alias("m"),
+            F.col("mc.best.cid").alias("code"),
+        )
         .join(F.broadcast(dtable), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
@@ -542,8 +565,17 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computations are in-row over the collected centroid literals — the
     # probe structs carry each probed cell's centroid vector
     # (with_cv=True), so the query residual per probed cell needs no
-    # join at all; the per-(vec, m) code argmin is a min-struct
-    # aggregate (map-side partial) instead of a rank-1 window.
+    # join at all.
+    # r08 second pass (same fuse as emb_pq_ivf_adc): the 16 residual
+    # codebook seeds are computed ENGINE-SIDE on a pruned scan and
+    # collected (k-row scalar pull of engine-subtracted doubles — no
+    # driver float math), so per-vector residual codes are an IN-ROW
+    # argmin in the SAME projection as the cell assignment. The former
+    # corpus-scale ``scored`` broadcast join + (vec_id, cell, m)
+    # aggregate and the ``codes ⋈ cand ON vec_id`` self-join — two
+    # corpus-scale exchanges once candidates outgrow broadcast — are
+    # gone; candidates attach by the broadcast cell-keyed probe join
+    # carrying their codes. One corpus scan, zero corpus-scale joins.
     cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -551,46 +583,33 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cd_arr = _cell_rank_array("v", cents, with_cv=True)
     base = e.select("vec_id", "v", cd_arr.alias("cd"))
-    assign = base.select("vec_id", F.col("cd")[0]["cell"].alias("cell"))
+    rv_col = F.zip_with("v", F.col("cd")[0]["cv"], lambda x, y: x - y)
 
-    def sub_explode(df, keep):
-        return df.select(
-            *keep,
-            F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
-            "rv",
-        ).select(
-            *keep, "m", F.expr(f"slice(rv, m * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv")
+    # residual codebook: seeds' engine-computed residuals, re-embedded
+    # as literals for the in-row argmin AND kept as a frame for the
+    # query-side distance tables (identical doubles both ways)
+    seed_rows = (
+        base.filter(
+            (F.col("vec_id") >= _RES_CB_LO)
+            & (F.col("vec_id") < _RES_CB_HI)
         )
+        .select("vec_id", rv_col.alias("rv"))
+        .collect()
+    )
+    rbook = sorted((r["vec_id"], list(r["rv"])) for r in seed_rows)
+    rcb = spark.createDataFrame(
+        [
+            (int(cid), m, rv[m * _PQ_DIM : (m + 1) * _PQ_DIM])
+            for cid, rv in rbook
+            for m in range(_PQ_M)
+        ],
+        "cid bigint, m int, cv2 array<double>",
+    )
 
-    # residual of every vector w.r.t. its own cell, split into subspaces
-    rsubs = sub_explode(
-        base.select(
-            "vec_id",
-            F.col("cd")[0]["cell"].alias("cell"),
-            F.zip_with(
-                "v", F.col("cd")[0]["cv"], lambda x, y: x - y
-            ).alias("rv"),
-        ),
-        ["vec_id", "cell"],
-    )
-    rcb = rsubs.filter(
-        (F.col("vec_id") >= _RES_CB_LO) & (F.col("vec_id") < _RES_CB_HI)
-    ).select(F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv2"))
-    scored = (
-        rsubs.filter(~_pq_is_query())
-        .join(F.broadcast(rcb), "m")
-        .select(
-            "vec_id",
-            "cell",
-            "m",
-            "cid",
-            _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("dmilli"),
-        )
-    )
-    codes = (
-        scored.groupBy("vec_id", "cell", "m")
-        .agg(F.min(F.struct("dmilli", "cid")).alias("best"))
-        .select("vec_id", "cell", "m", F.col("best.cid").alias("code"))
+    db = base.filter(~_pq_is_query()).select(
+        "vec_id",
+        F.col("cd")[0]["cell"].alias("cell"),
+        _pq_codes_col(rv_col, rbook).alias("mc"),
     )
 
     # query residual PER PROBED CELL → per-cell distance tables; the
@@ -601,13 +620,26 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.explode(F.slice("cd", 1, _IVF_PROBE)).alias("p"),
     )
-    qsubs = sub_explode(
+    qsubs = (
         qprobe.select(
             "query_id",
             F.col("p.cell").alias("cell"),
             F.zip_with("v", F.col("p.cv"), lambda x, y: x - y).alias("rv"),
-        ),
-        ["query_id", "cell"],
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.explode(
+                F.array(*[F.lit(m) for m in range(_PQ_M)])
+            ).alias("m"),
+            "rv",
+        )
+        .select(
+            "query_id",
+            "cell",
+            "m",
+            F.expr(f"slice(rv, m * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv"),
+        )
     )
     dtable = qsubs.join(F.broadcast(rcb), "m").select(
         "query_id",
@@ -617,13 +649,16 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("qd_milli"),
     )
     probes = qprobe.select("query_id", F.col("p.cell").alias("cell"))
-    cand = (
-        assign.filter(~_pq_is_query())
-        .join(F.broadcast(probes), "cell")
-        .select("query_id", "vec_id")
-    )
     adc = (
-        codes.join(cand, "vec_id")
+        db.join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id", "cell", F.explode("mc").alias("mc"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.col("mc.m").alias("m"),
+            F.col("mc.best.cid").alias("code"),
+        )
         .join(F.broadcast(dtable), ["query_id", "cell", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
@@ -845,15 +880,55 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with single-digit |langs| that is 1/|langs| of the corpus sorted in
     ONE task, the low-cardinality twin of the per-user hot-key walls
     (and the docstring used to defer it to "a two-pass split at
-    100 TB"). Now the corpus collapses map-side into a
-    (lang, n_chars) histogram — the ``doc_length_quantiles`` layout —
-    and the rank readout runs over |langs| × |distinct lengths| rows:
-    value at rank ``ceil(q·n)`` is the unique histogram bucket whose
-    cumulative count straddles the rank (``cum − c < rank ≤ cum``),
-    bit-identical to the row_number form because equal lengths are
-    rank-adjacent (the doc_id tiebreak never changes the VALUE at a
-    rank). Same rank arithmetic (``ceil(q · n)`` on the same types), so
-    the strict oracle is unchanged."""
+    100 TB"). Past the ``spark.bulker.lowcard`` size threshold the
+    corpus collapses map-side into a (lang, n_chars) histogram — the
+    ``doc_length_quantiles`` layout — and the rank readout runs over
+    |langs| × |distinct lengths| rows: value at rank ``ceil(q·n)`` is
+    the unique histogram bucket whose cumulative count straddles the
+    rank (``cum − c < rank ≤ cum``), bit-identical to the row_number
+    form because equal lengths are rank-adjacent (the doc_id tiebreak
+    never changes the VALUE at a rank; same ``ceil(q · n)`` rank
+    arithmetic on the same types). Below the threshold the naive keyed
+    sort stays — it is ~0.15 s cheaper at bench scale (measured
+    interleaved min 0.25 vs 0.39 s at sf0.1), the same
+    insurance-when-needed routing as ``spark.bulker.hotkey.mode``."""
+    from bulker_spark.plans._common import lowcard_histogram_route
+
+    import os as _os
+
+    if not lowcard_histogram_route(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    ):
+        d = _t(spark, sf_dir, "documents").select(
+            "lang", "n_chars", "doc_id"
+        )
+        w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        r = d.select(
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        )
+
+        def at_rn(q: float):
+            return F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                    F.col("n_chars"),
+                )
+            ).cast("long")
+
+        return (
+            r.groupBy("lang")
+            .agg(
+                F.max("n").cast("long").alias("n_docs"),
+                at_rn(0.5).alias("p50_chars"),
+                at_rn(0.9).alias("p90_chars"),
+                at_rn(0.99).alias("p99_chars"),
+            )
+            .orderBy("lang")
+        )
+
     d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
     hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
     wp = Window.partitionBy("lang")

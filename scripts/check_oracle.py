@@ -56,6 +56,12 @@ def main(sf_dir: str, only: list[str]):
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # optional session confs, e.g. to strict-verify a routed plan shape:
+    # SPARK_ORACLE_CONF="spark.bulker.lowcard.mode=histogram,k=v"
+    extra = _os.environ.get("SPARK_ORACLE_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(","))):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; gen_sf1.py output is a

@@ -452,7 +452,19 @@ def test_quality_buckets_matches_literal_ntile(spark, tmp_path):
     d = str(tmp_path / "sf")
     pdf.write.parquet(f"{d}/documents.parquet")
 
-    got = sorted(tuple(r) for r in doc_quality_buckets(spark, d).collect())
+    # force the histogram shape — auto would route this tiny corpus to
+    # the naive window and the comparison would be vacuous
+    prev = spark.conf.get("spark.bulker.lowcard.mode", None)
+    spark.conf.set("spark.bulker.lowcard.mode", "histogram")
+    try:
+        got = sorted(
+            tuple(r) for r in doc_quality_buckets(spark, d).collect()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.bulker.lowcard.mode")
+        else:
+            spark.conf.set("spark.bulker.lowcard.mode", prev)
 
     # literal form (the pre-r08 plan, reproduced inline)
     doc = spark.read.parquet(f"{d}/documents.parquet")

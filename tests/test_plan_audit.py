@@ -584,16 +584,35 @@ def test_contamination_scan_prunes_to_text(spark):
 
 
 def test_length_deciles_histogram_collapse(spark):
-    """Exact quantiles off the (lang, n_chars) HISTOGRAM (r08): the
-    corpus collapses in a map-side partial aggregate before any
-    exchange — no corpus-scale per-lang sort (the row_number form put
-    1/|langs| of the corpus in one window task), no join, and the scan
-    reads only (lang, n_chars)."""
+    """Exact quantiles off the (lang, n_chars) HISTOGRAM (r08, routed
+    past the spark.bulker.lowcard size threshold): the corpus collapses
+    in a map-side partial aggregate before any exchange — no
+    corpus-scale per-lang sort (the row_number form put 1/|langs| of the
+    corpus in one window task), no join, and the scan reads only
+    (lang, n_chars). Below the threshold (`auto` on test data) the
+    naive keyed-sort shape must come back — both shapes pinned."""
     from bulker_spark.plans.analytics7 import doc_length_deciles
 
-    df = doc_length_deciles(spark, SF)
-    plan = audit.explain_str(df, "simple")
-    assert "Join" not in plan
-    assert audit.has_partial_aggregate(df), plan
-    assert "row_number" not in plan
-    assert audit.pruned_to(df, 2), audit.read_schemas(df)
+    prev = spark.conf.get("spark.bulker.lowcard.mode", None)
+    try:
+        spark.conf.set("spark.bulker.lowcard.mode", "histogram")
+        df = doc_length_deciles(spark, SF)
+        plan = audit.explain_str(df, "simple")
+        assert "Join" not in plan
+        assert audit.has_partial_aggregate(df), plan
+        assert "row_number" not in plan
+        assert audit.pruned_to(df, 2), audit.read_schemas(df)
+
+        spark.conf.set("spark.bulker.lowcard.mode", "auto")
+        naive = doc_length_deciles(spark, SF)  # tiny corpus → window
+        nplan = audit.explain_str(naive, "simple")
+        assert "row_number" in nplan, nplan
+        # identical values either way
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.bulker.lowcard.mode")
+        else:
+            spark.conf.set("spark.bulker.lowcard.mode", prev)

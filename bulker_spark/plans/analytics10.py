@@ -463,7 +463,12 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.filter(_pq_is_query())
         .select(
             F.col("vec_id").alias("query_id"),
-            F.posexplode("cd").alias("pos", "p"),
+            # posexplode_OUTER: the infer-filter rule fires on bare-
+            # column generators and its size(cd)>0 predicate re-inlines
+            # the full cell-rank expression into a pushed Filter (the
+            # emb_pq_ivf_* disease, OPTIMIZATION_r08.md); cd always has
+            # K elements so outer explode is result-identical
+            F.posexplode_outer("cd").alias("pos", "p"),
         )
         .select(
             "query_id",

@@ -455,15 +455,26 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd_arr[0]["cell"].alias("cell"),
         _pq_codes_col(F.col("v"), cents).alias("mc"),
     )
+    # explode the codes BEFORE the probe join (r08 fix, guide §1/§7.2):
+    # whole-stage codegen defers non-key projection expressions on the
+    # stream side of a BroadcastHashJoin into the match loop, so the
+    # in-row encode argmin was re-evaluated once per MATCHING probe
+    # (~nq·probe/K times per corpus row — measured 12x wall on the
+    # residual twin). Generate evaluates its input exactly once per
+    # input row, so exploding first pins the encode to one evaluation
+    # per corpus row; the join then streams (corpus × M) cheap scalar
+    # rows through the broadcast hash lookup. Same candidate pairs,
+    # same codes, bit-identical sums.
+    dbx = db.select(
+        "vec_id", "cell", F.explode_outer("mc").alias("mc")
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("mc.m").alias("m"),
+        F.col("mc.best.cid").alias("code"),
+    )
     adc = (
-        db.join(F.broadcast(probes), "cell")
-        .select("query_id", "vec_id", F.explode("mc").alias("mc"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.col("mc.m").alias("m"),
-            F.col("mc.best.cid").alias("code"),
-        )
+        dbx.join(F.broadcast(probes), "cell")
         .join(F.broadcast(dtable), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
@@ -606,10 +617,21 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid bigint, m int, cv2 array<double>",
     )
 
-    db = base.filter(~_pq_is_query()).select(
+    # rv must be a REAL column before the encode: passing the rv
+    # EXPRESSION into _pq_codes_col inlines the whole cell-rank sort
+    # into each of the M×K fold subtrees at construction time (the
+    # cell ranking re-evaluated 64× per row — measured ~10× wall);
+    # as a multiply-referenced non-cheap column, CollapseProject keeps
+    # the projection boundary and it is evaluated once per row.
+    dbr = base.filter(~_pq_is_query()).select(
         "vec_id",
         F.col("cd")[0]["cell"].alias("cell"),
-        _pq_codes_col(rv_col, rbook).alias("mc"),
+        rv_col.alias("rv"),
+    )
+    db = dbr.select(
+        "vec_id",
+        "cell",
+        _pq_codes_col(F.col("rv"), rbook).alias("mc"),
     )
 
     # query residual PER PROBED CELL → per-cell distance tables; the
@@ -649,16 +671,21 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("qd_milli"),
     )
     probes = qprobe.select("query_id", F.col("p.cell").alias("cell"))
+    # explode codes BEFORE the probe join — same fix as emb_pq_ivf_adc:
+    # the deferred stream-side projection re-ran the (cell-rank +
+    # residual + encode) expression chain once per matching probe inside
+    # the broadcast join's match loop (measured 2.5 s -> 30.6 s at
+    # sf0.1); Generate forces exactly one evaluation per corpus row.
+    dbx = db.select(
+        "vec_id", "cell", F.explode_outer("mc").alias("mc")
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("mc.m").alias("m"),
+        F.col("mc.best.cid").alias("code"),
+    )
     adc = (
-        db.join(F.broadcast(probes), "cell")
-        .select("query_id", "vec_id", "cell", F.explode("mc").alias("mc"))
-        .select(
-            "query_id",
-            "vec_id",
-            "cell",
-            F.col("mc.m").alias("m"),
-            F.col("mc.best.cid").alias("code"),
-        )
+        dbx.join(F.broadcast(probes), "cell")
         .join(F.broadcast(dtable), ["query_id", "cell", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))

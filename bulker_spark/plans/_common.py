@@ -92,21 +92,31 @@ def path_bytes(spark, path: str) -> int:
         return total
 
 
-def lowcard_histogram_route(spark, path: str) -> bool:
-    """True → use the histogram shape for a low-cardinality-key window
-    over the corpus at ``path``; False → the naive window."""
-    mode = (spark.conf.get(LOWCARD_MODE_CONF, "auto") or "auto").lower()
-    if mode == "histogram":
+def _size_route(
+    spark,
+    path: str,
+    mode_conf: str,
+    bytes_conf: str,
+    big_mode: str,
+    small_mode: str,
+) -> bool:
+    """Shared size-threshold router: True → the scale-safe ("big") shape,
+    False → the shape that is faster at bench scale. ``mode_conf`` forces
+    either route; ``auto`` compares the input's on-storage size against
+    ``bytes_conf`` (default 1 GiB) and keeps the scale-safe shape when the
+    size cannot be determined (insurance)."""
+    mode = (spark.conf.get(mode_conf, "auto") or "auto").lower()
+    if mode == big_mode:
         return True
-    if mode == "window":
+    if mode == small_mode:
         return False
     if mode != "auto":
         raise ValueError(
-            f"{LOWCARD_MODE_CONF} must be auto|histogram|window, got {mode!r}"
+            f"{mode_conf} must be auto|{big_mode}|{small_mode}, got {mode!r}"
         )
     try:
         thresh = int(
-            spark.conf.get(LOWCARD_BYTES_CONF, str(1 << 30)) or (1 << 30)
+            spark.conf.get(bytes_conf, str(1 << 30)) or (1 << 30)
         )
     except ValueError:
         thresh = 1 << 30
@@ -114,3 +124,40 @@ def lowcard_histogram_route(spark, path: str) -> bool:
         return path_bytes(spark, path) >= thresh
     except Exception:
         return True  # unknown size: keep the insurance
+
+
+def lowcard_histogram_route(spark, path: str) -> bool:
+    """True → use the histogram shape for a low-cardinality-key window
+    over the corpus at ``path``; False → the naive window."""
+    return _size_route(
+        spark, path, LOWCARD_MODE_CONF, LOWCARD_BYTES_CONF,
+        "histogram", "window",
+    )
+
+
+# --- PQ scan-fuse routing (r09) --------------------------------------------
+#
+# The r08 PQ scan fuse (emb_pq_ivf_adc / emb_pq_ivf_residual) removes the
+# corpus-scale ``codes ⋈ cand ON vec_id`` join — the term that shuffles the
+# corpus by vec_id twice once the candidate set outgrows broadcast — by
+# computing cell assignment and PQ codes in ONE projection of ONE scan.
+# That is the 100 TB shape, but at bench scale (600 MB, candidates easily
+# broadcast) the fused plan measured ~3x slower than the two-scan shape
+# (driver r08: 0.686 → 2.045 s). Route by INPUT SIZE, the same discipline
+# as spark.bulker.lowcard.mode: small corpora keep the join shape, big
+# corpora get the fuse. Both shapes are strict-oracle-verified.
+#
+#   spark.bulker.pqfuse.mode  = auto | fused | join
+#   spark.bulker.pqfuse.bytes = size threshold for auto (default 1 GiB)
+
+PQFUSE_MODE_CONF = "spark.bulker.pqfuse.mode"
+PQFUSE_BYTES_CONF = "spark.bulker.pqfuse.bytes"
+
+
+def pq_fused_route(spark, path: str) -> bool:
+    """True → the fused one-scan / zero-corpus-join IVF+PQ shape; False →
+    the two-scan + broadcast ``cand ⋈ codes ON vec_id`` shape (faster at
+    bench scale)."""
+    return _size_route(
+        spark, path, PQFUSE_MODE_CONF, PQFUSE_BYTES_CONF, "fused", "join"
+    )

@@ -440,6 +440,7 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         _collect_centroids,
         _pq_dist_milli_fixed,
         _pq_is_query,
+        _pq_parallelize,
     )
     from bulker_spark.session import pin
 
@@ -455,7 +456,12 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     assigned = e.select("vec_id", _cell_rank_array("v", cents).alias("cd"))
-    cells = assigned.filter(~_pq_is_query()).select(
+    # corpus-side cell-rank folds over a _pq_parallelize'd scan: a tiny
+    # input scans as ONE partition, serializing them (r09, guide §2.2);
+    # no-op past the size threshold
+    cells = _pq_parallelize(
+        spark, sf_dir, assigned.filter(~_pq_is_query())
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cd")[0]["cell"].alias("cell"),
     )
@@ -480,7 +486,10 @@ def emb_ivf_probe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(_pq_is_query()).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    db = e.filter(~_pq_is_query()).select(
+    # the exhaustive ground-truth scoring evaluates one 64-dim fold per
+    # (query × candidate) pair in the broadcast join's match loop on the
+    # stream side's partitioning — parallelize it (see `cells` above)
+    db = _pq_parallelize(spark, sf_dir, e.filter(~_pq_is_query())).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
     )
     pairs = db.join(F.broadcast(q)).select(

@@ -54,6 +54,7 @@ from bulker_spark.plans.analytics7 import (
     _PQ_M,
     _pq_dist_milli_fixed,
     _pq_is_query,
+    _pq_parallelize,
     _pq_q_sql,
 )
 
@@ -119,10 +120,11 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < _PQ_K).collect()
     )
     # in-row distance-to-every-cell: array of (dmilli, cell) structs,
-    # ordered ascending = probe ranking; element 0 = assignment
-    # flat codegen distances (r08): _pq_dist_milli's zip_with/aggregate
-    # lambdas are CodegenFallback (interpreted per element); the fixed
-    # form unrolls the same left-associated sum into compiled arithmetic
+    # ordered ascending = probe ranking; element 0 = assignment.
+    # _pq_dist_milli_fixed keeps the interpreted zip_with/aggregate fold
+    # with STATIC slicing + literal arrays only — the full flat unroll
+    # was tried in r08 and measured 10x WORSE (janino method-size limits
+    # break whole-stage codegen); see _pq_dist_milli_fixed's docstring.
     cell_d = F.sort_array(
         F.array(
             *[
@@ -137,7 +139,11 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assigned = e.select("vec_id", "v", cell_d.alias("cd"))
-    db = assigned.filter(~_pq_is_query()).select(
+    # corpus side: cell-rank folds + the per-candidate exact fold in the
+    # probe join's match loop run on the scan's partitioning — a tiny
+    # input scans as ONE partition, serializing them (r09, guide §2.2);
+    # _pq_parallelize spreads it and is a no-op past the size threshold
+    db = _pq_parallelize(spark, sf_dir, assigned.filter(~_pq_is_query())).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("cd")[0]["cell"].alias("cell"),
@@ -301,9 +307,10 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.filter(_pq_is_query()).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    ep = _pq_parallelize(spark, sf_dir, e)  # exact pass: see emb_ann_ivf
     scored = (
-        e.join(
-            F.broadcast(cand), e["vec_id"] == cand["neighbor_id"]
+        ep.join(
+            F.broadcast(cand), ep["vec_id"] == cand["neighbor_id"]
         )
         .join(F.broadcast(qv), "query_id")
         .select(

@@ -103,7 +103,19 @@ def _pq_dist_milli_fixed(a, b, dim: int, a_off: int = 0, b_off: int = 0):
     exceeds janino's method limits, whole-stage codegen FAILS to compile
     (per-stage compile attempts + interpreted fallback made the PQ family
     ~10× slower: 15.6 s vs 1.0 s for ``emb_pq_ivf_residual``), so the
-    fold form is deliberately kept."""
+    fold form is deliberately kept.
+
+    r09 measurement note: the deferred "middle ground" — unrolling ONLY
+    the short ``dim <= 16`` per-subspace folds (16 flat
+    ``element_at − lit`` terms each, same left association) while keeping
+    the 64-dim cell-rank folds as ``zip_with``/``aggregate`` — was
+    implemented and measured 5-8× SLOWER interleaved at sf0.1
+    (emb_pq_adc_topk 1.34 → 10.2 s min, emb_pq_ivf_adc 1.76 → 9.4 s,
+    emb_pq_codebooks 0.82 → 5.3 s): the janino blow-up is driven by the
+    TOTAL generated-code size of the projection (M×K = 64 unrolled
+    16-term fields is still ~1024 terms in one stage), not by the width
+    of any single fold. Do not retry per-subspace unrolls; any future
+    attempt must cut the per-stage term count, not re-slice it."""
     a = F.col(a) if isinstance(a, str) else a
     a = F.slice(a, a_off + 1, dim)
     if isinstance(b, (list, tuple)):
@@ -119,6 +131,29 @@ def _pq_dist_milli_fixed(a, b, dim: int, a_off: int = 0, b_off: int = 0):
         if b_off:
             b = F.slice(b, b_off + 1, dim)
     return _pq_dist_milli(a, b)
+
+
+def _pq_parallelize(spark: SparkSession, sf_dir: str, df: DataFrame) -> DataFrame:
+    """Spread a heavy in-row PQ/ANN projection (or the stream side of a
+    broadcast join that evaluates one per matched row) across cores when
+    the backing scan cannot split (r09, guide §2.2/§2.5): a
+    sub-row-group parquet file yields ONE non-empty scan partition no
+    matter how many byte-range splits Spark makes, so every interpreted
+    distance fold of the corpus runs SERIALLY in one task (measured:
+    the sf0.1 encode is 1.28 s serial vs 0.74 s over 32 tasks). Small
+    inputs pay one trivial round-robin exchange of slim vector rows;
+    big inputs — where the scan has many natural splits and a corpus
+    exchange is exactly what the family's scale shapes avoid — skip it.
+    Routed by the same size conf as the PQ scan fuse
+    (spark.bulker.pqfuse.*): above the threshold the plan is untouched.
+
+    Results are unaffected: downstream aggregations are keyed, sums are
+    integer milli-units (order-free), and every rank tie-breaks on ids."""
+    from bulker_spark.plans._common import pq_fused_route
+
+    if pq_fused_route(spark, os.path.join(sf_dir, "embeddings.parquet")):
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _collect_centroids(spark: SparkSession, sf_dir: str) -> list:
@@ -148,7 +183,14 @@ def _cell_rank_array(v_col, cents, with_cv: bool = False):
     the scan, so every re-reference costs a scan instead of an exchange
     + sort. ``with_cv=True`` carries each centroid's vector through the
     struct (for residual computation); (dmilli, cell) is unique per row,
-    so the sort never compares the cv field."""
+    so the sort never compares the cv field.
+
+    Non-empty guarantee: the result is a LITERAL fixed-width array (one
+    struct per collected centroid, ``len(cents) == _PQ_K > 0``), never
+    empty or null — callers rely on this to use ``explode_outer`` /
+    slice without introducing null rows (the r08 12x-regression fix
+    depends on the outer variant skipping ``InferFiltersFromGenerate``)."""
+    assert len(cents) > 0, "empty centroid set"
     entries = []
     for cell, cv in cents:
         fields = [
@@ -170,7 +212,15 @@ def _pq_codes_col(v_col, book, dim: int = _PQ_DIM, n_sub: int = _PQ_M):
     ``(m, best=(dmilli, cid))`` where ``best`` is the ``array_min``
     lexicographic argmin — exactly ``ORDER BY dmilli, cid`` rank 1. The
     codebook may be full-width vectors (sliced per subspace here) or,
-    for residual PQ, residual vectors of the same width."""
+    for residual PQ, residual vectors of the same width.
+
+    Non-empty guarantee: the result is a LITERAL ``n_sub``-element array
+    (``n_sub == _PQ_M > 0``, ``len(book) == _PQ_K > 0``), never empty or
+    null — callers rely on this to ``explode_outer`` it without
+    introducing null rows (the outer variant is what keeps
+    ``InferFiltersFromGenerate`` from re-inlining the encode into scan
+    DataFilters; see the r08 repair notes)."""
+    assert len(book) > 0 and n_sub > 0, "empty PQ codebook"
     return F.array(
         *[
             F.struct(
@@ -211,9 +261,13 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange + sort. ``array_min`` on structs is lexicographic
     (dmilli, cid), exactly the old ``ORDER BY dmilli, cid`` rank-1 row."""
     cents = _collect_centroids(spark, sf_dir)
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    e = _pq_parallelize(
+        spark,
+        sf_dir,
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ),
     )
     per_m = _pq_codes_col(F.col("v"), cents)
     return e.select("vec_id", F.explode(per_m).alias("mc")).select(
@@ -434,6 +488,14 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry their codes with them. One corpus scan instead of two, zero
     # corpus-scale joins on vec_id; code values bit-identical
     # (_pq_codes_col is the same expression _pq_codes explodes).
+    # r09: the fuse is SIZE-ROUTED (spark.bulker.pqfuse.mode, guide §1:
+    # the fused shape measured ~3x slower at bench scale, where the
+    # candidate set broadcasts and the vec_id join is free — the fuse's
+    # win only materializes once candidates outgrow broadcast). Small
+    # inputs keep the two-scan + broadcast-join shape; big inputs get
+    # the fused zero-corpus-join shape. Both routes strict-oracled.
+    from bulker_spark.plans._common import pq_fused_route
+
     cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -450,32 +512,49 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dtable = _pq_dtable(spark, sf_dir)
-    db = e.filter(~_pq_is_query()).select(
-        "vec_id",
-        cd_arr[0]["cell"].alias("cell"),
-        _pq_codes_col(F.col("v"), cents).alias("mc"),
-    )
-    # explode the codes BEFORE the probe join (r08 fix, guide §1/§7.2):
-    # whole-stage codegen defers non-key projection expressions on the
-    # stream side of a BroadcastHashJoin into the match loop, so the
-    # in-row encode argmin was re-evaluated once per MATCHING probe
-    # (~nq·probe/K times per corpus row — measured 12x wall on the
-    # residual twin). Generate evaluates its input exactly once per
-    # input row, so exploding first pins the encode to one evaluation
-    # per corpus row; the join then streams (corpus × M) cheap scalar
-    # rows through the broadcast hash lookup. Same candidate pairs,
-    # same codes, bit-identical sums.
-    dbx = db.select(
-        "vec_id", "cell", F.explode_outer("mc").alias("mc")
-    ).select(
-        "vec_id",
-        "cell",
-        F.col("mc.m").alias("m"),
-        F.col("mc.best.cid").alias("code"),
-    )
+    if pq_fused_route(spark, os.path.join(sf_dir, "embeddings.parquet")):
+        db = e.filter(~_pq_is_query()).select(
+            "vec_id",
+            cd_arr[0]["cell"].alias("cell"),
+            _pq_codes_col(F.col("v"), cents).alias("mc"),
+        )
+        # explode the codes BEFORE the probe join (r08 fix, guide
+        # §1/§7.2): whole-stage codegen defers non-key projection
+        # expressions on the stream side of a BroadcastHashJoin into the
+        # match loop, so the in-row encode argmin was re-evaluated once
+        # per MATCHING probe (~nq·probe/K times per corpus row —
+        # measured 12x wall on the residual twin). Generate evaluates
+        # its input exactly once per input row, so exploding first pins
+        # the encode to one evaluation per corpus row; the join then
+        # streams (corpus × M) cheap scalar rows through the broadcast
+        # hash lookup. Same candidate pairs, same codes, bit-identical
+        # sums.
+        dbx = db.select(
+            "vec_id", "cell", F.explode_outer("mc").alias("mc")
+        ).select(
+            "vec_id",
+            "cell",
+            F.col("mc.m").alias("m"),
+            F.col("mc.best.cid").alias("code"),
+        )
+        cand = dbx.join(F.broadcast(probes), "cell")
+    else:
+        # bench-scale shape (pre-fuse): cell assignment and PQ encoding
+        # in separate scans, candidates attached by a broadcast-sized
+        # join on vec_id — one fewer explode stage, and the encode scan
+        # streams straight into the dtable lookup. _pq_parallelize
+        # spreads the corpus cell-rank folds across cores (tiny inputs
+        # scan as ONE partition).
+        cells = _pq_parallelize(
+            spark, sf_dir, e.filter(~_pq_is_query())
+        ).select("vec_id", cd_arr[0]["cell"].alias("cell"))
+        pairs = cells.join(F.broadcast(probes), "cell").select(
+            "query_id", "vec_id"
+        )
+        codes = _pq_codes(spark, sf_dir)
+        cand = codes.join(pairs, "vec_id")
     adc = (
-        dbx.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        cand.join(F.broadcast(dtable), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
     )
@@ -587,6 +666,14 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale exchanges once candidates outgrow broadcast — are
     # gone; candidates attach by the broadcast cell-keyed probe join
     # carrying their codes. One corpus scan, zero corpus-scale joins.
+    # r09: size-routed like emb_pq_ivf_adc (spark.bulker.pqfuse.mode) —
+    # at bench scale the fuse measured slower than the two-scan +
+    # broadcast-join shape, so small inputs keep the join shape.
+    from bulker_spark.plans._common import pq_fused_route
+
+    fused = pq_fused_route(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
+    )
     cents = _collect_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -596,43 +683,96 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("vec_id", "v", cd_arr.alias("cd"))
     rv_col = F.zip_with("v", F.col("cd")[0]["cv"], lambda x, y: x - y)
 
-    # residual codebook: seeds' engine-computed residuals, re-embedded
-    # as literals for the in-row argmin AND kept as a frame for the
-    # query-side distance tables (identical doubles both ways)
-    seed_rows = (
-        base.filter(
-            (F.col("vec_id") >= _RES_CB_LO)
-            & (F.col("vec_id") < _RES_CB_HI)
+    def sub_explode(df, keep):
+        return df.select(
+            *keep,
+            F.explode(
+                F.array(*[F.lit(m) for m in range(_PQ_M)])
+            ).alias("m"),
+            "rv",
+        ).select(
+            *keep,
+            "m",
+            F.expr(f"slice(rv, m * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv"),
         )
-        .select("vec_id", rv_col.alias("rv"))
-        .collect()
-    )
-    rbook = sorted((r["vec_id"], list(r["rv"])) for r in seed_rows)
-    rcb = spark.createDataFrame(
-        [
-            (int(cid), m, rv[m * _PQ_DIM : (m + 1) * _PQ_DIM])
-            for cid, rv in rbook
-            for m in range(_PQ_M)
-        ],
-        "cid bigint, m int, cv2 array<double>",
-    )
 
-    # rv must be a REAL column before the encode: passing the rv
-    # EXPRESSION into _pq_codes_col inlines the whole cell-rank sort
-    # into each of the M×K fold subtrees at construction time (the
-    # cell ranking re-evaluated 64× per row — measured ~10× wall);
-    # as a multiply-referenced non-cheap column, CollapseProject keeps
-    # the projection boundary and it is evaluated once per row.
-    dbr = base.filter(~_pq_is_query()).select(
-        "vec_id",
-        F.col("cd")[0]["cell"].alias("cell"),
-        rv_col.alias("rv"),
-    )
-    db = dbr.select(
-        "vec_id",
-        "cell",
-        _pq_codes_col(F.col("rv"), rbook).alias("mc"),
-    )
+    if fused:
+        # residual codebook: seeds' engine-computed residuals,
+        # re-embedded as literals for the in-row argmin AND kept as a
+        # frame for the query-side distance tables (identical doubles
+        # both ways)
+        seed_rows = (
+            base.filter(
+                (F.col("vec_id") >= _RES_CB_LO)
+                & (F.col("vec_id") < _RES_CB_HI)
+            )
+            .select("vec_id", rv_col.alias("rv"))
+            .collect()
+        )
+        rbook = sorted((r["vec_id"], list(r["rv"])) for r in seed_rows)
+        rcb = spark.createDataFrame(
+            [
+                (int(cid), m, rv[m * _PQ_DIM : (m + 1) * _PQ_DIM])
+                for cid, rv in rbook
+                for m in range(_PQ_M)
+            ],
+            "cid bigint, m int, cv2 array<double>",
+        )
+
+        # rv must be a REAL column before the encode: passing the rv
+        # EXPRESSION into _pq_codes_col inlines the whole cell-rank sort
+        # into each of the M×K fold subtrees at construction time (the
+        # cell ranking re-evaluated 64× per row — measured ~10× wall);
+        # as a multiply-referenced non-cheap column, CollapseProject
+        # keeps the projection boundary and it is evaluated once per
+        # row.
+        dbr = base.filter(~_pq_is_query()).select(
+            "vec_id",
+            F.col("cd")[0]["cell"].alias("cell"),
+            rv_col.alias("rv"),
+        )
+        db = dbr.select(
+            "vec_id",
+            "cell",
+            _pq_codes_col(F.col("rv"), rbook).alias("mc"),
+        )
+    else:
+        # bench-scale shape (pre-fuse): residual subvectors of every
+        # vector in one frame; the seed residuals stay an engine frame
+        # (no collect) and the per-(vec, m) argmin is a min-struct
+        # aggregate over the broadcast codebook join. The corpus-side
+        # cell-rank + residual folds run over a _pq_parallelize'd scan
+        # (tiny inputs scan as ONE partition — the folds were serial).
+        base_par = _pq_parallelize(spark, sf_dir, e).select(
+            "vec_id", "v", cd_arr.alias("cd")
+        )
+        rsubs = sub_explode(
+            base_par.select(
+                "vec_id",
+                F.col("cd")[0]["cell"].alias("cell"),
+                rv_col.alias("rv"),
+            ),
+            ["vec_id", "cell"],
+        )
+        rcb = rsubs.filter(
+            (F.col("vec_id") >= _RES_CB_LO) & (F.col("vec_id") < _RES_CB_HI)
+        ).select(F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv2"))
+        scored = (
+            rsubs.filter(~_pq_is_query())
+            .join(F.broadcast(rcb), "m")
+            .select(
+                "vec_id",
+                "cell",
+                "m",
+                "cid",
+                _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("dmilli"),
+            )
+        )
+        codes = (
+            scored.groupBy("vec_id", "cell", "m")
+            .agg(F.min(F.struct("dmilli", "cid")).alias("best"))
+            .select("vec_id", "cell", "m", F.col("best.cid").alias("code"))
+        )
 
     # query residual PER PROBED CELL → per-cell distance tables; the
     # probed cell's centroid rides the probe struct, so this is a pure
@@ -642,26 +782,13 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.explode(F.slice("cd", 1, _IVF_PROBE)).alias("p"),
     )
-    qsubs = (
+    qsubs = sub_explode(
         qprobe.select(
             "query_id",
             F.col("p.cell").alias("cell"),
             F.zip_with("v", F.col("p.cv"), lambda x, y: x - y).alias("rv"),
-        )
-        .select(
-            "query_id",
-            "cell",
-            F.explode(
-                F.array(*[F.lit(m) for m in range(_PQ_M)])
-            ).alias("m"),
-            "rv",
-        )
-        .select(
-            "query_id",
-            "cell",
-            "m",
-            F.expr(f"slice(rv, m * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sv"),
-        )
+        ),
+        ["query_id", "cell"],
     )
     dtable = qsubs.join(F.broadcast(rcb), "m").select(
         "query_id",
@@ -671,22 +798,32 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_dist_milli_fixed("sv", "cv2", _PQ_DIM).alias("qd_milli"),
     )
     probes = qprobe.select("query_id", F.col("p.cell").alias("cell"))
-    # explode codes BEFORE the probe join — same fix as emb_pq_ivf_adc:
-    # the deferred stream-side projection re-ran the (cell-rank +
-    # residual + encode) expression chain once per matching probe inside
-    # the broadcast join's match loop (measured 2.5 s -> 30.6 s at
-    # sf0.1); Generate forces exactly one evaluation per corpus row.
-    dbx = db.select(
-        "vec_id", "cell", F.explode_outer("mc").alias("mc")
-    ).select(
-        "vec_id",
-        "cell",
-        F.col("mc.m").alias("m"),
-        F.col("mc.best.cid").alias("code"),
-    )
+    if fused:
+        # explode codes BEFORE the probe join — same fix as
+        # emb_pq_ivf_adc: the deferred stream-side projection re-ran the
+        # (cell-rank + residual + encode) expression chain once per
+        # matching probe inside the broadcast join's match loop
+        # (measured 2.5 s -> 30.6 s at sf0.1); Generate forces exactly
+        # one evaluation per corpus row.
+        dbx = db.select(
+            "vec_id", "cell", F.explode_outer("mc").alias("mc")
+        ).select(
+            "vec_id",
+            "cell",
+            F.col("mc.m").alias("m"),
+            F.col("mc.best.cid").alias("code"),
+        )
+        matched = dbx.join(F.broadcast(probes), "cell")
+    else:
+        cand = (
+            base_par.filter(~_pq_is_query())
+            .select("vec_id", F.col("cd")[0]["cell"].alias("cell"))
+            .join(F.broadcast(probes), "cell")
+            .select("query_id", "vec_id")
+        )
+        matched = codes.join(cand, "vec_id")
     adc = (
-        dbx.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(dtable), ["query_id", "cell", "m", "code"])
+        matched.join(F.broadcast(dtable), ["query_id", "cell", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd_milli").cast("long").alias("adc_milli"))
     )

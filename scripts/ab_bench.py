@@ -58,6 +58,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # optional session confs, e.g. to time a routed plan shape:
+    # BULKER_AB_CONF="spark.bulker.pqfuse.mode=fused,k=v"
+    extra = os.environ.get("BULKER_AB_CONF", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+
     # same warmups as bench.py so rep 0 is not a JIT outlier
     try:
         QUERIES["tpch_q6"][0](spark, sf_dir).write.mode("overwrite").format(

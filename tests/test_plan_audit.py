@@ -573,6 +573,52 @@ def test_pq_adc_distance_table_broadcasts(spark):
     )
 
 
+def test_pq_ivf_fuse_routes(spark):
+    """r09: the PQ scan fuse is size-routed (spark.bulker.pqfuse.mode).
+    The FUSED route (the 100 TB shape) must keep: zero corpus-scale
+    joins (no SortMergeJoin/ShuffledHashJoin), and — the r08
+    12x-regression guard (ADVICE r08) — no inferred ``size(``-filter
+    re-inlining the in-row encode into scan DataFilters (the
+    InferFiltersFromGenerate + alias-substitution disease; explode_outer
+    is what keeps it off). The JOIN route (bench scale) must produce
+    identical rows. Both shapes pinned here; both strict-oracled."""
+    from bulker_spark.plans.analytics7 import (
+        emb_pq_ivf_adc,
+        emb_pq_ivf_residual,
+    )
+
+    prev = spark.conf.get("spark.bulker.pqfuse.mode", None)
+    try:
+        for fn in (emb_pq_ivf_adc, emb_pq_ivf_residual):
+            spark.conf.set("spark.bulker.pqfuse.mode", "fused")
+            df = fn(spark, SF)
+            plan = audit.explain_str(df, "formatted")
+            assert audit.sortmerge_join_count(df) == 0, plan
+            assert "ShuffledHashJoin" not in plan, plan
+            assert "size(" not in plan, (
+                "inferred size()-filter re-inlined the PQ encode "
+                "(InferFiltersFromGenerate regression)"
+            )
+            # the Generate (codes explode) must sit BELOW the broadcast
+            # probe join so the encode runs once per corpus row, not
+            # once per match
+            gen = plan.index("Generate")
+            bhj = plan.index("BroadcastHashJoin")
+            assert gen > bhj, "explode is above the broadcast joins"
+            fused_rows = sorted(map(tuple, df.collect()))
+
+            spark.conf.set("spark.bulker.pqfuse.mode", "join")
+            dfj = fn(spark, SF)
+            jplan = audit.explain_str(dfj, "formatted")
+            assert "size(" not in jplan, jplan
+            assert fused_rows == sorted(map(tuple, dfj.collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.bulker.pqfuse.mode")
+        else:
+            spark.conf.set("spark.bulker.pqfuse.mode", prev)
+
+
 def test_contamination_scan_prunes_to_text(spark):
     """The shingle pass reads only (doc_id, text); partial aggregation
     runs before the per-doc shuffle."""

@@ -140,7 +140,37 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_sample() -> dict:
+    """Loadavg + a short CPU-steal/idle sample (drift annotation, verdict
+    r8 #7): rounds 7/8 showed episodic host interference moving same-code
+    timings 2-10x; recording ambient conditions OUTSIDE the timed regions
+    lets a cross-round comparison check whether a delta is attributable.
+    Adds ~0.5 s before/after the run; no timed region is touched."""
+    h: dict = {}
+    try:
+        h["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        def stat():
+            with open("/proc/stat") as fh:
+                return [int(x) for x in fh.readline().split()[1:]]
+
+        a = stat()
+        time.sleep(0.5)
+        b = stat()
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d) or 1
+        if len(d) > 7:
+            h["steal_pct"] = round(100.0 * d[7] / tot, 2)
+        h["idle_pct"] = round(100.0 * d[3] / tot, 2)
+    except Exception:
+        pass
+    return h
+
+
 def main() -> None:
+    host_start = _host_sample()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # SPARK_GRAFT_MASTER lets the standing bench run under
@@ -618,6 +648,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "host": {"start": host_start, "end": _host_sample()},
     }
     if errors:
         out["errors"] = errors
@@ -685,6 +716,10 @@ def compact_line(out: dict) -> str:
     timings = out["queries"]
     keep = [k for k in STDOUT_PRIORITY if k in timings]
     compact = dict(out)
+    # host drift annotation lives in the detail file only — it must never
+    # push a query entry off the size-capped stdout line (the driver
+    # would read that as a dropped query)
+    compact.pop("host", None)
     errors = out.get("errors")
     if errors:  # errors must never push the line over budget
         trimmed = {k: str(v)[:100] for k, v in list(errors.items())[:2]}

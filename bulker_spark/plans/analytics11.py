@@ -52,6 +52,7 @@ from bulker_spark.plans.analytics7 import (
     _PQ_DIM,
     _PQ_K,
     _PQ_M,
+    _cell_rank_array,
     _pq_dist_milli_fixed,
     _pq_is_query,
     _pq_parallelize,
@@ -121,23 +122,14 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # in-row distance-to-every-cell: array of (dmilli, cell) structs,
     # ordered ascending = probe ranking; element 0 = assignment.
-    # _pq_dist_milli_fixed keeps the interpreted zip_with/aggregate fold
+    # _cell_rank_array keeps the interpreted zip_with/aggregate fold
     # with STATIC slicing + literal arrays only — the full flat unroll
     # was tried in r08 and measured 10x WORSE (janino method-size limits
     # break whole-stage codegen); see _pq_dist_milli_fixed's docstring.
-    cell_d = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    _pq_dist_milli_fixed(
-                        F.col("v"), cv, _ANN_DIM
-                    ).alias("dmilli"),
-                    F.lit(cell).cast("long").alias("cell"),
-                )
-                for cell, cv in cents
-            ]
-        )
-    )
+    # r09: the shared single-F.expr builder replaces the identical
+    # inline DSL construction (same struct fields, same tie-break) —
+    # the lambda-built form cost ~2 s of py4j chatter per query build.
+    cell_d = _cell_rank_array("v", cents)
     assigned = e.select("vec_id", "v", cell_d.alias("cd"))
     # corpus side: cell-rank folds + the per-candidate exact fold in the
     # probe join's match loop run on the scan's partitioning — a tiny

@@ -89,6 +89,27 @@ def _pq_dist_milli(a, b):
     return F.round(d2 * 1000).cast("long")
 
 
+def _dlits(xs) -> str:
+    """SQL double literals for a collected vector window. ``repr`` of a
+    Python float is the shortest decimal that round-trips to the same
+    IEEE double, and Spark's parser does correctly-rounded decimal →
+    binary, so the embedded values are bit-identical to ``F.lit``'s."""
+    return ", ".join(f"{float(x)!r}D" for x in xs)
+
+
+def _dist_sql(a: str, b, dim: int, a_off: int = 0, b_off: int = 0) -> str:
+    """The :func:`_pq_dist_milli` fold over a static window of column
+    ``a`` against literal window ``b``, as ONE SQL fragment — see the
+    r09 build-path note on :func:`_pq_dist_milli_fixed`."""
+    return (
+        f"cast(round(1000 * aggregate(zip_with("
+        f"slice({a}, {a_off + 1}, {dim}), "
+        f"array({_dlits(b[b_off : b_off + dim])}), "
+        f"(x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v)) as bigint)"
+    )
+
+
 def _pq_dist_milli_fixed(a, b, dim: int, a_off: int = 0, b_off: int = 0):
     """``_pq_dist_milli`` over a statically-known window of ``a``/``b``:
     slices ``dim`` elements starting at ``a_off``/``b_off`` (0-based) and
@@ -115,7 +136,19 @@ def _pq_dist_milli_fixed(a, b, dim: int, a_off: int = 0, b_off: int = 0):
     TOTAL generated-code size of the projection (M×K = 64 unrolled
     16-term fields is still ~1024 terms in one stage), not by the width
     of any single fold. Do not retry per-subspace unrolls; any future
-    attempt must cut the per-stage term count, not re-slice it."""
+    attempt must cut the per-stage term count, not re-slice it.
+
+    r09 build-path note (guide §7.3 — planning/driver time IS wall
+    time for the oracle and correctness gates): when ``a`` is a column
+    NAME and ``b`` a literal codebook window, the whole fold is emitted
+    as ONE ``F.expr`` SQL string (:func:`_dist_sql`) instead of ~8 py4j
+    lambda round-trips — constructing the 64-fold PQ encode dropped
+    from ~9.4 s to milliseconds of driver time, with an identical
+    resolved expression (the SQL parser builds the same ZipWith/
+    ArrayAggregate/Round nodes; the array literal constant-folds to the
+    same Literal — r08's hex-check argument)."""
+    if isinstance(b, (list, tuple)) and isinstance(a, str):
+        return F.expr(_dist_sql(a, b, dim, a_off, b_off))
     a = F.col(a) if isinstance(a, str) else a
     a = F.slice(a, a_off + 1, dim)
     if isinstance(b, (list, tuple)):
@@ -189,21 +222,22 @@ def _cell_rank_array(v_col, cents, with_cv: bool = False):
     struct per collected centroid, ``len(cents) == _PQ_K > 0``), never
     empty or null — callers rely on this to use ``explode_outer`` /
     slice without introducing null rows (the r08 12x-regression fix
-    depends on the outer variant skipping ``InferFiltersFromGenerate``)."""
+    depends on the outer variant skipping ``InferFiltersFromGenerate``).
+
+    ``v_col`` is a column NAME: the whole ranking is emitted as ONE
+    ``F.expr`` (r09 build-path note on :func:`_pq_dist_milli_fixed`)."""
     assert len(cents) > 0, "empty centroid set"
+    assert isinstance(v_col, str), "v_col must be a column name"
     entries = []
     for cell, cv in cents:
         fields = [
-            _pq_dist_milli_fixed(v_col, cv, len(cv)).alias("dmilli"),
-            F.lit(int(cell)).cast("long").alias("cell"),
+            f"'dmilli', {_dist_sql(v_col, cv, len(cv))}",
+            f"'cell', {int(cell)}L",
         ]
         if with_cv:
-            fields.append(
-                # single ArrayType Literal (see _pq_dist_milli_fixed)
-                F.lit([float(x) for x in cv]).alias("cv")
-            )
-        entries.append(F.struct(*fields))
-    return F.sort_array(F.array(*entries))
+            fields.append(f"'cv', array({_dlits(cv)})")
+        entries.append("named_struct(" + ", ".join(fields) + ")")
+    return F.expr("sort_array(array(" + ", ".join(entries) + "))")
 
 
 def _pq_codes_col(v_col, book, dim: int = _PQ_DIM, n_sub: int = _PQ_M):
@@ -219,36 +253,31 @@ def _pq_codes_col(v_col, book, dim: int = _PQ_DIM, n_sub: int = _PQ_M):
     null — callers rely on this to ``explode_outer`` it without
     introducing null rows (the outer variant is what keeps
     ``InferFiltersFromGenerate`` from re-inlining the encode into scan
-    DataFilters; see the r08 repair notes)."""
+    DataFilters; see the r08 repair notes).
+
+    ``v_col`` is a column NAME: the whole encode is emitted as ONE
+    ``F.expr`` (r09 build-path note on :func:`_pq_dist_milli_fixed` —
+    the M×K lambda-built fold tree cost ~9.4 s of py4j chatter per
+    query build, which the oracle/correctness gates pay as wall time)."""
     assert len(book) > 0 and n_sub > 0, "empty PQ codebook"
-    return F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.array_min(
-                    F.array(
-                        *[
-                            F.struct(
-                                _pq_dist_milli_fixed(
-                                    v_col,
-                                    cv,
-                                    dim,
-                                    a_off=m * dim,
-                                    b_off=m * dim,
-                                ).alias("dmilli"),
-                                F.lit(int(cid)).cast("long").alias("cid"),
-                            )
-                            for cid, cv in book
-                        ]
-                    )
-                ).alias("best"),
-            )
-            for m in range(n_sub)
-        ]
-    )
+    assert isinstance(v_col, str), "v_col must be a column name"
+    subs = []
+    for m in range(n_sub):
+        entries = ", ".join(
+            f"named_struct("
+            f"'dmilli', {_dist_sql(v_col, cv, dim, m * dim, m * dim)}, "
+            f"'cid', {int(cid)}L)"
+            for cid, cv in book
+        )
+        subs.append(
+            f"named_struct('m', {m}, 'best', array_min(array({entries})))"
+        )
+    return F.expr("array(" + ", ".join(subs) + ")")
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_codes(
+    spark: SparkSession, sf_dir: str, cents: list | None = None
+) -> DataFrame:
     """PQ encoding: (vec_id, m, code, dmilli) — per subspace, the nearest
     of the K centroids (ties → lowest centroid id).
 
@@ -260,7 +289,8 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled, for encoding — zero exchanges where there was an
     exchange + sort. ``array_min`` on structs is lexicographic
     (dmilli, cid), exactly the old ``ORDER BY dmilli, cid`` rank-1 row."""
-    cents = _collect_centroids(spark, sf_dir)
+    if cents is None:
+        cents = _collect_centroids(spark, sf_dir)
     e = _pq_parallelize(
         spark,
         sf_dir,
@@ -269,7 +299,7 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         ),
     )
-    per_m = _pq_codes_col(F.col("v"), cents)
+    per_m = _pq_codes_col("v", cents)
     return e.select("vec_id", F.explode(per_m).alias("mc")).select(
         "vec_id",
         F.col("mc.m").alias("m"),
@@ -354,15 +384,21 @@ ORDER BY subspace, code
 """
 
 
-def _pq_dtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_dtable(
+    spark: SparkSession, sf_dir: str, cents: list | None = None
+) -> DataFrame:
     """ADC distance table (query_id, m, code, qd_milli) — one row per
     (query, subspace, codebook entry). r08 rewrite (guide §2.4): the
     query set is a PRUNED scan (the ``vec_id`` predicates push down to
     parquet) and the K×M distances compute in-row against collected
     codebook literals, replacing the previous subvector-explode +
     broadcast join. Values are bit-identical: same slices, same fold
-    order, same single ROUND."""
-    cents = _collect_centroids(spark, sf_dir)
+    order, same single ROUND. ``cents`` lets a caller that already
+    collected the codebook share it (one scalar-pull job per query
+    instead of three — r09); the table itself is ONE ``F.expr``
+    (build-path note on :func:`_pq_dist_milli_fixed`)."""
+    if cents is None:
+        cents = _collect_centroids(spark, sf_dir)
     q = (
         _t(spark, sf_dir, "embeddings")
         .filter(_pq_is_query())
@@ -371,26 +407,16 @@ def _pq_dtable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
     )
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.lit(int(cid)).cast("long").alias("code"),
-                _pq_dist_milli_fixed(
-                    F.col("v"),
-                    cv,
-                    _PQ_DIM,
-                    a_off=m * _PQ_DIM,
-                    b_off=m * _PQ_DIM,
-                ).alias("qd_milli"),
-            )
-            for m in range(_PQ_M)
-            for cid, cv in cents
-        ]
+    entries = ", ".join(
+        f"named_struct('m', {m}, 'code', {int(cid)}L, "
+        f"'qd_milli', "
+        f"{_dist_sql('v', cv, _PQ_DIM, m * _PQ_DIM, m * _PQ_DIM)})"
+        for m in range(_PQ_M)
+        for cid, cv in cents
     )
-    return q.select("query_id", F.explode(entries).alias("t")).select(
-        "query_id", "t.m", "t.code", "t.qd_milli"
-    )
+    return q.select(
+        "query_id", F.explode(F.expr(f"array({entries})")).alias("t")
+    ).select("query_id", "t.m", "t.code", "t.qd_milli")
 
 
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,8 +436,9 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     front (bucket candidates by nearest coarse centroid, probe a few
     buckets per query) so the pair enumeration drops by the probe
     fraction — the same equi-join shape as the LSH banding queries."""
-    dtable = _pq_dtable(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir).filter(
+    cents = _collect_centroids(spark, sf_dir)  # one scalar pull, shared
+    dtable = _pq_dtable(spark, sf_dir, cents)
+    codes = _pq_codes(spark, sf_dir, cents).filter(
         ~_pq_is_query()
     )
     adc = (
@@ -511,12 +538,12 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("p.cell").alias("cell"))
     )
 
-    dtable = _pq_dtable(spark, sf_dir)
+    dtable = _pq_dtable(spark, sf_dir, cents)
     if pq_fused_route(spark, os.path.join(sf_dir, "embeddings.parquet")):
         db = e.filter(~_pq_is_query()).select(
             "vec_id",
             cd_arr[0]["cell"].alias("cell"),
-            _pq_codes_col(F.col("v"), cents).alias("mc"),
+            _pq_codes_col("v", cents).alias("mc"),
         )
         # explode the codes BEFORE the probe join (r08 fix, guide
         # §1/§7.2): whole-stage codegen defers non-key projection
@@ -551,7 +578,7 @@ def emb_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = cells.join(F.broadcast(probes), "cell").select(
             "query_id", "vec_id"
         )
-        codes = _pq_codes(spark, sf_dir)
+        codes = _pq_codes(spark, sf_dir, cents)
         cand = codes.join(pairs, "vec_id")
     adc = (
         cand.join(F.broadcast(dtable), ["query_id", "m", "code"])
@@ -734,7 +761,7 @@ def emb_pq_ivf_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = dbr.select(
             "vec_id",
             "cell",
-            _pq_codes_col(F.col("rv"), rbook).alias("mc"),
+            _pq_codes_col("rv", rbook).alias("mc"),
         )
     else:
         # bench-scale shape (pre-fuse): residual subvectors of every

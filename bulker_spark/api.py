@@ -387,7 +387,44 @@ class Engine:
             # as a carry column for the dedup step.
             from pyspark.sql import functions as F
 
+            # Size the redistribution to the BATCH, not the machine (r09,
+            # guide §2.2/§6 and the r08 scaling block: the 100k-row tiers
+            # ANTI-scaled — 32-way fan-out of a ~10 MB batch is pure
+            # task-launch overhead, measured 0.26 c8/c32 ratio). Target =
+            # ceil(batch bytes / spark.bulker.ingest.bytesPerTask), capped
+            # at defaultParallelism — big batches keep full parallelism,
+            # tiny ones stop paying 32 tasks per downstream stage. Falls
+            # back to full parallelism when the size is unknowable.
             target = self.spark.sparkContext.defaultParallelism
+            try:
+                bpt = int(
+                    self.spark.conf.get(
+                        "spark.bulker.ingest.bytesPerTask", str(4 << 20)
+                    )
+                    or (4 << 20)
+                )
+            except ValueError:
+                bpt = 4 << 20
+            est = None
+            try:
+                files = json_df.inputFiles()
+                if files:
+                    import os
+                    import urllib.parse as _up
+                    import urllib.request as _ur
+
+                    est = 0
+                    for f in files:
+                        p = _up.urlparse(f)
+                        if p.scheme in ("", "file"):
+                            est += os.path.getsize(_ur.url2pathname(p.path))
+                        else:  # non-local source: size unknowable cheaply
+                            est = None
+                            break
+            except Exception:
+                est = None
+            if est is not None and bpt > 0:
+                target = max(1, min(target, -(-est // bpt)))
             if (
                 len(json_df.columns) == 1
                 and json_df.rdd.getNumPartitions() < target
